@@ -1,0 +1,21 @@
+"""biosets_spark: a PySpark-native analytics engine with the query and
+data-processing capabilities of psmyth94/biosets (reference studied at
+/root/reference), re-architected Spark-first.
+
+Layers (SURVEY.md §7.0):
+- sources/   readers + path planning + Parquet sink
+- schema/    physical type lattice + semantic role metadata
+- operators/ joins, concat, labels, splits, dedup, similarity, text
+- functions/ scalar/vector expression helpers
+- plans/     plan-fingerprint cache
+- streaming/ Structured Streaming ingest + windowed/stateful ops
+"""
+
+from .dataset import BioDataset
+from .load import load_dataset
+from .session import get_spark
+from .sources.sink import load_from_disk, save_to_disk
+
+__version__ = "0.1.0"
+
+__all__ = ["BioDataset", "load_dataset", "get_spark", "save_to_disk", "load_from_disk"]

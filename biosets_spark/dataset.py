@@ -1,0 +1,197 @@
+"""BioDataset: a DataFrame + role-annotated schema.
+
+The Spark analogue of the reference's ``Bioset`` (subclass of
+datasets.Dataset, arrow_dataset.py:26-138): a thin wrapper holding a
+DataFrame whose StructField metadata carries semantic roles, exposing
+the inherited transform surface (select/filter/map/sort/...) and the
+role-based accessors (get_data/get_target/get_sample_metadata/decode,
+arrow_dataset.py:141-252).
+
+Everything delegates to DataFrame ops so Catalyst owns optimization;
+the wrapper adds only role bookkeeping.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .operators import labels as _labels
+from .operators import split as _split
+from .schema import roles
+
+
+class BioDataset:
+    def __init__(self, df: DataFrame, split: str = "train", fingerprint: str | None = None):
+        self.df = df
+        self.split = split
+        self.fingerprint = fingerprint
+
+    # ---- basic info -------------------------------------------------
+    @property
+    def columns(self) -> list[str]:
+        return self.df.columns
+
+    @property
+    def num_rows(self) -> int:
+        return self.df.count()
+
+    @property
+    def schema(self) -> T.StructType:
+        return self.df.schema
+
+    def _wrap(self, df: DataFrame) -> "BioDataset":
+        return BioDataset(df, split=self.split, fingerprint=None)
+
+    # ---- projections / renames (P1-P4, arrow_dataset.py:93-121) -----
+    def select_columns(self, cols: list[str]) -> "BioDataset":
+        return self._wrap(self.df.select(*cols))
+
+    def remove_columns(self, cols: list[str] | str) -> "BioDataset":
+        cols = [cols] if isinstance(cols, str) else cols
+        return self._wrap(self.df.drop(*cols))
+
+    def rename_column(self, old: str, new: str) -> "BioDataset":
+        return self._wrap(self.df.withColumnRenamed(old, new))
+
+    def rename_columns(self, mapping: dict[str, str]) -> "BioDataset":
+        return self._wrap(self.df.withColumnsRenamed(mapping))
+
+    def set_column_names(self, names: list[str]) -> "BioDataset":
+        """P4: positional wholesale rename (npz feature naming,
+        biodata.py:1098-1124)."""
+        return self._wrap(self.df.toDF(*names))
+
+    # ---- row ops (P6-P8, O1-O5) --------------------------------------
+    def filter(self, predicate) -> "BioDataset":
+        """P6: Column/SQL-string predicates stay in Catalyst; Python
+        callables run as Arrow-batched pandas filters (slow path)."""
+        if callable(predicate):
+            schema = self.df.schema
+
+            def fn(it: Iterator) -> Iterator:
+                for pdf in it:
+                    yield pdf[pdf.apply(lambda row: predicate(row.to_dict()), axis=1)]
+
+            return self._wrap(self.df.mapInPandas(fn, schema=schema))
+        return self._wrap(self.df.filter(predicate))
+
+    def map(self, fn: Callable | None = None, output_schema: T.StructType | str | None = None,
+            exprs: dict[str, object] | None = None) -> "BioDataset":
+        """P7: transform. Prefer ``exprs`` ({name: Column}) — pure
+        Catalyst. A Python ``fn`` (pandas.DataFrame -> pandas.DataFrame)
+        runs via mapInPandas with an explicit output schema (the
+        reference's batched map, arrow_dataset.py:89-91)."""
+        if exprs is not None:
+            return self._wrap(self.df.withColumns(exprs))
+        if fn is None:
+            raise ValueError("map: provide exprs= or fn=")
+        schema = output_schema or self.df.schema
+
+        def gen(it: Iterator) -> Iterator:
+            for pdf in it:
+                yield fn(pdf)
+
+        return self._wrap(self.df.mapInPandas(gen, schema=schema))
+
+    def sort(self, cols: list[str] | str, reverse: bool = False,
+             null_placement: str = "at_end") -> "BioDataset":
+        cols = [cols] if isinstance(cols, str) else cols
+        def key(c):
+            if reverse:
+                return F.col(c).desc_nulls_last() if null_placement == "at_end" else F.col(c).desc_nulls_first()
+            return F.col(c).asc_nulls_last() if null_placement == "at_end" else F.col(c).asc_nulls_first()
+        return self._wrap(self.df.orderBy(*[key(c) for c in cols]))
+
+    def shuffle(self, seed: int | None = None) -> "BioDataset":
+        return self._wrap(_split.shuffle(self.df, seed))
+
+    def select(self, indices, order_by: list[str] | None = None) -> "BioDataset":
+        if isinstance(indices, range):
+            return self._wrap(_split.slice_rows(self.df, indices.start, indices.stop, order_by))
+        return self._wrap(_split.select_indices(self.df, list(indices), order_by))
+
+    def head(self, n: int = 5) -> list[dict]:
+        return [r.asDict(recursive=True) for r in self.df.limit(n).collect()]
+
+    def train_test_split(self, test_size: float = 0.25, seed: int | None = None,
+                         stratify_by_column: str | None = None) -> dict[str, "BioDataset"]:
+        parts = _split.train_test_split(self.df, test_size, seed, stratify_by_column)
+        return {k: BioDataset(v, split=k) for k, v in parts.items()}
+
+    # ---- casts / structure (P9-P10) ----------------------------------
+    def cast_column(self, col: str, dtype: T.DataType | str,
+                    feature_type: str | None = None) -> "BioDataset":
+        meta = dict(self.df.schema[col].metadata or {})
+        if feature_type:
+            meta[roles.FEATURE_TYPE_KEY] = feature_type
+        out = self.df.withColumn(col, F.col(col).cast(dtype))
+        out = out.select(*[F.col(c).alias(c, metadata=meta) if c == col else F.col(c) for c in out.columns])
+        return self._wrap(out)
+
+    def flatten(self) -> "BioDataset":
+        """P9: recursively explode struct columns into ``parent.child``
+        top-level columns (table_util.py:310-330)."""
+        df = self.df
+        while True:
+            struct_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.StructType)]
+            if not struct_cols:
+                return self._wrap(df)
+            cols = []
+            for f in df.schema.fields:
+                if isinstance(f.dataType, T.StructType):
+                    for sub in f.dataType.fields:
+                        cols.append(F.col(f"`{f.name}`.`{sub.name}`").alias(f"{f.name}.{sub.name}"))
+                else:
+                    cols.append(F.col(f"`{f.name}`"))
+            df = df.select(*cols)
+
+    # ---- role-based accessors (V1, arrow_dataset.py:141-252) ---------
+    def get_sample_col_name(self) -> str | None:
+        cols = roles.columns_with_role(self.df, roles.ROLE_SAMPLE)
+        return cols[0] if cols else None
+
+    def get_target_col_names(self) -> list[str]:
+        return roles.columns_with_role(self.df, roles.ROLE_TARGET)
+
+    def get_data(self) -> "BioDataset":
+        cols = roles.columns_with_role(self.df, roles.ROLE_FEATURE)
+        return self._wrap(self.df.select(*cols)) if cols else self
+
+    def get_target(self) -> "BioDataset":
+        cols = self.get_target_col_names()
+        if not cols:
+            raise ValueError("no target columns tagged")
+        return self._wrap(self.df.select(*cols))
+
+    def get_sample_metadata(self) -> "BioDataset":
+        cols = roles.columns_with_role(self.df, roles.ROLE_SAMPLE, roles.ROLE_BATCH, roles.ROLE_METADATA)
+        return self._wrap(self.df.select(*cols))
+
+    def get_feature_metadata(self) -> dict[str, dict]:
+        return {
+            f.name: roles.get_feature_meta(self.df, f.name)
+            for f in self.df.schema.fields
+            if (f.metadata or {}).get(roles.ROLE_KEY) == roles.ROLE_FEATURE
+        }
+
+    def decode(self, col: str | None = None) -> "BioDataset":
+        if col is None:
+            with_labels = [c for c in self.get_target_col_names() if roles.get_labels(self.df, c)]
+            col = (with_labels or [_labels.TARGET_COLUMN])[0]
+        return self._wrap(_labels.decode(self.df, col))
+
+    # ---- persistence --------------------------------------------------
+    def save_to_disk(self, path: str) -> None:
+        from .sources.sink import save_to_disk
+
+        save_to_disk(self.df, path, fingerprint=self.fingerprint)
+
+    def to_pandas(self):
+        return self.df.toPandas()
+
+    def __repr__(self) -> str:
+        return f"BioDataset(split={self.split!r}, columns={self.columns})"

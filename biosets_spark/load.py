@@ -1,0 +1,231 @@
+"""load_dataset: the main ingest -> enrich -> type -> encode pipeline.
+
+Spark re-expression of the reference's query lifecycle (SURVEY §3.1;
+reference: src/biosets/load.py:110-252 API, biodata.py:210-380 planner,
+biodata.py:1037-1198 physical pipeline):
+
+1. driver-side planning: resolve data/metadata files (glob
+   conventions), infer splits from filenames;
+2. per split: scan data shards (extension dispatch, schema promotion
+   across shards), scan+union sample metadata;
+3. infer column roles by name patterns (biodata.py:596-705,
+   1381-1604);
+4. enrich: left-join sample metadata on the sample column (J1) or
+   positionally when no key exists (J2); attach feature metadata to
+   column StructField metadata (J4);
+5. encode labels (A1-A3) appending ``encoded_labels``;
+6. return {split: BioDataset} (or a single BioDataset when one split).
+
+All heavy lifting is a Catalyst plan: scan -> broadcast join ->
+withColumn(map-lookup). The only collected data is the label
+dictionary and the (small) feature-metadata table.
+"""
+
+from __future__ import annotations
+
+import re
+import warnings
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .dataset import BioDataset
+from .operators import joins as _joins
+from .operators import labels as _labels
+from .schema import roles
+from .schema.lattice import union_promote
+from .sources import discovery, readers
+
+# column-name patterns for role inference, case-insensitive, leftmost
+# match wins (reference: biodata.py:577-580, 1533-1553)
+SAMPLE_PATTERNS = [r"^sample(s|[_\-\s]*id|[_\-\s]*name)?$", r"^name$", r"^id$", r"^subject", r"^patient"]
+BATCH_PATTERNS = [r"^batch(es|[_\-\s]*id)?$"]
+TARGET_PATTERNS = [r"^target$", r"^label(s)?$", r"^class(es)?$", r"^y$", r"^disease", r"^diagnosis", r"^phenotype"]
+METADATA_PATTERNS = [r"^metadata", r"^meta[_\-\s]", r"^covariate"]
+FEATURE_KEY_PATTERNS = [r"^feature(s|[_\-\s]*id|[_\-\s]*name)?$", r"^name$", r"^id$"]
+
+
+def _match_col(columns: list[str], patterns: list[str]) -> str | None:
+    for p in patterns:
+        for c in columns:
+            if re.match(p, c, re.IGNORECASE):
+                return c
+    return None
+
+
+def _read_shards(spark: SparkSession, files: list[str], **options) -> DataFrame:
+    by_fmt: dict[str, list[str]] = {}
+    for f in files:
+        by_fmt.setdefault(readers.detect_format(f), []).append(f)
+    dfs = [readers.read_files(spark, fs, fmt=fmt, **options) for fmt, fs in by_fmt.items()]
+    return union_promote(dfs)
+
+
+def load_dataset(
+    path: str | None = None,
+    data_files: list[str] | str | None = None,
+    sample_metadata_files: list[str] | str | None = None,
+    feature_metadata_files: list[str] | str | None = None,
+    experiment_type: str | None = None,
+    sample_column: str | None = None,
+    batch_column: str | None = None,
+    target_column: str | None = None,
+    labels: list | None = None,
+    positive_labels: list | None = None,
+    negative_labels: list | None = None,
+    add_missing_columns: bool = False,
+    zero_as_missing: bool = False,
+    split: str | None = None,
+    spark: SparkSession | None = None,
+    **reader_options,
+) -> BioDataset | dict[str, BioDataset]:
+    if spark is None:
+        from .session import get_spark
+
+        spark = get_spark()
+
+    # -- 1. plan: resolve files and splits (driver-side) --------------
+    if path is not None and data_files is None:
+        found = discovery.discover(path)
+        data_files = found["data_files"]
+        sample_metadata_files = sample_metadata_files or found["sample_metadata_files"]
+        feature_metadata_files = feature_metadata_files or found["feature_metadata_files"]
+    data_files = [data_files] if isinstance(data_files, str) else list(data_files or [])
+    if not data_files:
+        raise ValueError("load_dataset: no data files found")
+    if isinstance(sample_metadata_files, str):
+        sample_metadata_files = [sample_metadata_files]
+    if isinstance(feature_metadata_files, str):
+        feature_metadata_files = [feature_metadata_files]
+
+    splits = discovery.infer_splits(data_files)
+
+    # -- feature metadata: small, collected once (J4) ------------------
+    feature_meta: dict[str, dict] | None = None
+    feature_names_ordered: list[str] = []
+    if feature_metadata_files:
+        fm_df = _read_shards(spark, list(feature_metadata_files))
+        key_col = _match_col(fm_df.columns, FEATURE_KEY_PATTERNS) or fm_df.columns[0]
+        if key_col != fm_df.columns[0] or not _match_col(fm_df.columns, FEATURE_KEY_PATTERNS):
+            warnings.warn(
+                f"feature metadata key column inferred as {key_col!r}; "
+                "rename it to 'feature' to silence this warning"
+            )
+        rows = fm_df.collect()
+        feature_meta = {}
+        for r in rows:
+            d = r.asDict(recursive=True)
+            k = str(d.pop(key_col))
+            feature_meta[k] = d
+            feature_names_ordered.append(k)
+
+    out: dict[str, BioDataset] = {}
+    feature_type = roles.EXPERIMENT_TYPES.get(experiment_type or "", None)
+    multi_shard = len(data_files) > 1
+
+    for split_name, files in splits.items():
+        df = _read_shards(spark, files, **reader_options)
+
+        # npz-style positional feature naming (biodata.py:1099-1124)
+        unnamed = all(re.fullmatch(r"\d+|_c\d+", c) for c in df.columns)
+        if unnamed and feature_names_ordered and len(feature_names_ordered) == len(df.columns):
+            df = df.toDF(*feature_names_ordered)
+
+        # -- 3. role inference -----------------------------------------
+        s_col = sample_column or _match_col(df.columns, SAMPLE_PATTERNS)
+        b_col = batch_column or _match_col(df.columns, BATCH_PATTERNS)
+        t_col = target_column or _match_col(df.columns, TARGET_PATTERNS)
+
+        # -- 4. sample-metadata enrichment -----------------------------
+        if sample_metadata_files:
+            meta = _read_shards(spark, list(sample_metadata_files))
+            m_col = sample_column or _match_col(meta.columns, SAMPLE_PATTERNS)
+            if s_col and m_col:
+                df = _joins.join_sample_metadata(df, meta, s_col, m_col)
+            else:
+                if s_col or m_col:
+                    warnings.warn(
+                        "sample column found on only one side "
+                        f"(data={s_col!r}, metadata={m_col!r}); falling back to positional alignment"
+                    )
+                df = _joins.align_horizontal(df, meta)
+                s_col = s_col or m_col if (s_col or m_col) in df.columns else s_col
+            b_col = b_col or _match_col(df.columns, BATCH_PATTERNS)
+            t_col = target_column or _match_col(df.columns, TARGET_PATTERNS)
+
+        # -- tag roles ---------------------------------------------------
+        if s_col and s_col in df.columns:
+            df = roles.with_role(df, s_col, roles.ROLE_SAMPLE)
+        if b_col and b_col in df.columns:
+            df = roles.with_role(df, b_col, roles.ROLE_BATCH)
+        for c in df.columns:
+            if c in (s_col, b_col, t_col):
+                continue
+            if _match_col([c], METADATA_PATTERNS):
+                df = roles.with_role(df, c, roles.ROLE_METADATA)
+
+        # feature columns: everything untagged; attach per-column metadata (J4)
+        for f in df.schema.fields:
+            if (f.metadata or {}).get(roles.ROLE_KEY) is None and f.name != t_col:
+                meta_for = (feature_meta or {}).get(f.name)
+                df = roles.with_role(
+                    df, f.name, roles.ROLE_FEATURE,
+                    feature_type=feature_type or "value_with_metadata",
+                    meta=meta_for,
+                )
+        if feature_meta:
+            missing = set(feature_meta) - set(df.columns)
+            if missing:
+                warnings.warn(f"feature metadata rows with no matching data column: {sorted(missing)}")
+
+        # -- 5. label encoding (A1-A3) ----------------------------------
+        if t_col and t_col in df.columns:
+            df = roles.with_role(df, t_col, roles.ROLE_TARGET)
+            if _labels.task_type(df, t_col) == "classification" or positive_labels or negative_labels:
+                if labels is None and not (positive_labels or negative_labels) and multi_shard and len(splits) == 1 and len(files) > 1:
+                    # reference errors on multi-shard label inference
+                    # without explicit labels (biodata.py:974-1023)
+                    raise ValueError(
+                        "Multiple data files without explicit labels=: pass the full label "
+                        "dictionary so codes are consistent across shards."
+                    )
+                df, _ = _labels.encode_labels(
+                    df, t_col, labels=labels,
+                    positive_labels=positive_labels, negative_labels=negative_labels,
+                )
+
+        # add_missing_columns: fill declared-but-absent features
+        if add_missing_columns and feature_meta:
+            for name in feature_names_ordered:
+                if name not in df.columns:
+                    fill = F.lit(0) if zero_as_missing else F.lit(None).cast(T.StringType())
+                    df = df.withColumn(name, fill)
+                    df = roles.with_role(df, name, roles.ROLE_FEATURE,
+                                         feature_type=feature_type or "value_with_metadata",
+                                         meta=(feature_meta or {}).get(name))
+
+        out[split_name] = BioDataset(df, split=split_name)
+
+    if split:
+        parts = discovery.parse_split_spec(split)
+        if len(parts) == 1 and parts[0][1] is None:
+            return out[parts[0][0]]
+        from .operators.split import slice_percent, slice_rows
+
+        pieces = []
+        for name, a, b, pct in parts:
+            ds = out[name]
+            if a is None and b is None:
+                pieces.append(ds.df)
+            elif pct:
+                pieces.append(slice_percent(ds.df, a or 0, b if b is not None else 100))
+            else:
+                pieces.append(slice_rows(ds.df, a or 0, b))
+        merged = pieces[0]
+        for p in pieces[1:]:
+            merged = merged.unionByName(p, allowMissingColumns=True)
+        return BioDataset(merged, split=split)
+    if len(out) == 1:
+        return next(iter(out.values()))
+    return out

@@ -1,0 +1,204 @@
+"""Deduplication operators for large-scale text/training-data pipelines.
+
+No reference counterpart (BASELINE.json extension surface). All
+variants are pure DataFrame plans designed for 100 TB:
+
+- exact: hash-groupBy on a normalized fingerprint — one shuffle of
+  (fingerprint, doc_id), never the document bodies.
+- minhash + LSH: shingle -> k minhashes (xxhash64 with k seeds, JVM
+  expressions) -> b bands -> band-hash bucket join. Candidate pairs are
+  verified with true shingle Jaccard. Only signatures (k*8 bytes/doc)
+  shuffle; band join explodes b rows/doc.
+- simhash: 64-bit signature from per-shingle xxhash64 bit-votes;
+  near-dup = identical signature (or bucketed hamming verification).
+- n-gram jaccard: exact pairwise Jaccard via shingle self-join —
+  the quadratic fallback, bounded by shingle selectivity.
+- embedding cosine: see operators/similarity.py (all_pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+
+def normalize_text(c: Column) -> Column:
+    """Lowercase, collapse whitespace — the canonical form for exact /
+    fingerprint dedup."""
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def fingerprint_md5(c: Column) -> Column:
+    """Deterministic content fingerprint (md5 of normalized text)."""
+    return F.md5(normalize_text(c))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per distinct normalized text.
+    Returns (keep_id, dup_count). Shuffles only (fingerprint, id)."""
+    return (
+        df.select(fingerprint_md5(col(text_col)).alias("_fp"), col(id_col))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+        .drop("_fp")
+    )
+
+
+def shingles(c: Column, n: int = 4) -> Column:
+    """Distinct n-word shingles of a text column (JVM higher-order
+    functions; no Python in the loop)."""
+    toks = F.split(F.trim(c), r"\s+")
+    idx = F.sequence(lit(1), F.greatest(F.size(toks) - (n - 1), lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+
+
+def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 4) -> DataFrame:
+    return df.select(col(id_col).alias("_id"), F.explode(shingles(col(text_col), n)).alias("_sh"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (a < b, jaccard >= threshold).
+
+    Plan: explode distinct shingles, self-join on shingle (common
+    counts), join per-doc shingle counts, filter. The self-join blows
+    up only on hot shingles — at scale pair it with LSH prefiltering
+    (minhash_lsh_candidates) or drop top-frequency shingles.
+    """
+    sh = shingle_table(df, text_col, id_col, n).cache()
+    counts = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (col("a._sh") == col("b._sh")) & (col("a._id") < col("b._id")))
+        .groupBy(col("a._id").alias("id_a"), col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    ca = counts.select(col("_id").alias("id_a"), col("_n").alias("n_a"))
+    cb = counts.select(col("_id").alias("id_b"), col("_n").alias("n_b"))
+    return (
+        common.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn("jaccard", col("common") / (col("n_a") + col("n_b") - col("common")))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_perm: int = 32, shingle_n: int = 4,
+) -> DataFrame:
+    """k minhashes per doc: min over shingles of xxhash64(shingle, seed_i).
+
+    One narrow pass: shingling + k hash-mins fold into a single
+    aggregate over the exploded shingles (partial min combine map-side).
+    """
+    sh = shingle_table(df, text_col, id_col, shingle_n)
+    mins = [F.min(F.xxhash64(col("_sh"), lit(i))).alias(f"mh_{i}") for i in range(num_perm)]
+    return sh.groupBy(col("_id").alias(id_col)).agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_perm: int = 32, bands: int = 8, shingle_n: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, verified with true Jaccard.
+
+    b bands of r=num_perm/b rows; docs sharing any band bucket are
+    candidates; candidates verified by exact shingle Jaccard. The
+    bucket join shuffles only (band, band_hash, id).
+    """
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n).cache()
+    band_cols = [
+        F.struct(lit(bi).alias("band"), F.xxhash64(*[col(f"mh_{bi * r + j}") for j in range(r)]).alias("bh"))
+        for bi in range(bands)
+    ]
+    buckets = sig.select(col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("bk"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(b, (col("a.bk") == col("b.bk")) & (col("a._id") < col("b._id")))
+        .select(col("a._id").alias("id_a"), col("b._id").alias("id_b"))
+        .distinct()
+    )
+    # verify candidates with exact jaccard on shingle sets
+    sh = shingle_table(df, text_col, id_col, shingle_n)
+    counts = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    common = (
+        cands.join(sh.alias("sa"), cands.id_a == col("sa._id"))
+        .join(sh.alias("sb"), (cands.id_b == col("sb._id")) & (col("sa._sh") == col("sb._sh")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    ca = counts.select(col("_id").alias("id_a"), col("_n").alias("n_a"))
+    cb = counts.select(col("_id").alias("id_b"), col("_n").alias("n_b"))
+    return (
+        common.join(ca, "id_a").join(cb, "id_b")
+        .withColumn("jaccard", col("common") / (col("n_a") + col("n_b") - col("common")))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            shingle_n: int = 2) -> DataFrame:
+    """64-bit SimHash per document.
+
+    Per shingle: h = xxhash64(shingle); bit votes +-1 summed per
+    position across shingles; signature bit i = sign of vote i. All
+    JVM bit arithmetic over an exploded (id, shingle) table; one
+    aggregate, 64 sums wide.
+    """
+    sh = shingle_table(df, text_col, id_col, shingle_n)
+    h = F.xxhash64(col("_sh"))
+    votes = [
+        F.sum(F.when(h.bitwiseAND(F.shiftleft(lit(1).cast("long"), i)) != 0, 1).otherwise(-1)).alias(f"v_{i}")
+        for i in range(64)
+    ]
+    agg = sh.groupBy(col("_id").alias(id_col)).agg(*votes)
+    sig = None
+    for i in range(64):
+        bit = F.when(col(f"v_{i}") > 0, F.shiftleft(lit(1).cast("long"), i)).otherwise(lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return agg.select(id_col, sig.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3, shingle_n: int = 2) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Block on 4 x 16-bit signature chunks (pigeonhole: any pair within
+    hamming 3 shares at least one exact chunk), verify with bit_count.
+    """
+    sig = simhash(df, text_col, id_col, shingle_n).cache()
+    chunks = sig.select(
+        col(id_col).alias("_id"),
+        col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(lit(i).alias("pos"), F.shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFF)).alias("chunk"))
+                for i in range(4)
+            ])
+        ).alias("ck"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cands = (
+        a.join(b, (col("a.ck") == col("b.ck")) & (col("a._id") < col("b._id")))
+        .select(col("a._id").alias("id_a"), col("b._id").alias("id_b"),
+                col("a.simhash").alias("sig_a"), col("b.simhash").alias("sig_b"))
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+        .filter(col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (array<float>).
+
+No reference counterpart (BASELINE.json extension surface).
+
+- brute-force top-k: broadcast the query vector, compute cosine as a
+  JVM higher-order expression (zip_with/aggregate over doubles), top-k
+  via TakeOrderedAndProject. Linear scan, perfectly partition-parallel.
+- all-pairs: self-join a.id < b.id — quadratic verifier used for
+  near-dup detection at moderate cardinality.
+- LSH (random hyperplanes): sign-bit signatures from fixed
+  deterministic hyperplanes; bucket join prunes the quadratic pair
+  space. The scale path for 100 TB corpora: signatures are tiny, the
+  bucket join shuffles ids only, and real distances are verified per
+  candidate bucket.
+- IVF (inverted file): coarse k-means-style assignment to the nearest
+  of k sampled centroid rows; queries probe only the closest cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+from ..functions.vectors import cosine, dot, norm
+
+
+def knn_bruteforce(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: int | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector."""
+    qv = F.array(*[lit(float(x)) for x in query_vec])
+    out = df.select(
+        col(id_col).alias("neighbor_id"),
+        cosine(col(vec_col), qv).alias("sim"),
+    )
+    if exclude_self is not None:
+        out = out.filter(col("neighbor_id") != exclude_self)
+    return out.orderBy(col("sim").desc(), col("neighbor_id")).limit(k)
+
+
+def all_pairs_topk(
+    df: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k most-similar pairs by cosine (exact, quadratic)."""
+    a = df.select(col(id_col).alias("id_a"), col(vec_col).alias("va"))
+    b = df.select(col(id_col).alias("id_b"), col(vec_col).alias("vb"))
+    return (
+        a.join(b, col("id_a") < col("id_b"))
+        .select("id_a", "id_b", cosine(col("va"), col("vb")).alias("sim"))
+        .orderBy(col("sim").desc(), "id_a", "id_b")
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (driver-side, tiny)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_signatures(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane (SRP) LSH bucket id per row: bit i = sign of
+    <v, plane_i>. JVM expressions only; planes are literal arrays."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = None
+    for i, p in enumerate(planes):
+        pv = F.array(*[lit(float(x)) for x in p])
+        bit = F.when(dot(col(vec_col), pv) >= 0, F.shiftleft(lit(1).cast("long"), i)).otherwise(lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return df.withColumn("_bucket", sig)
+
+
+def lsh_knn(
+    df: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe only the query's SRP bucket, exact
+    cosine within it. Recall grows with multi-probe (flip one bit)."""
+    import numpy as np
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    qsig = 0
+    qarr = np.asarray(query_vec)
+    for i, p in enumerate(planes):
+        if float(np.dot(qarr, np.asarray(p))) >= 0:
+            qsig |= 1 << i
+    probe = [qsig] + [qsig ^ (1 << i) for i in range(n_planes)]  # multi-probe radius 1
+    bucketed = lsh_signatures(df, dim, n_planes, vec_col, seed)
+    qv = F.array(*[lit(float(x)) for x in query_vec])
+    return (
+        bucketed.filter(col("_bucket").isin(probe))
+        .select(col(id_col).alias("neighbor_id"), cosine(col(vec_col), qv).alias("sim"))
+        .orderBy(col("sim").desc(), col("neighbor_id"))
+        .limit(k)
+    )
+
+
+def ivf_build(
+    df: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """IVF coarse index: centroids = deterministic sample of rows;
+    every vector assigned to its nearest centroid (one narrow pass)."""
+    cents = [
+        (i, [float(x) for x in r[vec_col]])
+        for i, r in enumerate(df.select(vec_col).orderBy(F.xxhash64(col(id_col), lit(seed))).limit(n_cells).collect())
+    ]
+    best = None
+    for ci, cv in cents:
+        cva = F.array(*[lit(x) for x in cv])
+        d = cosine(col(vec_col), cva)
+        cand = F.struct(d.alias("sim"), lit(ci).alias("cell"))
+        best = cand if best is None else F.when(cand["sim"] > best["sim"], cand).otherwise(best)
+    assigned = df.withColumn("_cell", best["cell"])
+    return assigned, cents
+
+
+def ivf_knn(
+    assigned: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the n_probe nearest cells, exact cosine within them."""
+    import numpy as np
+
+    qa = np.asarray(query_vec, dtype=float)
+
+    def cos(u, v):
+        return float(np.dot(u, v) / (np.linalg.norm(u) * np.linalg.norm(v) + 1e-12))
+
+    ranked = sorted(cents, key=lambda cv: -cos(qa, np.asarray(cv[1])))
+    probe = [ci for ci, _ in ranked[:n_probe]]
+    qv = F.array(*[lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(col("_cell").isin(probe))
+        .select(col(id_col).alias("neighbor_id"), cosine(col(vec_col), qv).alias("sim"))
+        .orderBy(col("sim").desc(), col("neighbor_id"))
+        .limit(k)
+    )

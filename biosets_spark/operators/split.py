@@ -1,0 +1,90 @@
+"""Dataset splitting, slicing, sampling, shuffling.
+
+Reference surface (SURVEY §2.6): ``train_test_split`` (wrapper
+arrow_dataset.py:53-55), ``shuffle(seed)`` (:123-125), split slicing
+``train[10:20]`` / ``train[:10%]`` / k-fold percent ranges
+(docs/DATA_LOADING.md:251-309), ``select(indices)`` (:115-117).
+
+Scale notes: ``randomSplit``/``sampleBy`` are narrow per-row ops (no
+shuffle). Contiguous slicing uses limit/offset. Arbitrary index lists
+join against a ``zip_with_index`` frame (SMJ on the synthetic id).
+k-fold uses ``ntile`` over an explicit ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .joins import zip_with_index
+
+
+def train_test_split(
+    df: DataFrame,
+    test_size: float = 0.25,
+    seed: int | None = None,
+    stratify_by_column: str | None = None,
+) -> dict[str, DataFrame]:
+    """O3: split into train/test; optional stratification.
+
+    Stratified path: ``sampleBy`` draws ~test_size of each class for
+    the test split; train = anti-join on a deterministic row id.
+    """
+    if not 0.0 < test_size < 1.0:
+        raise ValueError("test_size must be in (0, 1)")
+    if stratify_by_column is None:
+        train, test = df.randomSplit([1.0 - test_size, test_size], seed=seed)
+        return {"train": train, "test": test}
+    classes = [r[0] for r in df.select(stratify_by_column).distinct().collect()]
+    fractions = {c: test_size for c in classes}
+    with_id = zip_with_index(df, col_name="_split_id").cache()
+    test = with_id.sampleBy(stratify_by_column, fractions, seed=seed or 0)
+    train = with_id.join(test.select("_split_id"), on="_split_id", how="left_anti")
+    return {"train": train.drop("_split_id"), "test": test.drop("_split_id")}
+
+
+def shuffle(df: DataFrame, seed: int | None = None) -> DataFrame:
+    """O2: deterministic permutation. ``rand(seed)`` ordering is
+    reproducible for a fixed partitioning; at scale prefer
+    ``repartition`` + in-partition sort to avoid a global sort."""
+    return df.orderBy(F.rand(seed if seed is not None else 42))
+
+
+def slice_rows(df: DataFrame, start: int = 0, stop: int | None = None,
+               order_by: list[str] | None = None) -> DataFrame:
+    """P8/O4 contiguous slicing ``ds[start:stop]`` over a defined order."""
+    src = df.orderBy(*order_by) if order_by else df
+    if start:
+        src = src.offset(start)
+    if stop is not None:
+        src = src.limit(stop - start)
+    return src
+
+
+def slice_percent(df: DataFrame, from_pct: int = 0, to_pct: int = 100,
+                  order_by: list[str] | None = None) -> DataFrame:
+    """``train[:10%]`` percent slicing (docs/DATA_LOADING.md:251-309)."""
+    n = df.count()
+    start = n * from_pct // 100
+    stop = n * to_pct // 100
+    return slice_rows(df, start, stop, order_by)
+
+
+def select_indices(df: DataFrame, indices: list[int], order_by: list[str] | None = None) -> DataFrame:
+    """P8 arbitrary index selection: join against an index frame over a
+    deterministic row id (no driver-side collect of data rows)."""
+    spark = df.sparkSession
+    idx = spark.createDataFrame([(int(i),) for i in indices], "_row_id long")
+    with_id = zip_with_index(df, order_by=order_by)
+    return with_id.join(F.broadcast(idx), on="_row_id", how="inner").orderBy("_row_id").drop("_row_id")
+
+
+def kfold(df: DataFrame, k: int, order_by: list[str]) -> list[tuple[DataFrame, DataFrame]]:
+    """k-fold via ``ntile(k)`` over an explicit ordering (O4)."""
+    w = Window.orderBy(*[F.col(c) for c in order_by])
+    with_fold = df.withColumn("_fold", F.ntile(k).over(w))
+    out = []
+    for i in range(1, k + 1):
+        out.append((with_fold.filter(F.col("_fold") != i).drop("_fold"),
+                    with_fold.filter(F.col("_fold") == i).drop("_fold")))
+    return out

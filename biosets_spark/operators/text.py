@@ -1,0 +1,124 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+document fingerprinting.
+
+No reference counterpart (BASELINE.json extension surface). Everything
+is JVM-side Catalyst expressions (split/regexp/aggregate) so the 100 TB
+path never crosses into Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+# BPE-ish word/number/punctuation splitter: words (incl. unicode
+# letters), numbers, or single non-space symbols.
+BPE_TOKEN_RE = r"[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]"
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "es"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "que"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "eine", "zu", "mit"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokens of trimmed text (empty text -> empty array)."""
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def bpe_tokens(c: Column) -> Column:
+    """BPE-ish tokens via regexp_extract_all (words/numbers/symbols)."""
+    return F.regexp_extract_all(c, lit(BPE_TOKEN_RE), lit(0))
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append per-document quality features: token count, char count,
+    mean token length, punctuation ratio, digit ratio, stopword ratio
+    (any language)."""
+    t = col(text_col)
+    toks = tokens(t)
+    n_toks = F.size(toks)
+    n_chars = F.length(t)
+    all_stop = [w for ws in STOPWORDS.values() for w in ws]
+    stop_hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(all_stop)))
+    return (
+        df.withColumn("n_tokens", n_toks)
+        .withColumn("n_chars_actual", n_chars)
+        .withColumn(
+            "mean_token_len",
+            F.when(n_toks > 0, (F.length(F.regexp_replace(t, r"\s+", "")) / n_toks)).otherwise(lit(0.0)),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(n_chars > 0, F.length(F.regexp_replace(t, r"[^.,!?;:'\"()\[\]-]", "")) / n_chars).otherwise(lit(0.0)),
+        )
+        .withColumn(
+            "digit_ratio",
+            F.when(n_chars > 0, F.length(F.regexp_replace(t, r"[^0-9]", "")) / n_chars).otherwise(lit(0.0)),
+        )
+        .withColumn("stopword_ratio", F.when(n_toks > 0, stop_hits / n_toks).otherwise(lit(0.0)))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  min_tokens: int = 5, max_mean_token_len: float = 15.0) -> DataFrame:
+    """Composite [0,1] quality score + keep flag (heuristics in the
+    C4/Gopher style: enough tokens, sane token lengths, not digit/
+    punctuation dominated)."""
+    qf = quality_features(df, text_col)
+    score = (
+        F.when(col("n_tokens") >= min_tokens, lit(0.4)).otherwise(lit(0.0))
+        + F.when((col("mean_token_len") >= 2) & (col("mean_token_len") <= max_mean_token_len), lit(0.3)).otherwise(lit(0.0))
+        + F.when(col("punct_ratio") <= 0.2, lit(0.15)).otherwise(lit(0.0))
+        + F.when(col("digit_ratio") <= 0.3, lit(0.15)).otherwise(lit(0.0))
+    )
+    return qf.withColumn("quality_score", score).withColumn("keep", col("quality_score") >= 0.7)
+
+
+def lang_id(df: DataFrame, text_col: str = "text", output_col: str = "lang_pred") -> DataFrame:
+    """Stopword-vote language ID: score = fraction of tokens in each
+    language's stopword list; argmax wins, 'und' if no hits.
+
+    A pure expression tree (array_max over a literal score array); the
+    honest limitation — short or stopword-free text -> 'und' — is the
+    standard failure mode of lexicon LID.
+    """
+    toks = F.transform(tokens(col(text_col)), F.lower)
+    n = F.greatest(F.size(toks), lit(1))
+    scored = F.array(*[
+        F.struct((F.size(F.filter(toks, lambda x: x.isin(ws))) / n).alias("score"), lit(lang).alias("lang"))
+        for lang, ws in STOPWORDS.items()
+    ])
+    best = F.array_max(scored)
+    return df.withColumn(output_col, F.when(best["score"] > 0, best["lang"]).otherwise(lit("und")))
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", output_col: str = "fingerprint") -> DataFrame:
+    """Content-defined md5 fingerprint over normalized text (exact-dup
+    key; see operators/dedup.py)."""
+    from .dedup import fingerprint_md5
+
+    return df.withColumn(output_col, fingerprint_md5(col(text_col)))
+
+
+def rolling_hash(df: DataFrame, text_col: str = "text", output_col: str = "rhash",
+                 base: int = 257, mod: int = (1 << 61) - 1) -> DataFrame:
+    """Polynomial rolling hash over whitespace tokens (deterministic,
+    order-sensitive — unlike a bag-of-words hash). Computed as a JVM
+    aggregate over the token array."""
+    toks = tokens(col(text_col))
+    h = F.aggregate(
+        toks,
+        lit(0).cast("decimal(38,0)"),
+        lambda acc, t: (acc * base + F.abs(F.xxhash64(t)) % mod) % mod,
+    )
+    return df.withColumn(output_col, h.cast("long"))

@@ -1,0 +1,369 @@
+"""Extension query inventory: dedup, similarity search, text analysis,
+events (batch equivalents of the streaming windows).
+
+Registered into the same QUERIES dict as the relational inventory.
+Queries whose Spark implementation depends on engine-specific hashes
+(minhash/simhash) have no SQL oracle — the driver records a rows-only
+check; their correctness is covered by planted-duplicate pytest cases
+(tests/test_dedup_similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+from . import tables
+from .operators import dedup as D
+from .operators import similarity as S
+from .operators import text as TX
+from .queries import q
+
+# =====================================================================
+# deduplication
+# =====================================================================
+
+@q(
+    "q_dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    """,
+    desc="exact dedup: min-id representative per normalized-text "
+         "fingerprint; shuffles (fingerprint,id) only, never bodies.",
+    tags=["dedup"],
+)
+def q_dedup_exact(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    return D.exact_dedup(docs)
+
+
+@q(
+    "q_dedup_fingerprint",
+    oracle="""
+    SELECT lang,
+           COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n_unique,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+    desc="document fingerprinting (md5 of normalized text) + "
+         "distinct-fingerprint counts per language.",
+    tags=["dedup", "text"],
+)
+def q_dedup_fingerprint(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    fp = TX.doc_fingerprint(docs)
+    return fp.groupBy("lang").agg(
+        F.countDistinct("fingerprint").alias("n_unique"), F.count("*").alias("n_docs")
+    )
+
+
+_NGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 2)),
+                               i -> array_to_string(list_slice(t, i, i + 3), ' '))) AS s
+  FROM toks
+),
+cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(common * 1.0 / (ca.n + cb.n - common), 4) AS jaccard
+FROM pairs JOIN cnt ca ON pairs.id_a = ca.doc_id JOIN cnt cb ON pairs.id_b = cb.doc_id
+WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5
+"""
+
+
+@q(
+    "q_dedup_ngram_jaccard",
+    oracle=_NGRAM_ORACLE,
+    desc="exact 4-gram-shingle Jaccard near-dup pairs (>= 0.5); "
+         "quadratic verifier bounded by shingle selectivity.",
+    tags=["dedup", "ngram"],
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=4, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@q(
+    "q_dedup_minhash_lsh",
+    oracle=None,  # engine-specific hash permutations: rows-only check;
+    # exact-jaccard verification step makes output pairs = true pairs
+    # with jaccard >= threshold that collided in >=1 of 8 LSH bands
+    desc="MinHash(32 perms)+LSH(8 bands) near-dup candidates verified "
+         "with exact Jaccard; only signatures shuffle at scale.",
+    tags=["dedup", "minhash", "no-oracle"],
+)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_perm=32, bands=8, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@q(
+    "q_dedup_simhash",
+    oracle=None,  # xxhash64-based signature: rows-only check
+    desc="SimHash(64-bit) near-dup pairs within hamming distance 3 "
+         "(16-bit chunk blocking + bit_count verify).",
+    tags=["dedup", "simhash", "no-oracle"],
+)
+def q_dedup_simhash(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, max_hamming=3)
+
+
+# =====================================================================
+# similarity search
+# =====================================================================
+
+def _query_vec(spark, sf_dir, vec_id: int = 0) -> list[float]:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return [float(x) for x in emb.filter(col("vec_id") == vec_id).select("embedding").first()[0]]
+
+
+@q(
+    "q_knn_bruteforce",
+    oracle="""
+    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id AS neighbor_id
+    FROM embeddings e, qv
+    WHERE e.vec_id <> 0
+    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(qv.q AS DOUBLE[])) DESC, e.vec_id
+    LIMIT 10
+    """,
+    desc="exact brute-force cosine top-10 for one query vector; "
+         "broadcast query + linear scan + TakeOrdered (the baseline ANN "
+         "path; LSH/IVF variants are the scale path).",
+    tags=["similarity", "knn"],
+)
+def q_knn_bruteforce(spark, sf_dir):
+    qv = _query_vec(spark, sf_dir, 0)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return S.knn_bruteforce(emb, qv, k=10, exclude_self=0).select("neighbor_id")
+
+
+@q(
+    "q_knn_pairs",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+    ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
+             a.vec_id, b.vec_id
+    LIMIT 20
+    """,
+    desc="top-20 most-similar embedding pairs (exact all-pairs cosine) "
+         "— the embedding near-dup detector.",
+    tags=["similarity", "dedup"],
+)
+def q_knn_pairs(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return S.all_pairs_topk(emb, k=20).select("id_a", "id_b")
+
+
+@q(
+    "q_knn_lsh",
+    oracle=None,  # approximate by construction: rows-only; recall
+    # against the exact result is asserted in pytest
+    desc="ANN top-10 via random-hyperplane LSH (8 planes, multi-probe "
+         "radius 1): probes ~9/256 buckets instead of the full scan.",
+    tags=["similarity", "lsh", "no-oracle"],
+)
+def q_knn_lsh(spark, sf_dir):
+    qv = _query_vec(spark, sf_dir, 0)
+    emb = tables.load(spark, sf_dir, "embeddings").filter(col("vec_id") != 0)
+    return S.lsh_knn(emb, qv, dim=64, k=10, n_planes=8)
+
+
+# =====================================================================
+# text analysis
+# =====================================================================
+
+@q(
+    "q_text_tokens",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS n_tokens,
+           length(text) AS text_chars
+    FROM documents WHERE doc_id < 100
+    """,
+    desc="token counting (whitespace tokenizer) — JVM split/size only.",
+    tags=["text"],
+)
+def q_text_tokens(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.filter(col("doc_id") < 100).select(
+        "doc_id",
+        TX.token_count(col("text")).alias("n_tokens"),
+        F.length("text").alias("text_chars"),
+    )
+
+
+@q(
+    "q_text_quality",
+    oracle="""
+    WITH feats AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS n_toks,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS short_docs,
+           ROUND(SUM(n_chars) * 1.0 / SUM(n_toks), 4) AS chars_per_token
+    FROM feats GROUP BY lang
+    """,
+    desc="quality scoring aggregates per language (length/token stats).",
+    tags=["text", "quality"],
+)
+def q_text_quality(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    feats = docs.select(
+        "lang",
+        TX.token_count(col("text")).alias("n_toks"),
+        F.length("text").alias("n_chars"),
+    )
+    return feats.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(col("n_chars") < 200, 1).otherwise(0)).alias("short_docs"),
+        F.round(F.sum("n_chars") / F.sum("n_toks"), 4).alias("chars_per_token"),
+    )
+
+
+@q(
+    "q_lang_distribution",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang, source
+    """,
+    desc="corpus composition scan (lang x source); the lang_id "
+         "heuristic itself is pytest-verified on crafted samples.",
+    tags=["text"],
+)
+def q_lang_distribution(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n"), F.sum("n_chars").cast("bigint").alias("total_chars")
+    )
+
+
+# =====================================================================
+# events: batch equivalents of the streaming windows (§2.9)
+# =====================================================================
+
+@q(
+    "q_events_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    desc="tumbling 1h window agg (batch twin of the streaming query in "
+         "streaming/ingest.py; window start == date_trunc hour).",
+    tags=["events", "window", "streaming-twin"],
+)
+def q_events_hourly(spark, sf_dir):
+    e = tables.load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.date_format(col("w.start"), "yyyy-MM-dd HH:00").alias("hour"), "event_type", "n", "total_value")
+    )
+
+
+@q(
+    "q_events_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    per_user AS (SELECT user_id, SUM(is_new) AS n_sessions FROM flagged GROUP BY user_id)
+    SELECT n_sessions, COUNT(*) AS n_users FROM per_user GROUP BY n_sessions
+    """,
+    desc="sessionization (gaps-and-islands, 30-min inactivity): the "
+         "batch twin of session_window streaming; one shuffle on "
+         "user_id.",
+    tags=["events", "window", "sessionize"],
+)
+def q_events_sessions(spark, sf_dir):
+    e = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0),
+    )
+    per_user = flagged.groupBy("user_id").agg(F.sum("is_new").alias("n_sessions"))
+    return per_user.groupBy("n_sessions").agg(F.count("*").alias("n_users"))
+
+
+@q(
+    "q_events_dedup_stateful",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_raw,
+           COUNT(DISTINCT (user_id, event_type, date_trunc('minute', ts))) AS n_deduped
+    FROM events GROUP BY event_type
+    """,
+    desc="event dedup on (user, type, minute) — batch twin of "
+         "dropDuplicatesWithinWatermark.",
+    tags=["events", "dedup", "streaming-twin"],
+)
+def q_events_dedup_stateful(spark, sf_dir):
+    e = tables.load(spark, sf_dir, "events")
+    raw = e.groupBy("event_type").agg(F.count("*").alias("n_raw"))
+    dd = (
+        e.select("user_id", "event_type", F.date_trunc("minute", col("ts")).alias("m"))
+        .dropDuplicates(["user_id", "event_type", "m"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_deduped"))
+    )
+    return raw.join(dd, "event_type")
+
+
+# =====================================================================
+# multimodal plumbing (binary columns; decode stubs are pytest-covered)
+# =====================================================================
+
+@q(
+    "q_multimodal_binary",
+    oracle="""
+    SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+           substr(md5(CAST(text AS VARCHAR)), 1, 8) AS content_key
+    FROM documents WHERE doc_id < 100
+    """,
+    desc="opaque binary column plumbing: byte length + content key over "
+         "a binary payload (decode/feature-extract stubs live in "
+         "operators/multimodal.py).",
+    tags=["multimodal", "binary"],
+)
+def q_multimodal_binary(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.filter(col("doc_id") < 100).select(
+        "doc_id",
+        F.octet_length(col("text").cast("binary")).alias("n_bytes"),
+        F.substring(F.md5(col("text")), 1, 8).alias("content_key"),
+    )

@@ -1,0 +1,90 @@
+"""Path planning: metadata-file discovery and split inference.
+
+Pure driver-side planning code (no executor involvement), mirroring the
+reference's glob conventions:
+- sample/feature metadata discovery: ``**/sample_metadata.csv``,
+  ``**/feature_metadata.*``, keyword-in-filename matching
+  (data_files.py:15-67,106-190,193-230)
+- split inference from filename prefixes ``train-*`` / ``test-*`` /
+  ``validation-*`` (data_files.py:144-166, tests/test_load.py:241-305)
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+SAMPLE_METADATA_PATTERNS = [
+    r"sample[_\-\s]*metadata",
+    r"sample[_\-\s]*info",
+    r"sample[_\-\s]*data",
+]
+FEATURE_METADATA_PATTERNS = [
+    r"feature[_\-\s]*metadata",
+    r"feature[_\-\s]*info",
+    r"annotation",
+]
+SPLIT_PREFIXES = ("train", "test", "validation", "val", "dev")
+
+DATA_EXTS = {".csv", ".tsv", ".txt", ".json", ".jsonl", ".parquet", ".arrow", ".npz"}
+
+
+def _matches(name: str, patterns: list[str]) -> bool:
+    base = os.path.basename(name).lower()
+    return any(re.search(p, base) for p in patterns)
+
+
+def discover(path: str) -> dict:
+    """Resolve a directory into {data_files, sample_metadata_files,
+    feature_metadata_files} per the reference's conventions; metadata
+    files are subtracted from the data file list
+    (biodata.py:230-287)."""
+    if os.path.isfile(path):
+        return {"data_files": [path], "sample_metadata_files": [], "feature_metadata_files": []}
+    all_files = sorted(
+        f for f in glob.glob(os.path.join(path, "**", "*"), recursive=True)
+        if os.path.isfile(f) and os.path.splitext(f)[1].lower() in DATA_EXTS
+    )
+    sample_meta = [f for f in all_files if _matches(f, SAMPLE_METADATA_PATTERNS)]
+    feature_meta = [f for f in all_files if _matches(f, FEATURE_METADATA_PATTERNS)]
+    data = [f for f in all_files if f not in set(sample_meta) | set(feature_meta)]
+    return {
+        "data_files": data,
+        "sample_metadata_files": sample_meta,
+        "feature_metadata_files": feature_meta,
+    }
+
+
+def infer_splits(files: list[str]) -> dict[str, list[str]]:
+    """S11: group files into named splits by filename prefix; files with
+    no recognizable prefix land in 'train' (the reference's default
+    split)."""
+    splits: dict[str, list[str]] = {}
+    for f in files:
+        base = os.path.basename(f).lower()
+        name = "train"
+        for p in SPLIT_PREFIXES:
+            if base.startswith(p + "-") or base.startswith(p + "_") or base.startswith(p + "."):
+                name = {"val": "validation", "dev": "validation"}.get(p, p)
+                break
+        splits.setdefault(name, []).append(f)
+    return splits
+
+
+def parse_split_spec(spec: str) -> list[tuple[str, int | None, int | None, bool]]:
+    """Parse 'train', 'train+test', 'train[10:20]', 'train[:10%]' into
+    (split, start, stop, is_percent) parts (docs/DATA_LOADING.md:
+    251-309)."""
+    parts = []
+    for piece in spec.split("+"):
+        m = re.fullmatch(r"(\w+)(?:\[(-?\d*)(%?):(-?\d*)(%?)\])?", piece.strip())
+        if not m:
+            raise ValueError(f"Bad split spec {piece!r}")
+        name, a, ap, b, bp = m.groups()
+        if a is None and b is None:
+            parts.append((name, None, None, False))
+        else:
+            pct = bool(ap or bp)
+            parts.append((name, int(a) if a else None, int(b) if b else None, pct))
+    return parts

@@ -1,0 +1,70 @@
+"""S6: sparse NPZ (scipy) reader.
+
+Reference semantics (packaged_modules/npz/npz.py:81-161): a scipy
+sparse matrix (CSR/CSC/BSR/DIA/COO) is row-sliced via ``indptr`` and
+densified in 50k-row batches; columns are unnamed ``"0".."N-1"`` until
+feature-metadata renaming (biodata.py:1099-1124).
+
+Spark mapping: NPZ is a single-archive format (not splittable), so the
+parallel unit is the FILE. Files are distributed to executors via a
+binary-file listing + ``mapInPandas`` densification; each executor
+loads its own file with scipy and emits Arrow batches. For the
+100 TB path the recommendation is ingest-time conversion to Parquet
+(this reader IS that converter: read_npz(...).write.parquet(...)).
+
+scipy is an optional dependency: gated behind import-try.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def _load_sparse(path: str):
+    try:
+        import scipy.sparse as sp
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("read_npz requires scipy (not installed in this environment)") from e
+    return sp.load_npz(path).tocsr()
+
+
+def npz_schema(path: str, column_names: list[str] | None = None) -> T.StructType:
+    m = _load_sparse(path)
+    n = m.shape[1]
+    names = column_names or [str(i) for i in range(n)]
+    if len(names) != n:
+        raise ValueError(f"column_names has {len(names)} entries for a {n}-column matrix")
+    dt = T.DoubleType() if m.dtype.kind == "f" else T.LongType()
+    return T.StructType([T.StructField("_row", T.LongType(), False)] + [T.StructField(c, dt, True) for c in names])
+
+
+def read_npz(
+    spark: SparkSession,
+    files: list[str] | str,
+    column_names: list[str] | None = None,
+    batch_size: int = 50_000,
+    with_row_index: bool = False,
+) -> DataFrame:
+    """Densify sparse NPZ files into a DataFrame (one task per file,
+    Arrow-batched output)."""
+    files = files if isinstance(files, list) else [files]
+    schema = npz_schema(files[0], column_names)
+    names = [f.name for f in schema.fields[1:]]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path in pdf["path"]:
+                m = _load_sparse(path)
+                for start in range(0, m.shape[0], batch_size):
+                    block = m[start : start + batch_size].toarray()
+                    out = pd.DataFrame(block, columns=names)
+                    out.insert(0, "_row", range(start, start + block.shape[0]))
+                    yield out
+
+    paths_df = spark.createDataFrame([(p,) for p in files], "path string").repartition(len(files))
+    df = paths_df.mapInPandas(gen, schema=schema)
+    return df if with_row_index else df.drop("_row")

@@ -1,0 +1,185 @@
+"""File readers: extension dispatch over Spark's native sources.
+
+Reference semantics (SURVEY §2.1): CSV/TSV/TXT with
+sep/quote/null/skip-rows/encoding options (csv/csv.py:26-92,147-218),
+JSON/JSONL, Parquet, Arrow IPC, sparse NPZ (sources/npz.py), plus
+gz/bz2/zstd transparently (biodata.py:1607-1616).
+
+Spark mapping: every text/columnar format is a native DataSource scan —
+partitioned, predicate-pushdown-capable, schema-merging. The 50k-row
+batching of the reference (csv.py:27) is subsumed by Spark's partition
+and row-group streaming. Arrow IPC files are read via pyarrow on the
+driver and parallelized (Arrow is an interchange format here; the
+at-scale storage format is Parquet).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TEXT_EXTS = {".csv", ".tsv", ".txt"}
+COMPRESSION_EXTS = {".gz", ".bz2", ".zst", ".zstd", ".lz4", ".deflate"}
+
+
+def _strip_compression(path: str) -> str:
+    base, ext = os.path.splitext(path)
+    if ext.lower() in COMPRESSION_EXTS:
+        return base
+    return path
+
+
+def detect_format(path: str) -> str:
+    ext = os.path.splitext(_strip_compression(path))[1].lower()
+    if ext in (".csv",):
+        return "csv"
+    if ext in (".tsv", ".txt"):
+        return "tsv"
+    if ext in (".json", ".jsonl", ".ndjson"):
+        return "json"
+    if ext in (".parquet", ".pq"):
+        return "parquet"
+    if ext in (".arrow", ".feather", ".ipc"):
+        return "arrow"
+    if ext == ".npz":
+        return "npz"
+    raise ValueError(f"Unsupported file extension for {path!r}")
+
+
+def read_csv(
+    spark: SparkSession,
+    paths: list[str] | str,
+    sep: str = ",",
+    header: bool = True,
+    schema: T.StructType | None = None,
+    null_values: list[str] | None = None,
+    skip_rows: int = 0,
+    encoding: str = "utf-8",
+    quote_char: str = '"',
+    infer_schema: bool = True,
+    column_names: list[str] | None = None,
+) -> DataFrame:
+    """S1/S2: CSV/TSV scan with the reference's reader options
+    (csv/csv.py:26-92 CsvConfig)."""
+    reader = (
+        spark.read.option("header", header)
+        .option("sep", sep)
+        .option("encoding", encoding)
+        .option("quote", quote_char or '"')
+        .option("mode", "PERMISSIVE")
+    )
+    if null_values:
+        # Spark supports a single nullValue; normalize extras post-read
+        reader = reader.option("nullValue", null_values[0])
+    if skip_rows:
+        reader = reader.option("skipRows", skip_rows)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", True)
+    df = reader.csv(paths if isinstance(paths, list) else [paths])
+    if column_names:
+        df = df.toDF(*column_names)
+    return df
+
+
+def read_json(spark: SparkSession, paths: list[str] | str, field: str | None = None) -> DataFrame:
+    """S3: JSON/JSONL scan; ``field=`` selects a nested record list
+    (docs/DATA_LOADING.md:55-93)."""
+    paths = paths if isinstance(paths, list) else [paths]
+    multiline = False
+    for p in paths:
+        ext = os.path.splitext(_strip_compression(p))[1].lower()
+        if ext == ".json":
+            # plain .json may be a single document; probe cheaply
+            multiline = _looks_multiline_json(p)
+            break
+    df = spark.read.option("multiLine", multiline).json(paths)
+    if field:
+        from pyspark.sql import functions as F
+
+        df = df.select(F.explode(F.col(field)).alias("_rec")).select("_rec.*")
+    return df
+
+
+def _looks_multiline_json(path: str) -> bool:
+    try:
+        import gzip
+
+        op = gzip.open if path.endswith(".gz") else open
+        with op(path, "rt", errors="ignore") as f:
+            head = f.read(64).lstrip()
+        return head.startswith("[") or (head.startswith("{") and "\n" not in head[:1])
+    except Exception:
+        return False
+
+
+def read_arrow(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """S5: Arrow IPC scan. Reads via pyarrow and hands the table to
+    Spark through Arrow interchange (Spark 4 createDataFrame accepts
+    pa.Table zero-copy)."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    paths = paths if isinstance(paths, list) else [paths]
+    tables = []
+    for p in paths:
+        try:
+            with ipc.open_file(p) as r:
+                tables.append(r.read_all())
+        except pa.lib.ArrowInvalid:
+            with ipc.open_stream(p) as r:
+                tables.append(r.read_all())
+    table = pa.concat_tables(tables, promote_options="permissive")
+    return spark.createDataFrame(table)
+
+
+def read_parquet(spark: SparkSession, paths: list[str] | str, merge_schema: bool = True) -> DataFrame:
+    """S4: Parquet scan; mergeSchema covers the reference's cross-shard
+    schema unification for the common case."""
+    paths = paths if isinstance(paths, list) else [paths]
+    return spark.read.option("mergeSchema", merge_schema).parquet(*paths)
+
+
+def read_sql(spark: SparkSession, table_or_query: str, url: str, **options) -> DataFrame:
+    """S7: JDBC source (``Dataset.from_sql`` analogue,
+    docs/DATA_LOADING.md:151-160)."""
+    dbtable = table_or_query
+    if " " in table_or_query.strip():
+        dbtable = f"({table_or_query}) AS _subq"
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_files(
+    spark: SparkSession,
+    files: list[str] | str,
+    fmt: str | None = None,
+    **options,
+) -> DataFrame:
+    """Extension-dispatch reader (the reference's EXTENSION_TO_BUILDER
+    map, biodata.py:187-196). All files in one call must share a
+    format; heterogeneous inputs are grouped by the caller
+    (load.py) and unioned with schema promotion."""
+    files = files if isinstance(files, list) else [files]
+    fmt = fmt or detect_format(files[0])
+    if fmt == "csv":
+        return read_csv(spark, files, **options)
+    if fmt == "tsv":
+        options.setdefault("sep", "\t")
+        return read_csv(spark, files, **options)
+    if fmt == "json":
+        return read_json(spark, files, **{k: v for k, v in options.items() if k == "field"})
+    if fmt == "parquet":
+        return read_parquet(spark, files)
+    if fmt == "arrow":
+        return read_arrow(spark, files)
+    if fmt == "npz":
+        from .npz import read_npz
+
+        return read_npz(spark, files, **options)
+    raise ValueError(f"Unsupported format {fmt!r}")

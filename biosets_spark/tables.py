@@ -1,0 +1,36 @@
+"""Canonical loaders for the benchmark/test tables.
+
+``/root/testdata/sf*/`` holds TPC-H-ish parquet plus ``events``
+(timestamp[ns] — Spark's Parquet reader rejects NANOS, so it is read
+via the ``nanosAsLong`` legacy conf and converted to microseconds),
+``documents`` and ``embeddings``.
+
+All loads are plain ``spark.read.parquet`` scans: predicate pushdown,
+column pruning and row-group skipping apply untouched.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+ALL_TABLES = TPCH_TABLES + ("events", "documents", "embeddings")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        # timestamp[ns] -> TimestampType at microsecond precision
+        return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return spark.read.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in ALL_TABLES}
