@@ -1,0 +1,61 @@
+"""Benchmark harness: runs the full query inventory at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "total_query_seconds", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is timed to full materialization (collect of the final —
+small — result). Session startup is excluded; a warm-up query primes
+the JVM/codegen caches first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from biosets_spark import queries as _q  # noqa: E402
+from biosets_spark import queries_ext  # noqa: E402,F401
+from biosets_spark.session import get_spark  # noqa: E402
+
+# the headline set: every registered query (oracle-checked + rows-only)
+SKIP: set[str] = set()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("biosets-spark-bench")
+
+    # warm-up: JVM, codegen, parquet footer caches
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name, query in _q.QUERIES.items():
+        if name in SKIP:
+            continue
+        t0 = time.time()
+        try:
+            query.fn(spark, sf_dir).collect()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # record failures as negative sentinel
+            print(f"# ERROR {name}: {type(e).__name__}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(json.dumps({
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

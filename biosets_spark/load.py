@@ -144,11 +144,12 @@ def load_dataset(
             if s_col and m_col:
                 df = _joins.join_sample_metadata(df, meta, s_col, m_col)
             else:
-                if s_col or m_col:
-                    warnings.warn(
-                        "sample column found on only one side "
-                        f"(data={s_col!r}, metadata={m_col!r}); falling back to positional alignment"
-                    )
+                # ambiguity-warning path (reference test_biodata.py:
+                # 1270-1321 warns when the sample key cannot be matched)
+                warnings.warn(
+                    "no common sample column between data and metadata "
+                    f"(data={s_col!r}, metadata={m_col!r}); falling back to positional alignment"
+                )
                 df = _joins.align_horizontal(df, meta)
                 s_col = s_col or m_col if (s_col or m_col) in df.columns else s_col
             b_col = b_col or _match_col(df.columns, BATCH_PATTERNS)
@@ -209,7 +210,7 @@ def load_dataset(
 
     if split:
         parts = discovery.parse_split_spec(split)
-        if len(parts) == 1 and parts[0][1] is None:
+        if len(parts) == 1 and parts[0][1] is None and parts[0][2] is None:
             return out[parts[0][0]]
         from .operators.split import slice_percent, slice_rows
 

@@ -1,3 +1,3 @@
-from . import concat, joins, labels, split
+from . import concat, dedup, joins, labels, multimodal, similarity, split, text
 
-__all__ = ["concat", "joins", "labels", "split"]
+__all__ = ["concat", "dedup", "joins", "labels", "multimodal", "similarity", "split", "text"]

@@ -47,10 +47,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def shingles(c: Column, n: int = 4) -> Column:
     """Distinct n-word shingles of a text column (JVM higher-order
-    functions; no Python in the loop)."""
+    functions; no Python in the loop).
+
+    Built by zip_with-ing the token array against itself shifted by
+    1..n-1 — O(n * len) per document, vs the O(len^2) of slicing a
+    window per index. Partial shingles created at the tail by
+    zip_with's null-extension are cut by the final slice (when the doc
+    has < n tokens, the single partial shingle is kept, i.e. the whole
+    short document is one shingle)."""
     toks = F.split(F.trim(c), r"\s+")
-    idx = F.sequence(lit(1), F.greatest(F.size(toks) - (n - 1), lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+    acc = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    acc = F.slice(acc, 1, F.greatest(F.size(toks) - (n - 1), lit(1)))
+    return F.array_distinct(acc)
 
 
 def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 4) -> DataFrame:
@@ -106,7 +117,7 @@ def minhash_signatures(
 
 def minhash_lsh_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    num_perm: int = 32, bands: int = 8, shingle_n: int = 4,
+    num_perm: int = 32, bands: int = 16, shingle_n: int = 4,
     threshold: float = 0.5,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified with true Jaccard.
@@ -118,20 +129,22 @@ def minhash_lsh_pairs(
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n).cache()
+    # one shingle pass feeds both the signature aggregate and the
+    # verification join
+    sh = shingle_table(df, text_col, id_col, shingle_n).cache()
+    mins = [F.min(F.xxhash64(col("_sh"), lit(i))).alias(f"mh_{i}") for i in range(num_perm)]
+    sig = sh.groupBy("_id").agg(*mins)
     band_cols = [
         F.struct(lit(bi).alias("band"), F.xxhash64(*[col(f"mh_{bi * r + j}") for j in range(r)]).alias("bh"))
         for bi in range(bands)
     ]
-    buckets = sig.select(col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("bk"))
+    buckets = sig.select("_id", F.explode(F.array(*band_cols)).alias("bk"))
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (
         a.join(b, (col("a.bk") == col("b.bk")) & (col("a._id") < col("b._id")))
         .select(col("a._id").alias("id_a"), col("b._id").alias("id_b"))
         .distinct()
     )
-    # verify candidates with exact jaccard on shingle sets
-    sh = shingle_table(df, text_col, id_col, shingle_n)
     counts = sh.groupBy("_id").agg(F.count("*").alias("_n"))
     common = (
         cands.join(sh.alias("sa"), cands.id_a == col("sa._id"))
@@ -158,16 +171,17 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     JVM bit arithmetic over an exploded (id, shingle) table; one
     aggregate, 64 sums wide.
     """
-    sh = shingle_table(df, text_col, id_col, shingle_n)
-    h = F.xxhash64(col("_sh"))
-    votes = [
-        F.sum(F.when(h.bitwiseAND(F.shiftleft(lit(1).cast("long"), i)) != 0, 1).otherwise(-1)).alias(f"v_{i}")
+    sh = shingle_table(df, text_col, id_col, shingle_n).withColumn("_h", F.xxhash64(col("_sh")))
+    # branch-free votes: bit-i count = sum((h >>> i) & 1); signature bit
+    # set iff ones outnumber zeros (2*count > n)
+    sums = [
+        F.sum(F.shiftrightunsigned(col("_h"), i).bitwiseAND(lit(1))).alias(f"v_{i}")
         for i in range(64)
     ]
-    agg = sh.groupBy(col("_id").alias(id_col)).agg(*votes)
+    agg = sh.groupBy(col("_id").alias(id_col)).agg(F.count("*").alias("_n"), *sums)
     sig = None
     for i in range(64):
-        bit = F.when(col(f"v_{i}") > 0, F.shiftleft(lit(1).cast("long"), i)).otherwise(lit(0).cast("long"))
+        bit = F.when(col(f"v_{i}") * 2 > col("_n"), F.shiftleft(lit(1).cast("long"), i)).otherwise(lit(0).cast("long"))
         sig = bit if sig is None else sig.bitwiseOR(bit)
     return agg.select(id_col, sig.alias("simhash"))
 

@@ -70,10 +70,13 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def quality_score(df: DataFrame, text_col: str = "text",
-                  min_tokens: int = 5, max_mean_token_len: float = 15.0) -> DataFrame:
+                  min_tokens: int = 5, max_mean_token_len: float = 15.0,
+                  keep_threshold: float = 0.9) -> DataFrame:
     """Composite [0,1] quality score + keep flag (heuristics in the
     C4/Gopher style: enough tokens, sane token lengths, not digit/
-    punctuation dominated)."""
+    punctuation dominated). A doc failing ANY single heuristic scores
+    at most 0.85 < keep_threshold, so every gate is individually
+    disqualifying."""
     qf = quality_features(df, text_col)
     score = (
         F.when(col("n_tokens") >= min_tokens, lit(0.4)).otherwise(lit(0.0))
@@ -81,7 +84,7 @@ def quality_score(df: DataFrame, text_col: str = "text",
         + F.when(col("punct_ratio") <= 0.2, lit(0.15)).otherwise(lit(0.0))
         + F.when(col("digit_ratio") <= 0.3, lit(0.15)).otherwise(lit(0.0))
     )
-    return qf.withColumn("quality_score", score).withColumn("keep", col("quality_score") >= 0.7)
+    return qf.withColumn("quality_score", score).withColumn("keep", col("quality_score") >= keep_threshold)
 
 
 def lang_id(df: DataFrame, text_col: str = "text", output_col: str = "lang_pred") -> DataFrame:
@@ -119,6 +122,7 @@ def rolling_hash(df: DataFrame, text_col: str = "text", output_col: str = "rhash
     h = F.aggregate(
         toks,
         lit(0).cast("decimal(38,0)"),
-        lambda acc, t: (acc * base + F.abs(F.xxhash64(t)) % mod) % mod,
+        # re-cast so the merge lambda's type matches the accumulator's
+        lambda acc, t: ((acc * base + F.abs(F.xxhash64(t)) % mod) % mod).cast("decimal(38,0)"),
     )
     return df.withColumn(output_col, h.cast("long"))

@@ -101,13 +101,13 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     oracle=None,  # engine-specific hash permutations: rows-only check;
     # exact-jaccard verification step makes output pairs = true pairs
     # with jaccard >= threshold that collided in >=1 of 8 LSH bands
-    desc="MinHash(32 perms)+LSH(8 bands) near-dup candidates verified "
+    desc="MinHash(32 perms)+LSH(16 bands) near-dup candidates verified "
          "with exact Jaccard; only signatures shuffle at scale.",
     tags=["dedup", "minhash", "no-oracle"],
 )
 def q_dedup_minhash_lsh(spark, sf_dir):
     docs = tables.load(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs, num_perm=32, bands=8, threshold=0.5)
+    pairs = D.minhash_lsh_pairs(docs, num_perm=32, bands=16, threshold=0.5)
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 

@@ -46,11 +46,13 @@ def upcast(a: T.DataType, b: T.DataType) -> T.DataType:
     decimal->double on overflow risk, temporal kept if equal,
     otherwise promote to string (the lattice top).
     """
-    if a == b:
-        return a
+    # null-typed columns repair to string when nothing else informs the
+    # type (reference: biodata.py:1306-1307, table_util.py:254-255)
     if isinstance(a, T.NullType):
         return b if not isinstance(b, T.NullType) else T.StringType()
     if isinstance(b, T.NullType):
+        return a
+    if a == b:
         return a
 
     if a in _RANK and b in _RANK:

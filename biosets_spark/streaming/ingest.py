@@ -1,0 +1,119 @@
+"""Structured Streaming: file-arrival ingest and windowed/stateful ops.
+
+The reference has no streaming execution (`load_dataset(streaming=
+True)` raises NotImplementedError, reference src/biosets/load.py:
+135-139; its streaming.py only patches fsspec lazy file opening). The
+engine exposes the idiomatic Spark equivalents (SURVEY §1.4/§2.9):
+
+- file-source streaming ingest (the fsspec-lazy-read analogue):
+  ``read_stream`` over a directory of csv/json/parquet;
+- tumbling/sliding window aggregation with watermarks;
+- session windows (``session_window``);
+- stateful dedup (``dropDuplicatesWithinWatermark``).
+
+The batch twins of these queries (same semantics over the static
+events table) are oracle-checked in queries_ext.py; the streaming
+planners here are exercised by tests/test_streaming.py with
+Trigger.AvailableNow against a memory sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import col
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | None = None,
+    max_files_per_trigger: int | None = None,
+    **options,
+) -> DataFrame:
+    """File-arrival streaming source (S-ingest). Schema is mandatory
+    for streaming sources; defaults to the events schema."""
+    reader = spark.readStream.format(fmt).schema(schema or EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` given) window counts + sums
+    with late-data handling via watermark. State size is bounded by
+    (windows in watermark horizon) x (key cardinality)."""
+    keys = keys if keys is not None else ["event_type"]
+    w = F.window(col(ts_col), window, slide) if slide else F.window(col(ts_col), window)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("w"), *keys)
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(col("w.start").alias("window_start"), col("w.end").alias("window_end"), *keys, "n", "total_value")
+    )
+
+
+def sessionized(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key: str = "user_id",
+) -> DataFrame:
+    """Session windows: events within ``gap`` of each other merge into
+    one session per key (the streaming twin of the gaps-and-islands
+    batch query q_events_sessions)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(col(ts_col), gap).alias("s"), col(key))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(col(key), col("s.start").alias("session_start"), col("s.end").alias("session_end"),
+                "n_events", "total_value")
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stateful streaming dedup: duplicates within the watermark
+    horizon are dropped; state self-expires (bounded memory at scale)."""
+    keys = keys if keys is not None else ["user_id", "event_type"]
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = "append") -> list:
+    """Drain a stream with Trigger.AvailableNow into a memory sink and
+    return the rows (test/debug helper). Use output_mode="complete"
+    for aggregated streams."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()

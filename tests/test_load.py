@@ -1,0 +1,170 @@
+"""load_dataset end-to-end: golden rows in the reference's style
+(reference tests/test_load.py:693-744, test_biodata.py label policies).
+"""
+
+import pytest
+
+from biosets_spark import load_dataset
+from biosets_spark.schema import roles
+
+
+def test_directory_discovery_golden_row(spark, fixture_dir):
+    """Reference tests/test_load.py:693-713: auto-discovered metadata is
+    joined, encoded_labels appended with the sorted dictionary."""
+    ds = load_dataset(path=fixture_dir, spark=spark)
+    assert ds.columns == [
+        "sample", "batch", "metadata1", "metadata2", "target",
+        "header1", "header2", "encoded_labels",
+    ]
+    rows = {r["sample"]: r for r in ds.head(10)}
+    assert rows["sample1"] == {
+        "sample": "sample1", "batch": "batch1", "metadata1": "a", "metadata2": 5,
+        "target": "a", "header1": 1, "header2": 10, "encoded_labels": 0,
+    }
+    assert rows["sample4"]["encoded_labels"] == 3
+    assert ds.get_sample_col_name() == "sample"
+    assert ds.get_feature_metadata()["header1"] == {"metadata1": "x", "metadata2": 1}
+
+
+def test_split_inference(spark, tmp_path):
+    """Reference tests/test_load.py:715-744: train-*/test-* prefixes."""
+    (tmp_path / "train-data.csv").write_text("sample,h1\ns1,1\ns2,2\n")
+    (tmp_path / "test-data.csv").write_text("sample,h1\ns3,3\n")
+    out = load_dataset(path=str(tmp_path), spark=spark)
+    assert set(out.keys()) == {"train", "test"}
+    assert out["train"].num_rows == 2
+    assert out["test"].num_rows == 1
+
+
+def test_positional_alignment_no_sample_col(spark, tmp_path):
+    """FIXTURES §1 variant (a): no sample column -> positional J2."""
+    (tmp_path / "data.csv").write_text("header1,header2\n1,10\n2,20\n")
+    (tmp_path / "sample_metadata.csv").write_text("batch,target\nb1,a\nb2,b\n")
+    with pytest.warns(UserWarning):
+        ds = load_dataset(path=str(tmp_path), spark=spark)
+    assert ds.num_rows == 2
+    assert "batch" in ds.columns and "encoded_labels" in ds.columns
+
+
+def test_positional_alignment_count_mismatch(spark, tmp_path):
+    (tmp_path / "data.csv").write_text("header1\n1\n2\n3\n")
+    (tmp_path / "sample_metadata.csv").write_text("batch\nb1\nb2\n")
+    with pytest.raises(ValueError, match="equal row counts"):
+        with pytest.warns(UserWarning):
+            load_dataset(path=str(tmp_path), spark=spark)
+
+
+def test_single_file_with_metadata(spark, tmp_path):
+    """FIXTURES §4: everything in one file."""
+    (tmp_path / "data_with_metadata.csv").write_text(
+        "sample,metadata1,metadata2,header1,header2,target\n"
+        "s1,a,1,1,10,a\ns2,b,2,2,20,b\n"
+    )
+    ds = load_dataset(path=str(tmp_path), spark=spark)
+    assert roles.columns_with_role(ds.df, roles.ROLE_METADATA) == ["metadata1", "metadata2"]
+    assert ds.head(1)[0]["encoded_labels"] in (0, 1)
+
+
+def test_target_collision_rename(spark, tmp_path):
+    """FIXTURES §5: data column already named encoded_labels ->
+    output gains encoded_labels_ (reference test_biodata.py:1258-1268)."""
+    (tmp_path / "multiclass.csv").write_text(
+        "header1,header2,encoded_labels\n1,10,a\n2,20,b\n"
+    )
+    ds = load_dataset(path=str(tmp_path), target_column="encoded_labels", spark=spark)
+    assert "encoded_labels_" in ds.columns
+
+
+def test_binary_labels(spark, tmp_path):
+    """FIXTURES §7: positive/negative label mapping."""
+    (tmp_path / "d.csv").write_text("sample,h1,target\ns1,1,sick\ns2,2,healthy\ns3,3,unknown\n")
+    ds = load_dataset(
+        path=str(tmp_path), positive_labels=["sick"], negative_labels=["healthy"], spark=spark
+    )
+    got = {r["sample"]: r["encoded_labels"] for r in ds.head(5)}
+    assert got == {"s1": 1, "s2": 0, "s3": -1}
+
+
+def test_multi_shard_requires_labels(spark, tmp_path):
+    """FIXTURES §7: multiple data files without labels= -> error."""
+    (tmp_path / "d1.csv").write_text("sample,h1,target\ns1,1,a\n")
+    (tmp_path / "d2.csv").write_text("sample,h1,target\ns2,2,b\n")
+    with pytest.raises(ValueError, match="label"):
+        load_dataset(path=str(tmp_path), spark=spark)
+    ds = load_dataset(path=str(tmp_path), labels=["a", "b", "c"], spark=spark)
+    assert ds.num_rows == 2
+
+
+def test_explicit_labels_unseen_to_minus_one(spark, tmp_path):
+    (tmp_path / "d.csv").write_text("sample,h1,target\ns1,1,a\ns2,2,zzz\n")
+    ds = load_dataset(path=str(tmp_path), labels=["a", "b"], spark=spark)
+    got = {r["sample"]: r["encoded_labels"] for r in ds.head(5)}
+    assert got == {"s1": 0, "s2": -1}
+
+
+def test_regression_target_not_encoded(spark, tmp_path):
+    """FIXTURES §7: float target -> regression, no encoding."""
+    (tmp_path / "d.csv").write_text("sample,h1,target\ns1,1,0.5\ns2,2,1.5\n")
+    ds = load_dataset(path=str(tmp_path), spark=spark)
+    assert "encoded_labels" not in ds.columns
+    from biosets_spark.operators.labels import task_type
+
+    assert task_type(ds.df, "target") == "regression"
+
+
+def test_jsonl_and_tsv_inputs(spark, tmp_path):
+    (tmp_path / "data.jsonl").write_text('{"sample":"s1","h1":1}\n{"sample":"s2","h1":2}\n')
+    ds = load_dataset(path=str(tmp_path), spark=spark)
+    assert ds.num_rows == 2
+    (tmp_path / "data.jsonl").unlink()
+    (tmp_path / "data.tsv").write_text("sample\th1\ns1\t1\n")
+    ds2 = load_dataset(path=str(tmp_path), spark=spark)
+    assert ds2.num_rows == 1
+
+
+def test_experiment_type_presets(spark, tmp_path):
+    """V3: experiment-type alias tags feature columns."""
+    (tmp_path / "otu.csv").write_text("sample,otu1,otu2\ns1,5,3\n")
+    ds = load_dataset(path=str(tmp_path), experiment_type="metagenomics", spark=spark)
+    meta = ds.df.schema["otu1"].metadata
+    assert meta[roles.FEATURE_TYPE_KEY] == "abundance"
+
+
+def test_decode_roundtrip(spark, fixture_dir):
+    ds = load_dataset(path=fixture_dir, spark=spark)
+    decoded = ds.decode("encoded_labels").df
+    rows = decoded.select("target", "encoded_labels").collect()
+    assert all(r.target == r.encoded_labels for r in rows)
+
+
+def test_save_and_load_roundtrip(spark, fixture_dir, tmp_path):
+    from biosets_spark import load_from_disk
+
+    ds = load_dataset(path=fixture_dir, spark=spark)
+    out = str(tmp_path / "saved")
+    ds.save_to_disk(out)
+    back = load_from_disk(spark, out)
+    assert back.columns == ds.columns
+    assert roles.get_role(back, "sample") == roles.ROLE_SAMPLE
+    assert roles.get_labels(back, "encoded_labels") == ["a", "b", "c", "d"]
+
+
+def test_npz_requires_scipy(spark, tmp_path):
+    from biosets_spark.sources.npz import read_npz
+
+    try:
+        import scipy  # noqa: F401
+
+        pytest.skip("scipy installed; gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="scipy"):
+        read_npz(spark, str(tmp_path / "x.npz"))
+
+
+def test_split_spec_slicing(spark, tmp_path):
+    (tmp_path / "train-d.csv").write_text("sample,h1\n" + "".join(f"s{i},{i}\n" for i in range(10)))
+    ds = load_dataset(path=str(tmp_path), split="train[2:5]", spark=spark)
+    assert ds.num_rows == 3
+    ds_pct = load_dataset(path=str(tmp_path), split="train[:50%]", spark=spark)
+    assert ds_pct.num_rows == 5

@@ -1,0 +1,92 @@
+"""Fingerprint cache, multimodal plumbing, labels module units,
+discovery parsing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from biosets_spark.operators import labels as L
+from biosets_spark.operators import multimodal as MM
+from biosets_spark.plans.fingerprint import FingerprintCache, plan_fingerprint
+from biosets_spark.sources.discovery import infer_splits, parse_split_spec
+
+
+def test_plan_fingerprint_stability(spark):
+    df1 = spark.range(10).withColumn("y", F.col("id") * 2)
+    df2 = spark.range(10).withColumn("y", F.col("id") * 2)
+    df3 = spark.range(10).withColumn("y", F.col("id") * 3)
+    assert plan_fingerprint(df1) == plan_fingerprint(df2)
+    assert plan_fingerprint(df1) != plan_fingerprint(df3)
+    assert plan_fingerprint(df1, {"p": 1}) != plan_fingerprint(df1, {"p": 2})
+
+
+def test_fingerprint_cache_roundtrip(spark, tmp_path):
+    cache = FingerprintCache(str(tmp_path / "fpcache"))
+    df = spark.range(100).withColumn("y", F.col("id") % 7)
+    out1 = cache.materialize(df)
+    assert out1.count() == 100
+    fp = plan_fingerprint(df)
+    assert cache.has(fp)
+    out2 = cache.materialize(df)  # hit: served from parquet
+    assert out2.count() == 100
+    assert cache.clear() == 1
+
+
+def test_multimodal_image_features(spark):
+    rows = [(1, b"fake-image-bytes-aaaa"), (2, b"zz"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in MM.extract_image_features(df).collect()}
+    assert out[1].n_bytes == 21 and out[1].width > 0
+    assert out[3].n_bytes == 0
+    # deterministic fake: same payload -> same phash
+    out2 = {r.doc_id: r for r in MM.extract_image_features(df).collect()}
+    assert out[1].phash64 == out2[1].phash64
+
+
+def test_multimodal_real_mode_raises(spark):
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        MM.extract_image_features(df, fake_decode=False).collect()
+
+
+def test_multimodal_frame_sampling(spark):
+    df = spark.createDataFrame([(1, b"v" * 3000)], "doc_id long, payload binary")
+    frames = MM.sample_frames(df, every_n_bytes=1024).collect()
+    assert [f.frame_no for f in frames] == [0, 1]
+
+
+def test_attach_media_metadata(spark):
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+    out = MM.attach_media_metadata(df, "payload", "image", "image/png")
+    meta = out.first().media_meta
+    assert meta.modality == "image" and meta.mime == "image/png"
+
+
+def test_label_dictionary_sorted(spark):
+    df = spark.createDataFrame([("c",), ("a",), ("b",), (None,), ("a",)], "t string")
+    assert L.label_dictionary(df, "t") == ["a", "b", "c"]
+
+
+def test_binary_encode_fallbacks(spark):
+    df = spark.createDataFrame([("p",), ("n",), ("x",)], "t string")
+    only_pos = df.select(L.binary_encode_expr(F.col("t"), ["p"], None).alias("e")).collect()
+    assert [r.e for r in only_pos] == [1, 0, 0]
+    only_neg = df.select(L.binary_encode_expr(F.col("t"), None, ["n"]).alias("e")).collect()
+    assert [r.e for r in only_neg] == [1, 0, 1]
+    both = df.select(L.binary_encode_expr(F.col("t"), ["p"], ["n"]).alias("e")).collect()
+    assert [r.e for r in both] == [1, 0, -1]
+
+
+def test_infer_splits():
+    got = infer_splits(["/d/train-a.csv", "/d/test-b.csv", "/d/val-c.csv", "/d/plain.csv"])
+    assert got == {
+        "train": ["/d/train-a.csv", "/d/plain.csv"],
+        "test": ["/d/test-b.csv"],
+        "validation": ["/d/val-c.csv"],
+    }
+
+
+def test_parse_split_spec():
+    assert parse_split_spec("train") == [("train", None, None, False)]
+    assert parse_split_spec("train[10:20]") == [("train", 10, 20, False)]
+    assert parse_split_spec("train[:10%]") == [("train", None, 10, True)]
+    assert parse_split_spec("train+test") == [("train", None, None, False), ("test", None, None, False)]

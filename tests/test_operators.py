@@ -1,0 +1,164 @@
+"""Relational operator layer: joins (all types), concat, slicing,
+splits, flatten, map/filter shims."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from biosets_spark.dataset import BioDataset
+from biosets_spark.operators import concat as C
+from biosets_spark.operators import joins as J
+from biosets_spark.operators import split as S
+
+
+@pytest.fixture()
+def left(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, v string, x int"
+    )
+
+
+@pytest.fixture()
+def right(spark):
+    return spark.createDataFrame([(2, "B"), (3, "C"), (4, "D")], "k int, w string")
+
+
+def test_join_types(left, right):
+    assert J.join(left, right, "k", join_type="inner").count() == 2
+    assert J.join(left, right, "k", join_type="left").count() == 3
+    assert J.join(left, right, "k", join_type="right").count() == 3
+    assert J.join(left, right, "k", join_type="full outer").count() == 4
+    assert J.join(left, right, "k", join_type="left semi").columns == ["k", "v", "x"]
+    assert J.join(left, right, "k", join_type="left anti").count() == 1
+    # right semi/anti realized by swap
+    rs = J.join(left, right, "k", join_type="right semi")
+    assert rs.columns == ["k", "w"] and rs.count() == 2
+    ra = J.join(left, right, "k", join_type="right anti")
+    assert [r.k for r in ra.collect()] == [4]
+
+
+def test_join_right_keys_coalesce(left, spark):
+    other = spark.createDataFrame([(2, "B")], "rk int, w string")
+    out = J.join(left, other, keys=["k"], right_keys=["rk"], join_type="left")
+    assert "rk" not in out.columns
+    assert out.count() == 3
+
+
+def test_join_suffixes(left, spark):
+    other = spark.createDataFrame([(2, "dup")], "k int, v string")
+    out = J.join(left, other, "k", join_type="inner", suffixes=("", "_right"))
+    assert set(out.columns) == {"k", "v", "v_right", "x"}
+
+
+def test_join_type_coercion(left, spark):
+    other = spark.createDataFrame([("2", "B")], "k string, w string")
+    out = J.join(left, other, "k", join_type="inner")
+    assert out.count() == 1
+
+
+def test_list_key_rejected(spark, left):
+    arr = spark.createDataFrame([([1, 2],)], "k array<int>")
+    with pytest.raises(TypeError, match="struct"):
+        J.join(arr, left, "k")
+
+
+def test_struct_key_join(spark):
+    a = spark.createDataFrame([((1, "x"), 10)], "k struct<i:int,s:string>, v int")
+    b = spark.createDataFrame([((1, "x"), "hit")], "k struct<i:int,s:string>, w string")
+    assert J.join(a, b, "k", join_type="inner").count() == 1
+
+
+def test_join_sample_metadata_order_and_collision(spark):
+    data = spark.createDataFrame([("s1", 1, "stale")], "sample string, h1 int, batch string")
+    meta = spark.createDataFrame([("s1", "fresh", "x")], "sample string, batch string, m1 string")
+    out = J.join_sample_metadata(data, meta, "sample")
+    # metadata first; colliding data column dropped (metadata wins)
+    assert out.columns == ["sample", "batch", "m1", "h1"]
+    assert out.collect()[0].batch == "fresh"
+
+
+def test_align_horizontal(spark):
+    d = spark.createDataFrame([(1,), (2,)], "h1 int")
+    m = spark.createDataFrame([("b1",), ("b2",)], "batch string")
+    out = J.align_horizontal(d, m, order_by_left=["h1"], order_by_right=["batch"])
+    rows = sorted(tuple(r) for r in out.collect())
+    assert rows == [("b1", 1), ("b2", 2)]
+
+
+def test_concat_axis0_promotion(spark):
+    d1 = spark.createDataFrame([(1, "x")], "a int, b string")
+    d2 = spark.createDataFrame([(2.0,)], "a double")
+    out = C.concat([d1, d2], axis=0)
+    assert out.count() == 2
+    assert dict((f.name, f.dataType.simpleString()) for f in out.schema.fields)["a"] == "double"
+
+
+def test_concat_axis1_dedup_first_wins(spark):
+    d1 = spark.createDataFrame([(1, "x")], "a int, b string")
+    d2 = spark.createDataFrame([(9, "y")], "a int, c string")
+    out = C.concat([d1, d2], axis=1)
+    assert out.columns == ["a", "b", "c"]
+    assert out.collect()[0].a == 1  # first occurrence wins
+
+
+def test_slice_and_select_indices(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "i int")
+    assert S.slice_rows(df, 2, 5, order_by=["i"]).count() == 3
+    assert S.slice_percent(df, 0, 30, order_by=["i"]).count() == 3
+    got = [r.i for r in S.select_indices(df, [0, 3, 7], order_by=["i"]).collect()]
+    assert got == [0, 3, 7]
+
+
+def test_train_test_split_stratified(spark):
+    df = spark.createDataFrame([(i, "a" if i % 2 else "b") for i in range(200)], "i int, y string")
+    parts = S.train_test_split(df, test_size=0.3, seed=7, stratify_by_column="y")
+    n_train, n_test = parts["train"].count(), parts["test"].count()
+    assert n_train + n_test == 200
+    assert 30 <= n_test <= 90  # ~60 expected
+    # disjoint
+    assert parts["train"].join(parts["test"], "i", "inner").count() == 0
+
+
+def test_kfold(spark):
+    df = spark.createDataFrame([(i,) for i in range(20)], "i int")
+    folds = S.kfold(df, 4, order_by=["i"])
+    assert len(folds) == 4
+    assert all(te.count() == 5 and tr.count() == 15 for tr, te in folds)
+
+
+def test_shuffle_deterministic(spark):
+    df = spark.createDataFrame([(i,) for i in range(50)], "i int")
+    a = [r.i for r in S.shuffle(df, seed=3).collect()]
+    b = [r.i for r in S.shuffle(df, seed=3).collect()]
+    assert a == b and sorted(a) == list(range(50))
+
+
+def test_dataset_flatten(spark):
+    df = spark.createDataFrame([((1, "x"), 5)], "s struct<i:int,n:string>, v int")
+    flat = BioDataset(df).flatten()
+    assert flat.columns == ["s.i", "s.n", "v"]
+
+
+def test_dataset_map_exprs_and_fn(spark):
+    ds = BioDataset(spark.createDataFrame([(1,), (2,)], "x int"))
+    out = ds.map(exprs={"y": F.col("x") * 2})
+    assert sorted(r.y for r in out.df.collect()) == [2, 4]
+
+    def double(pdf):
+        pdf["x"] = pdf["x"] * 10
+        return pdf
+
+    out2 = ds.map(fn=double)
+    assert sorted(r.x for r in out2.df.collect()) == [10, 20]
+
+
+def test_dataset_filter_python_fn(spark):
+    ds = BioDataset(spark.createDataFrame([(1,), (2,), (3,)], "x int"))
+    out = ds.filter(lambda row: row["x"] > 1)
+    assert out.num_rows == 2
+
+
+def test_zip_with_index_contiguous(spark):
+    df = spark.createDataFrame([(c,) for c in "edcba"], "c string")
+    out = J.zip_with_index(df, order_by=["c"])
+    rows = {r.c: r._row_id for r in out.collect()}
+    assert rows == {"a": 0, "b": 1, "c": 2, "d": 3, "e": 4}

@@ -1,0 +1,61 @@
+"""Structured Streaming: file-source ingest, windowed aggs, session
+windows, stateful dedup — drained with Trigger.AvailableNow."""
+
+import datetime as dt
+
+import pytest
+
+from biosets_spark.streaming import ingest as SI
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for user in (1, 2):
+        for burst in range(2):  # two sessions per user, 2h apart
+            for i in range(3):
+                ts = base + dt.timedelta(hours=2 * burst, minutes=i)
+                rows.append((eid, ts, user, "click", 1.0, "{}"))
+                eid += 1
+    # duplicate event for dedup testing
+    rows.append((0, base, 1, "click", 1.0, "{}"))
+    df = spark.createDataFrame(rows, SI.EVENTS_SCHEMA)
+    p = str(tmp_path / "events_stream")
+    df.coalesce(1).write.parquet(p)
+    return p
+
+
+def test_read_stream_is_streaming(spark, events_dir):
+    sdf = SI.read_stream(spark, events_dir)
+    assert sdf.isStreaming
+
+
+def test_windowed_counts_stream(spark, events_dir):
+    sdf = SI.read_stream(spark, events_dir)
+    agg = SI.windowed_counts(sdf, window="1 hour", watermark="4 hours")
+    rows = SI.run_available_now(agg, "win_counts", output_mode="complete")
+    got = {(r.window_start.hour, r.event_type): r.n for r in rows}
+    # two users x 3 events in hour 0 and hour 2
+    assert got[(0, "click")] == 7  # includes the duplicate
+    assert got[(2, "click")] == 6
+
+
+def test_sessionized_stream(spark, events_dir):
+    sdf = SI.read_stream(spark, events_dir)
+    sess = SI.sessionized(sdf, gap="30 minutes", watermark="4 hours")
+    rows = SI.run_available_now(sess, "sessions", output_mode="complete")
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, 0)
+        per_user[r.user_id] += 1
+    assert per_user == {1: 2, 2: 2}  # two sessions each
+
+
+def test_dedup_within_watermark_stream(spark, events_dir):
+    sdf = SI.read_stream(spark, events_dir)
+    dd = SI.dedup_within_watermark(sdf, keys=["event_id"], watermark="4 hours")
+    rows = SI.run_available_now(dd, "dedup", output_mode="append")
+    ids = [r.event_id for r in rows]
+    assert len(ids) == len(set(ids)) == 12  # 13 raw - 1 duplicate
