@@ -1,0 +1,193 @@
+"""Second-wave query inventory: as-of / cross / range joins, struct
+flatten, deterministic slicing, pivot, having — the SURVEY §2.3/§2.6
+declarations beyond the first-wave set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col, lit
+
+from . import tables
+from .queries import q
+
+
+@q(
+    "q_asof_join",
+    oracle="""
+    WITH purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         clicks    AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+           CAST(c.value AS DOUBLE) AS click_value
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    desc="as-of join: each purchase matched to the user's most recent "
+         "preceding click (union + carry-forward window — ONE shuffle "
+         "on user_id, no range join, no per-row subquery).",
+    tags=["join", "asof"],
+)
+def q_asof_join(spark, sf_dir):
+    from .operators.asof import asof_join
+
+    e = tables.load(spark, sf_dir, "events")
+    purchases = e.filter(col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(purchases, clicks, on="ts", by="user_id")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("right_ts").alias("click_epoch"),
+        col("right_value").cast("double").alias("click_value"),
+    )
+
+
+@q(
+    "q_cross_join",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+    desc="nested-loop cross join (tiny dims; BroadcastNestedLoop).",
+    tags=["join", "cross"],
+)
+def q_cross_join(spark, sf_dir):
+    r = tables.load(spark, sf_dir, "region")
+    n = tables.load(spark, sf_dir, "nation")
+    return r.crossJoin(broadcast(n)).select("r_name", "n_name")
+
+
+@q(
+    "q_range_join",
+    oracle="""
+    WITH buckets(lo, hi, bucket) AS (VALUES (1, 10, 'small'), (11, 25, 'medium'), (26, 50, 'large'))
+    SELECT bucket, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM part JOIN buckets ON p_size BETWEEN lo AND hi
+    GROUP BY bucket
+    """,
+    desc="theta/range join against a literal bucket dim "
+         "(BroadcastNestedLoopJoin — the dim side is rows, not rows^2).",
+    tags=["join", "range"],
+)
+def q_range_join(spark, sf_dir):
+    p = tables.load(spark, sf_dir, "part")
+    buckets = p.sparkSession.createDataFrame(
+        [(1, 10, "small"), (11, 25, "medium"), (26, 50, "large")], "lo int, hi int, bucket string"
+    )
+    return (
+        p.join(broadcast(buckets), col("p_size").between(col("lo"), col("hi")))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+@q(
+    "q_flatten_struct",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS "o.status",
+           CAST(o_totalprice AS DOUBLE) AS "o.price"
+    FROM orders WHERE o_orderkey < 100
+    """,
+    desc="P9 flatten: struct column exploded to parent.child top-level "
+         "columns (pure projection — zero execution cost).",
+    tags=["projection", "struct"],
+)
+def q_flatten_struct(spark, sf_dir):
+    from .dataset import BioDataset
+
+    o = tables.load(spark, sf_dir, "orders").filter(col("o_orderkey") < 100)
+    nested = o.select(
+        "o_orderkey",
+        F.struct(
+            col("o_orderstatus").alias("status"),
+            col("o_totalprice").cast("double").alias("price"),
+        ).alias("o"),
+    )
+    return BioDataset(nested).flatten().df
+
+
+@q(
+    "q_slice_offset",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders
+    ORDER BY o_orderkey LIMIT 20 OFFSET 100
+    """,
+    desc="P8/O4 contiguous slicing ds[100:120] over a defined order "
+         "(offset+limit — no full materialization).",
+    tags=["slice", "limit"],
+)
+def q_slice_offset(spark, sf_dir):
+    from .operators.split import slice_rows
+
+    o = tables.load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return slice_rows(o, 100, 120, order_by=["o_orderkey"])
+
+
+@q(
+    "q_pivot",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+    FROM orders GROUP BY 1
+    """,
+    desc="pivot (wide conditional agg): orders per year x status.",
+    tags=["agg", "pivot"],
+)
+def q_pivot(spark, sf_dir):
+    o = tables.load(spark, sf_dir, "orders")
+    return (
+        o.select(F.year("o_orderdate").alias("yr"), "o_orderstatus")
+        .groupBy("yr")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(lit(1)))
+        .select(
+            "yr",
+            F.coalesce("O", lit(0)).alias("n_open"),
+            F.coalesce("F", lit(0)).alias("n_filled"),
+            F.coalesce("P", lit(0)).alias("n_pending"),
+        )
+    )
+
+
+@q(
+    "q_having",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_customers
+    FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 50
+    """,
+    desc="groupBy + having (post-agg filter).",
+    tags=["agg", "having"],
+)
+def q_having(spark, sf_dir):
+    c = tables.load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+        .filter(col("n_customers") > 50)
+    )
+
+
+@q(
+    "q_collect_list",
+    oracle="""
+    SELECT c_nationkey,
+           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           COUNT(*) AS n
+    FROM customer GROUP BY c_nationkey
+    """,
+    desc="collect_set aggregation (sorted for determinism).",
+    tags=["agg", "collect"],
+)
+def q_collect_list(spark, sf_dir):
+    c = tables.load(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        F.count("*").alias("n"),
+    )

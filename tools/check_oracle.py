@@ -47,7 +47,9 @@ def canon(v):
 
 def rows_canon(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    out = [tuple(canon(r[i]) for i in order) for r in rows]
+    # None-safe total order (only consistency matters, not the order itself)
+    return sorted(out, key=lambda row: [(v is None, str(v)) for v in row])
 
 
 def main():
