@@ -55,8 +55,10 @@ def _match_col(columns: list[str], patterns: list[str]) -> str | None:
 
 
 def _read_shards(spark: SparkSession, files: list[str], **options) -> DataFrame:
+    from .sources.archives import expand_paths
+
     by_fmt: dict[str, list[str]] = {}
-    for f in files:
+    for f in expand_paths(files):  # S9: unpack zip/tar containers
         by_fmt.setdefault(readers.detect_format(f), []).append(f)
     dfs = [readers.read_files(spark, fs, fmt=fmt, **options) for fmt, fs in by_fmt.items()]
     return union_promote(dfs)

@@ -1,0 +1,248 @@
+"""Third-wave query inventory: language ID (with a full SQL mirror of
+the stopword-vote heuristic), quality scoring, BPE tokens, window
+first/last/lead, sliding event windows, grouped-map Pandas UDF,
+approx-distinct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+from . import tables
+from .operators import text as TX
+from .queries import q
+
+# ---------------------------------------------------------------------
+# language ID: the DuckDB oracle mirrors the Spark expression tree
+# (per-language stopword-hit fraction, argmax with lexicographically-
+# greatest language winning ties, 'und' when no stopword hits)
+# ---------------------------------------------------------------------
+
+def _lang_scores_sql() -> str:
+    score_cols = []
+    for lang, ws in TX.STOPWORDS.items():
+        arr = ", ".join(f"'{w}'" for w in ws)
+        score_cols.append(
+            f"len(list_filter(toks, t -> list_contains([{arr}], t))) * 1.0 / greatest(len(toks), 1) AS s_{lang}"
+        )
+    return ",\n           ".join(score_cols)
+
+
+_LANGS_DESC = sorted(TX.STOPWORDS.keys(), reverse=True)  # zh, fr, es, en, de
+_ARGMAX_CASE = "CASE " + " ".join(
+    f"WHEN s_{lang} >= greatest({', '.join('s_' + o for o in TX.STOPWORDS)}) THEN '{lang}'"
+    for lang in _LANGS_DESC
+) + " END"
+
+_LANGID_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''), t -> lower(t)) AS toks
+  FROM documents
+),
+scores AS (
+  SELECT doc_id,
+           {_lang_scores_sql()}
+  FROM toks
+)
+SELECT CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) > 0
+            THEN {_ARGMAX_CASE} ELSE 'und' END AS lang_pred,
+       COUNT(*) AS n
+FROM scores GROUP BY 1
+"""
+
+
+@q(
+    "q_text_langid",
+    oracle=_LANGID_ORACLE,
+    desc="stopword-vote language ID over documents (pure expression "
+         "tree; the oracle mirrors the scoring + argmax exactly). On "
+         "this synthetic corpus most docs are 'und'/'en' — accuracy is "
+         "pytest-verified on crafted multilingual samples.",
+    tags=["text", "langid"],
+)
+def q_text_langid(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    return TX.lang_id(docs).groupBy("lang_pred").agg(F.count("*").alias("n"))
+
+
+@q(
+    "q_text_quality_score",
+    oracle="""
+    WITH feats AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS n_tokens,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^.,!?;:''"()\\[\\]-]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace
+    FROM documents
+    ),
+    scored AS (
+      SELECT lang,
+             (CASE WHEN n_tokens >= 5 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN n_tokens > 0 AND (n_nonspace * 1.0 / n_tokens) BETWEEN 2 AND 15 THEN 0.3 ELSE 0.0 END)
+             + (CASE WHEN n_chars = 0 OR (n_punct * 1.0 / n_chars) <= 0.2 THEN 0.15 ELSE 0.0 END)
+             + (CASE WHEN n_chars = 0 OR (n_digit * 1.0 / n_chars) <= 0.3 THEN 0.15 ELSE 0.0 END) AS score
+      FROM feats
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(CASE WHEN score >= 0.9 THEN 1 ELSE 0 END) AS n_keep,
+           CAST(SUM(CAST(score AS DECIMAL(8,2))) AS DOUBLE) AS total_score
+    FROM scored GROUP BY lang
+    """,
+    desc="composite quality score (token count / token length / punct "
+         "ratio / digit ratio gates) + keep-rate per language.",
+    tags=["text", "quality"],
+)
+def q_text_quality_score(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    scored = TX.quality_score(docs)
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(col("keep"), 1).otherwise(0)).alias("n_keep"),
+        F.sum(col("quality_score").cast("decimal(8,2)")).cast("double").alias("total_score"),
+    )
+
+
+@q(
+    "q_text_bpe_tokens",
+    oracle=r"""
+    SELECT lang,
+           CAST(SUM(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]'))) AS BIGINT) AS total_bpe_tokens,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+    desc="BPE-ish token counting (regexp word/number/symbol classes) — "
+         "regexp_extract_all evaluated JVM-side.",
+    tags=["text", "tokens"],
+)
+def q_text_bpe_tokens(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(F.size(TX.bpe_tokens(col("text")))).cast("bigint").alias("total_bpe_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------
+# windows wave 2
+# ---------------------------------------------------------------------
+
+@q(
+    "q_window_first_last",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey)  OVER w AS last_order,
+           LEAD(o_orderkey, 1, -1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_after_first
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
+    """,
+    desc="first_value/last_value over an unbounded frame + lead with "
+         "default, one row per customer.",
+    tags=["window"],
+)
+def q_window_first_last(spark, sf_dir):
+    o = tables.load(spark, sf_dir, "orders").filter(col("o_custkey") < 50)
+    order_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full_w = order_w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_custkey",
+            F.first("o_orderkey").over(full_w).alias("first_order"),
+            F.last("o_orderkey").over(full_w).alias("last_order"),
+            F.lead("o_orderkey", 1, -1).over(order_w).alias("next_after_first"),
+            F.row_number().over(order_w).alias("_rn"),
+        )
+        .filter(col("_rn") == 1)
+        .drop("_rn")
+        .distinct()
+    )
+
+
+@q(
+    "q_events_sliding",
+    oracle="""
+    WITH exploded AS (
+      SELECT event_type,
+             unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS win_start
+      FROM events
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M') AS window_start, event_type, COUNT(*) AS n
+    FROM exploded GROUP BY 1, 2
+    """,
+    desc="sliding window (1h window / 30min slide): each event lands in "
+         "2 windows; batch twin of the streaming sliding agg.",
+    tags=["events", "window", "streaming-twin"],
+)
+def q_events_sliding(spark, sf_dir):
+    e = tables.load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format(col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"), "event_type", "n")
+    )
+
+
+# ---------------------------------------------------------------------
+# UDF surface: grouped-map applyInPandas with a deterministic kernel
+# ---------------------------------------------------------------------
+
+@q(
+    "q_grouped_map_normalize",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, MIN(value) AS mn, MAX(value) AS mx FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(CASE WHEN mx > mn THEN (e.value - mn) / (mx - mn) ELSE 0.5 END AS DOUBLE) AS value_scaled
+    FROM events e JOIN stats USING (event_type)
+    WHERE e.event_id < 500
+    """,
+    desc="U1 grouped-map UDF: per-group min-max scaling via "
+         "applyInPandas (Arrow batches, vectorized pandas kernel). "
+         "min/max are exact doubles, so the scaled values hash-match "
+         "the relational oracle.",
+    tags=["udf", "grouped-map"],
+)
+def q_grouped_map_normalize(spark, sf_dir):
+    import pandas as pd
+
+    e = tables.load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = pdf["value"].min(), pdf["value"].max()
+        scaled = (pdf["value"] - mn) / (mx - mn) if mx > mn else pd.Series([0.5] * len(pdf))
+        return pd.DataFrame({
+            "event_id": pdf["event_id"],
+            "event_type": pdf["event_type"],
+            "value_scaled": scaled,
+        })
+
+    out = e.groupBy("event_type").applyInPandas(
+        scale, schema="event_id long, event_type string, value_scaled double"
+    )
+    return out.filter(col("event_id") < 500)
+
+
+@q(
+    "q_approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific; pytest asserts
+    # <2% relative error against the exact count
+    desc="approx_count_distinct (HyperLogLog++) of users per event "
+         "type — the sketch path for 100 TB cardinality estimation.",
+    tags=["agg", "approx", "no-oracle"],
+)
+def q_approx_distinct(spark, sf_dir):
+    e = tables.load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count("*").alias("n"),
+    )

@@ -1,0 +1,63 @@
+"""S9: compressed / archived input handling.
+
+Reference semantics (biodata.py:1607-1616, tests/fixtures/files.py:
+45-96): .zip/.tar/gz/bz2/zstd inputs are transparently extracted
+before building.
+
+Spark mapping: gz/bz2/zstd/lz4 text files are read natively by Spark's
+codecs (no code needed — ``spark.read.csv("x.csv.gz")`` just works,
+albeit as a single non-splittable partition per file). Container
+formats (.zip/.tar/.tar.gz/.7z) have no Hadoop codec; they go through
+a driver-side ingest-unpack step into a scratch directory, after which
+the normal extension-dispatch readers take over. At 100 TB the
+recommendation stands: unpack once at ingest, store Parquet.
+"""
+
+from __future__ import annotations
+
+import os
+import tarfile
+import tempfile
+import zipfile
+
+ARCHIVE_EXTS = (".zip", ".tar", ".tar.gz", ".tgz", ".tar.bz2")
+
+
+def is_archive(path: str) -> bool:
+    low = path.lower()
+    return low.endswith(ARCHIVE_EXTS)
+
+
+def extract(path: str, dest: str | None = None) -> list[str]:
+    """Unpack a zip/tar archive; returns the extracted member paths."""
+    dest = dest or tempfile.mkdtemp(prefix="biosets_unpack_")
+    low = path.lower()
+    out: list[str] = []
+    if low.endswith(".zip"):
+        with zipfile.ZipFile(path) as z:
+            for m in z.namelist():
+                if m.endswith("/"):
+                    continue
+                z.extract(m, dest)
+                out.append(os.path.join(dest, m))
+    elif low.endswith((".tar", ".tar.gz", ".tgz", ".tar.bz2")):
+        mode = "r:*"
+        with tarfile.open(path, mode) as t:
+            t.extractall(dest, filter="data")
+            out = [os.path.join(dest, m.name) for m in t.getmembers() if m.isfile()]
+    else:
+        raise ValueError(f"not a recognized archive: {path!r}")
+    return sorted(out)
+
+
+def expand_paths(paths: list[str]) -> list[str]:
+    """Replace archive entries in a file list with their extracted
+    members (pass-through for everything else, including gz/bz2 single
+    files which Spark reads natively)."""
+    out: list[str] = []
+    for p in paths:
+        if is_archive(p):
+            out.extend(extract(p))
+        else:
+            out.append(p)
+    return out

@@ -28,6 +28,17 @@ FEATURE_METADATA_PATTERNS = [
 SPLIT_PREFIXES = ("train", "test", "validation", "val", "dev")
 
 DATA_EXTS = {".csv", ".tsv", ".txt", ".json", ".jsonl", ".parquet", ".arrow", ".npz"}
+COMPRESSED_EXTS = {".gz", ".bz2", ".zst", ".zstd", ".lz4"}
+ARCHIVE_EXTS = {".zip", ".tar", ".tgz"}
+
+
+def _is_data_file(path: str) -> bool:
+    base, ext = os.path.splitext(path.lower())
+    if ext in ARCHIVE_EXTS:
+        return True
+    if ext in COMPRESSED_EXTS:
+        ext = os.path.splitext(base)[1]
+    return ext in DATA_EXTS
 
 
 def _matches(name: str, patterns: list[str]) -> bool:
@@ -44,7 +55,7 @@ def discover(path: str) -> dict:
         return {"data_files": [path], "sample_metadata_files": [], "feature_metadata_files": []}
     all_files = sorted(
         f for f in glob.glob(os.path.join(path, "**", "*"), recursive=True)
-        if os.path.isfile(f) and os.path.splitext(f)[1].lower() in DATA_EXTS
+        if os.path.isfile(f) and _is_data_file(f)
     )
     sample_meta = [f for f in all_files if _matches(f, SAMPLE_METADATA_PATTERNS)]
     feature_meta = [f for f in all_files if _matches(f, FEATURE_METADATA_PATTERNS)]

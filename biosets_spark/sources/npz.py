@@ -24,12 +24,62 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+class _CSR:
+    """Minimal CSR holder so the reader works without scipy.
+
+    scipy's ``save_npz`` writes a plain ``.npz`` archive with keys
+    (data, indices, indptr, shape, format); numpy can read it directly.
+    CSR is densified natively; other layouts (csc/coo/bsr/dia) fall
+    back to scipy when available.
+    """
+
+    def __init__(self, data, indices, indptr, shape):
+        import numpy as np
+
+        self.data, self.indices, self.indptr = data, indices, indptr
+        self.shape = tuple(int(x) for x in shape)
+        self.dtype = np.asarray(data).dtype
+
+    def __getitem__(self, rows: slice):
+        import numpy as np
+
+        lo, hi = rows.start or 0, min(rows.stop or self.shape[0], self.shape[0])
+        return _CSRBlock(self, lo, hi)
+
+
+class _CSRBlock:
+    def __init__(self, csr: "_CSR", lo: int, hi: int):
+        self.csr, self.lo, self.hi = csr, lo, hi
+
+    def toarray(self):
+        import numpy as np
+
+        c = self.csr
+        out = np.zeros((self.hi - self.lo, c.shape[1]), dtype=c.dtype)
+        for r in range(self.lo, self.hi):
+            s, e = int(c.indptr[r]), int(c.indptr[r + 1])
+            out[r - self.lo, c.indices[s:e]] = c.data[s:e]
+        return out
+
+
 def _load_sparse(path: str):
+    import numpy as np
+
+    with np.load(path, allow_pickle=False) as z:
+        fmt = z["format"].item() if "format" in z else b"csr"
+        fmt = fmt.decode() if isinstance(fmt, bytes) else str(fmt)
+        if fmt == "csr":
+            return _CSR(z["data"], z["indices"], z["indptr"], z["shape"])
+    # non-CSR layouts need scipy's conversion kernels
     try:
         import scipy.sparse as sp
-    except ImportError as e:  # pragma: no cover
-        raise ImportError("read_npz requires scipy (not installed in this environment)") from e
-    return sp.load_npz(path).tocsr()
+    except ImportError as e:
+        raise ImportError(
+            f"read_npz: matrix format {fmt!r} requires scipy (not installed); "
+            "CSR matrices are supported natively"
+        ) from e
+    m = sp.load_npz(path).tocsr()
+    return _CSR(m.data, m.indices, m.indptr, m.shape)
 
 
 def npz_schema(path: str, column_names: list[str] | None = None) -> T.StructType:

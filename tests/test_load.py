@@ -149,7 +149,10 @@ def test_save_and_load_roundtrip(spark, fixture_dir, tmp_path):
     assert roles.get_labels(back, "encoded_labels") == ["a", "b", "c", "d"]
 
 
-def test_npz_requires_scipy(spark, tmp_path):
+def test_npz_non_csr_requires_scipy(spark, tmp_path):
+    """CSR reads scipy-free; other sparse layouts gate behind scipy."""
+    import numpy as np
+
     from biosets_spark.sources.npz import read_npz
 
     try:
@@ -158,8 +161,11 @@ def test_npz_requires_scipy(spark, tmp_path):
         pytest.skip("scipy installed; gate not exercised")
     except ImportError:
         pass
+    p = str(tmp_path / "coo.npz")
+    np.savez(p, data=np.array([1.0]), row=np.array([0]), col=np.array([0]),
+             shape=np.array([1, 1]), format=np.bytes_("coo"))
     with pytest.raises(ImportError, match="scipy"):
-        read_npz(spark, str(tmp_path / "x.npz"))
+        read_npz(spark, p)
 
 
 def test_split_spec_slicing(spark, tmp_path):

@@ -1,0 +1,126 @@
+"""Sources: sparse NPZ reader (scipy-free CSR path), archive/compressed
+ingest, arrow interchange, format detection."""
+
+import gzip
+import zipfile
+
+import numpy as np
+import pytest
+
+from biosets_spark import load_dataset
+from biosets_spark.sources.archives import expand_paths, extract, is_archive
+from biosets_spark.sources.npz import read_npz
+from biosets_spark.sources.readers import detect_format
+
+
+def _write_csr_npz(path, dense):
+    """Write a scipy-format sparse npz without scipy (FIXTURES §6)."""
+    dense = np.asarray(dense)
+    indptr = [0]
+    indices, data = [], []
+    for row in dense:
+        nz = np.nonzero(row)[0]
+        indices.extend(nz.tolist())
+        data.extend(row[nz].tolist())
+        indptr.append(len(indices))
+    np.savez(
+        path,
+        data=np.array(data, dtype=dense.dtype),
+        indices=np.array(indices, dtype=np.int32),
+        indptr=np.array(indptr, dtype=np.int32),
+        shape=np.array(dense.shape, dtype=np.int64),
+        format=np.bytes_("csr"),
+    )
+
+
+def test_read_npz_csr_dense_equality(spark, tmp_path):
+    """Golden dense values, as in reference test_biodata.py:1219-1226."""
+    dense = np.array([[0.0, 0.7], [0.3, 0.0], [0.0, 0.0]])
+    p = str(tmp_path / "m.npz")
+    _write_csr_npz(p, dense)
+    df = read_npz(spark, p, with_row_index=True).orderBy("_row")
+    got = np.array([[r["0"], r["1"]] for r in df.collect()])
+    assert np.allclose(got, dense)
+    assert df.columns == ["_row", "0", "1"]
+
+
+def test_read_npz_feature_names(spark, tmp_path):
+    dense = np.array([[1.0, 2.0]])
+    p = str(tmp_path / "m.npz")
+    _write_csr_npz(p, dense)
+    df = read_npz(spark, p, column_names=["otu_a", "otu_b"])
+    assert df.columns == ["otu_a", "otu_b"]
+    with pytest.raises(ValueError, match="column_names"):
+        read_npz(spark, p, column_names=["just_one"])
+
+
+def test_npz_through_load_dataset(spark, tmp_path):
+    """npz columns renamed from feature_metadata (biodata.py:1099-1124)."""
+    dense = np.array([[5.0, 0.0], [0.0, 3.0]])
+    _write_csr_npz(str(tmp_path / "data.npz"), dense)
+    (tmp_path / "feature_metadata.csv").write_text("feature,note\ngene1,x\ngene2,y\n")
+    ds = load_dataset(path=str(tmp_path), spark=spark)
+    assert ds.columns == ["gene1", "gene2"]
+    assert ds.num_rows == 2
+
+
+def test_archive_detection_and_extract(tmp_path):
+    zp = tmp_path / "bundle.zip"
+    with zipfile.ZipFile(zp, "w") as z:
+        z.writestr("inner/data.csv", "a,b\n1,2\n")
+    assert is_archive(str(zp))
+    members = extract(str(zp))
+    assert len(members) == 1 and members[0].endswith("inner/data.csv")
+    expanded = expand_paths([str(zp), "/other/plain.csv"])
+    assert expanded[0].endswith("data.csv") and expanded[1] == "/other/plain.csv"
+
+
+def test_load_dataset_from_zip(spark, tmp_path):
+    zp = tmp_path / "data.zip"
+    with zipfile.ZipFile(zp, "w") as z:
+        z.writestr("data.csv", "sample,h1\ns1,1\ns2,2\n")
+    ds = load_dataset(path=str(tmp_path), spark=spark)
+    assert ds.num_rows == 2
+
+
+def test_load_dataset_gz_native(spark, tmp_path):
+    with gzip.open(tmp_path / "data.csv.gz", "wt") as f:
+        f.write("sample,h1\ns1,1\ns2,2\ns3,3\n")
+    ds = load_dataset(path=str(tmp_path), spark=spark)
+    assert ds.num_rows == 3
+
+
+def test_detect_format_with_compression():
+    assert detect_format("x.csv.gz") == "csv"
+    assert detect_format("x.jsonl.zst") == "json"
+    assert detect_format("x.parquet") == "parquet"
+    with pytest.raises(ValueError):
+        detect_format("x.unknown")
+
+
+def test_arrow_roundtrip(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    t = pa.table({"sample": ["s1", "s2"], "v": [1, 2]})
+    p = str(tmp_path / "t.arrow")
+    with ipc.new_file(p, t.schema) as w:
+        w.write_table(t)
+    from biosets_spark.sources.readers import read_arrow
+
+    df = read_arrow(spark, p)
+    assert df.count() == 2 and df.columns == ["sample", "v"]
+
+
+def test_approx_distinct_tolerance(spark):
+    from biosets_spark import tables
+    from pyspark.sql import functions as F
+
+    e = tables.load(spark, "/root/testdata/sf0.001", "events")
+    row = (
+        e.agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        ).first()
+    )
+    assert abs(row.approx - row.exact) / row.exact < 0.05
