@@ -191,3 +191,25 @@ def q_collect_list(spark, sf_dir):
         F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
         F.count("*").alias("n"),
     )
+
+
+@q(
+    "q_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+    desc="explicit GROUPING SETS through the spark.sql surface "
+         "(registered temp views); partial agg expands grouping ids.",
+    tags=["agg", "grouping-sets", "sql"],
+)
+def q_grouping_sets(spark, sf_dir):
+    tables.register_views(spark, sf_dir, ("customer",))
+    return spark.sql("""
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """)

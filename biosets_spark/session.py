@@ -50,6 +50,10 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("BIOSETS_SPARK_DRIVER_MEM", "12g"))
+        # managed-table scratch (bucketed layouts); keep metastore files
+        # out of the repo/cwd
+        .config("spark.sql.warehouse.dir", "/tmp/biosets_spark_warehouse")
+        .config("spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/biosets_spark_derby")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -34,3 +34,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in ALL_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple = ALL_TABLES) -> None:
+    """Register the test tables as temp views so queries can run
+    through the plain ``spark.sql`` surface."""
+    for t in tables:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -90,3 +90,23 @@ def test_parse_split_spec():
     assert parse_split_spec("train[10:20]") == [("train", 10, 20, False)]
     assert parse_split_spec("train[:10%]") == [("train", None, 10, True)]
     assert parse_split_spec("train+test") == [("train", None, None, False), ("test", None, None, False)]
+
+
+def test_register_custom_feature_type(spark):
+    from biosets_spark.schema import roles
+    from pyspark.sql import types as T
+
+    roles.register_feature_type("methylation_beta", T.FloatType())
+    assert roles.FEATURE_TYPES["methylation_beta"] == T.FloatType()
+    df = spark.createDataFrame([(0.5,)], "cpg1 float")
+    tagged = roles.with_role(df, "cpg1", roles.ROLE_FEATURE, feature_type="methylation_beta")
+    assert tagged.schema["cpg1"].metadata[roles.FEATURE_TYPE_KEY] == "methylation_beta"
+
+
+def test_split_concat_spec(spark, tmp_path):
+    (tmp_path / "train-d.csv").write_text("sample,h1\ns1,1\ns2,2\n")
+    (tmp_path / "test-d.csv").write_text("sample,h1\ns3,3\n")
+    from biosets_spark import load_dataset
+
+    ds = load_dataset(path=str(tmp_path), split="train+test", spark=spark)
+    assert ds.num_rows == 3
