@@ -1,3 +1,6 @@
-from . import concat, dedup, joins, labels, multimodal, similarity, split, text
+from . import asof, concat, dedup, graph, joins, labels, multimodal, similarity, skew, split, text
 
-__all__ = ["concat", "dedup", "joins", "labels", "multimodal", "similarity", "split", "text"]
+__all__ = [
+    "asof", "concat", "dedup", "graph", "joins", "labels", "multimodal",
+    "similarity", "skew", "split", "text",
+]

@@ -1,0 +1,97 @@
+"""Connected components over a pair list — dedup clustering.
+
+Near-dup detectors (minhash/simhash/ngram/embedding, operators/
+dedup.py) emit PAIRS; deduplication needs CLUSTERS (keep one doc per
+connected component of the similarity graph). This is the standard
+large-scale formulation: iterative min-label propagation
+("hash-to-min") over DataFrames.
+
+Each iteration joins the current labels across edges and keeps the
+minimum — a pure shuffle-on-key plan, no driver-side union-find, so it
+scales to edge lists that don't fit on one machine. Convergence in
+O(log(diameter)) iterations; near-dup graphs are almost always
+star/clique shaped, so 2-3 iterations in practice.
+
+Not SQL-expressible in one statement (iterative) -> correctness is
+pinned by pytest on planted clusters rather than the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Label every node in the pair graph with its component's min id.
+
+    Returns (node, component). Iterates min-label propagation until a
+    fixpoint (checked via a cheap count of label changes).
+    """
+    edges = (
+        pairs.select(col(a_col).alias("u"), col(b_col).alias("v"))
+        .union(pairs.select(col(b_col).alias("u"), col(a_col).alias("v")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select("u").distinct().withColumn("component", col("u")).cache()
+
+    for _ in range(max_iterations):
+        # candidate labels: own label + min neighbor label (aliases
+        # break the shared lineage of the edge-derived frames)
+        neighbor_labels = (
+            edges.alias("e")
+            .join(labels.alias("l"), col("e.v") == col("l.u"))
+            .select(col("e.u").alias("u"), col("l.component").alias("component"))
+        )
+        new_labels = (
+            labels.select("u", "component")
+            .union(neighbor_labels)
+            .groupBy("u")
+            .agg(F.min("component").alias("component"))
+            .cache()
+        )
+        changed = (
+            new_labels.select(col("u").alias("nu"), col("component").alias("nc"))
+            .join(labels.select(col("u").alias("ou"), col("component").alias("oc")), col("nu") == col("ou"))
+            .filter(col("nc") != col("oc"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(col("u").alias("node"), "component")
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Full dedup decision: every row of ``df`` labeled with its cluster
+    representative (min id of its similarity component; singleton rows
+    represent themselves) and a ``keep`` flag.
+
+    Compose with any pair detector:
+        pairs = minhash_lsh_pairs(docs, threshold=0.8)
+        decided = dedup_clusters(docs, pairs)
+        kept = decided.filter("keep")
+    """
+    comp = connected_components(pairs, a_col, b_col)
+    out = (
+        df.join(comp, df[id_col] == comp.node, "left")
+        .withColumn("cluster_id", F.coalesce(col("component"), col(id_col)))
+        .drop("node", "component")
+    )
+    return out.withColumn("keep", col(id_col) == col("cluster_id"))

@@ -113,6 +113,32 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", output_col: str = "fi
     return df.withColumn(output_col, fingerprint_md5(col(text_col)))
 
 
+def term_doc_freq(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-term corpus statistics: document frequency and total term
+    frequency (the integer core of TF-IDF — explode + two counts, all
+    map-side-combinable)."""
+    t = df.select(col(id_col).alias("_id"), F.explode(tokens(F.lower(col(text_col)))).alias("term"))
+    return t.groupBy("term").agg(
+        F.countDistinct("_id").alias("doc_freq"),
+        F.count("*").alias("term_freq"),
+    )
+
+
+def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Sparse TF-IDF vectors as (doc, term, tf, idf, tf_idf) rows —
+    the join-friendly layout for downstream similarity/clustering.
+    idf = ln((N+1)/(df+1)) + 1 (smoothed)."""
+    n_docs = df.count()
+    toks = df.select(col(id_col).alias("_id"), F.explode(tokens(F.lower(col(text_col)))).alias("term"))
+    tf = toks.groupBy("_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = dfreq.withColumn("idf", F.log((F.lit(n_docs) + 1) / (col("df") + 1)) + 1)
+    return (
+        tf.join(idf, "term")
+        .select(col("_id").alias(id_col), "term", "tf", "idf", (col("tf") * col("idf")).alias("tf_idf"))
+    )
+
+
 def rolling_hash(df: DataFrame, text_col: str = "text", output_col: str = "rhash",
                  base: int = 257, mod: int = (1 << 61) - 1) -> DataFrame:
     """Polynomial rolling hash over whitespace tokens (deterministic,

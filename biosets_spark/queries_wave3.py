@@ -246,3 +246,28 @@ def q_approx_distinct(spark, sf_dir):
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.count("*").alias("n"),
     )
+
+
+@q(
+    "q_term_doc_freq",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS term
+      FROM documents
+    )
+    SELECT term, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS term_freq
+    FROM t GROUP BY term
+    ORDER BY doc_freq DESC, term LIMIT 20
+    """,
+    desc="per-term corpus statistics (document frequency + term "
+         "frequency, the integer core of TF-IDF); top-20 with "
+         "deterministic tie-break.",
+    tags=["text", "tfidf"],
+)
+def q_term_doc_freq(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        TX.term_doc_freq(docs)
+        .orderBy(col("doc_freq").desc(), col("term"))
+        .limit(20)
+    )

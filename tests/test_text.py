@@ -60,3 +60,20 @@ def test_rolling_hash_order_sensitive(spark):
     df = spark.createDataFrame([(1, "a b c"), (2, "c b a"), (3, "a b c")], "id int, text string")
     h = {r.id: r.rhash for r in TX.rolling_hash(df).collect()}
     assert h[1] == h[3] != h[2]
+
+
+def test_tf_idf(spark):
+    rows = [(1, "apple banana apple"), (2, "banana cherry"), (3, "apple")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.doc_id, r.term): r for r in TX.tf_idf(df).collect()}
+    assert out[(1, "apple")].tf == 2
+    # 'apple' appears in 2 of 3 docs; 'cherry' in 1 -> cherry idf higher
+    assert out[(2, "cherry")].idf > out[(1, "apple")].idf
+    assert out[(1, "apple")].tf_idf == out[(1, "apple")].tf * out[(1, "apple")].idf
+
+
+def test_term_doc_freq(spark):
+    rows = [(1, "a b a"), (2, "a c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.term: (r.doc_freq, r.term_freq) for r in TX.term_doc_freq(df).collect()}
+    assert got == {"a": (2, 3), "b": (1, 1), "c": (1, 1)}
