@@ -172,16 +172,27 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     aggregate, 64 sums wide.
     """
     sh = shingle_table(df, text_col, id_col, shingle_n).withColumn("_h", F.xxhash64(col("_sh")))
-    # branch-free votes: bit-i count = sum((h >>> i) & 1); signature bit
-    # set iff ones outnumber zeros (2*count > n)
-    sums = [
-        F.sum(F.shiftrightunsigned(col("_h"), i).bitwiseAND(lit(1))).alias(f"v_{i}")
-        for i in range(64)
-    ]
-    agg = sh.groupBy(col("_id").alias(id_col)).agg(F.count("*").alias("_n"), *sums)
+    # branch-free votes, 4 counters packed per aggregate: lane j sums
+    # bits {j, j+16, j+32, j+48} of the hash into 16-bit segments of one
+    # long (no cross-lane carry while a doc has < 65536 shingles) —
+    # 16 sum columns instead of 64.
+    one = lit(1).cast("long")
+
+    def lane(j: int):
+        h = col("_h")
+        packed = None
+        for seg in range(4):
+            bit = F.shiftrightunsigned(h, j + 16 * seg).bitwiseAND(one)
+            term = F.shiftleft(bit, 16 * seg)
+            packed = term if packed is None else packed + term
+        return F.sum(packed).alias(f"l_{j}")
+
+    agg = sh.groupBy(col("_id").alias(id_col)).agg(F.count("*").alias("_n"), *[lane(j) for j in range(16)])
     sig = None
     for i in range(64):
-        bit = F.when(col(f"v_{i}") * 2 > col("_n"), F.shiftleft(lit(1).cast("long"), i)).otherwise(lit(0).cast("long"))
+        j, seg = i % 16, i // 16
+        cnt = F.shiftrightunsigned(col(f"l_{j}"), 16 * seg).bitwiseAND(lit(0xFFFF))
+        bit = F.when(cnt * 2 > col("_n"), F.shiftleft(one, i)).otherwise(lit(0).cast("long"))
         sig = bit if sig is None else sig.bitwiseOR(bit)
     return agg.select(id_col, sig.alias("simhash"))
 

@@ -166,13 +166,13 @@ def ivf_build(
         (i, [float(x) for x in r[vec_col]])
         for i, r in enumerate(df.select(vec_col).orderBy(F.xxhash64(col(id_col), lit(seed))).limit(n_cells).collect())
     ]
-    best = None
-    for ci, cv in cents:
-        cva = F.array(*[lit(x) for x in cv])
-        d = cosine(col(vec_col), cva)
-        cand = F.struct(d.alias("sim"), lit(ci).alias("cell"))
-        best = cand if best is None else F.when(cand["sim"] > best["sim"], cand).otherwise(best)
-    assigned = df.withColumn("_cell", best["cell"])
+    # argmax via array_max over (sim, cell) structs — linear expression
+    # size (a nested when-chain would duplicate the tree exponentially)
+    cands = F.array(*[
+        F.struct(cosine(col(vec_col), F.array(*[lit(x) for x in cv])).alias("sim"), lit(ci).alias("cell"))
+        for ci, cv in cents
+    ])
+    assigned = df.withColumn("_cell", F.array_max(cands)["cell"])
     return assigned, cents
 
 

@@ -367,3 +367,19 @@ def q_multimodal_binary(spark, sf_dir):
         F.octet_length(col("text").cast("binary")).alias("n_bytes"),
         F.substring(F.md5(col("text")), 1, 8).alias("content_key"),
     )
+
+
+@q(
+    "q_knn_ivf",
+    oracle=None,  # approximate by construction (coarse quantization):
+    # rows-only; recall vs exact asserted in pytest (test_ivf_knn)
+    desc="ANN top-10 via IVF coarse index (16 sampled centroids, probe "
+         "4 cells): scans ~1/4 of the corpus instead of all of it — "
+         "the inverted-file scale path alongside SRP-LSH.",
+    tags=["similarity", "ivf", "no-oracle"],
+)
+def q_knn_ivf(spark, sf_dir):
+    qv = _query_vec(spark, sf_dir, 0)
+    emb = tables.load(spark, sf_dir, "embeddings").filter(col("vec_id") != 0)
+    assigned, cents = S.ivf_build(emb, n_cells=16)
+    return S.ivf_knn(assigned, cents, qv, k=10, n_probe=4)

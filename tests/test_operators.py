@@ -193,3 +193,29 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         assert joined.count() == 100
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_dataset_sort_and_head(spark):
+    ds = BioDataset(spark.createDataFrame([(3,), (1,), (None,), (2,)], "x int"))
+    asc = [r["x"] for r in ds.sort("x").head(4)]
+    assert asc == [1, 2, 3, None]  # nulls at end by default
+    desc = [r["x"] for r in ds.sort("x", reverse=True, null_placement="at_start").head(4)]
+    assert desc == [None, 3, 2, 1]
+
+
+def test_dataset_cast_column_keeps_metadata(spark):
+    from biosets_spark.schema import roles
+
+    df = spark.createDataFrame([(1.0,)], "f float")
+    df = roles.with_role(df, "f", roles.ROLE_FEATURE, feature_type="expression")
+    ds = BioDataset(df).cast_column("f", "double")
+    assert ds.schema["f"].dataType.simpleString() == "double"
+    assert roles.get_role(ds.df, "f") == roles.ROLE_FEATURE
+
+
+def test_dataset_select_range_and_rename(spark):
+    ds = BioDataset(spark.createDataFrame([(i,) for i in range(10)], "i int"))
+    sel = ds.select(range(2, 6), order_by=["i"])
+    assert [r["i"] for r in sel.head(10)] == [2, 3, 4, 5]
+    renamed = ds.rename_columns({"i": "j"})
+    assert renamed.columns == ["j"]
