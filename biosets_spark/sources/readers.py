@@ -74,7 +74,10 @@ def read_csv(
         # Spark supports a single nullValue; normalize extras post-read
         reader = reader.option("nullValue", null_values[0])
     if skip_rows:
-        reader = reader.option("skipRows", skip_rows)
+        # Spark CSV has no skip-rows option; strip leading lines into
+        # scratch copies (driver-side — junk-prefixed CSVs are small
+        # config-style inputs; the 100 TB path is headerless Parquet)
+        paths = _strip_leading_rows(paths if isinstance(paths, list) else [paths], skip_rows)
     if schema is not None:
         reader = reader.schema(schema)
     elif infer_schema:
@@ -83,6 +86,21 @@ def read_csv(
     if column_names:
         df = df.toDF(*column_names)
     return df
+
+
+def _strip_leading_rows(paths: list[str], n: int) -> list[str]:
+    import tempfile
+
+    out = []
+    scratch = tempfile.mkdtemp(prefix="biosets_skiprows_")
+    for i, p in enumerate(paths):
+        dest = os.path.join(scratch, f"{i}_{os.path.basename(p)}")
+        with open(p, errors="replace") as src, open(dest, "w") as dst:
+            for j, line in enumerate(src):
+                if j >= n:
+                    dst.write(line)
+        out.append(dest)
+    return out
 
 
 def read_json(spark: SparkSession, paths: list[str] | str, field: str | None = None) -> DataFrame:

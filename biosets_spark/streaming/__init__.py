@@ -1,3 +1,3 @@
-from . import ingest
+from . import ingest, stateful
 
-__all__ = ["ingest"]
+__all__ = ["ingest", "stateful"]

@@ -174,3 +174,55 @@ def test_split_spec_slicing(spark, tmp_path):
     assert ds.num_rows == 3
     ds_pct = load_dataset(path=str(tmp_path), split="train[:50%]", spark=spark)
     assert ds_pct.num_rows == 5
+
+
+def test_add_missing_columns_from_feature_metadata(spark, tmp_path):
+    """S14/P13: feature declared in metadata but absent from data ->
+    filled (null, or 0 with zero_as_missing) and role-tagged."""
+    (tmp_path / "d.csv").write_text("sample,header1\ns1,1\ns2,2\n")
+    (tmp_path / "feature_metadata.csv").write_text(
+        "feature,note\nheader1,x\nheader2,y\n"
+    )
+    import warnings as W
+
+    with W.catch_warnings():
+        W.simplefilter("ignore")
+        ds = load_dataset(path=str(tmp_path), add_missing_columns=True, spark=spark)
+    assert "header2" in ds.columns
+    assert all(r["header2"] is None for r in ds.head(5))
+    with W.catch_warnings():
+        W.simplefilter("ignore")
+        ds0 = load_dataset(path=str(tmp_path), add_missing_columns=True,
+                           zero_as_missing=True, spark=spark)
+    assert all(r["header2"] == 0 for r in ds0.head(5))
+
+
+def test_csv_reader_options(spark, tmp_path):
+    """S1 reader options: custom sep, null sentinel, skip rows."""
+    (tmp_path / "d.csv").write_text("junk line\nsample;h1\ns1;NA\ns2;5\n")
+    from biosets_spark.sources.readers import read_csv
+
+    df = read_csv(spark, str(tmp_path / "d.csv"), sep=";", skip_rows=1,
+                  null_values=["NA"])
+    rows = {r.sample: r.h1 for r in df.collect()}
+    assert rows == {"s1": None, "s2": 5}
+
+
+def test_json_nested_field(spark, tmp_path):
+    """S3: field= selects a nested record list."""
+    (tmp_path / "d.json").write_text('{"version": 1, "data": [{"sample": "s1", "h1": 1}, {"sample": "s2", "h1": 2}]}')
+    from biosets_spark.sources.readers import read_json
+
+    df = read_json(spark, str(tmp_path / "d.json"), field="data")
+    assert df.count() == 2 and set(df.columns) == {"sample", "h1"}
+
+
+def test_sharded_disjoint_samples(spark, tmp_path):
+    """FIXTURES §1 variant (c): two shards with disjoint samples union
+    into one split with consistent label codes from explicit labels."""
+    (tmp_path / "data_1.csv").write_text("sample,h1,target\ns1,1,a\ns2,2,b\ns3,3,a\n")
+    (tmp_path / "data_2.csv").write_text("sample,h1,target\ns4,4,c\ns5,5,b\ns6,6,c\ns7,7,a\n")
+    ds = load_dataset(path=str(tmp_path), labels=["a", "b", "c"], spark=spark)
+    assert ds.num_rows == 7
+    got = {r["sample"]: r["encoded_labels"] for r in ds.head(10)}
+    assert got["s1"] == 0 and got["s5"] == 1 and got["s6"] == 2

@@ -59,3 +59,17 @@ def test_dedup_within_watermark_stream(spark, events_dir):
     rows = SI.run_available_now(dd, "dedup", output_mode="append")
     ids = [r.event_id for r in rows]
     assert len(ids) == len(set(ids)) == 12  # 13 raw - 1 duplicate
+
+
+def test_stateful_running_stats(spark, events_dir):
+    from biosets_spark.streaming.stateful import running_user_stats
+
+    sdf = SI.read_stream(spark, events_dir)
+    stats = running_user_stats(sdf)
+    rows = SI.run_available_now(stats, "user_stats", output_mode="update")
+    # final state per user: 6 events each (+1 duplicate for user 1)
+    final = {}
+    for r in rows:  # update mode may emit per micro-batch; last wins
+        final[r.user_id] = (r.n_events, r.total_value)
+    assert final[1] == (7, 7.0)
+    assert final[2] == (6, 6.0)
