@@ -190,6 +190,19 @@ class BioDataset:
 
         save_to_disk(self.df, path, fingerprint=self.fingerprint)
 
+    def materialize(self, cache_dir: str) -> "BioDataset":
+        """Force the transform chain into the fingerprint cache — the
+        analogue of the reference's ``flatten_indices`` + cache file
+        (SURVEY §3.2): a repeated pipeline with the same lineage reuses
+        the parquet materialization instead of recomputing."""
+        from .plans.fingerprint import FingerprintCache, plan_fingerprint
+
+        cache = FingerprintCache(cache_dir)
+        fp = plan_fingerprint(self.df)
+        snap = roles.roles_snapshot(self.df)
+        out = roles.apply_roles(cache.materialize(self.df), snap)
+        return BioDataset(out, split=self.split, fingerprint=fp)
+
     def to_pandas(self):
         return self.df.toPandas()
 

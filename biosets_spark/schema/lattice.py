@@ -46,10 +46,13 @@ def upcast(a: T.DataType, b: T.DataType) -> T.DataType:
     decimal->double on overflow risk, temporal kept if equal,
     otherwise promote to string (the lattice top).
     """
-    # null-typed columns repair to string when nothing else informs the
-    # type (reference: biodata.py:1306-1307, table_util.py:254-255)
+    # NullType is the lattice bottom (identity). The repair of a column
+    # that stays NullType -> string happens at schema materialization
+    # (unify_schemas), NOT here — repairing pairwise would break
+    # associativity (null ⊔ null ⊔ bool must be bool, not string).
+    # Reference repair point: biodata.py:1306-1307, table_util.py:254-255.
     if isinstance(a, T.NullType):
-        return b if not isinstance(b, T.NullType) else T.StringType()
+        return b
     if isinstance(b, T.NullType):
         return a
     if a == b:
@@ -104,6 +107,10 @@ def upcast(a: T.DataType, b: T.DataType) -> T.DataType:
 def _as_decimal(t: T.DataType) -> T.DecimalType | None:
     if isinstance(t, T.DecimalType):
         return t
+    if isinstance(t, T.BooleanType):
+        # bool sits below byte in the numeric chain, so it must also
+        # absorb into decimal or the lattice loses order-independence
+        return T.DecimalType(1, 0)
     if isinstance(t, T.ByteType):
         return T.DecimalType(3, 0)
     if isinstance(t, T.ShortType):

@@ -110,3 +110,23 @@ def test_split_concat_spec(spark, tmp_path):
 
     ds = load_dataset(path=str(tmp_path), split="train+test", spark=spark)
     assert ds.num_rows == 3
+
+
+def test_dataset_materialize_cache(spark, tmp_path):
+    from biosets_spark.dataset import BioDataset
+    from biosets_spark.schema import roles
+
+    df = spark.range(50).withColumn("y", F.col("id") % 5)
+    df = roles.with_role(df, "y", roles.ROLE_FEATURE, feature_type="abundance")
+    ds = BioDataset(df)
+    cache_dir = str(tmp_path / "cache")
+    m1 = ds.materialize(cache_dir)
+    assert m1.num_rows == 50
+    assert m1.fingerprint is not None
+    assert roles.get_role(m1.df, "y") == roles.ROLE_FEATURE
+    # second materialization of the same lineage hits the cache
+    m2 = ds.materialize(cache_dir)
+    assert m2.fingerprint == m1.fingerprint
+    import os
+
+    assert len([d for d in os.listdir(cache_dir) if d.startswith("cache-")]) == 1

@@ -14,11 +14,15 @@ def test_upcast_numeric_chain():
 
 
 def test_upcast_null_and_string_top():
-    # null-type repair -> string (reference biodata.py:1306-1307)
-    assert upcast(T.NullType(), T.NullType()) == T.StringType()
+    # NullType is the lattice identity; the never-informed column
+    # repairs to string only at schema materialization
+    # (reference biodata.py:1306-1307)
+    assert upcast(T.NullType(), T.NullType()) == T.NullType()
     assert upcast(T.NullType(), T.IntegerType()) == T.IntegerType()
     assert upcast(T.TimestampType(), T.IntegerType()) == T.StringType()
     assert upcast(T.StringType(), T.DoubleType()) == T.StringType()
+    null_schema = T.StructType([T.StructField("x", T.NullType())])
+    assert unify_schemas([null_schema, null_schema])["x"].dataType == T.StringType()
 
 
 def test_upcast_decimal_and_temporal():
