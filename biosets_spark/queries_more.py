@@ -213,3 +213,72 @@ def q_grouping_sets(spark, sf_dir):
         FROM customer
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
     """)
+
+
+@q(
+    "q_join_renamed_keys",
+    oracle="""
+    SELECT c_custkey, c_name, n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey < 100
+    """,
+    desc="J3 generic join with differing key names + coalesce_keys "
+         "(right key column absorbed) through the engine's join "
+         "operator.",
+    tags=["join"],
+)
+def q_join_renamed_keys(spark, sf_dir):
+    from .operators.joins import join as bjoin
+
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    out = bjoin(c, n, keys=["c_nationkey"], right_keys=["n_nationkey"],
+                join_type="inner", broadcast_right=True)
+    return out.filter(col("c_custkey") < 100).select("c_custkey", "c_name", "n_name")
+
+
+@q(
+    "q_join_multi_key",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, o_orderstatus,
+           CAST(l_extendedprice AS DOUBLE) AS price
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey AND l_suppkey % 10 = o_custkey % 10
+    WHERE l_orderkey < 200
+    """,
+    desc="J3 multi-key equi-join (composite condition).",
+    tags=["join", "multikey"],
+)
+def q_join_multi_key(spark, sf_dir):
+    li = tables.load(spark, sf_dir, "lineitem").withColumn("k2", col("l_suppkey") % 10)
+    o = tables.load(spark, sf_dir, "orders").withColumn("k2", col("o_custkey") % 10)
+    from .operators.joins import join as bjoin
+
+    out = bjoin(li, o, keys=["l_orderkey", "k2"], right_keys=["o_orderkey", "k2"], join_type="inner")
+    return out.filter(col("l_orderkey") < 200).select(
+        "l_orderkey", "l_linenumber", "o_orderstatus",
+        col("l_extendedprice").cast("double").alias("price"),
+    )
+
+
+@q(
+    "q_sort_nulls",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 500 THEN NULL ELSE c_acctbal END AS bal
+    FROM customer
+    ORDER BY bal ASC NULLS FIRST, c_custkey LIMIT 50
+    """,
+    desc="O1 sort with explicit null placement — verified through the "
+         "LIMIT-selected set (nulls-first changes which rows survive).",
+    tags=["sort", "nulls"],
+)
+def q_sort_nulls(spark, sf_dir):
+    from .dataset import BioDataset
+
+    c = tables.load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(col("c_acctbal") < 500, lit(None)).otherwise(col("c_acctbal")).alias("bal"),
+    )
+    ds = BioDataset(c).sort(["bal", "c_custkey"], null_placement="at_start")
+    return ds.df.limit(50)
