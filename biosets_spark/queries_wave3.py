@@ -271,3 +271,56 @@ def q_term_doc_freq(spark, sf_dir):
         .orderBy(col("doc_freq").desc(), col("term"))
         .limit(20)
     )
+
+
+@q(
+    "q_dedup_clusters",
+    oracle=None,  # iterative connected components: not expressible in
+    # one SQL statement; cluster semantics pinned by pytest
+    # (test_connected_components_chain_and_clique, test_dedup_clusters_end_to_end)
+    desc="full dedup decision: ngram-jaccard pairs -> connected "
+         "components (iterative min-label propagation) -> per-cluster "
+         "keep/drop; returns cluster-size histogram.",
+    tags=["dedup", "graph", "no-oracle"],
+)
+def q_dedup_clusters(spark, sf_dir):
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph import dedup_clusters
+
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    decided = dedup_clusters(docs, pairs)
+    return (
+        decided.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+    )
+
+
+@q(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', TIMESTAMP '2024-01-01', o_orderdate)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_30d
+    FROM orders WHERE o_custkey < 50
+    """,
+    desc="value-based RANGE window frame (30-day trailing spend per "
+         "customer) — tie-safe because the frame is defined by value, "
+         "not row position.",
+    tags=["window", "range-frame"],
+)
+def q_window_range_frame(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = tables.load(spark, sf_dir, "orders").filter(col("o_custkey") < 50)
+    days = F.datediff(col("o_orderdate"), F.lit("2024-01-01").cast("timestamp"))
+    w = Window.partitionBy("o_custkey").orderBy(days.cast("long")).rangeBetween(-30, 0)
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("spend_30d"),
+    )
