@@ -186,12 +186,16 @@ def load_dataset(
         if t_col and t_col in df.columns:
             df = roles.with_role(df, t_col, roles.ROLE_TARGET)
             if _labels.task_type(df, t_col) == "classification" or positive_labels or negative_labels:
-                if labels is None and not (positive_labels or negative_labels) and multi_shard and len(splits) == 1 and len(files) > 1:
-                    # reference errors on multi-shard label inference
-                    # without explicit labels (biodata.py:974-1023)
+                if labels is None and not (positive_labels or negative_labels) and multi_shard:
+                    # Reference errors on multi-file label inference
+                    # without explicit labels (biodata.py:974-1023).
+                    # This must also cover the multi-SPLIT case: a
+                    # per-split inferred dictionary would assign
+                    # DIFFERENT codes to the same label in train vs
+                    # test when a split is missing a class.
                     raise ValueError(
                         "Multiple data files without explicit labels=: pass the full label "
-                        "dictionary so codes are consistent across shards."
+                        "dictionary so codes are consistent across shards and splits."
                     )
                 df, _ = _labels.encode_labels(
                     df, t_col, labels=labels,

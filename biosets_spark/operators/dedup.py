@@ -201,19 +201,30 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3, shingle_n: int = 2) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
-    Block on 4 x 16-bit signature chunks (pigeonhole: any pair within
-    hamming 3 shares at least one exact chunk), verify with bit_count.
+    Block on ``max_hamming + 1`` signature chunks — the pigeonhole
+    guarantee: a pair within hamming h differs in at most h chunks, so
+    it shares at least one exact chunk. Candidates verified with
+    bit_count. (Fixed 4 chunks would silently miss pairs for h > 3.)
     """
+    n_chunks = max_hamming + 1
+    if n_chunks > 32:
+        raise ValueError("max_hamming > 31 leaves chunks under 2 bits; use a different blocker")
+    width = 64 // n_chunks
     sig = simhash(df, text_col, id_col, shingle_n).cache()
+
+    def chunk_expr(i: int):
+        # last chunk absorbs the remainder bits
+        w = width if i < n_chunks - 1 else 64 - width * (n_chunks - 1)
+        mask = (1 << w) - 1
+        return F.struct(
+            lit(i).alias("pos"),
+            F.shiftrightunsigned(col("simhash"), i * width).bitwiseAND(lit(mask)).alias("chunk"),
+        )
+
     chunks = sig.select(
         col(id_col).alias("_id"),
         col("simhash"),
-        F.explode(
-            F.array(*[
-                F.struct(lit(i).alias("pos"), F.shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFF)).alias("chunk"))
-                for i in range(4)
-            ])
-        ).alias("ck"),
+        F.explode(F.array(*[chunk_expr(i) for i in range(n_chunks)])).alias("ck"),
     )
     a, b = chunks.alias("a"), chunks.alias("b")
     cands = (

@@ -108,32 +108,51 @@ def join(
         cond = [lsel[lk] == rsel[rk] for lk, rk in zip(keys, rkeys)]
         return lsel.join(rsel, cond, how)
 
-    # disambiguate non-key collisions with suffixes (pre-rename)
-    lcols, rcols = set(lsel.columns), set(rsel.columns)
-    collide = (lcols & rcols) - {k for k, rk in zip(keys, rkeys) if k == rk}
     ls, rs = suffixes
-    if collide and (ls or rs):
+
+    if coalesce_keys:
+        # Normalize to a USING-style join: align every right key column
+        # to the left key NAME, then join on the shared names (Spark
+        # coalesces the key columns natively for outer joins). A right
+        # PAYLOAD column that already bears a left key's name must move
+        # aside first, or the rename would collide.
+        for lk, rk in zip(keys, rkeys):
+            if lk != rk:
+                if lk in rsel.columns:
+                    rsel = rsel.withColumnRenamed(lk, lk + (rs or "_right"))
+                rsel = rsel.withColumnRenamed(rk, lk)
+        join_on = list(keys)
+        # suffix the remaining non-key collisions on both sides
+        collide = (set(lsel.columns) & set(rsel.columns)) - set(join_on)
         for c in collide:
             if ls:
                 lsel = lsel.withColumnRenamed(c, c + ls)
             if rs:
                 rsel = rsel.withColumnRenamed(c, c + rs)
+        if broadcast_right:
+            rsel = broadcast(rsel)
+        return lsel.join(rsel, on=join_on, how=how)
 
+    # coalesce_keys=False: keep both key columns; same-named right keys
+    # (and non-key collisions) take the suffix so the output is never
+    # ambiguous
+    rename_right = {}
+    lcols = set(lsel.columns)
+    for rk in rkeys:
+        if rk in lcols:
+            rename_right[rk] = rk + (rs or "_right")
+    for c in (lcols & set(rsel.columns)) - set(rkeys):
+        if ls:
+            lsel = lsel.withColumnRenamed(c, c + ls)
+        if rs:
+            rename_right.setdefault(c, c + rs)
+    rkeys_out = [rename_right.get(rk, rk) for rk in rkeys]
+    for old, new in rename_right.items():
+        rsel = rsel.withColumnRenamed(old, new)
     if broadcast_right:
         rsel = broadcast(rsel)
-
-    same_names = all(k == rk for k, rk in zip(keys, rkeys))
-    if same_names and coalesce_keys:
-        # USING-style join: single key column in output
-        out = lsel.join(rsel, on=keys, how=how)
-    else:
-        cond = [lsel[lk] == rsel[rk] for lk, rk in zip(keys, rkeys)]
-        out = lsel.join(rsel, cond, how)
-        if coalesce_keys:
-            for lk, rk in zip(keys, rkeys):
-                if lk != rk:
-                    out = out.withColumn(lk, F.coalesce(F.col(lk), F.col(rk))).drop(rk)
-    return out
+    cond = [lsel[lk] == rsel[rk] for lk, rk in zip(keys, rkeys_out)]
+    return lsel.join(rsel, cond, how)
 
 
 def join_sample_metadata(
@@ -167,18 +186,42 @@ def join_sample_metadata(
 
 
 def zip_with_index(df: DataFrame, order_by: list[str] | None = None, col_name: str = "_row_id") -> DataFrame:
-    """Attach a contiguous 0-based row index.
+    """Attach a contiguous 0-based row index — entirely JVM-side.
 
     Spark DataFrames are unordered; a deterministic index requires an
     explicit ordering (``order_by``) or accepting the current partition
     order (documented requirement for J2/P8 parity — SURVEY §7.3).
-    Implementation: RDD ``zipWithIndex`` — two narrow passes (count per
-    partition, then offsetting), no shuffle of the data itself.
+
+    Implementation (the zipWithIndex idea without the Python RDD
+    round-trip, which would pickle every row through the driver-side
+    serializer): ``monotonically_increasing_id`` encodes
+    (partitionId << 33) | in-partition-position; a cheap count-per-
+    partition pass (tiny: one row per partition) yields cumulative
+    offsets, applied as a literal map. Two narrow passes, no data
+    shuffle, rows never leave the JVM.
     """
     src = df.orderBy(*order_by) if order_by else df
-    schema = T.StructType(list(src.schema.fields) + [T.StructField(col_name, T.LongType(), False)])
-    rdd = src.rdd.zipWithIndex().map(lambda x: (*x[0], x[1]))
-    return src.sparkSession.createDataFrame(rdd, schema)
+    tmp = src.withColumn("_mid", F.monotonically_increasing_id())
+    tmp = (
+        tmp.withColumn("_pid", F.shiftrightunsigned(F.col("_mid"), 33).cast("long"))
+        .withColumn("_pos", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)))
+        .cache()  # pin the partition layout: both passes must see the same ids
+    )
+    counts = sorted(
+        (r["_pid"], r["n"]) for r in tmp.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for p, n in counts:
+        offsets[p] = acc
+        acc += n
+    if not offsets:
+        return src.withColumn(col_name, F.lit(0).cast("long")).limit(0)
+    off_map = F.create_map(*[F.lit(x).cast("long") for p, o in offsets.items() for x in (p, o)])
+    return (
+        tmp.withColumn(col_name, (F.element_at(off_map, F.col("_pid")) + F.col("_pos")).cast("long"))
+        .drop("_mid", "_pid", "_pos")
+    )
 
 
 def align_horizontal(data: DataFrame, metadata: DataFrame, order_by_left: list[str] | None = None,

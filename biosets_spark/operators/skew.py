@@ -33,7 +33,17 @@ def salted_join(
     exploded across all n salts. The join key becomes (key, salt), so a
     hot key's rows spread over n partitions. Output columns match a
     plain ``large.join(small, on, how)``.
+
+    Only join types where the SMALL side never produces unmatched
+    output rows are valid: its rows are replicated n times, so right/
+    full outer would emit n-1 spurious null-extended rows per
+    small-side row.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r}: "
+            "the replicated small side would emit spurious unmatched rows"
+        )
     salted_l = large.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), lit(n_salts)))
     salts = F.explode(F.sequence(lit(0), lit(n_salts - 1))).alias("_salt")
     salted_s = small.select("*", salts)

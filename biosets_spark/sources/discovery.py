@@ -27,15 +27,19 @@ FEATURE_METADATA_PATTERNS = [
 ]
 SPLIT_PREFIXES = ("train", "test", "validation", "val", "dev")
 
-DATA_EXTS = {".csv", ".tsv", ".txt", ".json", ".jsonl", ".parquet", ".arrow", ".npz"}
+DATA_EXTS = {
+    ".csv", ".tsv", ".txt", ".json", ".jsonl", ".ndjson", ".parquet", ".pq",
+    ".arrow", ".feather", ".ipc", ".npz",
+}
 COMPRESSED_EXTS = {".gz", ".bz2", ".zst", ".zstd", ".lz4"}
-ARCHIVE_EXTS = {".zip", ".tar", ".tgz"}
+ARCHIVE_SUFFIXES = (".zip", ".tar", ".tgz", ".tar.gz", ".tar.bz2")
 
 
 def _is_data_file(path: str) -> bool:
-    base, ext = os.path.splitext(path.lower())
-    if ext in ARCHIVE_EXTS:
+    low = path.lower()
+    if low.endswith(ARCHIVE_SUFFIXES):
         return True
+    base, ext = os.path.splitext(low)
     if ext in COMPRESSED_EXTS:
         ext = os.path.splitext(base)[1]
     return ext in DATA_EXTS

@@ -71,7 +71,6 @@ def read_csv(
         .option("mode", "PERMISSIVE")
     )
     if null_values:
-        # Spark supports a single nullValue; normalize extras post-read
         reader = reader.option("nullValue", null_values[0])
     if skip_rows:
         # Spark CSV has no skip-rows option; strip leading lines into
@@ -83,6 +82,20 @@ def read_csv(
     elif infer_schema:
         reader = reader.option("inferSchema", True)
     df = reader.csv(paths if isinstance(paths, list) else [paths])
+    if null_values and len(null_values) > 1:
+        # Spark CSV honors a single nullValue; additional sentinels are
+        # normalized post-read. String-typed columns get an explicit
+        # replacement; typed columns under an explicit schema already
+        # turn unparsable sentinels into null (PERMISSIVE mode).
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        extras = null_values[1:]
+        df = df.select(*[
+            F.when(F.col(f.name).isin(extras), F.lit(None)).otherwise(F.col(f.name)).alias(f.name)
+            if isinstance(f.dataType, T.StringType) else F.col(f.name)
+            for f in df.schema.fields
+        ])
     if column_names:
         df = df.toDF(*column_names)
     return df
@@ -123,13 +136,23 @@ def read_json(spark: SparkSession, paths: list[str] | str, field: str | None = N
 
 
 def _looks_multiline_json(path: str) -> bool:
+    """A .json file is multiLine (one pretty-printed document) iff its
+    first line is NOT itself valid JSON; a JSONL file's first line is a
+    complete record."""
     try:
         import gzip
+        import json
 
         op = gzip.open if path.endswith(".gz") else open
         with op(path, "rt", errors="ignore") as f:
-            head = f.read(64).lstrip()
-        return head.startswith("[") or (head.startswith("{") and "\n" not in head[:1])
+            first = f.readline().strip()
+        if not first:
+            return True
+        try:
+            json.loads(first)
+            return False  # first line parses alone -> JSONL / single-line JSON
+        except ValueError:
+            return True
     except Exception:
         return False
 

@@ -27,8 +27,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        # timestamp[ns] -> TimestampType at microsecond precision
-        return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # timestamp[ns] -> TimestampType at microsecond precision.
+        # Integer division: epoch-ns values exceed double's 53-bit
+        # mantissa, so (ts/1000).cast(long) would be off by 1us near
+        # microsecond boundaries.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(path)
 
 

@@ -219,3 +219,42 @@ def test_dataset_select_range_and_rename(spark):
     assert [r["i"] for r in sel.head(10)] == [2, 3, 4, 5]
     renamed = ds.rename_columns({"i": "j"})
     assert renamed.columns == ["j"]
+
+
+def test_join_right_key_collides_with_left_nonkey(spark):
+    """Regression (review): right join-key named like a left non-key
+    column must not break the join condition."""
+    left = spark.createDataFrame([(1, 100), (2, 200)], "k int, id int")
+    right = spark.createDataFrame([(1, "x")], "id int, v string")
+    out = J.join(left, right, keys=["k"], right_keys=["id"], join_type="left")
+    rows = {r.k: r.v for r in out.collect()}
+    assert rows == {1: "x", 2: None}
+    assert "id" in out.columns  # left payload survives
+
+
+def test_join_mixed_key_names_no_duplicate_columns(spark):
+    """Regression (review): mixed same/differing key names must not
+    leave an ambiguous duplicate key column."""
+    left = spark.createDataFrame([(1, 2, "p")], "a int, b int, p string")
+    right = spark.createDataFrame([(1, 2, "r")], "a int, c int, r string")
+    out = J.join(left, right, keys=["a", "b"], right_keys=["a", "c"], join_type="inner")
+    assert out.columns.count("a") == 1
+    assert out.select("a").collect()[0].a == 1
+
+
+def test_join_no_coalesce_keys(spark):
+    left = spark.createDataFrame([(1, "l")], "k int, v string")
+    right = spark.createDataFrame([(1, "r")], "k int, w string")
+    out = J.join(left, right, "k", join_type="inner", coalesce_keys=False)
+    assert "k" in out.columns and "k_right" in out.columns
+
+
+def test_salted_join_rejects_outer(spark):
+    from biosets_spark.operators.skew import salted_join
+
+    large = spark.createDataFrame([(1, 1)], "k int, v int")
+    small = spark.createDataFrame([(1, "a")], "k int, w string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="spurious"):
+        salted_join(large, small, "k", how="full")

@@ -124,3 +124,39 @@ def test_approx_distinct_tolerance(spark):
         ).first()
     )
     assert abs(row.approx - row.exact) / row.exact < 0.05
+
+
+def test_jsonl_not_misread_as_multiline(spark, tmp_path):
+    """Regression (review): a .json file holding JSONL records must not
+    collapse to one row via multiLine misdetection."""
+    p = tmp_path / "records.json"
+    p.write_text('{"a": 1}\n{"a": 2}\n{"a": 3}\n')
+    from biosets_spark.sources.readers import read_json
+
+    assert read_json(spark, str(p)).count() == 3
+
+
+def test_multi_null_sentinels(spark, tmp_path):
+    p = tmp_path / "d.csv"
+    p.write_text("s,x\na,NA\nb,-\nc,ok\n")
+    from biosets_spark.sources.readers import read_csv
+
+    df = read_csv(spark, str(p), null_values=["NA", "-"])
+    got = {r.s: r.x for r in df.collect()}
+    assert got == {"a": None, "b": None, "c": "ok"}
+
+
+def test_discovery_recognizes_tarball_and_feather(tmp_path):
+    import tarfile
+
+    from biosets_spark.sources.discovery import discover
+
+    inner = tmp_path / "payload.csv"
+    inner.write_text("a,b\n1,2\n")
+    with tarfile.open(tmp_path / "data.tar.gz", "w:gz") as t:
+        t.add(inner, arcname="payload.csv")
+    inner.unlink()
+    (tmp_path / "extra.feather").write_bytes(b"FEA1")
+    found = discover(str(tmp_path))
+    names = {f.split("/")[-1] for f in found["data_files"]}
+    assert names == {"data.tar.gz", "extra.feather"}
