@@ -24,11 +24,48 @@ from .operators import split as _split
 from .schema import roles
 
 
+def _default_spark():
+    from .session import get_spark
+
+    return get_spark()
+
+
 class BioDataset:
     def __init__(self, df: DataFrame, split: str = "train", fingerprint: str | None = None):
         self.df = df
         self.split = split
         self.fingerprint = fingerprint
+
+    # ---- in-memory constructors (S8, docs/DATA_LOADING.md:175-248) --
+    @classmethod
+    def from_dict(cls, data: dict, spark=None, split: str = "train") -> "BioDataset":
+        """{column: [values]} -> dataset (Dataset.from_dict analogue)."""
+        spark = spark or _default_spark()
+        cols = list(data.keys())
+        rows = list(zip(*[data[c] for c in cols])) if cols else []
+        return cls(spark.createDataFrame(rows, schema=cols), split=split)
+
+    @classmethod
+    def from_list(cls, rows: list[dict], spark=None, split: str = "train") -> "BioDataset":
+        """[{column: value}] -> dataset (Dataset.from_list analogue)."""
+        spark = spark or _default_spark()
+        return cls(spark.createDataFrame(rows), split=split)
+
+    @classmethod
+    def from_pandas(cls, pdf, spark=None, split: str = "train") -> "BioDataset":
+        spark = spark or _default_spark()
+        return cls(spark.createDataFrame(pdf), split=split)
+
+    @classmethod
+    def from_generator(cls, gen: Callable, schema: T.StructType | str | None = None,
+                       spark=None, split: str = "train") -> "BioDataset":
+        """Generator of row dicts -> dataset (Dataset.from_generator
+        analogue). The generator runs on the driver; for large inputs
+        prefer writing shards and load_dataset()."""
+        spark = spark or _default_spark()
+        rows = list(gen())
+        df = spark.createDataFrame(rows, schema=schema) if schema else spark.createDataFrame(rows)
+        return cls(df, split=split)
 
     # ---- basic info -------------------------------------------------
     @property

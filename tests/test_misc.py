@@ -130,3 +130,25 @@ def test_dataset_materialize_cache(spark, tmp_path):
     import os
 
     assert len([d for d in os.listdir(cache_dir) if d.startswith("cache-")]) == 1
+
+
+def test_in_memory_constructors(spark):
+    from biosets_spark.dataset import BioDataset
+
+    d1 = BioDataset.from_dict({"sample": ["s1", "s2"], "h1": [1, 2]}, spark=spark)
+    assert d1.num_rows == 2 and d1.columns == ["sample", "h1"]
+
+    d2 = BioDataset.from_list([{"sample": "s1", "h1": 1}], spark=spark)
+    assert d2.num_rows == 1
+
+    import pandas as pd
+
+    d3 = BioDataset.from_pandas(pd.DataFrame({"x": [1, 2, 3]}), spark=spark)
+    assert d3.num_rows == 3
+
+    def gen():
+        for i in range(4):
+            yield {"i": i}
+
+    d4 = BioDataset.from_generator(gen, spark=spark)
+    assert d4.num_rows == 4
