@@ -282,3 +282,40 @@ def q_sort_nulls(spark, sf_dir):
     )
     ds = BioDataset(c).sort(["bal", "c_custkey"], null_placement="at_start")
     return ds.df.limit(50)
+
+
+@q(
+    "q_union_type_promotion",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey AS key, CAST(o_custkey AS DOUBLE) AS v, NULL AS tag FROM orders
+      UNION ALL
+      SELECT l_orderkey AS key, CAST(l_quantity AS DOUBLE) AS v, l_returnflag AS tag FROM lineitem
+    )
+    SELECT COUNT(*) AS n, COUNT(tag) AS n_tagged,
+           CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total_v,
+           COUNT(DISTINCT key) AS n_keys
+    FROM u
+    """,
+    desc="C1/C3 through the gate: shards with different column types "
+         "(long vs double) and a missing column unioned via the upcast "
+         "lattice (missing -> null, long -> double promotion).",
+    tags=["concat", "lattice"],
+)
+def q_union_type_promotion(spark, sf_dir):
+    from .schema.lattice import union_promote
+
+    o = tables.load(spark, sf_dir, "orders").select(
+        col("o_orderkey").alias("key"), col("o_custkey").alias("v")  # long
+    )
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        col("l_orderkey").alias("key"), col("l_quantity").alias("v"),  # double
+        col("l_returnflag").alias("tag"),  # absent from the first shard
+    )
+    u = union_promote([o, li])
+    return u.agg(
+        F.count(lit(1)).alias("n"),
+        F.count("tag").alias("n_tagged"),
+        F.sum(col("v").cast("decimal(18,2)")).cast("double").alias("total_v"),
+        F.countDistinct("key").alias("n_keys"),
+    )
