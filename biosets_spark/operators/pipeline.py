@@ -1,0 +1,58 @@
+"""End-to-end corpus cleaning pipeline — the composed training-data
+path a 100 TB ingest would run:
+
+  1. quality gate (operators/text.py:quality_score heuristics);
+  2. exact dedup on the normalized-text fingerprint (min-id survivor);
+  3. greedy near-dup removal: among survivors, any doc with n-gram
+     Jaccard >= threshold against a LOWER-id doc is dropped (the
+     standard deterministic greedy rule — every pair (a < b) drops b).
+
+Stage order matters at scale: the cheap per-row quality gate runs
+first (pure expressions, no shuffle), exact dedup second (one narrow
+fingerprint shuffle), and the quadratic-ish near-dup detector last,
+over the smallest surviving set. Swap ``ngram_jaccard_pairs`` for
+``minhash_lsh_pairs`` at corpus scale — identical output contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from .dedup import fingerprint_md5, ngram_jaccard_pairs
+from .text import quality_score
+
+
+def clean_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = 4,
+    use_lsh: bool = False,
+) -> DataFrame:
+    """Return the surviving rows of ``df`` after quality gating, exact
+    dedup, and near-dup removal (original columns preserved)."""
+    orig_cols = df.columns
+
+    survivors = quality_score(df, text_col).filter(col("keep")).select(*orig_cols)
+
+    fp = survivors.withColumn("_fp", fingerprint_md5(col(text_col)))
+    reps = fp.groupBy("_fp").agg(F.min(id_col).alias("_keep_id"))
+    exact_kept = (
+        fp.join(reps, "_fp")
+        .filter(col(id_col) == col("_keep_id"))
+        .select(*orig_cols)
+    )
+
+    if use_lsh:
+        from .dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(exact_kept, text_col, id_col,
+                                  threshold=jaccard_threshold, shingle_n=shingle_n)
+    else:
+        pairs = ngram_jaccard_pairs(exact_kept, text_col, id_col,
+                                    n=shingle_n, threshold=jaccard_threshold)
+    dropped = pairs.select(col("id_b").alias(id_col)).distinct()
+    return exact_kept.join(dropped, on=id_col, how="left_anti")

@@ -324,3 +324,70 @@ def q_window_range_frame(spark, sf_dir):
         "o_orderkey", "o_custkey",
         F.sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("spend_30d"),
     )
+
+
+_PIPELINE_ORACLE = """
+WITH feats AS (
+  SELECT *,
+         len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS n_tok,
+         length(text) AS n_ch,
+         length(regexp_replace(text, '[^.,!?;:''"()\\[\\]-]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace
+  FROM documents
+),
+quality AS (
+  SELECT doc_id, text, lang FROM feats
+  WHERE (CASE WHEN n_tok >= 5 THEN 0.4 ELSE 0.0 END)
+      + (CASE WHEN n_tok > 0 AND (n_nonspace * 1.0 / n_tok) BETWEEN 2 AND 15 THEN 0.3 ELSE 0.0 END)
+      + (CASE WHEN n_ch = 0 OR (n_punct * 1.0 / n_ch) <= 0.2 THEN 0.15 ELSE 0.0 END)
+      + (CASE WHEN n_ch = 0 OR (n_digit * 1.0 / n_ch) <= 0.3 THEN 0.15 ELSE 0.0 END) >= 0.9
+),
+exact AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS keep_id
+    FROM quality
+  ) WHERE doc_id = keep_id
+),
+toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') t FROM exact),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 2)),
+                               i -> array_to_string(list_slice(t, i, i + 3), ' '))) AS s
+  FROM toks
+),
+cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT DISTINCT id_b FROM pairs
+  JOIN cnt ca ON pairs.id_a = ca.doc_id JOIN cnt cb ON pairs.id_b = cb.doc_id
+  WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5
+),
+final AS (SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_b FROM near))
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM final GROUP BY lang
+"""
+
+
+@q(
+    "q_pipeline_clean_corpus",
+    oracle=_PIPELINE_ORACLE,
+    desc="the composed training-data pipeline: quality gate -> exact "
+         "dedup (min-id per normalized fingerprint) -> greedy near-dup "
+         "removal (drop the higher id of every >=0.5-jaccard pair); "
+         "survivors per language. Stage order = cheapest filter first.",
+    tags=["pipeline", "dedup", "quality"],
+)
+def q_pipeline_clean_corpus(spark, sf_dir):
+    from .operators.pipeline import clean_corpus
+
+    docs = tables.load(spark, sf_dir, "documents")
+    final = clean_corpus(docs, jaccard_threshold=0.5, shingle_n=4)
+    return final.groupBy("lang").agg(
+        F.count(lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )

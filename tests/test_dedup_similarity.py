@@ -132,3 +132,16 @@ def test_dedup_clusters_end_to_end(spark, docs):
     assert rows[2][0] == 0 and not rows[2][1]
     assert rows[3] == (3, True)  # unrelated doc keeps itself
     assert rows[5] == (5, True)
+
+
+def test_clean_corpus_pipeline(spark, docs):
+    from biosets_spark.operators.pipeline import clean_corpus
+
+    kept = clean_corpus(docs, jaccard_threshold=0.3)
+    ids = sorted(r.doc_id for r in kept.collect())
+    # 1 and 4 are exact dups of 0; 2 is a near-dup of 0; 5 ("short doc")
+    # fails the quality gate; 3 is distinct and long enough
+    assert ids == [0, 3]
+    # LSH variant makes the same decisions here
+    kept_lsh = clean_corpus(docs, jaccard_threshold=0.3, use_lsh=True)
+    assert sorted(r.doc_id for r in kept_lsh.collect()) == ids
