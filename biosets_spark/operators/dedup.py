@@ -162,16 +162,27 @@ def minhash_lsh_pairs(
     )
 
 
+def portable_hash60(c: Column) -> Column:
+    """60-bit shingle hash reproducible in any ANSI engine: the first
+    15 hex chars of md5, parsed as an integer. Slower than xxhash64
+    (md5 + string slice) but lets a differential oracle recompute the
+    identical simhash; keep xxhash64 for production-scale runs."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            shingle_n: int = 2) -> DataFrame:
+            shingle_n: int = 2, portable: bool = False) -> DataFrame:
     """64-bit SimHash per document.
 
-    Per shingle: h = xxhash64(shingle); bit votes +-1 summed per
-    position across shingles; signature bit i = sign of vote i. All
-    JVM bit arithmetic over an exploded (id, shingle) table; one
-    aggregate, 64 sums wide.
+    Per shingle: h = xxhash64(shingle) (or the md5-derived 60-bit
+    ``portable_hash60`` when ``portable=True`` — bits 60..63 are then
+    zero for every doc, which cancels in hamming distance); bit votes
+    +-1 summed per position across shingles; signature bit i = sign of
+    vote i. All JVM bit arithmetic over an exploded (id, shingle)
+    table; one aggregate, 64 sums wide.
     """
-    sh = shingle_table(df, text_col, id_col, shingle_n).withColumn("_h", F.xxhash64(col("_sh")))
+    hash_expr = portable_hash60(col("_sh")) if portable else F.xxhash64(col("_sh"))
+    sh = shingle_table(df, text_col, id_col, shingle_n).withColumn("_h", hash_expr)
     # branch-free votes, 4 counters packed per aggregate: lane j sums
     # bits {j, j+16, j+32, j+48} of the hash into 16-bit segments of one
     # long (no cross-lane carry while a doc has < 65536 shingles) —
@@ -198,19 +209,22 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, shingle_n: int = 2) -> DataFrame:
+                  max_hamming: int = 3, shingle_n: int = 2,
+                  portable: bool = False) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
     Block on ``max_hamming + 1`` signature chunks — the pigeonhole
     guarantee: a pair within hamming h differs in at most h chunks, so
-    it shares at least one exact chunk. Candidates verified with
-    bit_count. (Fixed 4 chunks would silently miss pairs for h > 3.)
+    it shares at least one exact chunk; the blocking is therefore
+    LOSSLESS (the output is exactly all pairs within max_hamming).
+    Candidates verified with bit_count. (Fixed 4 chunks would silently
+    miss pairs for h > 3.)
     """
     n_chunks = max_hamming + 1
     if n_chunks > 32:
         raise ValueError("max_hamming > 31 leaves chunks under 2 bits; use a different blocker")
     width = 64 // n_chunks
-    sig = simhash(df, text_col, id_col, shingle_n).cache()
+    sig = simhash(df, text_col, id_col, shingle_n, portable=portable).cache()
 
     def chunk_expr(i: int):
         # last chunk absorbs the remainder bits

@@ -161,10 +161,21 @@ def ivf_build(
     seed: int = 42,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """IVF coarse index: centroids = deterministic sample of rows;
-    every vector assigned to its nearest centroid (one narrow pass)."""
+    every vector assigned to its nearest centroid (one narrow pass).
+
+    Sampling orders by md5 of the stringified id — an engine-portable
+    deterministic permutation (identical in Spark and DuckDB/ANSI SQL),
+    so the coarse index is reproducible by the differential oracle.
+    ``seed`` is kept for API stability; the permutation is fixed.
+    """
     cents = [
         (i, [float(x) for x in r[vec_col]])
-        for i, r in enumerate(df.select(vec_col).orderBy(F.xxhash64(col(id_col), lit(seed))).limit(n_cells).collect())
+        for i, r in enumerate(
+            df.select(id_col, vec_col)
+            .orderBy(F.md5(col(id_col).cast("string")))
+            .limit(n_cells)
+            .collect()
+        )
     ]
     # argmax via array_max over (sim, cell) structs — linear expression
     # size (a nested when-chain would duplicate the tree exponentially)

@@ -79,10 +79,33 @@ def select_indices(df: DataFrame, indices: list[int], order_by: list[str] | None
     return with_id.join(F.broadcast(idx), on="_row_id", how="inner").orderBy("_row_id").drop("_row_id")
 
 
+def kfold_assign(df: DataFrame, k: int, order_by: list[str],
+                 fold_col: str = "_fold") -> DataFrame:
+    """Assign 1-based NTILE(k)-equivalent folds WITHOUT a global window.
+
+    ``NTILE(k) OVER (ORDER BY ...)`` with no partition spec funnels the
+    whole table through ONE task — the textbook window scale-killer.
+    Instead: a range-partitioned parallel sort feeds ``zip_with_index``
+    (two narrow passes, JVM-only), then the fold is pure arithmetic on
+    the row id using NTILE's exact allocation (first n%k folds get
+    ``n//k + 1`` rows, the rest ``n//k``). Identical output to NTILE
+    over the same total order, reproducible by the SQL oracle.
+    """
+    with_id = zip_with_index(df, order_by=order_by, col_name="_kf_id").cache()
+    n = with_id.count()
+    r, small = n % k, n // k
+    big = small + 1
+    j = F.col("_kf_id")
+    fold = F.when(j < r * big, (j / big).cast("long") + 1).otherwise(
+        r + ((j - r * big) / max(small, 1)).cast("long") + 1
+    )
+    return with_id.withColumn(fold_col, fold.cast("int")).drop("_kf_id")
+
+
 def kfold(df: DataFrame, k: int, order_by: list[str]) -> list[tuple[DataFrame, DataFrame]]:
-    """k-fold via ``ntile(k)`` over an explicit ordering (O4)."""
-    w = Window.orderBy(*[F.col(c) for c in order_by])
-    with_fold = df.withColumn("_fold", F.ntile(k).over(w))
+    """k-fold with NTILE semantics over an explicit ordering (O4);
+    fold assignment via ``kfold_assign`` (no single-partition sort)."""
+    with_fold = kfold_assign(df, k, order_by)
     out = []
     for i in range(1, k + 1):
         out.append((with_fold.filter(F.col("_fold") != i).drop("_fold"),

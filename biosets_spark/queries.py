@@ -609,14 +609,18 @@ def q_window_lag_gap(spark, sf_dir):
     FROM (SELECT o_orderkey, NTILE(10) OVER (ORDER BY o_orderkey) AS fold FROM orders)
     GROUP BY fold
     """,
-    desc="O4 k-fold assignment via ntile over an explicit ordering.",
+    desc="O4 k-fold assignment with NTILE semantics — computed from a "
+         "JVM-side row index over a range-partitioned sort instead of "
+         "an empty-partition-spec window (which would funnel the whole "
+         "table through one task).",
     tags=["window", "split"],
 )
 def q_ntile_kfold(spark, sf_dir):
+    from .operators.split import kfold_assign
+
     o = tables.load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
     return (
-        o.select("o_orderkey", F.ntile(10).over(w).alias("fold"))
+        kfold_assign(o.select("o_orderkey"), 10, order_by=["o_orderkey"], fold_col="fold")
         .groupBy("fold")
         .agg(F.count("*").alias("n"), F.min("o_orderkey").alias("min_key"), F.max("o_orderkey").alias("max_key"))
     )

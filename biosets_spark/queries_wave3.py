@@ -89,7 +89,7 @@ def q_text_langid(spark, sf_dir):
       FROM feats
     )
     SELECT lang, COUNT(*) AS n_docs,
-           SUM(CASE WHEN score >= 0.9 THEN 1 ELSE 0 END) AS n_keep,
+           CAST(SUM(CASE WHEN score >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
            CAST(SUM(CAST(score AS DECIMAL(8,2))) AS DOUBLE) AS total_score
     FROM scored GROUP BY lang
     """,
@@ -102,7 +102,7 @@ def q_text_quality_score(spark, sf_dir):
     scored = TX.quality_score(docs)
     return scored.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.when(col("keep"), 1).otherwise(0)).alias("n_keep"),
+        F.sum(F.when(col("keep"), 1).otherwise(0)).cast("bigint").alias("n_keep"),
         F.sum(col("quality_score").cast("decimal(8,2)")).cast("double").alias("total_score"),
     )
 
@@ -234,17 +234,32 @@ def q_grouped_map_normalize(spark, sf_dir):
 
 @q(
     "q_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; pytest asserts
-    # <2% relative error against the exact count
+    # The raw HLL estimate is engine-specific, but "estimate within
+    # tolerance of exact" is a deterministic boolean for a fixed
+    # dataset — so emit exact counts plus that flag, and the oracle
+    # asserts the flag is 1 (rsd=0.02, bound 8% ≈ 4 sigma). This keeps
+    # the sketch in the Spark plan while making the row hash exact.
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n,
+           CAST(1 AS INT) AS hll_within_tol
+    FROM events GROUP BY event_type
+    """,
     desc="approx_count_distinct (HyperLogLog++) of users per event "
-         "type — the sketch path for 100 TB cardinality estimation.",
-    tags=["agg", "approx", "no-oracle"],
+         "type — the sketch path for 100 TB cardinality estimation; "
+         "verified against the exact distinct count within 8%.",
+    tags=["agg", "approx"],
 )
 def q_approx_distinct(spark, sf_dir):
     e = tables.load(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("n_users"),
         F.count("*").alias("n"),
+        (
+            F.abs(F.approx_count_distinct("user_id", 0.02) - F.countDistinct("user_id"))
+            <= 0.08 * F.countDistinct("user_id")
+        )
+        .cast("int")
+        .alias("hll_within_tol"),
     )
 
 
@@ -275,13 +290,49 @@ def q_term_doc_freq(spark, sf_dir):
 
 @q(
     "q_dedup_clusters",
-    oracle=None,  # iterative connected components: not expressible in
-    # one SQL statement; cluster semantics pinned by pytest
-    # (test_connected_components_chain_and_clique, test_dedup_clusters_end_to_end)
+    # Connected components ARE oracle-able: min-label-per-component is
+    # deterministic, and DuckDB's WITH RECURSIVE computes reachability
+    # closure over the same exact-Jaccard edge set (tiny graph — the
+    # planted near-dup pairs), then min per node = component id.
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 2, 2)),
+                                   i -> array_to_string(list_slice(t, i, i + 3), ' '))) AS s
+      FROM toks
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+    cpairs AS (
+      SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jp AS (
+      SELECT id_a, id_b
+      FROM cpairs JOIN cnt ca ON cpairs.id_a = ca.doc_id JOIN cnt cb ON cpairs.id_b = cb.doc_id
+      WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM jp UNION SELECT id_b, id_a FROM jp),
+    reach AS (
+      SELECT u AS node, u AS label FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+    clus AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ),
+    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM clus GROUP BY cluster_id)
+    SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes GROUP BY cluster_size
+    """,
     desc="full dedup decision: ngram-jaccard pairs -> connected "
          "components (iterative min-label propagation) -> per-cluster "
          "keep/drop; returns cluster-size histogram.",
-    tags=["dedup", "graph", "no-oracle"],
+    tags=["dedup", "graph"],
 )
 def q_dedup_clusters(spark, sf_dir):
     from .operators.dedup import ngram_jaccard_pairs

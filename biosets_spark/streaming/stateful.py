@@ -39,6 +39,12 @@ def _make_update(timeout_ms: int | None):
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # timeout sweep: evict the idle key WITHOUT re-updating state
+            # or re-arming the timeout (else idle keys live forever and a
+            # spurious duplicate row is emitted per sweep)
+            state.remove()
+            return
         (n, total) = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)

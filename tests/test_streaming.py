@@ -73,3 +73,62 @@ def test_stateful_running_stats(spark, events_dir):
         final[r.user_id] = (r.n_events, r.total_value)
     assert final[1] == (7, 7.0)
     assert final[2] == (6, 6.0)
+
+
+class _FakeGroupState:
+    """Minimal GroupState double for unit-testing the update fn contract."""
+
+    def __init__(self, value=None, has_timed_out=False):
+        self._value = value
+        self.hasTimedOut = has_timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self._value = None
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_stateful_timeout_evicts_idle_key():
+    """When ProcessingTimeTimeout fires, the key must be evicted: no
+    state re-update, no timeout re-arm, no spurious output row."""
+    import pandas as pd
+
+    from biosets_spark.streaming.stateful import _make_update
+
+    fn = _make_update(timeout_ms=1000)
+    state = _FakeGroupState(value=(5, 5.0), has_timed_out=True)
+    out = list(fn((1,), iter([]), state))
+    assert out == []  # no duplicate emission on the sweep
+    assert state.removed  # idle key evicted
+    assert state.timeout_set is None  # timeout not re-armed
+
+
+def test_stateful_update_path_arms_timeout():
+    import pandas as pd
+
+    from biosets_spark.streaming.stateful import _make_update
+
+    fn = _make_update(timeout_ms=1000)
+    state = _FakeGroupState(value=(2, 2.0))
+    pdf = pd.DataFrame({"value": [1.0, 3.0]})
+    out = list(fn((7,), iter([pdf]), state))
+    assert len(out) == 1
+    assert out[0]["n_events"].iloc[0] == 4
+    assert out[0]["total_value"].iloc[0] == 6.0
+    assert state.get == (4, 6.0)
+    assert state.timeout_set == 1000

@@ -28,6 +28,29 @@ from biosets_spark.session import get_spark  # noqa: E402
 EXPECTED_NESTED_LOOP = {"cross", "range"}  # tags that legitimately nested-loop
 
 
+def _bracket_groups(s: str) -> int:
+    """Count top-level ``[...]`` groups in a plan-node argument string."""
+    depth = groups = 0
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                groups += 1
+            depth += 1
+        elif ch == "]":
+            depth = max(depth - 1, 0)
+    return groups
+
+
+def _is_global_window(line: str) -> bool:
+    """A Window physical node with an EMPTY partition spec renders as
+    ``Window [exprs], [order]`` (2 bracket groups); a partitioned one
+    as ``Window [exprs], [parts], [order]`` (3). An empty partition
+    spec moves the entire input through ONE task — the textbook window
+    scale-killer (VERDICT r1 #2)."""
+    m = re.search(r"\bWindow (\[.*)$", line)
+    return bool(m) and _bracket_groups(m.group(1)) < 3
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan-audit")
@@ -47,6 +70,8 @@ def main() -> None:
             flags.append("BroadcastNestedLoopJoin(unexpected)")
         if "BatchEvalPython" in plan:
             flags.append("row-at-a-time PythonUDF")
+        if any(_is_global_window(line) for line in plan.splitlines()):
+            flags.append("global-window(empty partition spec)")
         n_exchange = len(re.findall(r"\bExchange\b", plan))
         scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
         wide = [s for s in scans if s.count(",") >= 9]

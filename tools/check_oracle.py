@@ -32,7 +32,10 @@ def canon(v):
             return "NaN"
         return float(f"{v:.10g}")
     if isinstance(v, int):
-        return float(v) if abs(v) < 2**53 else v
+        # Keep int-class distinct from float-class: the driver's hash is
+        # type-sensitive (the r1 HUGEINT bug slipped through because this
+        # used to fold ints into floats).
+        return v
     if hasattr(v, "isoformat"):
         return v.isoformat()
     try:
@@ -43,6 +46,63 @@ def canon(v):
     except Exception:
         pass
     return str(v)
+
+
+def spark_type_class(dt) -> str:
+    """Coarse type class of a Spark DataType, for oracle-parity checks."""
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if s in ("float", "double"):
+        return "float"
+    if s.startswith("decimal"):
+        return "decimal"
+    if s == "boolean":
+        return "bool"
+    if s in ("string", "varchar"):
+        return "str"
+    if s == "date":
+        return "date"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s == "binary":
+        return "binary"
+    if s.startswith("array"):
+        return "list"
+    if s.startswith("struct") or s.startswith("map"):
+        return "struct"
+    return s
+
+
+def arrow_type_class(t) -> str:
+    """Coarse type class of a pyarrow DataType (DuckDB result schema).
+
+    DuckDB HUGEINT arrives as decimal128(38,0) via Arrow — exactly the
+    class mismatch the driver's hash flags against Spark bigint.
+    """
+    import pyarrow as pa
+
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list"
+    if pa.types.is_struct(t) or pa.types.is_map(t):
+        return "struct"
+    return str(t)
 
 
 def rows_canon(cols, rows):
@@ -80,9 +140,13 @@ def main():
             skipped += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            atbl = con.execute(oracles[name]).arrow()
+            ocols = atbl.column_names
+            otypes = {c: arrow_type_class(atbl.schema.field(c).type) for c in ocols}
+            orows = [
+                tuple(atbl.column(c)[i].as_py() for c in ocols)
+                for i in range(atbl.num_rows)
+            ]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
             failed += 1
@@ -90,6 +154,13 @@ def main():
         problems = []
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
+        else:
+            stypes = {f.name: spark_type_class(f.dataType) for f in sdf.schema.fields}
+            mismatched = {
+                c: (stypes[c], otypes[c]) for c in scols if stypes[c] != otypes[c]
+            }
+            if mismatched:
+                problems.append(f"type classes differ (spark, oracle): {mismatched}")
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if not problems:
