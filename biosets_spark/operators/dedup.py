@@ -74,15 +74,32 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 4,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (a < b, jaccard >= threshold).
 
     Plan: explode distinct shingles, self-join on shingle (common
     counts), join per-doc shingle counts, filter. The self-join blows
-    up only on hot shingles — at scale pair it with LSH prefiltering
-    (minhash_lsh_candidates) or drop top-frequency shingles.
+    up quadratically on hot shingles; ``max_shingle_df`` bounds it by
+    dropping shingles that occur in more than that many documents
+    (from BOTH the join and the per-doc counts, so the result is the
+    exact Jaccard over the reduced shingle sets — stopword-shingle
+    removal, the standard bound for this operator at corpus scale).
+    With ``max_shingle_df=None`` the semantics are exact over all
+    shingles; standalone at 100 TB either set a cutoff or compose
+    behind LSH prefiltering (minhash_lsh_pairs).
     """
-    sh = shingle_table(df, text_col, id_col, n).cache()
+    sh = shingle_table(df, text_col, id_col, n)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("_sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(col("_df") > max_shingle_df)
+            .select("_sh")
+        )
+        # hot set is small by construction — broadcast anti-join
+        sh = sh.join(F.broadcast(hot), "_sh", "left_anti")
+    sh = sh.cache()
     counts = sh.groupBy("_id").agg(F.count("*").alias("_n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

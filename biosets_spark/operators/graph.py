@@ -8,9 +8,13 @@ large-scale formulation: iterative min-label propagation
 
 Each iteration joins the current labels across edges and keeps the
 minimum — a pure shuffle-on-key plan, no driver-side union-find, so it
-scales to edge lists that don't fit on one machine. Convergence in
-O(log(diameter)) iterations; near-dup graphs are almost always
-star/clique shaped, so 2-3 iterations in practice.
+scales to edge lists that don't fit on one machine. Plain min-label
+propagation converges in O(diameter) iterations (NOT O(log diameter)
+— that requires large-star/small-star edge rewriting); near-dup
+graphs are almost always star/clique shaped (diameter 1-2), so 2-3
+iterations in practice. Long-chain graphs need ``max_iterations`` of
+at least the graph diameter; the loop raises if the fixpoint is not
+reached rather than silently returning wrong labels.
 
 Not SQL-expressible in one statement (iterative) -> correctness is
 pinned by pytest on planted clusters rather than the DuckDB oracle.
@@ -28,12 +32,19 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iterations: int = 20,
+    on_nonconvergence: str = "raise",
 ) -> DataFrame:
     """Label every node in the pair graph with its component's min id.
 
     Returns (node, component). Iterates min-label propagation until a
-    fixpoint (checked via a cheap count of label changes).
+    fixpoint (checked via a cheap count of label changes). If the
+    fixpoint is not reached within ``max_iterations`` the labels are
+    WRONG (some nodes still carry a non-minimal label); by default
+    this raises — pass ``on_nonconvergence="warn"`` to get the
+    partial labels with a warning instead.
     """
+    if on_nonconvergence not in ("raise", "warn"):
+        raise ValueError("on_nonconvergence must be 'raise' or 'warn'")
     edges = (
         pairs.select(col(a_col).alias("u"), col(b_col).alias("v"))
         .union(pairs.select(col(b_col).alias("u"), col(a_col).alias("v")))
@@ -42,6 +53,7 @@ def connected_components(
     )
     labels = edges.select("u").distinct().withColumn("component", col("u")).cache()
 
+    changed = 1
     for _ in range(max_iterations):
         # candidate labels: own label + min neighbor label (aliases
         # break the shared lineage of the edge-derived frames)
@@ -69,6 +81,17 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (plain min-label propagation needs O(graph "
+            "diameter) rounds); raise max_iterations"
+        )
+        if on_nonconvergence == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(col("u").alias("node"), "component")
 
 

@@ -145,3 +145,45 @@ def test_clean_corpus_pipeline(spark, docs):
     # LSH variant makes the same decisions here
     kept_lsh = clean_corpus(docs, jaccard_threshold=0.3, use_lsh=True)
     assert sorted(r.doc_id for r in kept_lsh.collect()) == ids
+
+
+def test_all_pairs_topk_blocked_matches_single_block(embeddings):
+    """Grid-blocking must not change the result: force multiple index
+    blocks with a tiny max_index_rows and compare to the one-block run."""
+    single = [(r.id_a, r.id_b) for r in S.all_pairs_topk(embeddings, k=5).collect()]
+    blocked = [
+        (r.id_a, r.id_b)
+        for r in S.all_pairs_topk(embeddings, k=5, max_index_rows=10).collect()
+    ]
+    assert blocked == single
+    assert blocked[0] == (0, 50)
+
+
+def test_ngram_hot_shingle_cutoff(docs):
+    """max_shingle_df drops stopword-shingles from BOTH sides of the
+    jaccard: with an aggressive cutoff the planted dup pair must still
+    surface (its rare shingles survive) while hot shingles shared by
+    many docs no longer join."""
+    exact = {(r.id_a, r.id_b) for r in D.ngram_jaccard_pairs(docs, threshold=0.9).collect()}
+    bounded = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.9, max_shingle_df=2).collect()
+    }
+    # the exact-dup pair (0,1) shares every shingle — all with df >= 2
+    # only because doc 1 duplicates doc 0; shingles with df > 2 are cut,
+    # the rest still give jaccard 1.0 for the identical pair
+    assert (0, 1) in exact and (0, 1) in bounded
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from biosets_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )  # diameter 6 > max_iterations=2
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=2).collect()
+    # warn mode returns (partial) labels instead
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        out = connected_components(chain, max_iterations=2, on_nonconvergence="warn")
+        assert out.count() == 7
