@@ -54,6 +54,19 @@ def _match_col(columns: list[str], patterns: list[str]) -> str | None:
     return None
 
 
+def _feature_meta_from_rows(rows: list[dict], key: str) -> tuple[dict[str, dict], list[str]]:
+    """Key a collected feature-metadata table by one of its columns
+    (reference _convert_feature_metadata_to_dict, biodata.py:706-717)."""
+    meta: dict[str, dict] = {}
+    order: list[str] = []
+    for row in rows:
+        d = dict(row)
+        k = str(d.pop(key))
+        meta[k] = d
+        order.append(k)
+    return meta, order
+
+
 def _read_shards(spark: SparkSession, files: list[str], **options) -> DataFrame:
     from .sources.archives import expand_paths
 
@@ -89,7 +102,7 @@ def load_dataset(
 
     # -- 1. plan: resolve files and splits (driver-side) --------------
     if path is not None and data_files is None:
-        found = discovery.discover(path)
+        found = discovery.discover(path, spark=spark)
         data_files = found["data_files"]
         sample_metadata_files = sample_metadata_files or found["sample_metadata_files"]
         feature_metadata_files = feature_metadata_files or found["feature_metadata_files"]
@@ -104,23 +117,21 @@ def load_dataset(
     splits = discovery.infer_splits(data_files)
 
     # -- feature metadata: small, collected once (J4) ------------------
+    # Key-column resolution (reference biodata.py:670-686): (1) name
+    # patterns; (2) J5 set containment — the first metadata column whose
+    # VALUES contain every data feature column name (decided per split,
+    # once the data columns are known); (3) first column + warning.
     feature_meta: dict[str, dict] | None = None
     feature_names_ordered: list[str] = []
+    fm_rows: list[dict] | None = None
+    fm_cols: list[str] = []
     if feature_metadata_files:
         fm_df = _read_shards(spark, list(feature_metadata_files))
-        key_col = _match_col(fm_df.columns, FEATURE_KEY_PATTERNS) or fm_df.columns[0]
-        if key_col != fm_df.columns[0] or not _match_col(fm_df.columns, FEATURE_KEY_PATTERNS):
-            warnings.warn(
-                f"feature metadata key column inferred as {key_col!r}; "
-                "rename it to 'feature' to silence this warning"
-            )
-        rows = fm_df.collect()
-        feature_meta = {}
-        for r in rows:
-            d = r.asDict(recursive=True)
-            k = str(d.pop(key_col))
-            feature_meta[k] = d
-            feature_names_ordered.append(k)
+        fm_cols = fm_df.columns
+        fm_rows = [r.asDict(recursive=True) for r in fm_df.collect()]
+        fm_key = _match_col(fm_cols, FEATURE_KEY_PATTERNS)
+        if fm_key:
+            feature_meta, feature_names_ordered = _feature_meta_from_rows(fm_rows, fm_key)
 
     out: dict[str, BioDataset] = {}
     feature_type = roles.EXPERIMENT_TYPES.get(experiment_type or "", None)
@@ -131,6 +142,14 @@ def load_dataset(
 
         # npz-style positional feature naming (biodata.py:1099-1124)
         unnamed = all(re.fullmatch(r"\d+|_c\d+", c) for c in df.columns)
+        if unnamed and fm_rows is not None and feature_meta is None:
+            # positional matrices can't containment-match (their columns
+            # are synthetic); fall back to the first fm column as key
+            warnings.warn(
+                f"feature metadata key column inferred as {fm_cols[0]!r}; "
+                "rename it to 'feature' to silence this warning"
+            )
+            feature_meta, feature_names_ordered = _feature_meta_from_rows(fm_rows, fm_cols[0])
         if unnamed and feature_names_ordered and len(feature_names_ordered) == len(df.columns):
             df = df.toDF(*feature_names_ordered)
 
@@ -167,6 +186,27 @@ def load_dataset(
                 continue
             if _match_col([c], METADATA_PATTERNS):
                 df = roles.with_role(df, c, roles.ROLE_METADATA)
+
+        # J5: set-containment feature-key detection (biodata.py:681-686)
+        # — no name-pattern key matched, so pick the first feature-
+        # metadata column whose values contain every candidate data
+        # feature column name, and key the per-column metadata by it.
+        if fm_rows is not None and feature_meta is None:
+            dfeat = {
+                c for c in df.columns
+                if c not in (s_col, b_col, t_col) and not _match_col([c], METADATA_PATTERNS)
+            }
+            fm_key = next(
+                (c for c in fm_cols if dfeat and dfeat <= {str(row[c]) for row in fm_rows}),
+                None,
+            )
+            if fm_key is None:
+                fm_key = fm_cols[0]
+                warnings.warn(
+                    f"feature metadata key column inferred as {fm_key!r} (no name-pattern "
+                    "or value-containment match); rename it to 'feature' to silence this"
+                )
+            feature_meta, feature_names_ordered = _feature_meta_from_rows(fm_rows, fm_key)
 
         # feature columns: everything untagged; attach per-column metadata (J4)
         for f in df.schema.fields:

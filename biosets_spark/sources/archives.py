@@ -20,7 +20,11 @@ import tarfile
 import tempfile
 import zipfile
 
-ARCHIVE_EXTS = (".zip", ".tar", ".tar.gz", ".tgz", ".tar.bz2")
+ARCHIVE_EXTS = (
+    ".zip", ".tar", ".tar.gz", ".tgz", ".tar.bz2",
+    ".tar.xz", ".txz", ".tar.zst", ".tzst", ".7z",
+)
+_TARFILE_EXTS = (".tar", ".tar.gz", ".tgz", ".tar.bz2", ".tar.xz", ".txz")
 
 
 def is_archive(path: str) -> bool:
@@ -40,11 +44,41 @@ def extract(path: str, dest: str | None = None) -> list[str]:
                     continue
                 z.extract(m, dest)
                 out.append(os.path.join(dest, m))
-    elif low.endswith((".tar", ".tar.gz", ".tgz", ".tar.bz2")):
-        mode = "r:*"
-        with tarfile.open(path, mode) as t:
+    elif low.endswith(_TARFILE_EXTS):
+        # gz/bz2/xz all via the stdlib (mode "r:*" auto-detects)
+        with tarfile.open(path, "r:*") as t:
             t.extractall(dest, filter="data")
             out = [os.path.join(dest, m.name) for m in t.getmembers() if m.isfile()]
+    elif low.endswith((".tar.zst", ".tzst")):
+        # reference fixtures include zstd-tar (files.py:45-96); the
+        # stdlib has no zstd codec, so gate behind the zstandard package
+        try:
+            import zstandard
+        except ImportError as e:
+            raise ImportError(
+                f"extracting {path!r} requires the 'zstandard' package "
+                "(pip install zstandard)"
+            ) from e
+        with open(path, "rb") as src, tempfile.NamedTemporaryFile(suffix=".tar", delete=False) as tmp:
+            zstandard.ZstdDecompressor().copy_stream(src, tmp)
+            tmp_tar = tmp.name
+        try:
+            with tarfile.open(tmp_tar, "r:") as t:
+                t.extractall(dest, filter="data")
+                out = [os.path.join(dest, m.name) for m in t.getmembers() if m.isfile()]
+        finally:
+            os.unlink(tmp_tar)
+    elif low.endswith(".7z"):
+        try:
+            import py7zr
+        except ImportError as e:
+            raise ImportError(
+                f"extracting {path!r} requires the 'py7zr' package (pip install py7zr)"
+            ) from e
+        with py7zr.SevenZipFile(path) as z:
+            z.extractall(dest)
+        for root, _dirs, names in os.walk(dest):
+            out.extend(os.path.join(root, n) for n in names)
     else:
         raise ValueError(f"not a recognized archive: {path!r}")
     return sorted(out)

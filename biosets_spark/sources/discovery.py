@@ -50,17 +50,62 @@ def _matches(name: str, patterns: list[str]) -> bool:
     return any(re.search(p, base) for p in patterns)
 
 
-def discover(path: str) -> dict:
+def _is_remote_uri(path: str) -> bool:
+    """True for scheme-qualified URIs (file://, s3a://, hdfs://, ...)."""
+    return bool(re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", path))
+
+
+def _hadoop_list_files(spark, path: str) -> tuple[bool, list[str]]:
+    """Recursively list files under a URI via the JVM Hadoop FileSystem
+    — the same resolver ``spark.read`` uses, so any filesystem Spark
+    can scan (s3a/hdfs/abfs/gs/file) works here too. Driver-side
+    planning only; no data moves. Returns (path_is_single_file,
+    files). Reference parity: fsspec lazy open in streaming.py:17-60 /
+    URL loads in docs/DATA_LOADING.md:117-135.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    status = fs.getFileStatus(jpath)
+    if status.isFile():
+        return True, [status.getPath().toString()]
+    out = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        out.append(it.next().getPath().toString())
+    return False, sorted(out)
+
+
+def discover(path: str, spark=None) -> dict:
     """Resolve a directory into {data_files, sample_metadata_files,
     feature_metadata_files} per the reference's conventions; metadata
-    files are subtracted from the data file list
-    (biodata.py:230-287)."""
-    if os.path.isfile(path):
-        return {"data_files": [path], "sample_metadata_files": [], "feature_metadata_files": []}
-    all_files = sorted(
-        f for f in glob.glob(os.path.join(path, "**", "*"), recursive=True)
-        if os.path.isfile(f) and _is_data_file(f)
-    )
+    files are subtracted from the data file list (biodata.py:230-287).
+
+    Scheme-qualified URIs (``s3a://bucket/prefix``, ``hdfs://...``,
+    ``file:///...``) are listed through the Hadoop FileSystem (needs a
+    SparkSession — pass ``spark`` or have an active one); plain local
+    paths go through ``glob``.
+    """
+    if _is_remote_uri(path):
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise ValueError(
+                    f"discover({path!r}): listing a URI requires a SparkSession"
+                )
+        is_file, listed = _hadoop_list_files(spark, path)
+        if is_file:
+            return {"data_files": listed, "sample_metadata_files": [], "feature_metadata_files": []}
+        all_files = [f for f in listed if _is_data_file(f)]
+    else:
+        if os.path.isfile(path):
+            return {"data_files": [path], "sample_metadata_files": [], "feature_metadata_files": []}
+        all_files = sorted(
+            f for f in glob.glob(os.path.join(path, "**", "*"), recursive=True)
+            if os.path.isfile(f) and _is_data_file(f)
+        )
     sample_meta = [f for f in all_files if _matches(f, SAMPLE_METADATA_PATTERNS)]
     feature_meta = [f for f in all_files if _matches(f, FEATURE_METADATA_PATTERNS)]
     data = [f for f in all_files if f not in set(sample_meta) | set(feature_meta)]

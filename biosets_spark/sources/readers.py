@@ -189,7 +189,9 @@ def read_sql(spark: SparkSession, table_or_query: str, url: str, **options) -> D
     docs/DATA_LOADING.md:151-160)."""
     dbtable = table_or_query
     if " " in table_or_query.strip():
-        dbtable = f"({table_or_query}) AS _subq"
+        # letter-leading alias: some engines (Derby) reject identifiers
+        # starting with an underscore
+        dbtable = f"({table_or_query}) AS sparkgraft_subq"
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
     for k, v in options.items():
         reader = reader.option(k, v)

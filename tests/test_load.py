@@ -226,3 +226,47 @@ def test_sharded_disjoint_samples(spark, tmp_path):
     assert ds.num_rows == 7
     got = {r["sample"]: r["encoded_labels"] for r in ds.head(10)}
     assert got["s1"] == 0 and got["s5"] == 1 and got["s6"] == 2
+
+
+def test_remote_uri_discovery_file_scheme(spark, tmp_path):
+    """Scheme-qualified URIs route through Hadoop-FS listing (the same
+    resolver spark.read uses for s3a://, hdfs://, ...); file:// proves
+    the path end-to-end without external services."""
+    (tmp_path / "data.csv").write_text("sample,h1\ns1,1\ns2,2\n")
+    (tmp_path / "sample_metadata.csv").write_text("sample,target\ns1,a\ns2,b\n")
+    uri = "file://" + str(tmp_path)
+    ds = load_dataset(path=uri, spark=spark)
+    assert ds.num_rows == 2
+    rows = {r["sample"]: r for r in ds.head(5)}
+    assert rows["s1"]["target"] == "a" and rows["s1"]["h1"] == 1
+    assert "encoded_labels" in ds.columns
+
+
+def test_remote_uri_single_file(spark, tmp_path):
+    (tmp_path / "only.csv").write_text("sample,h1\ns1,7\n")
+    ds = load_dataset(path="file://" + str(tmp_path / "only.csv"), spark=spark)
+    assert ds.num_rows == 1 and ds.head(1)[0]["h1"] == 7
+
+
+def test_feature_metadata_set_containment_key(spark, tmp_path):
+    """J5 (reference biodata.py:681-686): the feature-metadata key
+    column has no pattern-matchable name ('gene'), but its VALUES
+    contain every data feature column name -> per-column metadata
+    still attaches, keyed by containment."""
+    (tmp_path / "d.csv").write_text("sample,geneA,geneB\ns1,1,10\ns2,2,20\n")
+    (tmp_path / "feature_metadata.csv").write_text(
+        "note,gene,weight\nx,geneA,1\ny,geneB,2\n"
+    )
+    ds = load_dataset(path=str(tmp_path), spark=spark)
+    assert ds.get_feature_metadata()["geneA"] == {"note": "x", "weight": 1}
+    assert ds.get_feature_metadata()["geneB"] == {"note": "y", "weight": 2}
+
+
+def test_feature_metadata_containment_fallback_warns(spark, tmp_path):
+    """No pattern key AND no containing column -> first column + warning
+    (reference FEATURE_COLUMN_WARN_MSG path)."""
+    (tmp_path / "d.csv").write_text("sample,h1\ns1,1\n")
+    (tmp_path / "feature_metadata.csv").write_text("note,weight\nx,1\n")
+    with pytest.warns(UserWarning, match="value-containment"):
+        ds = load_dataset(path=str(tmp_path), spark=spark)
+    assert ds.num_rows == 1

@@ -160,3 +160,73 @@ def test_discovery_recognizes_tarball_and_feather(tmp_path):
     found = discover(str(tmp_path))
     names = {f.split("/")[-1] for f in found["data_files"]}
     assert names == {"data.tar.gz", "extra.feather"}
+
+
+def test_read_sql_jdbc_derby_roundtrip(spark, tmp_path):
+    """S7 JDBC source round-trip against embedded Derby (ships in the
+    Spark jars — no external service): write a table through Spark's
+    JDBC sink, read it back via read_sql, both as a table name and as
+    a subquery."""
+    from biosets_spark.sources.readers import read_sql
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    src = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)], "id int, grp string, val double"
+    )
+    (
+        src.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "t1")
+        # Derby maps StringType to CLOB by default, which cannot be
+        # grouped/compared — pin a comparable type for the string col
+        .option("createTableColumnTypes", "grp VARCHAR(16)")
+        .mode("overwrite")
+        .save()
+    )
+
+    back = read_sql(spark, "t1", url)
+    assert sorted((r.id, r.grp, r.val) for r in back.collect()) == [
+        (1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5),
+    ]
+    # raw SQL pushdown: Spark's JDBC writer creates quoted (lowercase)
+    # identifiers, so Derby needs them quoted in hand-written queries
+    # (table names are written unquoted -> Derby uppercases them, so
+    # reference the table unquoted too)
+    sub = read_sql(
+        spark, 'SELECT "grp", COUNT(*) AS "n" FROM t1 GROUP BY "grp"', url
+    )
+    assert {(r.grp, r.n) for r in sub.collect()} == {("a", 2), ("b", 1)}
+
+
+def test_load_dataset_from_tar_xz(spark, tmp_path):
+    """S9: xz-compressed tar container (stdlib lzma) through the
+    ingest-unpack path (reference fixtures files.py:45-96)."""
+    import tarfile
+
+    (tmp_path / "inner.csv").write_text("sample,h1\ns1,1\ns2,2\n")
+    arc = tmp_path / "bundle.tar.xz"
+    with tarfile.open(arc, "w:xz") as t:
+        t.add(tmp_path / "inner.csv", arcname="inner.csv")
+    from biosets_spark import load_dataset
+
+    ds = load_dataset(data_files=[str(arc)], spark=spark)
+    assert ds.num_rows == 2
+
+
+def test_zstd_and_7z_gated_behind_imports(tmp_path):
+    """zstd-tar / 7z extraction requires optional packages absent from
+    this environment: the code path must fail with a clear ImportError,
+    not a confusing parse error."""
+    import pytest as _pytest
+
+    from biosets_spark.sources import archives
+
+    fake_zst = tmp_path / "x.tar.zst"
+    fake_zst.write_bytes(b"\x28\xb5\x2f\xfd")
+    with _pytest.raises(ImportError, match="zstandard"):
+        archives.extract(str(fake_zst))
+    fake_7z = tmp_path / "x.7z"
+    fake_7z.write_bytes(b"7z\xbc\xaf\x27\x1c")
+    with _pytest.raises(ImportError, match="py7zr"):
+        archives.extract(str(fake_7z))
+    assert archives.is_archive("a.tar.zst") and archives.is_archive("b.7z")
