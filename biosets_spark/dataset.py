@@ -103,15 +103,27 @@ class BioDataset:
         return self._wrap(self.df.toDF(*names))
 
     # ---- row ops (P6-P8, O1-O5) --------------------------------------
-    def filter(self, predicate) -> "BioDataset":
+    def filter(self, predicate, batched: bool = False) -> "BioDataset":
         """P6: Column/SQL-string predicates stay in Catalyst; Python
-        callables run as Arrow-batched pandas filters (slow path)."""
+        callables run as Arrow-batched pandas filters.
+
+        ``batched=True`` is the documented fast path for opaque
+        predicates: the callable receives a whole ``pandas.DataFrame``
+        and returns a boolean mask (vectorized, one call per Arrow
+        batch). ``batched=False`` (reference default semantics,
+        arrow_dataset.py:77-79) calls the predicate once per row with a
+        dict — ~100x slower; keep it off the 100 TB path.
+        """
         if callable(predicate):
             schema = self.df.schema
-
-            def fn(it: Iterator) -> Iterator:
-                for pdf in it:
-                    yield pdf[pdf.apply(lambda row: predicate(row.to_dict()), axis=1)]
+            if batched:
+                def fn(it: Iterator) -> Iterator:
+                    for pdf in it:
+                        yield pdf[predicate(pdf)]
+            else:
+                def fn(it: Iterator) -> Iterator:
+                    for pdf in it:
+                        yield pdf[pdf.apply(lambda row: predicate(row.to_dict()), axis=1)]
 
             return self._wrap(self.df.mapInPandas(fn, schema=schema))
         return self._wrap(self.df.filter(predicate))

@@ -157,6 +157,14 @@ def test_dataset_filter_python_fn(spark):
     assert out.num_rows == 2
 
 
+def test_dataset_filter_batched_mask(spark):
+    """batched=True: predicate gets the whole pandas batch, returns a
+    boolean mask — the vectorized fast path for opaque predicates."""
+    ds = BioDataset(spark.createDataFrame([(1,), (2,), (3,), (4,)], "x int"))
+    out = ds.filter(lambda pdf: pdf["x"] % 2 == 0, batched=True)
+    assert sorted(r.x for r in out.df.collect()) == [2, 4]
+
+
 def test_zip_with_index_contiguous(spark):
     df = spark.createDataFrame([(c,) for c in "edcba"], "c string")
     out = J.zip_with_index(df, order_by=["c"])
