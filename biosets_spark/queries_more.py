@@ -319,3 +319,130 @@ def q_union_type_promotion(spark, sf_dir):
         F.sum(col("v").cast("decimal(18,2)")).cast("double").alias("total_v"),
         F.countDistinct("key").alias("n_keys"),
     )
+
+
+@q(
+    "q_join_salted",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    desc="explicit skew-salted join (operators/skew.py): the hot side "
+         "gets a salt in [0,8), the small side is replicated 8x, the "
+         "hot key spreads over 8 partitions — output provably identical "
+         "to the plain equi-join, which is exactly what the oracle runs.",
+    tags=["join", "skew"],
+)
+def q_join_salted(spark, sf_dir):
+    from .operators.skew import salted_join
+
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer").select(
+        col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = salted_join(o, c, on="o_custkey", n_salts=8, how="inner")
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
+
+
+@q(
+    "q_events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND v.t_view IS NOT NULL AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v WHERE t_view IS NOT NULL) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+    desc="ordered funnel conversion (view -> later click -> later "
+         "purchase) per user — conditional-min aggregates + two "
+         "broadcastable joins, shuffling only (user_id, ts) pairs.",
+    tags=["events", "funnel"],
+)
+def q_events_funnel(spark, sf_dir):
+    e = tables.load(spark, sf_dir, "events")
+    v = e.groupBy("user_id").agg(
+        F.min(F.when(col("event_type") == "view", col("ts"))).alias("t_view")
+    )
+    c = (
+        e.filter(col("event_type") == "click")
+        .join(v.filter(col("t_view").isNotNull()), "user_id")
+        .filter(col("ts") > col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(col("ts") > col("t_click"))
+        .select("user_id")
+        .distinct()
+        .withColumn("_p", lit(1))
+    )
+    # one plan, one final single-row agg — no driver-side counting
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("t_view").alias("n_view"),
+            F.count("t_click").alias("n_view_click"),
+            F.count("_p").alias("n_view_click_purchase"),
+        )
+    )
+
+
+@q(
+    "q_events_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id,
+             strftime(f.d0, '%Y-%m-%d') AS cohort,
+             date_diff('day', f.d0, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort, day_offset, COUNT(*) AS n_users
+    FROM act WHERE day_offset <= 7 GROUP BY cohort, day_offset
+    """,
+    desc="cohort retention: users grouped by first-seen day, distinct "
+         "activity per (cohort, day-offset) for the first week — two "
+         "shuffles (per-user min, then distinct+agg).",
+    tags=["events", "retention"],
+)
+def q_events_retention(spark, sf_dir):
+    e = tables.load(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    act = (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            F.date_format("d0", "yyyy-MM-dd").alias("cohort"),
+            F.datediff(F.to_date("ts"), col("d0")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        act.filter(col("day_offset") <= 7)
+        .groupBy("cohort", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
