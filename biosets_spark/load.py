@@ -159,6 +159,11 @@ def load_dataset(
         t_col = target_column or _match_col(df.columns, TARGET_PATTERNS)
 
         # -- 4. sample-metadata enrichment -----------------------------
+        # J5 containment must be decided against the DATA columns, not
+        # the post-join frame — joined covariates (age, sex, ...) are
+        # never in the feature-metadata key column's values and would
+        # defeat containment for every candidate key.
+        pre_enrich_cols = list(df.columns)
         if sample_metadata_files:
             meta = _read_shards(spark, list(sample_metadata_files))
             m_col = sample_column or _match_col(meta.columns, SAMPLE_PATTERNS)
@@ -193,7 +198,7 @@ def load_dataset(
         # feature column name, and key the per-column metadata by it.
         if fm_rows is not None and feature_meta is None:
             dfeat = {
-                c for c in df.columns
+                c for c in pre_enrich_cols
                 if c not in (s_col, b_col, t_col) and not _match_col([c], METADATA_PATTERNS)
             }
             fm_key = next(

@@ -64,9 +64,13 @@ def all_pairs_topk(
 
     Scale story: peak driver/executor memory is ONE block
     (max_index_rows x dim doubles, ~100 MB at 200k x 64), never the
-    whole corpus — the grid generalizes the broadcast join to indexes
-    that don't fit in memory instead of OOMing the driver. Block count
-    grows linearly; work is the same O(N^2) dot products regardless of
+    whole corpus — blocks are processed SEQUENTIALLY: broadcast one
+    block, reduce its candidates to a block-local top-k (each pair
+    lives in exactly one partner-block, so per-block top-k then global
+    top-k is lossless), collect the k rows, destroy the broadcast,
+    move on. Resident broadcast data is always a single block; the
+    driver holds at most n_blocks*k candidate rows. Block count grows
+    linearly; work is the same O(N^2) dot products regardless of
     blocking. For corpora where even the grid is too slow, prefilter
     with lsh_signatures or go IVF.
     """
@@ -81,10 +85,12 @@ def all_pairs_topk(
     if n_blocks > 1:
         src = src.withColumn("_blk", F.pmod(F.xxhash64(col(id_col)), lit(n_blocks))).cache()
     kk = k
-    cands = []
+    best: list[tuple] = []  # ≤ n_blocks*k (id_a, id_b, sim) rows
     for bi in range(n_blocks):
         part = src.filter(col("_blk") == bi) if n_blocks > 1 else src
         pdf = part.select(id_col, vec_col).toPandas()  # bounded: one block
+        if pdf.empty:  # hash assignment doesn't guarantee non-empty blocks
+            continue
         ids = pdf[id_col].to_numpy()
         M = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
         M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
@@ -111,12 +117,22 @@ def all_pairs_topk(
                     out_s.extend(s[top])
                 yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
 
-        cands.append(
-            src.select(id_col, vec_col).mapInPandas(block, schema="id_a long, id_b long, sim double")
-        )
-    cand = cands[0]
-    for c in cands[1:]:
-        cand = cand.union(c)
+        try:
+            best.extend(
+                (r.id_a, r.id_b, r.sim)
+                for r in src.select(id_col, vec_col)
+                .mapInPandas(block, schema="id_a long, id_b long, sim double")
+                .orderBy(col("sim").desc(), "id_a", "id_b")
+                .limit(k)
+                .collect()
+            )
+        finally:
+            b.destroy()
+    if n_blocks > 1:
+        src.unpersist()
+    cand = spark.createDataFrame(best or [(None, None, None)], schema="id_a long, id_b long, sim double")
+    if not best:
+        cand = cand.filter(col("id_a").isNotNull())
     return cand.orderBy(col("sim").desc(), "id_a", "id_b").limit(k)
 
 
@@ -187,16 +203,17 @@ def ivf_build(
     """IVF coarse index: centroids = deterministic sample of rows;
     every vector assigned to its nearest centroid (one narrow pass).
 
-    Sampling orders by md5 of the stringified id — an engine-portable
-    deterministic permutation (identical in Spark and DuckDB/ANSI SQL),
-    so the coarse index is reproducible by the differential oracle.
-    ``seed`` is kept for API stability; the permutation is fixed.
+    Sampling orders by md5 of the stringified id salted with the seed
+    — an engine-portable deterministic permutation (identical in Spark
+    and DuckDB/ANSI SQL: ``md5(CAST(id AS VARCHAR) || '<seed>')``), so
+    the coarse index is reproducible by the differential oracle AND a
+    different seed yields a different centroid sample.
     """
     cents = [
         (i, [float(x) for x in r[vec_col]])
         for i, r in enumerate(
             df.select(id_col, vec_col)
-            .orderBy(F.md5(col(id_col).cast("string")))
+            .orderBy(F.md5(F.concat(col(id_col).cast("string"), lit(str(seed)))))
             .limit(n_cells)
             .collect()
         )

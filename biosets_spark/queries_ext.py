@@ -98,20 +98,22 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 @q(
     "q_dedup_minhash_lsh",
-    # The LSH output is the exact-Jaccard-verified candidate set, so on
-    # a corpus where every pair with jaccard >= threshold collides in at
-    # least one of the 16 bands (true of the planted near-dups here:
-    # max jaccard 0.989, all pairs >= 0.5 collide), the result set
-    # EQUALS the exact n-gram-Jaccard pair set — the same oracle as
-    # q_dedup_ngram_jaccard. Verified at sf0.001/sf0.01 locally.
+    # The LSH output is the exact-Jaccard-verified candidate set, so
+    # whenever every pair with jaccard >= threshold collides in at
+    # least one band the result set EQUALS the exact n-gram-Jaccard
+    # pair set — the same oracle as q_dedup_ngram_jaccard. With 64
+    # bands of r=2, a borderline j=0.5 pair misses every band with
+    # probability (1-0.25)^64 ~= 1e-8, so the equality holds at any
+    # scale factor, not just the locally verified ones (a 16-band
+    # config had a ~1% per-pair miss risk). Verified at sf0.001/sf0.01.
     oracle=_NGRAM_ORACLE,
-    desc="MinHash(32 perms)+LSH(16 bands) near-dup candidates verified "
+    desc="MinHash(128 perms)+LSH(64 bands) near-dup candidates verified "
          "with exact Jaccard; only signatures shuffle at scale.",
     tags=["dedup", "minhash"],
 )
 def q_dedup_minhash_lsh(spark, sf_dir):
     docs = tables.load(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs, num_perm=32, bands=16, threshold=0.5)
+    pairs = D.minhash_lsh_pairs(docs, num_perm=128, bands=64, threshold=0.5)
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
@@ -452,7 +454,7 @@ def q_multimodal_binary(spark, sf_dir):
     "q_knn_ivf",
     # IVF is exactly reproducible in SQL because the coarse index is
     # deterministic and engine-portable: centroids = first 16 rows by
-    # md5(CAST(vec_id AS VARCHAR)) (identical string ordering in Spark
+    # md5(CAST(vec_id AS VARCHAR) || '42') (identical string ordering in Spark
     # and DuckDB), assignment = argmax cosine with (sim DESC, cell DESC)
     # tie-break mirroring Spark's lexicographic struct max, probe = top-4
     # cells by query-centroid cosine (ties: cell ASC, matching Python's
@@ -463,9 +465,9 @@ def q_multimodal_binary(spark, sf_dir):
       FROM embeddings WHERE vec_id <> 0
     ),
     cents AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell,
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '42')) - 1 AS cell,
              emb AS cemb
-      FROM base ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16
+      FROM base ORDER BY md5(CAST(vec_id AS VARCHAR) || '42') LIMIT 16
     ),
     qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
     assign AS (

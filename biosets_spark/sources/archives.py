@@ -16,8 +16,10 @@ recommendation stands: unpack once at ingest, store Parquet.
 from __future__ import annotations
 
 import os
+import re
 import tarfile
 import tempfile
+import urllib.parse
 import zipfile
 
 ARCHIVE_EXTS = (
@@ -32,9 +34,31 @@ def is_archive(path: str) -> bool:
     return low.endswith(ARCHIVE_EXTS)
 
 
+def _to_local(path: str) -> str:
+    """Resolve a path for the stdlib archive openers. ``file:`` URIs
+    (as returned by Hadoop-FS discovery, e.g. ``file:/dir/x.zip``) are
+    stripped to a plain local path; other schemes (s3a/hdfs/...) can't
+    be opened driver-side — archives on remote stores must be unpacked
+    at ingest (the 100 TB recommendation above applies doubly there).
+    """
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.\-]*):(?://)?(.*)$", path)
+    if not m:
+        return path
+    scheme, rest = m.groups()
+    if scheme.lower() != "file":
+        raise ValueError(
+            f"cannot extract archive {path!r} from a remote filesystem; "
+            "unpack it at ingest (or download it locally) first"
+        )
+    # file:///dir/x, file:/dir/x, file://host/dir/x all → /dir/x
+    parsed = urllib.parse.urlparse(path)
+    return urllib.parse.unquote(parsed.path) or rest
+
+
 def extract(path: str, dest: str | None = None) -> list[str]:
     """Unpack a zip/tar archive; returns the extracted member paths."""
     dest = dest or tempfile.mkdtemp(prefix="biosets_unpack_")
+    path = _to_local(path)
     low = path.lower()
     out: list[str] = []
     if low.endswith(".zip"):

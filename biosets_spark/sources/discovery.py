@@ -15,6 +15,8 @@ import glob
 import os
 import re
 
+from .archives import ARCHIVE_EXTS
+
 SAMPLE_METADATA_PATTERNS = [
     r"sample[_\-\s]*metadata",
     r"sample[_\-\s]*info",
@@ -32,7 +34,8 @@ DATA_EXTS = {
     ".arrow", ".feather", ".ipc", ".npz",
 }
 COMPRESSED_EXTS = {".gz", ".bz2", ".zst", ".zstd", ".lz4"}
-ARCHIVE_SUFFIXES = (".zip", ".tar", ".tgz", ".tar.gz", ".tar.bz2")
+# single source of truth for container formats lives in archives.py
+ARCHIVE_SUFFIXES = ARCHIVE_EXTS
 
 
 def _is_data_file(path: str) -> bool:

@@ -262,6 +262,21 @@ def test_feature_metadata_set_containment_key(spark, tmp_path):
     assert ds.get_feature_metadata()["geneB"] == {"note": "y", "weight": 2}
 
 
+def test_feature_metadata_containment_survives_metadata_join(spark, tmp_path):
+    """J5 containment must be decided on the PRE-enrichment data
+    columns: joined covariates (age) are not in the key column's values
+    and previously defeated containment for every candidate key."""
+    (tmp_path / "d.csv").write_text("sample,geneA,geneB\ns1,1,10\ns2,2,20\n")
+    (tmp_path / "sample_metadata.csv").write_text("sample,age\ns1,30\ns2,40\n")
+    (tmp_path / "feature_metadata.csv").write_text(
+        "note,gene,weight\nx,geneA,1\ny,geneB,2\n"
+    )
+    ds = load_dataset(path=str(tmp_path), spark=spark)
+    assert ds.get_feature_metadata()["geneA"] == {"note": "x", "weight": 1}
+    assert ds.get_feature_metadata()["geneB"] == {"note": "y", "weight": 2}
+    assert "age" in ds.columns
+
+
 def test_feature_metadata_containment_fallback_warns(spark, tmp_path):
     """No pattern key AND no containing column -> first column + warning
     (reference FEATURE_COLUMN_WARN_MSG path)."""

@@ -213,13 +213,66 @@ def test_load_dataset_from_tar_xz(spark, tmp_path):
     assert ds.num_rows == 2
 
 
-def test_zstd_and_7z_gated_behind_imports(tmp_path):
-    """zstd-tar / 7z extraction requires optional packages absent from
-    this environment: the code path must fail with a clear ImportError,
-    not a confusing parse error."""
+def test_directory_discovery_sees_all_archive_formats(spark, tmp_path):
+    """discovery reuses archives.ARCHIVE_EXTS — a directory whose only
+    data file is a .tar.xz must be discoverable (the two extension
+    lists had drifted)."""
+    import tarfile
+
+    (tmp_path / "inner.csv").write_text("sample,h1\ns1,1\ns2,2\n")
+    with tarfile.open(tmp_path / "bundle.tar.xz", "w:xz") as t:
+        t.add(tmp_path / "inner.csv", arcname="inner.csv")
+    (tmp_path / "inner.csv").unlink()
+    from biosets_spark import load_dataset
+
+    ds = load_dataset(path=str(tmp_path), spark=spark)
+    assert ds.num_rows == 2
+
+
+def test_extract_handles_file_uri_and_rejects_remote(tmp_path):
+    """Hadoop-FS discovery returns scheme-qualified paths; extract()
+    must strip file: URIs before opening locally and refuse remote
+    schemes with a clear error."""
+    import zipfile
+
     import pytest as _pytest
 
     from biosets_spark.sources import archives
+
+    (tmp_path / "inner.csv").write_text("a,b\n1,2\n")
+    arc = tmp_path / "data.zip"
+    with zipfile.ZipFile(arc, "w") as z:
+        z.write(tmp_path / "inner.csv", arcname="inner.csv")
+    for uri in (f"file:{arc}", f"file://{arc}"):
+        out = archives.extract(uri)
+        assert len(out) == 1 and out[0].endswith("inner.csv")
+    with _pytest.raises(ValueError, match="remote filesystem"):
+        archives.extract("s3a://bucket/data.zip")
+
+
+def test_zstd_and_7z_gated_behind_imports(tmp_path, monkeypatch):
+    """zstd-tar / 7z extraction depends on optional packages: when the
+    import fails, the code path must surface a clear ImportError, not a
+    confusing parse error. The absence is forced via sys.modules so the
+    test is deterministic even where the packages happen to be
+    installed."""
+    import builtins
+    import sys
+
+    import pytest as _pytest
+
+    from biosets_spark.sources import archives
+
+    real_import = builtins.__import__
+
+    def no_optional(name, *a, **kw):
+        if name in ("zstandard", "py7zr"):
+            raise ImportError(f"No module named {name!r}")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.delitem(sys.modules, "zstandard", raising=False)
+    monkeypatch.delitem(sys.modules, "py7zr", raising=False)
+    monkeypatch.setattr(builtins, "__import__", no_optional)
 
     fake_zst = tmp_path / "x.tar.zst"
     fake_zst.write_bytes(b"\x28\xb5\x2f\xfd")
