@@ -127,8 +127,11 @@ def minhash_signatures(
     One narrow pass: shingling + k hash-mins fold into a single
     aggregate over the exploded shingles (partial min combine map-side).
     """
-    sh = shingle_table(df, text_col, id_col, shingle_n)
-    mins = [F.min(F.xxhash64(col("_sh"), lit(i))).alias(f"mh_{i}") for i in range(num_perm)]
+    # hash the shingle STRING once; derive the k permutations by
+    # re-hashing the resulting 8-byte long — at k=128 this is ~k bytes
+    # hashed per shingle instead of k full string passes
+    sh = shingle_table(df, text_col, id_col, shingle_n).withColumn("_h0", F.xxhash64(col("_sh")))
+    mins = [F.min(F.xxhash64(col("_h0"), lit(i))).alias(f"mh_{i}") for i in range(num_perm)]
     return sh.groupBy(col("_id").alias(id_col)).agg(*mins)
 
 
@@ -149,8 +152,9 @@ def minhash_lsh_pairs(
     # one shingle pass feeds both the signature aggregate and the
     # verification join
     sh = shingle_table(df, text_col, id_col, shingle_n).cache()
-    mins = [F.min(F.xxhash64(col("_sh"), lit(i))).alias(f"mh_{i}") for i in range(num_perm)]
-    sig = sh.groupBy("_id").agg(*mins)
+    # single string hash, then k cheap long re-hashes (see minhash_signatures)
+    mins = [F.min(F.xxhash64(col("_h0"), lit(i))).alias(f"mh_{i}") for i in range(num_perm)]
+    sig = sh.withColumn("_h0", F.xxhash64(col("_sh"))).groupBy("_id").agg(*mins)
     band_cols = [
         F.struct(lit(bi).alias("band"), F.xxhash64(*[col(f"mh_{bi * r + j}") for j in range(r)]).alias("bh"))
         for bi in range(bands)
