@@ -23,6 +23,7 @@ from biosets_spark import queries as _q  # noqa: E402
 from biosets_spark import queries_ext  # noqa: E402,F401  (registers extension queries)
 from biosets_spark import queries_more  # noqa: E402,F401  (registers second-wave queries)
 from biosets_spark import queries_wave3  # noqa: E402,F401
+from biosets_spark import queries_wave4  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 

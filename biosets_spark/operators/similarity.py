@@ -136,6 +136,81 @@ def all_pairs_topk(
     return cand.orderBy(col("sim").desc(), "id_a", "id_b").limit(k)
 
 
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_index_rows: int = 200_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
+    cosine >= threshold — the exact embedding-space dedup detector
+    alongside the textual ones (exact / MinHash-LSH / SimHash / n-gram
+    Jaccard in operators.dedup).
+
+    Same grid-block plan as ``all_pairs_topk``: one index block is
+    broadcast at a time, the full table streams through an
+    Arrow-batched BLAS multiply, qualifying pairs are materialized
+    per block (localCheckpoint — bounded by the actual duplicate
+    count, which IS the caller's output), and the block broadcast is
+    destroyed before the next one. Peak resident broadcast = one
+    block. At very high corpus sizes compose behind SRP banding
+    (lsh_signatures) to prune the O(N^2) work; the verify step here
+    is exact either way.
+    """
+    import math
+
+    import numpy as np
+
+    spark = df.sparkSession
+    src = df.select(id_col, vec_col)
+    n = src.count()
+    n_blocks = max(1, math.ceil(n / max_index_rows))
+    if n_blocks > 1:
+        src = src.withColumn("_blk", F.pmod(F.xxhash64(col(id_col)), lit(n_blocks))).cache()
+    parts = []
+    for bi in range(n_blocks):
+        part = src.filter(col("_blk") == bi) if n_blocks > 1 else src
+        pdf = part.select(id_col, vec_col).toPandas()  # bounded: one block
+        if pdf.empty:
+            continue
+        ids = pdf[id_col].to_numpy()
+        M = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        b = spark.sparkContext.broadcast((ids, M))
+
+        def block(batches, _b=b, _t=threshold):
+            import pandas as pd
+
+            ids_blk, Mb = _b.value
+            for batch in batches:
+                A = np.vstack(batch[vec_col].to_numpy()).astype("float64")
+                A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+                sims = A @ Mb.T
+                rows_a = batch[id_col].to_numpy()
+                r_idx, c_idx = np.nonzero((sims >= _t) & (rows_a[:, None] < ids_blk[None, :]))
+                yield pd.DataFrame(
+                    {"id_a": rows_a[r_idx], "id_b": ids_blk[c_idx], "sim": sims[r_idx, c_idx]}
+                )
+
+        try:
+            parts.append(
+                src.select(id_col, vec_col)
+                .mapInPandas(block, schema="id_a long, id_b long, sim double")
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            b.destroy()
+    if n_blocks > 1:
+        src.unpersist()
+    if not parts:
+        return spark.createDataFrame([], schema="id_a long, id_b long, sim double")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (driver-side, tiny)."""
     import numpy as np

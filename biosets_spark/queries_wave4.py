@@ -1,0 +1,269 @@
+"""Fourth-wave query inventory: embedding-space dedup, correlated
+subquery shapes (EXISTS / scalar / NOT EXISTS), int8 embedding
+quantization, and content-defined chunk statistics.
+
+Determinism notes follow the module pattern in queries.py: money
+aggregates go through DECIMAL, threshold comparisons avoid
+order-dependent float aggregates (integer-valued sums are exact in
+double; money cutoffs use multiply-both-sides decimal arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col, lit
+
+from . import tables
+from .queries import q
+
+# ---------------------------------------------------------------------
+# embedding-space near-duplicate detection
+# ---------------------------------------------------------------------
+
+
+@q(
+    "q_dedup_embedding",
+    # ids only (like q_knn_pairs): the pair SET is ulp-robust — the
+    # nearest pair cosine sits 7.6e-4 from the 0.42 threshold at
+    # sf0.001/sf0.01, ~9 orders of magnitude above double noise.
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.emb, b.emb) >= 0.42
+    """,
+    desc="embedding-cosine near-duplicate pairs (cosine >= 0.42): the "
+         "embedding-space dedup detector, grid-blocked BLAS all-pairs "
+         "with one broadcast block resident at a time.",
+    tags=["dedup", "similarity", "embedding"],
+)
+def q_dedup_embedding(spark, sf_dir):
+    from .operators.similarity import embedding_dup_pairs
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(emb, threshold=0.42).select("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------
+# correlated-subquery SQL shapes (TPC-H Q4 / Q17 / Q22 adapted to the
+# columns present in the test schema)
+# ---------------------------------------------------------------------
+
+
+@q(
+    "q_exists_subquery",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o.o_orderpriority
+    """,
+    desc="TPC-H Q4 shape: per-priority count of orders with a late-"
+         "shipped lineitem — correlated EXISTS compiled to a left-semi "
+         "join (one shuffle on orderkey, no per-row subquery).",
+    tags=["subquery", "semi-join"],
+)
+def q_exists_subquery(spark, sf_dir):
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (col("o_orderkey") == col("l_orderkey")) & (col("l_shipdate") > col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@q(
+    "q_scalar_subquery",
+    # AVG(l_quantity) is deterministic here: quantities are integer-
+    # valued doubles, so every partial sum is exact (< 2^53) and the
+    # single closing division is identical in both engines.
+    oracle="""
+    WITH cut AS (
+      SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_cut
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE)
+             AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM lineitem l JOIN cut c ON l.l_partkey = c.l_partkey
+    WHERE l.l_quantity < c.qty_cut
+    """,
+    desc="TPC-H Q17 shape: revenue of below-20%%-of-average-quantity "
+         "lineitems — the correlated scalar subquery expressed as a "
+         "per-part aggregate + shuffle join (map-side partial avg).",
+    tags=["subquery", "scalar"],
+)
+def q_scalar_subquery(spark, sf_dir):
+    li = tables.load(spark, sf_dir, "lineitem")
+    cut = li.groupBy("l_partkey").agg((lit(0.2) * F.avg("l_quantity")).alias("qty_cut"))
+    small = li.join(cut, "l_partkey").filter(col("l_quantity") < col("qty_cut"))
+    return small.agg(
+        (F.sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / lit(7.0))
+        .cast("double").alias("avg_yearly"),
+        F.count("*").alias("n_small"),
+    )
+
+
+@q(
+    "q_not_exists_customers",
+    # money cutoff without a float AVG: c*n > total is exact decimal
+    # arithmetic on both engines (avg = total/n would be order- and
+    # engine-rounding-dependent).
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total,
+             COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_rich_inactive,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer c, pos
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * pos.n > pos.total
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '2001-01-01')
+    GROUP BY c.c_mktsegment
+    """,
+    desc="TPC-H Q22 shape: above-average-balance customers with no "
+         "recent (2001+) orders — scalar aggregate broadcast + anti "
+         "join; the cutoff uses multiply-both-sides decimal arithmetic "
+         "so the filter is exact (no float-avg nondeterminism).",
+    # "cross" tag: the single-row scalar-aggregate crossJoin(broadcast)
+    # is a deliberate BroadcastNestedLoopJoin (1-row build side)
+    tags=["subquery", "anti-join", "cross"],
+)
+def q_not_exists_customers(spark, sf_dir):
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    pos = c.filter(col("c_acctbal") > 0.0).agg(
+        F.sum(col("c_acctbal").cast("decimal(18,2)")).cast("decimal(28,2)").alias("total"),
+        F.count("*").alias("n"),
+    )
+    rich = (
+        c.crossJoin(broadcast(pos))
+        .filter(col("c_acctbal").cast("decimal(18,2)") * col("n") > col("total"))
+    )
+    recent = o.filter(col("o_orderdate") >= lit("2001-01-01").cast("date"))
+    inactive = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return inactive.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_rich_inactive"),
+        F.sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+    )
+
+
+# ---------------------------------------------------------------------
+# embedding quantization (training-pipeline scale path: int8 storage /
+# transfer is 4x smaller than float32, 8x smaller than float64)
+# ---------------------------------------------------------------------
+
+
+@q(
+    "q_quantize_embeddings",
+    # element-wise double arithmetic (no aggregation order): identical
+    # IEEE ops in both engines, floor(x*s + 0.5) is the explicit
+    # engine-portable round-half-up.
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             127.0 / greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                      y -> abs(y))), 1e-12) AS sc
+      FROM embeddings
+    )
+    SELECT vec_id,
+           list_transform(emb, x -> CAST(floor(x * sc + 0.5) AS INTEGER)) AS q8,
+           CAST(round(sc, 6) AS DOUBLE) AS scale6
+    FROM s
+    """,
+    desc="symmetric int8 quantization of the embedding column "
+         "(per-vector scale = 127/max|x|): pure JVM higher-order "
+         "expressions, no shuffle, no UDF.",
+    tags=["similarity", "quantize"],
+)
+def q_quantize_embeddings(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    demb = F.transform(col("embedding"), lambda x: x.cast("double"))
+    sc = lit(127.0) / F.greatest(
+        F.array_max(F.transform(demb, lambda x: F.abs(x))), lit(1e-12)
+    )
+    withs = emb.select("vec_id", demb.alias("emb"), sc.alias("sc"))
+    return withs.select(
+        "vec_id",
+        F.transform(col("emb"), lambda x: F.floor(x * col("sc") + lit(0.5)).cast("int")).alias("q8"),
+        F.round(col("sc"), 6).cast("double").alias("scale6"),
+    )
+
+
+# ---------------------------------------------------------------------
+# content-defined chunking (rolling-hash boundaries): chunk-level
+# fingerprints power passage-level dedup of training corpora
+# ---------------------------------------------------------------------
+
+
+@q(
+    "q_chunk_stats",
+    # integer arithmetic end-to-end (portable md5-derived token hash,
+    # cumulative-sum chunk ids) — fully deterministic.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest(range(1, len(t) + 1)) AS pos,
+             unnest(t) AS w
+      FROM toks
+    ),
+    b AS (
+      SELECT doc_id, pos,
+             CASE WHEN ('0x' || substr(md5(w), 1, 15))::BIGINT % 8 = 0
+                  THEN 1 ELSE 0 END AS bnd
+      FROM tok
+    ),
+    ch AS (
+      SELECT doc_id, pos,
+             SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS chunk
+      FROM b
+    ),
+    per_chunk AS (
+      SELECT doc_id, chunk, COUNT(*) AS clen FROM ch GROUP BY doc_id, chunk
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(clen) AS BIGINT) AS n_tokens,
+           CAST(MAX(clen) AS BIGINT) AS max_chunk_len
+    FROM per_chunk GROUP BY doc_id
+    """,
+    desc="content-defined chunking: rolling-hash token boundaries "
+         "(portable md5-derived hash % 8) split each document into "
+         "chunks; per-doc chunk stats. Chunk-level fingerprints are "
+         "the unit for passage-level dedup of training corpora.",
+    tags=["text", "chunking"],
+)
+def q_chunk_stats(spark, sf_dir):
+    from .operators.dedup import portable_hash60
+
+    docs = tables.load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.trim(col("text")), r"\s+")).alias("pos", "w")
+    )
+    bnd = tok.withColumn(
+        "bnd", (F.pmod(portable_hash60(col("w")), lit(8)) == 0).cast("long")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    ch = bnd.withColumn("chunk", F.sum("bnd").over(w))
+    per_chunk = ch.groupBy("doc_id", "chunk").agg(F.count("*").alias("clen"))
+    return per_chunk.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("clen").alias("n_tokens"),
+        F.max("clen").alias("max_chunk_len"),
+    )

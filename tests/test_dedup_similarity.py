@@ -159,6 +159,19 @@ def test_all_pairs_topk_blocked_matches_single_block(embeddings):
     assert blocked[0] == (0, 50)
 
 
+def test_embedding_dup_pairs_planted_and_blocked(embeddings):
+    """The planted near-dup (0, 50) is the only pair above 0.95; the
+    grid-blocked run (tiny max_index_rows) must equal the single-block
+    run exactly."""
+    single = {(r.id_a, r.id_b) for r in S.embedding_dup_pairs(embeddings, threshold=0.95).collect()}
+    assert single == {(0, 50)}
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_dup_pairs(embeddings, threshold=0.95, max_index_rows=10).collect()
+    }
+    assert blocked == single
+
+
 def test_ngram_hot_shingle_cutoff(docs):
     """max_shingle_df drops stopword-shingles from BOTH sides of the
     jaccard: with an aggressive cutoff the planted dup pair must still
