@@ -21,13 +21,30 @@ from ..schema import roles
 STATE_FILE = "_biosets_state.json"
 
 
-def save_to_disk(df: DataFrame, path: str, fingerprint: str | None = None, mode: str = "overwrite") -> None:
-    df.write.mode(mode).parquet(path)
+def save_to_disk(
+    df: DataFrame,
+    path: str,
+    fingerprint: str | None = None,
+    mode: str = "overwrite",
+    partition_by: list[str] | str | None = None,
+) -> None:
+    """Persist as parquet (+ role sidecar). ``partition_by`` writes a
+    hive-style layout (``col=value/`` directories) so downstream scans
+    with an equality/range filter on those columns prune whole
+    partitions before reading a byte — the 100 TB layout lever for
+    date- or split-keyed datasets.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        partition_by = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
     state = {
         "roles": roles.roles_snapshot(df),
         "columns": df.columns,
         "fingerprint": fingerprint,
         "format": "parquet",
+        "partition_by": partition_by or [],
     }
     with open(os.path.join(path, STATE_FILE), "w") as f:
         json.dump(state, f, indent=2)

@@ -104,6 +104,38 @@ def dedup_within_watermark(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    within: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join on ``key`` with an event-time interval
+    condition: right rows match left rows at most ``within`` later.
+
+    Both sides carry watermarks, so the join state for a key/time range
+    is dropped once the watermark passes — bounded state regardless of
+    stream length (the requirement for an unbounded 100 TB/day join).
+    The batch twin of this shape is q_asof_join / q_events_funnel.
+    """
+    lw = left.withWatermark(ts_col, watermark).alias("l")
+    rw = right.withWatermark(ts_col, watermark).alias("r")
+    cond = (
+        (col(f"l.{key}") == col(f"r.{key}"))
+        & (col(f"r.{ts_col}") >= col(f"l.{ts_col}"))
+        & (col(f"r.{ts_col}") <= col(f"l.{ts_col}") + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, "inner").select(
+        col(f"l.{key}").alias(key),
+        col(f"l.{ts_col}").alias("left_ts"),
+        col(f"r.{ts_col}").alias("right_ts"),
+        col("l.event_id").alias("left_event_id"),
+        col("r.event_id").alias("right_event_id"),
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = "append") -> list:
     """Drain a stream with Trigger.AvailableNow into a memory sink and
     return the rows (test/debug helper). Use output_mode="complete"

@@ -213,6 +213,30 @@ def test_load_dataset_from_tar_xz(spark, tmp_path):
     assert ds.num_rows == 2
 
 
+def test_partitioned_sink_prunes_partitions(spark, tmp_path):
+    """save_to_disk(partition_by=...) writes a hive layout and an
+    equality filter on the partition column reaches the scan as a
+    PartitionFilter (whole directories skipped, not row groups)."""
+    from biosets_spark.sources.sink import load_from_disk, save_to_disk
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], float(i)) for i in range(30)],
+        "id long, split string, v double",
+    )
+    out = str(tmp_path / "part")
+    save_to_disk(df, out, partition_by="split")
+    import os
+
+    assert sorted(d for d in os.listdir(out) if d.startswith("split=")) == [
+        "split=a", "split=b", "split=c",
+    ]
+    back = load_from_disk(spark, out)
+    filtered = back.filter(back.split == "b")
+    assert filtered.count() == 10
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "split" in plan.split("PartitionFilters", 1)[1][:200]
+
+
 def test_directory_discovery_sees_all_archive_formats(spark, tmp_path):
     """discovery reuses archives.ARCHIVE_EXTS — a directory whose only
     data file is a .tar.xz must be discoverable (the two extension

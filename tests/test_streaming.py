@@ -132,3 +132,27 @@ def test_stateful_update_path_arms_timeout():
     assert out[0]["total_value"].iloc[0] == 6.0
     assert state.get == (4, 6.0)
     assert state.timeout_set == 1000
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Purchases join to the same user's clicks within the preceding
+    hour; watermarks on both sides bound the join state."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 7, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=10), 7, "click", 1.0, "{}"),
+        (3, base + dt.timedelta(minutes=30), 7, "purchase", 9.0, "{}"),
+        (4, base + dt.timedelta(hours=3), 7, "purchase", 5.0, "{}"),  # no click within 1h
+        (5, base, 8, "click", 1.0, "{}"),  # other user, no purchase
+    ]
+    p = str(tmp_path / "ss_events")
+    spark.createDataFrame(rows, SI.EVENTS_SCHEMA).coalesce(1).write.parquet(p)
+
+    clicks = SI.read_stream(spark, p).filter("event_type = 'click'")
+    purchases = SI.read_stream(spark, p).filter("event_type = 'purchase'")
+    joined = SI.stream_stream_join(clicks, purchases, within="1 hour")
+    out = SI.run_available_now(joined, "ss_join", output_mode="append")
+    pairs = sorted((r.left_event_id, r.right_event_id) for r in out)
+    assert pairs == [(1, 3), (2, 3)]
