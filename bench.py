@@ -36,8 +36,11 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("biosets-spark-bench")
 
-    # warm-up: JVM, codegen, parquet footer caches
+    # warm-up: JVM, codegen, parquet footer caches, and the Python
+    # worker pool (so the first Arrow-batched query isn't charged the
+    # one-time worker startup)
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    spark.range(0, 1024, 1, 32).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name, query in _q.QUERIES.items():

@@ -62,12 +62,16 @@ def connected_components(
             .join(labels.alias("l"), col("e.v") == col("l.u"))
             .select(col("e.u").alias("u"), col("l.component").alias("component"))
         )
+        # localCheckpoint (not cache): materializes AND truncates the
+        # logical plan, so planning cost stays constant per iteration
+        # instead of growing with the accumulated iterative lineage —
+        # at 50+ rounds the un-truncated plan is itself a bottleneck
         new_labels = (
             labels.select("u", "component")
             .union(neighbor_labels)
             .groupBy("u")
             .agg(F.min("component").alias("component"))
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.select(col("u").alias("nu"), col("component").alias("nc"))
