@@ -203,6 +203,82 @@ def q_quantize_embeddings(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
+# deterministic sampling (training-data mixing): hash-gated sampling is
+# reproducible across runs/engines and needs no shuffle — every row
+# decides its own fate from its key, unlike rand()-based sampling
+# ---------------------------------------------------------------------
+
+
+@q(
+    "q_stratified_sample",
+    # portable md5-derived hash gate: pmod(h, 10000) < rate*10000.
+    # Integer arithmetic — exactly reproducible in any ANSI engine.
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+    FROM customer
+    WHERE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 10000 < 2000
+    GROUP BY c_mktsegment
+    """,
+    desc="deterministic 20%% stratified sample via a portable hash gate "
+         "on the row key: no rand(), no shuffle, identical sample on "
+         "every run and every engine — the reproducible-subset "
+         "primitive for training-data pipelines.",
+    tags=["sampling"],
+)
+def q_stratified_sample(spark, sf_dir):
+    from .operators.dedup import portable_hash60
+
+    c = tables.load(spark, sf_dir, "customer")
+    gate = F.pmod(portable_hash60(col("c_custkey").cast("string")), lit(10000))
+    return (
+        c.filter(gate < 2000)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("bal_sum"),
+        )
+    )
+
+
+@q(
+    "q_mix_resample",
+    oracle="""
+    WITH langs AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS gate
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_kept
+    FROM langs
+    WHERE gate < (CASE lang
+                 WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
+                 WHEN 'fr' THEN 2500 ELSE 1000 END)
+    GROUP BY lang
+    """,
+    desc="corpus mixing by per-language sampling rates (hash-gated, "
+         "deterministic): the down-sampling half of temperature-based "
+         "data mixing for training corpora; no shuffle until the "
+         "final count.",
+    tags=["sampling", "mixing"],
+)
+def q_mix_resample(spark, sf_dir):
+    from .operators.dedup import portable_hash60
+
+    docs = tables.load(spark, sf_dir, "documents")
+    gate = F.pmod(portable_hash60(col("doc_id").cast("string")), lit(10000))
+    # rates in integer basis points: float*int casts truncate in Spark
+    # but round in DuckDB — integers sidestep the divergence entirely
+    rate_bps = F.when(col("lang") == "en", lit(5000)) \
+        .when(col("lang") == "de", lit(10000)) \
+        .when(col("lang") == "fr", lit(2500)) \
+        .otherwise(lit(1000))
+    kept = docs.filter(gate < rate_bps)
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+# ---------------------------------------------------------------------
 # content-defined chunking (rolling-hash boundaries): chunk-level
 # fingerprints power passage-level dedup of training corpora
 # ---------------------------------------------------------------------
