@@ -279,6 +279,126 @@ def q_mix_resample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
+# sequence packing: concatenate-then-chop at a fixed token budget (the
+# standard LLM pretraining packing); bins assigned arithmetically from
+# a partitioned window cumsum — one shuffle, no stateful pass
+# ---------------------------------------------------------------------
+
+
+@q(
+    "q_pack_sequences",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS cum_before
+      FROM d
+    )
+    SELECT lang, CAST(floor(cum_before / 512) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM c GROUP BY lang, bin
+    """,
+    desc="sequence packing (concat-and-chop at a 512-token budget): "
+         "bin = floor(cumulative-tokens-before / budget) per language "
+         "stream — per-key windows keep the cumsum partition-parallel.",
+    tags=["text", "packing"],
+)
+def q_pack_sequences(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang",
+        F.size(F.split(F.trim(col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.withColumn("cum_before", F.sum("n_tok").over(w) - col("n_tok"))
+    return (
+        c.withColumn("bin", F.floor(col("cum_before") / lit(512)))
+        .groupBy("lang", "bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+
+
+# ---------------------------------------------------------------------
+# corpus hygiene: boilerplate n-grams and test-set contamination
+# ---------------------------------------------------------------------
+
+
+@q(
+    "q_top_ngrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 1, 2)),
+                                   i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
+      FROM toks
+    )
+    SELECT g AS ngram, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+    FROM sh GROUP BY g
+    ORDER BY n_occ DESC, ngram LIMIT 20
+    """,
+    desc="corpus-level top-20 3-grams by occurrence (boilerplate / "
+         "template detector): explode + map-side-combinable counts + "
+         "TakeOrdered — no global sort.",
+    tags=["text", "ngram"],
+)
+def q_top_ngrams(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    t = F.split(F.trim(col("text")), r"\s+")
+    # 3-gram shingles, slicing the tail (zip_with pads the shorter side)
+    n = 3
+    idx = F.sequence(lit(0), F.greatest(F.size(t) - n, lit(0)))
+    g = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+    sh = docs.select("doc_id", F.explode(g).alias("ngram"))
+    return (
+        sh.groupBy("ngram")
+        .agg(F.count("*").alias("n_occ"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(col("n_occ").desc(), "ngram")
+        .limit(20)
+    )
+
+
+_PROBES = ["stream table hash", "row column sort", "window fast query"]
+
+
+@q(
+    "q_contamination",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(contains(text, 'stream table hash') AS INTEGER)
+         + CAST(contains(text, 'row column sort') AS INTEGER)
+         + CAST(contains(text, 'window fast query') AS INTEGER) AS n_probe_hits
+    FROM documents
+    WHERE contains(text, 'stream table hash')
+       OR contains(text, 'row column sort')
+       OR contains(text, 'window fast query')
+    """,
+    desc="test-set contamination scan: documents containing any of a "
+         "broadcast probe-phrase list, with per-doc hit counts — plain "
+         "substring predicates stay in whole-stage codegen (for large "
+         "probe sets swap in an Aho-Corasick pandas UDF).",
+    tags=["text", "contamination"],
+)
+def q_contamination(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    hits = [F.when(col("text").contains(p), 1).otherwise(0) for p in _PROBES]
+    total = hits[0]
+    for h in hits[1:]:
+        total = total + h
+    return (
+        docs.select("doc_id", "lang", total.cast("int").alias("n_probe_hits"))
+        .filter(col("n_probe_hits") > 0)
+    )
+
+
+# ---------------------------------------------------------------------
 # content-defined chunking (rolling-hash boundaries): chunk-level
 # fingerprints power passage-level dedup of training corpora
 # ---------------------------------------------------------------------
