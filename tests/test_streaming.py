@@ -156,3 +156,38 @@ def test_stream_stream_interval_join(spark, tmp_path):
     out = SI.run_available_now(joined, "ss_join", output_mode="append")
     pairs = sorted((r.left_event_id, r.right_event_id) for r in out)
     assert pairs == [(1, 3), (2, 3)]
+
+
+def test_file_sink_with_checkpoint_resumes(spark, tmp_path):
+    """writeStream to parquet with a checkpointLocation: draining twice
+    over the same input produces each row exactly once (offset tracking
+    survives query restarts — the exactly-once file-sink contract)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [(i, base + dt.timedelta(minutes=i), 1, "click", 1.0, "{}") for i in range(5)]
+    spark.createDataFrame(rows1, SI.EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        q = (
+            SI.read_stream(spark, src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(out).count() == 5
+    # restart with more input: only the new file is processed
+    rows2 = [(i, base + dt.timedelta(minutes=i), 2, "click", 1.0, "{}") for i in range(5, 8)]
+    spark.createDataFrame(rows2, SI.EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 8
+    assert got.select("event_id").distinct().count() == 8
