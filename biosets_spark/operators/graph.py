@@ -27,6 +27,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
 
+def free_local_checkpoint(df: DataFrame) -> None:
+    """Release the executor storage behind a localCheckpoint'ed
+    DataFrame. ``df.unpersist()`` is a no-op for checkpoints (the RDD
+    is persisted outside the CacheManager); the handle lives on the
+    LogicalRDD plan node. Safe to call on anything — silently does
+    nothing when the plan isn't a checkpoint."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
@@ -80,7 +92,10 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # frees the cached round-0 labels AND each round's checkpoint
+        # (unpersist() alone is a no-op for checkpointed frames)
         labels.unpersist()
+        free_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break

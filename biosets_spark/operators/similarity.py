@@ -44,6 +44,36 @@ def knn_bruteforce(
     return out.orderBy(col("sim").desc(), col("neighbor_id")).limit(k)
 
 
+def _grid_index(df: DataFrame, id_col: str, vec_col: str, max_index_rows: int):
+    """Shared grid-block scaffolding for the exact quadratic kernels:
+    returns (src, n_blocks) where src carries a ``_blk`` hash-assignment
+    column (and is cached) whenever more than one block is needed."""
+    import math
+
+    src = df.select(id_col, vec_col)
+    n = src.count()
+    n_blocks = max(1, math.ceil(n / max_index_rows))
+    if n_blocks > 1:
+        src = src.withColumn("_blk", F.pmod(F.xxhash64(col(id_col)), lit(n_blocks))).cache()
+    return src, n_blocks
+
+
+def _broadcast_block(src: DataFrame, bi: int, n_blocks: int, id_col: str, vec_col: str):
+    """Collect ONE index block to the driver, L2-normalize it, and
+    broadcast (ids, matrix). Returns None for an empty block (hash
+    assignment doesn't guarantee every block is non-empty)."""
+    import numpy as np
+
+    part = src.filter(col("_blk") == bi) if n_blocks > 1 else src
+    pdf = part.select(id_col, vec_col).toPandas()  # bounded: one block
+    if pdf.empty:
+        return None
+    ids = pdf[id_col].to_numpy()
+    M = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    return src.sparkSession.sparkContext.broadcast((ids, M))
+
+
 def all_pairs_topk(
     df: DataFrame,
     k: int = 20,
@@ -74,27 +104,16 @@ def all_pairs_topk(
     blocking. For corpora where even the grid is too slow, prefilter
     with lsh_signatures or go IVF.
     """
-    import math
-
     import numpy as np
 
     spark = df.sparkSession
-    src = df.select(id_col, vec_col)
-    n = src.count()
-    n_blocks = max(1, math.ceil(n / max_index_rows))
-    if n_blocks > 1:
-        src = src.withColumn("_blk", F.pmod(F.xxhash64(col(id_col)), lit(n_blocks))).cache()
+    src, n_blocks = _grid_index(df, id_col, vec_col, max_index_rows)
     kk = k
     best: list[tuple] = []  # ≤ n_blocks*k (id_a, id_b, sim) rows
     for bi in range(n_blocks):
-        part = src.filter(col("_blk") == bi) if n_blocks > 1 else src
-        pdf = part.select(id_col, vec_col).toPandas()  # bounded: one block
-        if pdf.empty:  # hash assignment doesn't guarantee non-empty blocks
+        b = _broadcast_block(src, bi, n_blocks, id_col, vec_col)
+        if b is None:
             continue
-        ids = pdf[id_col].to_numpy()
-        M = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
-        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        b = spark.sparkContext.broadcast((ids, M))
 
         def block(batches, _b=b):
             import pandas as pd
@@ -157,27 +176,21 @@ def embedding_dup_pairs(
     block. At very high corpus sizes compose behind SRP banding
     (lsh_signatures) to prune the O(N^2) work; the verify step here
     is exact either way.
-    """
-    import math
 
+    The checkpointed per-block results back the RETURNED DataFrame, so
+    they stay resident until the caller is done with it; free them
+    eagerly with ``operators.graph.free_local_checkpoint`` (per
+    unioned part) or let GC reclaim them.
+    """
     import numpy as np
 
     spark = df.sparkSession
-    src = df.select(id_col, vec_col)
-    n = src.count()
-    n_blocks = max(1, math.ceil(n / max_index_rows))
-    if n_blocks > 1:
-        src = src.withColumn("_blk", F.pmod(F.xxhash64(col(id_col)), lit(n_blocks))).cache()
+    src, n_blocks = _grid_index(df, id_col, vec_col, max_index_rows)
     parts = []
     for bi in range(n_blocks):
-        part = src.filter(col("_blk") == bi) if n_blocks > 1 else src
-        pdf = part.select(id_col, vec_col).toPandas()  # bounded: one block
-        if pdf.empty:
+        b = _broadcast_block(src, bi, n_blocks, id_col, vec_col)
+        if b is None:
             continue
-        ids = pdf[id_col].to_numpy()
-        M = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
-        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        b = spark.sparkContext.broadcast((ids, M))
 
         def block(batches, _b=b, _t=threshold):
             import pandas as pd

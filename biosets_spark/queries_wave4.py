@@ -335,10 +335,12 @@ def q_pack_sequences(spark, sf_dir):
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
     ),
     sh AS (
+      -- docs under 3 tokens emit NO grams (range is empty), so short
+      -- docs can't pollute the 3-gram counts with 1-/2-grams
       SELECT doc_id,
-             unnest(list_transform(range(1, greatest(len(t) - 1, 2)),
+             unnest(list_transform(range(1, len(t) - 1),
                                    i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
-      FROM toks
+      FROM toks WHERE len(t) >= 3
     )
     SELECT g AS ngram, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
     FROM sh GROUP BY g
@@ -352,14 +354,21 @@ def q_pack_sequences(spark, sf_dir):
 def q_top_ngrams(spark, sf_dir):
     docs = tables.load(spark, sf_dir, "documents")
     t = F.split(F.trim(col("text")), r"\s+")
-    # 3-gram shingles, slicing the tail (zip_with pads the shorter side)
     n = 3
-    idx = F.sequence(lit(0), F.greatest(F.size(t) - n, lit(0)))
+    # docs under n tokens are filtered before shingling so no partial
+    # grams enter the counts
+    idx = F.sequence(lit(0), F.size(t) - n)
     g = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
-    sh = docs.select("doc_id", F.explode(g).alias("ngram"))
+    sh = (
+        docs.filter(F.size(t) >= n)
+        .select("doc_id", F.explode(g).alias("ngram"))
+    )
+    # two-level aggregate instead of countDistinct: avoids the Expand
+    # (2x row duplication) plan; both shuffles are map-side combinable
+    per_doc = sh.groupBy("ngram", "doc_id").agg(F.count("*").alias("n_in_doc"))
     return (
-        sh.groupBy("ngram")
-        .agg(F.count("*").alias("n_occ"), F.countDistinct("doc_id").alias("n_docs"))
+        per_doc.groupBy("ngram")
+        .agg(F.sum("n_in_doc").alias("n_occ"), F.count("*").alias("n_docs"))
         .orderBy(col("n_occ").desc(), "ngram")
         .limit(20)
     )

@@ -41,18 +41,22 @@ def _to_local(path: str) -> str:
     be opened driver-side — archives on remote stores must be unpacked
     at ingest (the 100 TB recommendation above applies doubly there).
     """
-    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.\-]*):(?://)?(.*)$", path)
+    # scheme must be followed by '/' — a bare colon in a filename
+    # ('data:v2.zip', 'C:\\x.zip') is NOT a URI
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.\-]*):(?=/)(?://)?(.*)$", path)
     if not m:
         return path
-    scheme, rest = m.groups()
+    scheme, _rest = m.groups()
     if scheme.lower() != "file":
         raise ValueError(
             f"cannot extract archive {path!r} from a remote filesystem; "
             "unpack it at ingest (or download it locally) first"
         )
-    # file:///dir/x, file:/dir/x, file://host/dir/x all → /dir/x
+    # file:///dir/x, file:/dir/x, file://host/dir/x all → /dir/x.
+    # No percent-unquoting: Hadoop Path.toString() does not encode, and
+    # unquoting would corrupt filenames containing literal '%'.
     parsed = urllib.parse.urlparse(path)
-    return urllib.parse.unquote(parsed.path) or rest
+    return parsed.path
 
 
 def extract(path: str, dest: str | None = None) -> list[str]:
@@ -111,11 +115,27 @@ def extract(path: str, dest: str | None = None) -> list[str]:
 def expand_paths(paths: list[str]) -> list[str]:
     """Replace archive entries in a file list with their extracted
     members (pass-through for everything else, including gz/bz2 single
-    files which Spark reads natively)."""
+    files which Spark reads natively).
+
+    An archive that cannot be extracted (missing optional codec
+    package, remote scheme) is skipped with a warning rather than
+    failing the whole load — a stray .7z in a data directory must not
+    make its CSVs unreadable. If NOTHING remains readable the first
+    error is re-raised, so an explicitly requested archive still fails
+    loudly."""
+    import warnings
+
     out: list[str] = []
+    errors: list[Exception] = []
     for p in paths:
         if is_archive(p):
-            out.extend(extract(p))
+            try:
+                out.extend(extract(p))
+            except (ImportError, ValueError) as e:
+                errors.append(e)
+                warnings.warn(f"skipping unreadable archive {p!r}: {e}")
         else:
             out.append(p)
+    if not out and errors:
+        raise errors[0]
     return out

@@ -45,17 +45,28 @@ def save_to_disk(
         "fingerprint": fingerprint,
         "format": "parquet",
         "partition_by": partition_by or [],
+        # partition values live in DIRECTORY NAMES, not parquet files;
+        # the reader re-infers their types ("1" -> int), so the saved
+        # dtypes must be recorded to round-trip the schema faithfully
+        "partition_schema": {
+            c: df.schema[c].dataType.simpleString() for c in (partition_by or [])
+        },
     }
     with open(os.path.join(path, STATE_FILE), "w") as f:
         json.dump(state, f, indent=2)
 
 
 def load_from_disk(spark: SparkSession, path: str) -> DataFrame:
+    from pyspark.sql.functions import col
+
     df = spark.read.parquet(path)
     state_path = os.path.join(path, STATE_FILE)
     if os.path.exists(state_path):
         with open(state_path) as f:
             state = json.load(f)
+        for c, dt in (state.get("partition_schema") or {}).items():
+            if c in df.columns and df.schema[c].dataType.simpleString() != dt:
+                df = df.withColumn(c, col(c).cast(dt))
         df = roles.apply_roles(df, state.get("roles", {}))
         cols = [c for c in state.get("columns", []) if c in df.columns]
         if cols:

@@ -237,6 +237,67 @@ def test_partitioned_sink_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "split" in plan.split("PartitionFilters", 1)[1][:200]
 
 
+def test_partitioned_sink_roundtrips_partition_dtype(spark, tmp_path):
+    """Partition values live in directory names; the reader re-infers
+    their types ('0' -> int). load_from_disk must cast back to the
+    saved dtype recorded in the sidecar."""
+    from biosets_spark.sources.sink import load_from_disk, save_to_disk
+
+    df = spark.createDataFrame(
+        [(1, "0"), (2, "1"), (3, "0")], "id long, label string"
+    )
+    out = str(tmp_path / "p")
+    save_to_disk(df, out, partition_by="label")
+    back = load_from_disk(spark, out)
+    assert dict(back.dtypes)["label"] == "string"
+    assert back.filter(back.label == "1").count() == 1
+
+
+def test_stray_unreadable_archive_is_skipped(spark, tmp_path, monkeypatch):
+    """A stray archive needing an absent optional codec must not make
+    the directory's readable files unloadable — it is skipped with a
+    warning. An ONLY-archive input still fails loudly."""
+    import builtins
+    import warnings as _warnings
+
+    from biosets_spark import load_dataset
+    from biosets_spark.sources import archives
+
+    real_import = builtins.__import__
+
+    def no_py7zr(name, *a, **kw):
+        if name == "py7zr":
+            raise ImportError("No module named 'py7zr'")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", no_py7zr)
+    (tmp_path / "d.csv").write_text("sample,h1\ns1,1\n")
+    (tmp_path / "legacy.7z").write_bytes(b"7z\xbc\xaf\x27\x1c")
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        ds = load_dataset(path=str(tmp_path), spark=spark)
+    assert ds.num_rows == 1
+    assert any("skipping unreadable archive" in str(x.message) for x in w)
+    with pytest.raises(ImportError, match="py7zr"):
+        archives.expand_paths([str(tmp_path / "legacy.7z")])
+
+
+def test_colon_in_local_filename_is_not_a_uri(tmp_path, monkeypatch):
+    """'data:v2.zip' as a RELATIVE path is a legal local filename, not
+    a scheme-qualified URI (schemes require ':/')."""
+    import zipfile
+
+    from biosets_spark.sources import archives
+
+    (tmp_path / "inner.csv").write_text("a\n1\n")
+    arc = tmp_path / "data:v2.zip"
+    with zipfile.ZipFile(arc, "w") as z:
+        z.write(tmp_path / "inner.csv", arcname="inner.csv")
+    monkeypatch.chdir(tmp_path)
+    out = archives.extract("data:v2.zip")
+    assert len(out) == 1 and out[0].endswith("inner.csv")
+
+
 def test_directory_discovery_sees_all_archive_formats(spark, tmp_path):
     """discovery reuses archives.ARCHIVE_EXTS — a directory whose only
     data file is a .tar.xz must be discoverable (the two extension
