@@ -203,6 +203,104 @@ def q_quantize_embeddings(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
+# hypertable-style time-series ops: multi-resolution rollup in one
+# pass, and gap filling a sparse series onto a dense spine
+# ---------------------------------------------------------------------
+
+
+@q(
+    "q_events_multires",
+    # one GROUPING SETS pass produces both resolutions (hour + day) —
+    # the continuous-aggregate / hypertable-rollup shape; grouping_id
+    # disambiguates the level
+    oracle="""
+    SELECT CASE WHEN GROUPING(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00')) = 0
+                THEN 'hour' ELSE 'day' END AS res,
+           COALESCE(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00'),
+                    strftime(date_trunc('day', ts), '%Y-%m-%d')) AS bucket,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS (
+      (strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00'), event_type),
+      (strftime(date_trunc('day', ts), '%Y-%m-%d'), event_type)
+    )
+    """,
+    desc="multi-resolution rollup (hour + day in ONE grouping-sets "
+         "pass): the hypertable continuous-aggregate shape — partial "
+         "aggregation is shared across resolutions, one shuffle total.",
+    tags=["events", "rollup"],
+)
+def q_events_multires(spark, sf_dir):
+    e = tables.load(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00")
+    day = F.date_format(F.date_trunc("day", col("ts")), "yyyy-MM-dd")
+    g = e.select(hour.alias("h"), day.alias("d"), "event_type", "value")
+    rolled = g.groupingSets(
+        [[col("h"), col("event_type")], [col("d"), col("event_type")]],
+        col("h"), col("d"), col("event_type"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+    return rolled.select(
+        F.when(col("h").isNotNull(), "hour").otherwise("day").alias("res"),
+        F.coalesce(col("h"), col("d")).alias("bucket"),
+        "event_type", "n", "total_value",
+    )
+
+
+@q(
+    "q_events_gapfill",
+    # dense hourly spine per event_type via sequence/generate_series +
+    # left join; missing buckets surface as zeros — sparse series in,
+    # dense series out
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(s.h, '%Y-%m-%d %H:00') AS hour, t.event_type,
+           COALESCE(a.n, 0) AS n
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN agg a ON a.h = s.h AND a.event_type = t.event_type
+    """,
+    desc="time-series gap filling: dense hourly spine (sequence + "
+         "explode, broadcast to the type dimension) left-joined to the "
+         "sparse hourly aggregate; absent buckets emit n=0.",
+    tags=["events", "gapfill", "cross"],
+)
+def q_events_gapfill(spark, sf_dir):
+    e = tables.load(spark, sf_dir, "events")
+    agg = (
+        e.groupBy(F.date_trunc("hour", col("ts")).alias("h"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(col("lo"), col("hi"), F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    dense = spine.crossJoin(broadcast(types))
+    out = dense.join(agg, ["h", "event_type"], "left")
+    return out.select(
+        F.date_format(col("h"), "yyyy-MM-dd HH:00").alias("hour"),
+        "event_type",
+        F.coalesce(col("n"), lit(0)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------
 # deterministic sampling (training-data mixing): hash-gated sampling is
 # reproducible across runs/engines and needs no shuffle — every row
 # decides its own fate from its key, unlike rand()-based sampling
