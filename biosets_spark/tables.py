@@ -26,6 +26,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp rendering (date_trunc/date_format) follows the
+        # session timezone; pin UTC at runtime so driver-owned sessions
+        # render identically to the DuckDB oracle's naive timestamps
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         # timestamp[ns] -> TimestampType at microsecond precision.
         # Integer division: epoch-ns values exceed double's 53-bit
