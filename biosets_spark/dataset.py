@@ -255,5 +255,47 @@ class BioDataset:
     def to_pandas(self):
         return self.df.toPandas()
 
+    def to_dict(self) -> dict[str, list]:
+        """Columnar dict (reference Dataset.to_dict shape:
+        {column: [values...]}). Collects — caller bounds the size."""
+        rows = [r.asDict(recursive=True) for r in self.df.collect()]
+        return {c: [r[c] for r in rows] for c in self.df.columns}
+
+    def unique(self, column: str) -> list:
+        """Sorted distinct values of one column (distinct is the only
+        shuffle; None sorts last)."""
+        vals = [r[0] for r in self.df.select(column).distinct().collect()]
+        return sorted(
+            vals, key=lambda v: (v is None, v if v is not None else 0)
+        )
+
+    def iter_batches(self, batch_size: int = 1000) -> Iterator[list[dict]]:
+        """Stream the dataset to the driver in bounded batches
+        (training-loop feed): ``toLocalIterator`` pulls ONE partition
+        at a time, so driver memory is one partition + one batch, never
+        the whole table."""
+        batch: list[dict] = []
+        for row in self.df.toLocalIterator():
+            batch.append(row.asDict(recursive=True))
+            if len(batch) >= batch_size:
+                yield batch
+                batch = []
+        if batch:
+            yield batch
+
+    def add_column(self, name: str, values: list) -> "BioDataset":
+        """Attach a driver-side value list by position (reference
+        Dataset.add_column). Distributed positional zip via the JVM
+        row-index machinery in operators.joins — no Python-side order
+        assumptions. Length must match exactly."""
+        from .operators import joins as _joins
+
+        spark = self.df.sparkSession
+        vdf = spark.createDataFrame([(v,) for v in values], schema=None) \
+            .toDF(name) if values else None
+        if vdf is None:
+            raise ValueError("add_column: empty values")
+        return self._wrap(_joins.align_horizontal(self.df, vdf))
+
     def __repr__(self) -> str:
         return f"BioDataset(split={self.split!r}, columns={self.columns})"

@@ -152,3 +152,22 @@ def test_in_memory_constructors(spark):
 
     d4 = BioDataset.from_generator(gen, spark=spark)
     assert d4.num_rows == 4
+
+
+def test_export_surface_to_dict_unique_iter_add(spark):
+    """Reference Dataset export parity: to_dict / unique /
+    iter_batches / add_column."""
+    from biosets_spark.dataset import BioDataset
+
+    ds = BioDataset.from_dict(
+        {"sample": ["s1", "s2", "s3"], "h1": [3, 1, 3]}, spark=spark
+    )
+    d = ds.to_dict()
+    assert d == {"sample": ["s1", "s2", "s3"], "h1": [3, 1, 3]}
+    assert ds.unique("h1") == [1, 3]
+    batches = list(ds.iter_batches(batch_size=2))
+    assert [len(b) for b in batches] == [2, 1]
+    assert batches[0][0]["sample"] == "s1"
+    with_col = ds.add_column("w", [0.5, 0.25, 0.125])
+    got = {r["sample"]: r["w"] for r in with_col.head(5)}
+    assert got == {"s1": 0.5, "s2": 0.25, "s3": 0.125}
