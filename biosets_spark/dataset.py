@@ -257,9 +257,14 @@ class BioDataset:
 
     def to_dict(self) -> dict[str, list]:
         """Columnar dict (reference Dataset.to_dict shape:
-        {column: [values...]}). Collects — caller bounds the size."""
-        rows = [r.asDict(recursive=True) for r in self.df.collect()]
-        return {c: [r[c] for r in rows] for c in self.df.columns}
+        {column: [values...]}). Collects — caller bounds the size;
+        built in one pass so the driver holds the data once."""
+        out: dict[str, list] = {c: [] for c in self.df.columns}
+        for r in self.df.collect():
+            d = r.asDict(recursive=True)
+            for c in out:
+                out[c].append(d[c])
+        return out
 
     def unique(self, column: str) -> list:
         """Sorted distinct values of one column (distinct is the only
@@ -283,19 +288,30 @@ class BioDataset:
         if batch:
             yield batch
 
-    def add_column(self, name: str, values: list) -> "BioDataset":
-        """Attach a driver-side value list by position (reference
-        Dataset.add_column). Distributed positional zip via the JVM
-        row-index machinery in operators.joins — no Python-side order
-        assumptions. Length must match exactly."""
+    def add_column(self, name: str, values: list, dtype: str | None = None) -> "BioDataset":
+        """Append a driver-side value list by position (reference
+        Dataset.add_column: new column goes LAST). Distributed
+        positional zip via the JVM row-index machinery in
+        operators.joins — no Python-side order assumptions. Length
+        must match exactly; pass ``dtype`` when it can't be inferred
+        (empty or all-None values)."""
         from .operators import joins as _joins
 
+        if name in self.df.columns:
+            raise ValueError(f"add_column: column {name!r} already exists")
         spark = self.df.sparkSession
-        vdf = spark.createDataFrame([(v,) for v in values], schema=None) \
-            .toDF(name) if values else None
-        if vdf is None:
-            raise ValueError("add_column: empty values")
-        return self._wrap(_joins.align_horizontal(self.df, vdf))
+        if dtype is not None:
+            vdf = spark.createDataFrame([(v,) for v in values], schema=f"{name} {dtype}")
+        else:
+            try:
+                vdf = spark.createDataFrame([(v,) for v in values]).toDF(name)
+            except Exception as e:
+                raise ValueError(
+                    f"add_column: cannot infer a type for {name!r} "
+                    "(empty or all-None values) — pass dtype="
+                ) from e
+        out = _joins.align_horizontal(self.df, vdf)
+        return self._wrap(out.select(*self.df.columns, name))
 
     def __repr__(self) -> str:
         return f"BioDataset(split={self.split!r}, columns={self.columns})"

@@ -242,9 +242,13 @@ def q_events_multires(spark, sf_dir):
     ).agg(
         F.count("*").alias("n"),
         F.sum(col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        # grouping() mirrors the oracle's GROUPING(): h being NULL
+        # inside the hour set (a null ts) must still label the row
+        # 'hour'; only valid inside the aggregate, hence aliased here
+        F.grouping(col("h")).alias("_gh"),
     )
     return rolled.select(
-        F.when(col("h").isNotNull(), "hour").otherwise("day").alias("res"),
+        F.when(col("_gh") == 0, "hour").otherwise("day").alias("res"),
         F.coalesce(col("h"), col("d")).alias("bucket"),
         "event_type", "n", "total_value",
     )

@@ -169,5 +169,14 @@ def test_export_surface_to_dict_unique_iter_add(spark):
     assert [len(b) for b in batches] == [2, 1]
     assert batches[0][0]["sample"] == "s1"
     with_col = ds.add_column("w", [0.5, 0.25, 0.125])
+    assert with_col.columns == ["sample", "h1", "w"]  # appended, not prepended
     got = {r["sample"]: r["w"] for r in with_col.head(5)}
     assert got == {"s1": 0.5, "s2": 0.25, "s3": 0.125}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already exists"):
+        ds.add_column("h1", [9, 9, 9])
+    with _pytest.raises(ValueError, match="dtype"):
+        ds.add_column("x", [None, None, None])
+    all_null = ds.add_column("x", [None, None, None], dtype="double")
+    assert [r["x"] for r in all_null.head(5)] == [None, None, None]
