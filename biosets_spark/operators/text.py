@@ -152,3 +152,25 @@ def rolling_hash(df: DataFrame, text_col: str = "text", output_col: str = "rhash
         lambda acc, t: ((acc * base + F.abs(F.xxhash64(t)) % mod) % mod).cast("decimal(38,0)"),
     )
     return df.withColumn(output_col, h.cast("long"))
+
+
+def pack_bins(df: DataFrame, token_col: str, order_col: str, budget: int,
+              key_cols: list[str] | None = None) -> DataFrame:
+    """Sequence packing, concat-and-chop style: documents are laid out
+    in ``order_col`` order within each key group and chopped into
+    fixed-``budget`` token bins — ``bin = floor(cum_tokens_before /
+    budget)`` (docs may straddle bin boundaries, exactly like LLM
+    pretraining packing). Per-key windows keep the cumsum
+    partition-parallel; one shuffle. Adds ``_bin`` and
+    ``_cum_before``."""
+    from pyspark.sql import Window
+
+    keys = key_cols or []
+    w = (
+        Window.partitionBy(*keys).orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_before = F.sum(col(token_col)).over(w) - col(token_col)
+    return df.withColumn("_cum_before", cum_before).withColumn(
+        "_bin", F.floor(col("_cum_before") / lit(budget))
+    )

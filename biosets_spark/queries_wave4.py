@@ -189,15 +189,16 @@ def q_not_exists_customers(spark, sf_dir):
     tags=["similarity", "quantize"],
 )
 def q_quantize_embeddings(spark, sf_dir):
+    from .functions.vectors import quantize_int8, quantize_scale
+
     emb = tables.load(spark, sf_dir, "embeddings")
-    demb = F.transform(col("embedding"), lambda x: x.cast("double"))
-    sc = lit(127.0) / F.greatest(
-        F.array_max(F.transform(demb, lambda x: F.abs(x))), lit(1e-12)
+    withs = emb.select(
+        "vec_id", col("embedding").alias("emb"),
+        quantize_scale(col("embedding")).alias("sc"),
     )
-    withs = emb.select("vec_id", demb.alias("emb"), sc.alias("sc"))
     return withs.select(
         "vec_id",
-        F.transform(col("emb"), lambda x: F.floor(x * col("sc") + lit(0.5)).cast("int")).alias("q8"),
+        quantize_int8(col("emb"), col("sc")).alias("q8"),
         F.round(col("sc"), 6).cast("double").alias("scale6"),
     )
 
@@ -411,16 +412,16 @@ def q_mix_resample(spark, sf_dir):
     tags=["text", "packing"],
 )
 def q_pack_sequences(spark, sf_dir):
+    from .operators.text import pack_bins
+
     docs = tables.load(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id", "lang",
         F.size(F.split(F.trim(col("text")), r"\s+")).cast("long").alias("n_tok"),
     )
-    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    c = d.withColumn("cum_before", F.sum("n_tok").over(w) - col("n_tok"))
+    packed = pack_bins(d, token_col="n_tok", order_col="doc_id", budget=512, key_cols=["lang"])
     return (
-        c.withColumn("bin", F.floor(col("cum_before") / lit(512)))
-        .groupBy("lang", "bin")
+        packed.groupBy("lang", col("_bin").alias("bin"))
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
     )
 

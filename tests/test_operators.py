@@ -266,3 +266,64 @@ def test_salted_join_rejects_outer(spark):
 
     with _pt.raises(ValueError, match="spurious"):
         salted_join(large, small, "k", how="full")
+
+
+def test_quantize_int8_properties(spark):
+    """Randomized property check in ONE job: q8 in [-127,127], exact
+    agreement with the numpy reference formula, dequant error bounded
+    by 0.5/scale per element."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from biosets_spark.functions.vectors import dequantize_int8, quantize_int8, quantize_scale
+
+    rng = np.random.default_rng(7)
+    vecs = [rng.normal(0, s, 16).tolist() for s in (1e-6, 0.1, 1.0, 100.0) for _ in range(50)]
+    vecs.append([0.0] * 16)  # all-zero guard path
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vecs)], "i long, v array<double>")
+    out = df.select(
+        "i", "v",
+        quantize_scale(F.col("v")).alias("sc"),
+        quantize_int8(F.col("v")).alias("q8"),
+    ).withColumn("back", dequantize_int8(F.col("q8"), F.col("sc"))).collect()
+    for r in out:
+        q = np.array(r.q8)
+        assert q.min() >= -127 and q.max() <= 127
+        ref_scale = 127.0 / max(np.abs(np.array(r.v)).max(), 1e-12)
+        ref_q = np.floor(np.array(r.v) * ref_scale + 0.5).astype(int)
+        assert (q == ref_q).all()
+        err = np.abs(np.array(r.back) - np.array(r.v))
+        assert (err <= 0.5 / r.sc + 1e-12).all()
+
+
+def test_pack_bins_properties(spark):
+    """Randomized property check: bins are non-decreasing in layout
+    order, bin ids match the python reference cumsum, token totals are
+    preserved, and no bin's starting offset exceeds the budget
+    boundary it belongs to."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from biosets_spark.operators.text import pack_bins
+
+    rnd = random.Random(13)
+    rows = [(i, rnd.choice("ab"), rnd.randint(1, 700)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, n_tok long")
+    packed = pack_bins(df, token_col="n_tok", order_col="doc_id", budget=512,
+                       key_cols=["grp"]).collect()
+    by_grp = {}
+    for r in sorted(packed, key=lambda r: (r.grp, r.doc_id)):
+        by_grp.setdefault(r.grp, []).append(r)
+    total = 0
+    for grp, rs in by_grp.items():
+        cum = 0
+        prev_bin = 0
+        for r in rs:
+            assert r._cum_before == cum
+            assert r._bin == cum // 512
+            assert r._bin >= prev_bin
+            prev_bin = r._bin
+            cum += r.n_tok
+            total += r.n_tok
+    assert total == sum(n for _, _, n in rows)
