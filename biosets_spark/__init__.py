@@ -16,6 +16,22 @@ from .load import load_dataset
 from .session import get_spark
 from .sources.sink import load_from_disk, save_to_disk
 
+
+def concatenate_datasets(dsets: list, axis: int = 0) -> "BioDataset":
+    """Reference-parity top-level concat (datasets.concatenate_datasets):
+    axis 0 unions rows through the type-promotion lattice, axis 1 zips
+    columns positionally (first-wins on duplicate names). Accepts
+    BioDataset or DataFrame items."""
+    from .operators.concat import concat as _concat
+
+    frames = [d.df if isinstance(d, BioDataset) else d for d in dsets]
+    split = next((d.split for d in dsets if isinstance(d, BioDataset)), "train")
+    return BioDataset(_concat(frames, axis=axis), split=split)
+
+
 __version__ = "0.1.0"
 
-__all__ = ["BioDataset", "load_dataset", "get_spark", "save_to_disk", "load_from_disk"]
+__all__ = [
+    "BioDataset", "load_dataset", "get_spark", "save_to_disk",
+    "load_from_disk", "concatenate_datasets",
+]

@@ -180,3 +180,16 @@ def test_export_surface_to_dict_unique_iter_add(spark):
         ds.add_column("x", [None, None, None])
     all_null = ds.add_column("x", [None, None, None], dtype="double")
     assert [r["x"] for r in all_null.head(5)] == [None, None, None]
+
+
+def test_concatenate_datasets_top_level(spark):
+    """Reference-parity datasets.concatenate_datasets analogue."""
+    from biosets_spark import BioDataset, concatenate_datasets
+
+    a = BioDataset.from_dict({"sample": ["s1"], "h1": [1]}, spark=spark)
+    b = BioDataset.from_dict({"sample": ["s2"], "h1": [2]}, spark=spark)
+    rows = concatenate_datasets([a, b])
+    assert rows.num_rows == 2 and rows.columns == ["sample", "h1"]
+    c = BioDataset.from_dict({"w": [0.5]}, spark=spark)
+    wide = concatenate_datasets([a, c], axis=1)
+    assert wide.num_rows == 1 and set(wide.columns) == {"sample", "h1", "w"}
