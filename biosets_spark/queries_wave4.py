@@ -203,6 +203,58 @@ def q_quantize_embeddings(spark, sf_dir):
     )
 
 
+@q(
+    "q_knn_quantized",
+    # identical elementwise quantize->dequantize->cosine arithmetic in
+    # both engines (no aggregation-order divergence: the cosine folds
+    # left-to-right over 64 elements in each)
+    oracle="""
+    WITH qd AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             127.0 / greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                      y -> abs(y))), 1e-12) AS sc
+      FROM embeddings
+    ),
+    deq AS (
+      SELECT vec_id,
+             list_transform(emb, x -> CAST(floor(x * sc + 0.5) AS DOUBLE) / sc) AS demb
+      FROM qd
+    ),
+    qv AS (SELECT demb AS q FROM deq WHERE vec_id = 0)
+    SELECT d.vec_id AS neighbor_id
+    FROM deq d, qv
+    WHERE d.vec_id <> 0
+    ORDER BY list_cosine_similarity(d.demb, qv.q) DESC, d.vec_id
+    LIMIT 10
+    """,
+    desc="top-10 kNN over int8-QUANTIZED vectors (quantize, dequantize, "
+         "exact cosine): measures search on the 4x-smaller index the "
+         "quantization path produces; the int8 arrays are what a 100 TB "
+         "corpus would actually store and shuffle.",
+    tags=["similarity", "knn", "quantize"],
+)
+def q_knn_quantized(spark, sf_dir):
+    from .functions.vectors import cosine, dequantize_int8, quantize_int8, quantize_scale
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    deq = emb.select(
+        "vec_id",
+        dequantize_int8(
+            quantize_int8(col("embedding"), quantize_scale(col("embedding"))),
+            quantize_scale(col("embedding")),
+        ).alias("demb"),
+    )
+    qrow = deq.filter(col("vec_id") == 0).select("demb").first()[0]
+    qv = F.array(*[lit(float(x)) for x in qrow])
+    return (
+        deq.filter(col("vec_id") != 0)
+        .select(col("vec_id").alias("neighbor_id"), cosine(col("demb"), qv).alias("sim"))
+        .orderBy(col("sim").desc(), col("neighbor_id"))
+        .limit(10)
+        .select("neighbor_id")
+    )
+
+
 # ---------------------------------------------------------------------
 # hypertable-style time-series ops: multi-resolution rollup in one
 # pass, and gap filling a sparse series onto a dense spine
