@@ -59,9 +59,42 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Queries that already have green driver CORRECTNESS rows (r1+r2 windows).
+# The driver records the first ~50 entries of queries(); registration order
+# below puts everything NOT in this set first, so queries that have never
+# had a driver row (wave-2 tail, wave3, wave4, and anything new this round)
+# land inside the recorded window. All queries keep their oracles either way.
+_DRIVER_CHECKED = frozenset({
+    "q_scan_filter_project", "q_cast_project", "q_pricing_summary",
+    "q_forecast_revenue", "q_distinct_agg", "q_rollup", "q_cube", "q_quantiles",
+    "q_join_agg", "q_top_orders", "q_left_join_histogram", "q_semi_join",
+    "q_anti_join", "q_full_outer", "q_meta_left_join", "q_set_intersect",
+    "q_set_except", "q_union_promote", "q_window_topk_per_group",
+    "q_window_running_sum", "q_window_lag_gap", "q_ntile_kfold",
+    "q_string_funcs", "q_date_funcs", "q_math_funcs", "q_json_funcs",
+    "q_array_funcs", "q_label_encode", "q_label_binary",
+    "q_label_decode_roundtrip", "q_dedup_exact", "q_dedup_fingerprint",
+    "q_dedup_ngram_jaccard", "q_dedup_minhash_lsh", "q_dedup_simhash",
+    "q_knn_bruteforce", "q_knn_pairs", "q_knn_lsh", "q_text_tokens",
+    "q_text_quality", "q_lang_distribution", "q_events_hourly",
+    "q_events_sessions", "q_events_dedup_stateful", "q_multimodal_binary",
+    "q_knn_ivf", "q_asof_join", "q_cross_join", "q_range_join",
+    "q_flatten_struct",
+})
+
+
+def _ordered_names() -> list[str]:
+    names = list(_q.QUERIES)
+    return (
+        [n for n in names if n not in _DRIVER_CHECKED]
+        + [n for n in names if n in _DRIVER_CHECKED]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {}
-    for name, query in _q.QUERIES.items():
+    for name in _ordered_names():
+        query = _q.QUERIES[name]
         def make(fn):
             def wrapped(spark, sf_dir, _fn=fn):
                 apply_session_conf(spark)
@@ -72,4 +105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: query.oracle for name, query in _q.QUERIES.items() if query.oracle}
+    return {
+        name: _q.QUERIES[name].oracle
+        for name in _ordered_names()
+        if _q.QUERIES[name].oracle
+    }

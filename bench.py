@@ -54,13 +54,18 @@ def main() -> None:
             print(f"# ERROR {name}: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(json.dumps({
+    line = json.dumps({
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    })
+    print(line)
+    # Also persist to a file: the driver captures stdout by tail, which
+    # truncated the r2 artifact (BENCH_r02.json parsed:null). The file
+    # copy survives any tail window.
+    (Path(__file__).resolve().parent / "bench_out.json").write_text(line + "\n")
 
 
 if __name__ == "__main__":

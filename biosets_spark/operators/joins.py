@@ -185,6 +185,19 @@ def join_sample_metadata(
     return roles.with_role(out, sample_col, roles.ROLE_SAMPLE)
 
 
+def zip_with_index_counted(
+    df: DataFrame, order_by: list[str] | None = None, col_name: str = "_row_id"
+) -> tuple[DataFrame, int]:
+    """``zip_with_index`` variant that also returns the total row count.
+
+    The per-partition count pass already sums to the table size, so
+    callers that need both the index AND ``n`` (kfold_assign, percent
+    slicing) get the count for free instead of paying a second cache +
+    count() action over the indexed frame.
+    """
+    return _zip_with_index_impl(df, order_by, col_name)
+
+
 def zip_with_index(df: DataFrame, order_by: list[str] | None = None, col_name: str = "_row_id") -> DataFrame:
     """Attach a contiguous 0-based row index — entirely JVM-side.
 
@@ -199,7 +212,18 @@ def zip_with_index(df: DataFrame, order_by: list[str] | None = None, col_name: s
     partition pass (tiny: one row per partition) yields cumulative
     offsets, applied as a literal map. Two narrow passes, no data
     shuffle, rows never leave the JVM.
+
+    The returned frame references a cached intermediate (the pinned
+    partition layout); in long-running sessions call
+    ``spark.catalog.clearCache()`` (or unpersist via
+    ``df.sparkSession``) once the indexed result is materialized.
     """
+    return _zip_with_index_impl(df, order_by, col_name)[0]
+
+
+def _zip_with_index_impl(
+    df: DataFrame, order_by: list[str] | None, col_name: str
+) -> tuple[DataFrame, int]:
     src = df.orderBy(*order_by) if order_by else df
     tmp = src.withColumn("_mid", F.monotonically_increasing_id())
     tmp = (
@@ -216,12 +240,13 @@ def zip_with_index(df: DataFrame, order_by: list[str] | None = None, col_name: s
         offsets[p] = acc
         acc += n
     if not offsets:
-        return src.withColumn(col_name, F.lit(0).cast("long")).limit(0)
+        return src.withColumn(col_name, F.lit(0).cast("long")).limit(0), 0
     off_map = F.create_map(*[F.lit(x).cast("long") for p, o in offsets.items() for x in (p, o)])
-    return (
+    out = (
         tmp.withColumn(col_name, (F.element_at(off_map, F.col("_pid")) + F.col("_pos")).cast("long"))
         .drop("_mid", "_pid", "_pos")
     )
+    return out, acc
 
 
 def align_horizontal(data: DataFrame, metadata: DataFrame, order_by_left: list[str] | None = None,

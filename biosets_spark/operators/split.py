@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .joins import zip_with_index
+from .joins import zip_with_index, zip_with_index_counted
 
 
 def train_test_split(
@@ -90,9 +90,13 @@ def kfold_assign(df: DataFrame, k: int, order_by: list[str],
     the row id using NTILE's exact allocation (first n%k folds get
     ``n//k + 1`` rows, the rest ``n//k``). Identical output to NTILE
     over the same total order, reproducible by the SQL oracle.
+
+    ``zip_with_index_counted`` supplies ``n`` from the per-partition
+    count pass it already runs, so fold assignment costs ONE action and
+    ONE cache (the pinned partition layout inside zip_with_index) —
+    not the former cache+count over the indexed frame.
     """
-    with_id = zip_with_index(df, order_by=order_by, col_name="_kf_id").cache()
-    n = with_id.count()
+    with_id, n = zip_with_index_counted(df, order_by=order_by, col_name="_kf_id")
     r, small = n % k, n // k
     big = small + 1
     j = F.col("_kf_id")
@@ -104,7 +108,12 @@ def kfold_assign(df: DataFrame, k: int, order_by: list[str],
 
 def kfold(df: DataFrame, k: int, order_by: list[str]) -> list[tuple[DataFrame, DataFrame]]:
     """k-fold with NTILE semantics over an explicit ordering (O4);
-    fold assignment via ``kfold_assign`` (no single-partition sort)."""
+    fold assignment via ``kfold_assign`` (no single-partition sort).
+
+    The fold frame references a cached partition layout; long-running
+    sessions should ``spark.catalog.clearCache()`` after materializing
+    all folds (see zip_with_index docstring).
+    """
     with_fold = kfold_assign(df, k, order_by)
     out = []
     for i in range(1, k + 1):

@@ -96,6 +96,50 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+_NGRAM_BOUNDED_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 2)),
+                               i -> array_to_string(list_slice(t, i, i + 3), ' '))) AS s
+  FROM toks
+),
+kept AS (
+  SELECT sh.doc_id, sh.s
+  FROM sh JOIN (SELECT s, COUNT(*) AS d FROM sh GROUP BY 1) df USING (s)
+  WHERE df.d <= 50
+),
+cnt AS (SELECT doc_id, COUNT(*) n FROM kept GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) common
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(common * 1.0 / (ca.n + cb.n - common), 4) AS jaccard
+FROM pairs JOIN cnt ca ON pairs.id_a = ca.doc_id JOIN cnt cb ON pairs.id_b = cb.doc_id
+WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5
+"""
+
+
+@q(
+    "q_dedup_ngram_jaccard_bounded",
+    oracle=_NGRAM_BOUNDED_ORACLE,
+    desc="bounded exact n-gram Jaccard: shingles occurring in > 50 "
+         "docs are dropped from BOTH the self-join and the per-doc "
+         "counts (stopword-shingle removal), so the self-join fan-out "
+         "is capped at 50 docs per shingle — the corpus-scale default; "
+         "the unbounded exact variant stays as the oracle-parity query.",
+    tags=["dedup", "ngram"],
+)
+def q_dedup_ngram_jaccard_bounded(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=4, threshold=0.5, max_shingle_df=50)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
 @q(
     "q_dedup_minhash_lsh",
     # The LSH output is the exact-Jaccard-verified candidate set, so
