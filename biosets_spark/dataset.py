@@ -58,13 +58,36 @@ class BioDataset:
 
     @classmethod
     def from_generator(cls, gen: Callable, schema: T.StructType | str | None = None,
-                       spark=None, split: str = "train") -> "BioDataset":
+                       spark=None, split: str = "train",
+                       batch_size: int = 50_000) -> "BioDataset":
         """Generator of row dicts -> dataset (Dataset.from_generator
-        analogue). The generator runs on the driver; for large inputs
-        prefer writing shards and load_dataset()."""
+        analogue). The generator runs on the driver but is consumed in
+        ``batch_size`` chunks (the reference's 50k reader batch,
+        csv.py:27) with one ``createDataFrame`` per chunk unioned
+        lazily — driver memory holds ONE chunk, not the whole stream.
+        For inputs that don't fit a driver at all, write shards and
+        use load_dataset()."""
+        import itertools
+
         spark = spark or _default_spark()
-        rows = list(gen())
-        df = spark.createDataFrame(rows, schema=schema) if schema else spark.createDataFrame(rows)
+        it = iter(gen())
+        df = None
+        eff_schema = schema
+        while True:
+            chunk = list(itertools.islice(it, batch_size))
+            if not chunk:
+                break
+            part = (spark.createDataFrame(chunk, schema=eff_schema)
+                    if eff_schema else spark.createDataFrame(chunk))
+            if eff_schema is None:
+                # pin the first chunk's inferred schema so later chunks
+                # can't drift (the reference pins features after batch 1)
+                eff_schema = part.schema
+            df = part if df is None else df.unionByName(part)
+        if df is None:
+            if schema is None:
+                raise ValueError("from_generator: empty generator needs schema=")
+            df = spark.createDataFrame([], schema=schema)
         return cls(df, split=split)
 
     # ---- basic info -------------------------------------------------
@@ -159,9 +182,31 @@ class BioDataset:
         return self._wrap(_split.shuffle(self.df, seed))
 
     def select(self, indices, order_by: list[str] | None = None) -> "BioDataset":
+        if isinstance(indices, str):
+            return self.slice(indices, order_by)
         if isinstance(indices, range):
             return self._wrap(_split.slice_rows(self.df, indices.start, indices.stop, order_by))
         return self._wrap(_split.select_indices(self.df, list(indices), order_by))
+
+    def slice(self, spec: str, order_by: list[str] | None = None) -> "BioDataset":
+        """Percent/absolute slice strings on the dataset itself —
+        ``ds.slice("10%:20%")``, ``ds.slice(":10%")``, ``ds.slice("10:20")``,
+        with or without brackets (``"[:10%]"``). Same grammar as
+        ``load_dataset(split="train[:10%]")`` (reference
+        docs/DATA_LOADING.md:251-309), built on the limit/offset
+        slicing in operators.split."""
+        import re
+
+        m = re.fullmatch(r"\[?(-?\d*)(%?):(-?\d*)(%?)\]?", spec.strip())
+        if not m:
+            raise ValueError(f"Bad slice spec {spec!r} — expected 'a:b' or 'a%:b%'")
+        a, ap, b, bp = m.groups()
+        start = int(a) if a else None
+        stop = int(b) if b else None
+        if ap or bp:
+            return self._wrap(_split.slice_percent(
+                self.df, start or 0, stop if stop is not None else 100, order_by))
+        return self._wrap(_split.slice_rows(self.df, start or 0, stop, order_by))
 
     def head(self, n: int = 5) -> list[dict]:
         return [r.asDict(recursive=True) for r in self.df.limit(n).collect()]
@@ -268,7 +313,14 @@ class BioDataset:
 
     def unique(self, column: str) -> list:
         """Sorted distinct values of one column (distinct is the only
-        shuffle; None sorts last)."""
+        shuffle; None sorts last).
+
+        Deliberate deviation from the reference ``Dataset.unique``,
+        which returns values in first-appearance order: Spark's
+        ``distinct`` is unordered, so sorted output was chosen for
+        determinism. Appearance order, if needed, is
+        ``zip_with_index`` + ``min(_row_id)`` per value — one extra
+        shuffle."""
         vals = [r[0] for r in self.df.select(column).distinct().collect()]
         return sorted(
             vals, key=lambda v: (v is None, v if v is not None else 0)
@@ -288,13 +340,19 @@ class BioDataset:
         if batch:
             yield batch
 
-    def add_column(self, name: str, values: list, dtype: str | None = None) -> "BioDataset":
+    def add_column(self, name: str, values: list, dtype: str | None = None,
+                   order_by: list[str] | None = None) -> "BioDataset":
         """Append a driver-side value list by position (reference
-        Dataset.add_column: new column goes LAST). Distributed
-        positional zip via the JVM row-index machinery in
-        operators.joins — no Python-side order assumptions. Length
-        must match exactly; pass ``dtype`` when it can't be inferred
-        (empty or all-None values)."""
+        Dataset.add_column: new column goes LAST), zipped via the JVM
+        row-index machinery in operators.joins.
+
+        Positional pairing follows the DataFrame's CURRENT PARTITION
+        ORDER when ``order_by`` is omitted — stable for freshly-read or
+        driver-constructed data, but NOT guaranteed after a shuffle or
+        join (the reference zips an inherently ordered Arrow table; a
+        Spark DataFrame is unordered). Pass ``order_by`` to pin the
+        row order values[i] pairs with. Length must match exactly;
+        pass ``dtype`` when it can't be inferred (empty/all-None)."""
         from .operators import joins as _joins
 
         if name in self.df.columns:
@@ -310,7 +368,7 @@ class BioDataset:
                     f"add_column: cannot infer a type for {name!r} "
                     "(empty or all-None values) — pass dtype="
                 ) from e
-        out = _joins.align_horizontal(self.df, vdf)
+        out = _joins.align_horizontal(self.df, vdf, order_by_left=order_by)
         return self._wrap(out.select(*self.df.columns, name))
 
     def __repr__(self) -> str:

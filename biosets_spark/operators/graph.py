@@ -54,6 +54,13 @@ def connected_components(
     WRONG (some nodes still carry a non-minimal label); by default
     this raises — pass ``on_nonconvergence="warn"`` to get the
     partial labels with a warning instead.
+
+    Storage note: the returned frame is backed by the FINAL
+    iteration's localCheckpoint, which stays pinned on the executors
+    (intermediate rounds are freed as the loop runs). Long-running
+    sessions that call this repeatedly should release it once the
+    result is materialized/persisted:
+    ``free_local_checkpoint(result)`` (as embedding_dup_pairs does).
     """
     if on_nonconvergence not in ("raise", "warn"):
         raise ValueError("on_nonconvergence must be 'raise' or 'warn'")

@@ -63,8 +63,21 @@ def plan_fingerprint(df: DataFrame, params: dict | None = None) -> str:
 
 
 class FingerprintCache:
-    def __init__(self, cache_dir: str):
+    """Parquet materializations keyed by plan fingerprint.
+
+    ``max_bytes`` / ``max_age_seconds`` bound the cache directory so a
+    long-lived deployment can't grow it without limit: eviction is LRU
+    by entry mtime (a cache hit touches the entry, so recently-reused
+    materializations survive), run after every write. Both default to
+    unbounded for reference parity (the reference never evicts either;
+    arrow_dataset.py cleanup is manual).
+    """
+
+    def __init__(self, cache_dir: str, max_bytes: int | None = None,
+                 max_age_seconds: float | None = None):
         self.cache_dir = cache_dir
+        self.max_bytes = max_bytes
+        self.max_age_seconds = max_age_seconds
         os.makedirs(cache_dir, exist_ok=True)
 
     def path_for(self, fp: str) -> str:
@@ -79,9 +92,71 @@ class FingerprintCache:
         spark: SparkSession = df.sparkSession
         fp = plan_fingerprint(df, params)
         p = self.path_for(fp)
-        if not self.has(fp):
+        if self.has(fp):
+            # LRU touch: a hit refreshes the entry's mtime so eviction
+            # removes cold entries first
+            os.utime(p, None)
+        else:
             df.write.mode("overwrite").parquet(p)
+            # never evict the entry being returned, even if it alone
+            # exceeds the size bound
+            self.evict(protect=p)
         return spark.read.parquet(p)
+
+    def _entries(self) -> list[tuple[str, float, int]]:
+        """(path, mtime, bytes) per cache entry, oldest first."""
+        out = []
+        for d in os.listdir(self.cache_dir):
+            if not d.startswith("cache-"):
+                continue
+            p = os.path.join(self.cache_dir, d)
+            try:
+                mtime = os.stat(p).st_mtime
+                size = sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for root, _, files in os.walk(p)
+                    for f in files
+                )
+            except OSError:
+                continue
+            out.append((p, mtime, size))
+        return sorted(out, key=lambda e: e[1])
+
+    def evict(self, protect: str | None = None) -> int:
+        """Apply the TTL and size bounds (LRU by mtime); returns the
+        number of entries removed. ``protect`` exempts one entry (the
+        one a caller is about to hand out). No-op when both bounds are
+        None."""
+        if self.max_bytes is None and self.max_age_seconds is None:
+            return 0
+        import shutil
+        import time
+
+        removed = 0
+        entries = [e for e in self._entries() if e[0] != protect]
+        if self.max_age_seconds is not None:
+            cutoff = time.time() - self.max_age_seconds
+            keep = []
+            for p, mtime, size in entries:
+                if mtime < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed += 1
+                else:
+                    keep.append((p, mtime, size))
+            entries = keep
+        if self.max_bytes is not None:
+            # the protected entry still counts toward the budget
+            protected_size = 0
+            if protect is not None:
+                protected_size = sum(s for p, _, s in self._entries() if p == protect)
+            total = protected_size + sum(size for _, _, size in entries)
+            for p, _, size in entries:  # oldest first
+                if total <= self.max_bytes:
+                    break
+                shutil.rmtree(p, ignore_errors=True)
+                total -= size
+                removed += 1
+        return removed
 
     def clear(self) -> int:
         """Cache cleanup (reference arrow_dataset.py:255-292

@@ -294,6 +294,14 @@ LIMIT 10
 
 @q(
     "q_knn_lsh",
+    # Differential-check assumption (also applies to q_knn_ivf): the
+    # oracle relies on numpy (query signature), Spark's left-fold
+    # cosine, and DuckDB's list_dot_product agreeing on bucket/cell
+    # assignment — a dot product at the 0 sign boundary or an argmax
+    # near-tie could in principle flip in one engine only. The test
+    # vectors have no |dot| near 0 for the planes used; if a flake
+    # ever appears, add a deterministic margin assertion on the data
+    # (no |dot| < eps) rather than weakening the oracle.
     oracle=_KNN_LSH_ORACLE,
     desc="ANN top-10 via random-hyperplane LSH (8 planes, multi-probe "
          "radius 1): probes ~9/256 buckets instead of the full scan. "

@@ -131,7 +131,12 @@ def expand_paths(paths: list[str]) -> list[str]:
         if is_archive(p):
             try:
                 out.extend(extract(p))
-            except (ImportError, ValueError) as e:
+            # ImportError: missing optional codec; ValueError: unknown
+            # scheme/format; tarfile.ReadError / zipfile.BadZipFile /
+            # OSError: corrupt or unreadable archive bytes — all are
+            # per-file skips, matching the docstring contract.
+            except (ImportError, ValueError, tarfile.ReadError,
+                    zipfile.BadZipFile, OSError) as e:
                 errors.append(e)
                 warnings.warn(f"skipping unreadable archive {p!r}: {e}")
         else:

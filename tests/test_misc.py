@@ -193,3 +193,91 @@ def test_concatenate_datasets_top_level(spark):
     c = BioDataset.from_dict({"w": [0.5]}, spark=spark)
     wide = concatenate_datasets([a, c], axis=1)
     assert wide.num_rows == 1 and set(wide.columns) == {"sample", "h1", "w"}
+
+
+def test_fingerprint_cache_eviction(spark, tmp_path):
+    """Size/TTL bounds: LRU by mtime, hits refresh recency."""
+    import os
+    import time
+
+    cache = FingerprintCache(str(tmp_path / "fpev"), max_bytes=1)
+    df1 = spark.range(50).withColumn("a", F.col("id") + 1)
+    df2 = spark.range(50).withColumn("b", F.col("id") + 2)
+    cache.materialize(df1)
+    # writing entry 2 evicts entry 1 (both exceed the 1-byte bound;
+    # oldest goes first, the just-written entry survives the sweep
+    # only if under budget — with max_bytes=1 everything older goes)
+    cache.materialize(df2)
+    entries = [d for d in os.listdir(cache.cache_dir) if d.startswith("cache-")]
+    assert len(entries) == 1
+    assert cache.has(plan_fingerprint(df2))
+    assert not cache.has(plan_fingerprint(df1))
+
+    # TTL path: entries older than max_age are removed
+    cache2 = FingerprintCache(str(tmp_path / "fpttl"), max_age_seconds=3600)
+    cache2.materialize(df1)
+    p = cache2.path_for(plan_fingerprint(df1))
+    old = time.time() - 7200
+    os.utime(p, (old, old))
+    assert cache2.evict() == 1
+    assert not cache2.has(plan_fingerprint(df1))
+
+    # unbounded cache never evicts
+    cache3 = FingerprintCache(str(tmp_path / "fpnone"))
+    cache3.materialize(df1)
+    assert cache3.evict() == 0
+    assert cache3.has(plan_fingerprint(df1))
+
+
+def test_from_generator_chunked(spark):
+    """Multi-batch generator: schema pinned from chunk 1, all rows
+    present, driver holds one chunk at a time."""
+    from biosets_spark.dataset import BioDataset
+
+    def gen():
+        for i in range(10):
+            yield {"i": i, "s": f"r{i}"}
+
+    ds = BioDataset.from_generator(gen, spark=spark, batch_size=3)  # 4 chunks
+    assert ds.num_rows == 10
+    assert sorted(r["i"] for r in ds.head(20)) == list(range(10))
+
+    # explicit schema + empty generator
+    empty = BioDataset.from_generator(lambda: iter(()), schema="i long", spark=spark)
+    assert empty.num_rows == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty generator"):
+        BioDataset.from_generator(lambda: iter(()), spark=spark)
+
+
+def test_percent_slice_sugar(spark):
+    """ds.slice('10%:20%') / select('[:10%]') parity with the
+    load_dataset split-spec grammar (docs/DATA_LOADING.md:251-309)."""
+    from biosets_spark.dataset import BioDataset
+
+    ds = BioDataset(spark.range(100).withColumnRenamed("id", "i"))
+    assert ds.slice(":10%", order_by=["i"]).num_rows == 10
+    assert ds.slice("10%:20%", order_by=["i"]).num_rows == 10
+    got = [r["i"] for r in ds.slice("[90%:]", order_by=["i"]).df.collect()]
+    assert got == list(range(90, 100))
+    assert ds.select(":5", order_by=["i"]).num_rows == 5
+    assert [r["i"] for r in ds.slice("3:6", order_by=["i"]).df.collect()] == [3, 4, 5]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Bad slice spec"):
+        ds.slice("nope")
+
+
+def test_add_column_order_by(spark):
+    """order_by pins which row values[i] pairs with, independent of
+    physical partition order."""
+    from biosets_spark.dataset import BioDataset
+
+    df = spark.createDataFrame(
+        [("b", 2), ("c", 3), ("a", 1)], "k string, v int"
+    ).repartition(3)
+    ds = BioDataset(df)
+    out = ds.add_column("tag", ["first", "second", "third"], order_by=["k"])
+    got = {r["k"]: r["tag"] for r in out.head(5)}
+    assert got == {"a": "first", "b": "second", "c": "third"}
