@@ -24,6 +24,7 @@ from biosets_spark import queries_ext  # noqa: E402,F401  (registers extension q
 from biosets_spark import queries_more  # noqa: E402,F401  (registers second-wave queries)
 from biosets_spark import queries_wave3  # noqa: E402,F401
 from biosets_spark import queries_wave4  # noqa: E402,F401
+from biosets_spark import queries_wave5  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 

@@ -174,3 +174,136 @@ def pack_bins(df: DataFrame, token_col: str, order_col: str, budget: int,
     return df.withColumn("_cum_before", cum_before).withColumn(
         "_bin", F.floor(col("_cum_before") / lit(budget))
     )
+
+
+def bigrams(c: Column) -> Column:
+    """Adjacent token bigrams as 'w1 w2' strings (order-sensitive, NOT
+    distinct — repetition analysis needs the multiset)."""
+    toks = tokens(c)
+    n = F.size(toks)
+    a = F.slice(toks, 1, F.greatest(n - 1, lit(0)))
+    b = F.slice(toks, 2, F.greatest(n - 1, lit(0)))
+    return F.zip_with(a, b, lambda x, y: F.concat_ws(" ", x, y))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition signals (the Gopher repetition filters):
+    ``top_bigram_frac`` = occurrences of the most frequent bigram over
+    all bigrams, ``distinct_token_ratio`` = distinct/total tokens.
+
+    Scale path: explode bigrams -> two map-side-combinable aggregates
+    keyed by (doc, bigram) then doc — never a per-row O(n^2) expression.
+    Docs with < 2 tokens have no bigrams and are omitted (no repetition
+    signal to measure)."""
+    toks = tokens(col(text_col))
+    base = df.select(
+        col(id_col).alias("_id"),
+        F.size(toks).alias("_n_toks"),
+        F.size(F.array_distinct(toks)).alias("_n_distinct"),
+        F.explode(bigrams(col(text_col))).alias("_bg"),
+    )
+    per_bg = base.groupBy("_id", "_n_toks", "_n_distinct", "_bg").agg(F.count("*").alias("_n"))
+    return (
+        per_bg.groupBy("_id", "_n_toks", "_n_distinct")
+        .agg(F.max("_n").alias("_top"), F.sum("_n").alias("_total"))
+        .select(
+            col("_id").alias(id_col),
+            (col("_top") / col("_total")).alias("top_bigram_frac"),
+            (col("_n_distinct") / col("_n_toks")).alias("distinct_token_ratio"),
+        )
+    )
+
+
+def char_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 output_col: str = "entropy",
+                 carry_cols: list[str] | None = None) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) — the
+    CCNet-style low-entropy gibberish gate. Explode chars -> count per
+    (doc, char) -> -sum(p ln p); both aggregates partial-combine
+    map-side, so the corpus never funnels anywhere.
+
+    ``carry_cols`` rides small per-doc attributes (lang, source)
+    through the aggregates via any_value, so callers don't pay a
+    doc_id shuffle-join back to the source table to recover them —
+    at corpus scale that join is a full-table shuffle."""
+    carry = carry_cols or []
+    ch = df.select(
+        col(id_col).alias("_id"), *carry,
+        F.explode(F.split(col(text_col), "")).alias("_c"),
+    )
+    cnt = ch.groupBy("_id", "_c").agg(
+        F.count("*").alias("_n"), *[F.any_value(c).alias(c) for c in carry]
+    )
+    tot = cnt.groupBy("_id").agg(F.sum("_n").alias("_tn"))
+    p = col("_n") / col("_tn")
+    return (
+        cnt.join(tot, "_id")
+        .groupBy("_id")
+        .agg((-F.sum(p * F.log(p))).alias(output_col),
+             *[F.any_value(c).alias(c) for c in carry])
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 min_words: int = 30, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0, max_mean_word_len: float = 10.0,
+                 min_distinct_ratio: float = 0.4,
+                 min_alpha_word_frac: float = 0.8) -> DataFrame:
+    """Gopher-style per-document quality gates (Rae et al. 2021 §A1.1
+    heuristics, re-expressed as pure Catalyst expressions): word-count
+    bounds, mean-word-length bounds, distinct-word ratio, and the
+    fraction of words containing at least one alphabetic character.
+    Appends the individual flags and a combined ``gopher_keep``."""
+    toks = tokens(col(text_col))
+    n = F.size(toks)
+    nz = F.greatest(n, lit(1))
+    mean_len = F.aggregate(toks, lit(0).cast("long"),
+                           lambda acc, t: (acc + F.length(t)).cast("long")) / nz
+    distinct_ratio = F.size(F.array_distinct(toks)) / nz
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / nz
+    return (
+        df.withColumn("n_words", n)
+        .withColumn("mean_word_len", mean_len)
+        .withColumn("distinct_ratio", distinct_ratio)
+        .withColumn("alpha_word_frac", alpha_frac)
+        .withColumn("rule_word_count", (n >= min_words) & (n <= max_words))
+        .withColumn("rule_word_len", (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len))
+        .withColumn("rule_distinct", distinct_ratio >= min_distinct_ratio)
+        .withColumn("rule_alpha", alpha_frac >= min_alpha_word_frac)
+        .withColumn(
+            "gopher_keep",
+            col("rule_word_count") & col("rule_word_len") & col("rule_distinct") & col("rule_alpha"),
+        )
+    )
+
+
+def bm25_scores(df: DataFrame, query_terms: list[str], text_col: str = "text",
+                id_col: str = "doc_id", k1: float = 1.5, b: float = 0.75) -> DataFrame:
+    """BM25 relevance of every document to a fixed term set —
+    the classic retrieval scorer (Robertson-Sparck Jones idf):
+
+      idf(t)  = ln( (N - df + 0.5) / (df + 0.5) + 1 )
+      score   = sum_t idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Plan: one token explode filtered to the query terms (predicate
+    BEFORE the tf aggregate, so only query-term postings shuffle), df
+    counts + corpus stats broadcast back. Docs matching no term are
+    absent (score 0)."""
+    n_docs = df.count()
+    toks = df.select(
+        col(id_col).alias("_id"),
+        F.size(tokens(col(text_col))).alias("_dl"),
+        F.explode(tokens(F.lower(col(text_col)))).alias("_t"),
+    ).filter(col("_t").isin([t.lower() for t in query_terms]))
+    tf = toks.groupBy("_id", "_dl", "_t").agg(F.count("*").alias("_tf"))
+    dfreq = tf.groupBy("_t").agg(F.count("*").alias("_df"))
+    avgdl = df.select(F.avg(F.size(tokens(col(text_col)))).alias("a")).first()["a"]
+    idf = F.log((lit(float(n_docs)) - col("_df") + 0.5) / (col("_df") + 0.5) + 1.0)
+    contrib = idf * (col("_tf") * (k1 + 1)) / (col("_tf") + k1 * (1 - b + b * col("_dl") / lit(float(avgdl))))
+    return (
+        tf.join(F.broadcast(dfreq), "_t")
+        .groupBy("_id")
+        .agg(F.sum(contrib).alias("bm25"))
+        .withColumnRenamed("_id", id_col)
+    )

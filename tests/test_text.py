@@ -77,3 +77,86 @@ def test_term_doc_freq(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.term: (r.doc_freq, r.term_freq) for r in TX.term_doc_freq(df).collect()}
     assert got == {"a": (2, 3), "b": (1, 1), "c": (1, 1)}
+
+
+def test_repetition_stats(spark):
+    rows = [
+        (1, "spam ham spam ham spam ham"),   # 'spam ham' bigram dominates
+        (2, "all words here are different"),
+        (3, "one"),                          # no bigrams -> omitted
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in TX.repetition_stats(df).collect()}
+    assert set(got) == {1, 2}
+    # doc 1: bigrams = [spam ham, ham spam, spam ham, ham spam, spam ham]
+    assert abs(got[1].top_bigram_frac - 3 / 5) < 1e-12
+    assert abs(got[1].distinct_token_ratio - 2 / 6) < 1e-12
+    assert abs(got[2].top_bigram_frac - 1 / 4) < 1e-12
+    assert got[2].distinct_token_ratio == 1.0
+
+
+def test_char_entropy(spark):
+    import math
+
+    rows = [(1, "aaaa"), (2, "abab"), (3, "abcd")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.entropy for r in TX.char_entropy(df).collect()}
+    assert got[1] == 0.0
+    assert abs(got[2] - math.log(2)) < 1e-12
+    assert abs(got[3] - math.log(4)) < 1e-12
+    # carry_cols rides attributes through without a join
+    df2 = spark.createDataFrame([(1, "x", "aa")], "doc_id long, lang string, text string")
+    r = TX.char_entropy(df2, carry_cols=["lang"]).first()
+    assert r.lang == "x" and r.entropy == 0.0
+
+
+def test_gopher_rules(spark):
+    long_ok = " ".join(f"word{i}" for i in range(40))
+    short = "too short"
+    repetitive = " ".join(["dup"] * 40)
+    numeric = " ".join(["123"] * 35 + ["a b c d e".split()[0]] * 5)
+    df = spark.createDataFrame(
+        [(1, long_ok), (2, short), (3, repetitive), (4, numeric)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in TX.gopher_rules(df).collect()}
+    assert got[1].gopher_keep
+    assert not got[2].rule_word_count          # 2 words < 30
+    assert not got[3].rule_distinct            # 1/40 distinct
+    assert not got[4].rule_alpha               # mostly digit words
+    assert got[1].n_words == 40
+
+
+def test_bm25_scores(spark):
+    rows = [
+        (1, "apple apple apple"),        # high tf for apple
+        (2, "apple pie recipe book"),
+        (3, "unrelated words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.bm25 for r in TX.bm25_scores(df, ["apple"]).collect()}
+    assert set(got) == {1, 2}              # doc 3 matches nothing
+    assert got[1] > got[2] > 0             # tf saturation still ranks 3x above 1x
+
+
+def test_redact_pii(spark):
+    from biosets_spark.operators import pii as PII
+
+    rows = [
+        (1, "mail me at bob@example.com or call +1 555-123-4567"),
+        (2, "server at 10.0.0.7 and backup 192.168.1.1"),
+        (3, "user@10.0.0.7 mixed form"),
+        (4, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in PII.redact_pii(df).collect()}
+    assert got[1].n_email == 1 and got[1].n_phone == 1
+    assert "<EMAIL>" in got[1].text and "<PHONE>" in got[1].text
+    assert got[2].n_ip == 2 and got[2].text.count("<IP>") == 2
+    # digit-host "addresses" are not emails (the RE requires an
+    # alphabetic TLD) — the embedded IP is caught by the IP pass
+    assert got[3].n_email == 0 and got[3].n_ip == 1
+    assert got[3].text == "user@<IP> mixed form"
+    assert got[4].n_email == got[4].n_ip == got[4].n_phone == 0
+    assert got[4].text == rows[3][1]
+    assert got[4].pii_chars_removed == 0
