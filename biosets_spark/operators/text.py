@@ -186,15 +186,53 @@ def bigrams(c: Column) -> Column:
     return F.zip_with(a, b, lambda x, y: F.concat_ws(" ", x, y))
 
 
-def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def _max_run_length(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array =
+    multiplicity of the most frequent element. One fold, pure JVM."""
+    acc0 = F.struct(lit("").alias("prev"), lit(0).cast("int").alias("run"),
+                    lit(0).cast("int").alias("best"))
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(lit(1))
+        return F.struct(x.alias("prev"), run.cast("int").alias("run"),
+                        F.greatest(acc["best"], run).cast("int").alias("best"))
+
+    return F.aggregate(sorted_arr, acc0, step, lambda acc: acc["best"])
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                     method: str = "expr") -> DataFrame:
     """Per-document repetition signals (the Gopher repetition filters):
     ``top_bigram_frac`` = occurrences of the most frequent bigram over
     all bigrams, ``distinct_token_ratio`` = distinct/total tokens.
+    Docs with < 2 tokens have no bigrams and are omitted (no
+    repetition signal to measure).
 
-    Scale path: explode bigrams -> two map-side-combinable aggregates
-    keyed by (doc, bigram) then doc — never a per-row O(n^2) expression.
-    Docs with < 2 tokens have no bigrams and are omitted (no repetition
-    signal to measure)."""
+    ``method="expr"`` (default): per-row array_sort + run-length fold —
+    ZERO shuffle; every doc is scored where it is scanned
+    (embarrassingly parallel, the plan you want at 100 TB). O(n log n)
+    per doc, fine up to multi-MB documents.
+
+    ``method="explode"``: explode bigrams -> two map-side-combinable
+    aggregates keyed by (doc, bigram) then doc. Two shuffles carrying
+    bigram strings, but per-row memory stays O(1) — the fallback for
+    pathological single documents too large to sort in one task."""
+    if method == "expr":
+        toks = tokens(col(text_col))
+        bg = bigrams(col(text_col))
+        n_bg = F.size(bg)
+        return (
+            df.select(
+                col(id_col),
+                (_max_run_length(F.array_sort(bg)) / n_bg).alias("top_bigram_frac"),
+                (F.size(F.array_distinct(toks)) / F.size(toks)).alias("distinct_token_ratio"),
+                n_bg.alias("_n_bg"),
+            )
+            .filter(col("_n_bg") > 0)
+            .drop("_n_bg")
+        )
+    if method != "explode":
+        raise ValueError("method must be 'expr' or 'explode'")
     toks = tokens(col(text_col))
     base = df.select(
         col(id_col).alias("_id"),

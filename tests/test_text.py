@@ -160,3 +160,17 @@ def test_redact_pii(spark):
     assert got[4].n_email == got[4].n_ip == got[4].n_phone == 0
     assert got[4].text == rows[3][1]
     assert got[4].pii_chars_removed == 0
+
+
+def test_repetition_stats_methods_agree(spark):
+    rows = [
+        (1, "spam ham spam ham spam ham"),
+        (2, "all words here are different"),
+        (4, "x y x y x z z z z y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r.doc_id: (r.top_bigram_frac, r.distinct_token_ratio)
+         for r in TX.repetition_stats(df, method="expr").collect()}
+    b = {r.doc_id: (r.top_bigram_frac, r.distinct_token_ratio)
+         for r in TX.repetition_stats(df, method="explode").collect()}
+    assert a == b
