@@ -37,17 +37,43 @@ def train_test_split(
         return {"train": train, "test": test}
     classes = [r[0] for r in df.select(stratify_by_column).distinct().collect()]
     fractions = {c: test_size for c in classes}
-    with_id = zip_with_index(df, col_name="_split_id").cache()
+    # zip_with_index pins its own partition layout; no second cache
+    # needed here (the train anti-join and the test sample both read
+    # the same pinned ids). Long sessions: clearCache() after
+    # materializing both splits (see zip_with_index docstring).
+    with_id = zip_with_index(df, col_name="_split_id")
     test = with_id.sampleBy(stratify_by_column, fractions, seed=seed or 0)
     train = with_id.join(test.select("_split_id"), on="_split_id", how="left_anti")
     return {"train": train.drop("_split_id"), "test": test.drop("_split_id")}
 
 
-def shuffle(df: DataFrame, seed: int | None = None) -> DataFrame:
-    """O2: deterministic permutation. ``rand(seed)`` ordering is
-    reproducible for a fixed partitioning; at scale prefer
-    ``repartition`` + in-partition sort to avoid a global sort."""
-    return df.orderBy(F.rand(seed if seed is not None else 42))
+def shuffle(df: DataFrame, seed: int | None = None, scale_safe: bool = False,
+            num_partitions: int | None = None) -> DataFrame:
+    """O2: deterministic permutation.
+
+    Default (reference semantics): global ``orderBy(rand(seed))`` —
+    one range-partitioned total sort, reproducible for a fixed input
+    partitioning.
+
+    ``scale_safe=True``: derive a per-row key from a hash of the whole
+    row + seed, hash-repartition on it, and sort only WITHIN
+    partitions — two narrow passes instead of a global range sort
+    (no sampling pass, no skewed range bounds), at the cost of the
+    permutation being "only" hash-pseudorandom rather than
+    rand()-sequence-identical. Deterministic for identical row
+    contents regardless of input partitioning — stronger
+    reproducibility than the default at 100 TB.
+    """
+    if not scale_safe:
+        return df.orderBy(F.rand(seed if seed is not None else 42))
+    key = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed if seed is not None else 42))
+    tmp = df.withColumn("_shuffle_key", key)
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        tmp.repartition(parts, F.col("_shuffle_key"))
+        .sortWithinPartitions("_shuffle_key")
+        .drop("_shuffle_key")
+    )
 
 
 def slice_rows(df: DataFrame, start: int = 0, stop: int | None = None,

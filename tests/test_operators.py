@@ -132,6 +132,18 @@ def test_shuffle_deterministic(spark):
     assert a == b and sorted(a) == list(range(50))
 
 
+def test_shuffle_scale_safe(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], "i int")
+    a = [r.i for r in S.shuffle(df, seed=3, scale_safe=True).collect()]
+    # same seed reproduces, even from a different input partitioning
+    b = [r.i for r in S.shuffle(df.repartition(7), seed=3, scale_safe=True).collect()]
+    c = [r.i for r in S.shuffle(df, seed=4, scale_safe=True).collect()]
+    assert sorted(a) == list(range(200))
+    assert a == b          # content-deterministic permutation
+    assert a != c          # seed changes the permutation
+    assert a != list(range(200))  # actually shuffled
+
+
 def test_dataset_flatten(spark):
     df = spark.createDataFrame([((1, "x"), 5)], "s struct<i:int,n:string>, v int")
     flat = BioDataset(df).flatten()
