@@ -22,7 +22,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from biosets_spark import queries as _q  # noqa: E402
-from biosets_spark import queries_ext, queries_more, queries_wave3, queries_wave4, queries_wave5  # noqa: E402,F401
+from biosets_spark import queries_ext, queries_more, queries_wave3, queries_wave4, queries_wave5, queries_wave6  # noqa: E402,F401
 from biosets_spark.session import get_spark  # noqa: E402
 
 EXPECTED_NESTED_LOOP = {"cross", "range"}  # tags that legitimately nested-loop
@@ -54,6 +54,10 @@ def _is_global_window(line: str) -> bool:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan-audit")
+    # keep plan strings untruncated: an elided ReadSchema ("...", no
+    # closing '>') makes the wide-scan regex run across lines and
+    # report phantom column counts
+    spark.conf.set("spark.sql.debug.maxToStringFields", "200")
     problems = 0
     for name, query in _q.QUERIES.items():
         try:
@@ -73,7 +77,7 @@ def main() -> None:
         if any(_is_global_window(line) for line in plan.splitlines()):
             flags.append("global-window(empty partition spec)")
         n_exchange = len(re.findall(r"\bExchange\b", plan))
-        scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        scans = re.findall(r"ReadSchema: struct<([^>\n]*)>", plan)
         wide = [s for s in scans if s.count(",") >= 9]
         if wide:
             flags.append(f"wide-scan({wide[0].count(',') + 1} cols)")
