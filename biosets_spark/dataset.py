@@ -311,16 +311,31 @@ class BioDataset:
                 out[c].append(d[c])
         return out
 
-    def unique(self, column: str) -> list:
-        """Sorted distinct values of one column (distinct is the only
-        shuffle; None sorts last).
+    def unique(self, column: str, order: str = "sorted") -> list:
+        """Distinct values of one column.
 
-        Deliberate deviation from the reference ``Dataset.unique``,
-        which returns values in first-appearance order: Spark's
-        ``distinct`` is unordered, so sorted output was chosen for
-        determinism. Appearance order, if needed, is
-        ``zip_with_index`` + ``min(_row_id)`` per value — one extra
-        shuffle."""
+        ``order="sorted"`` (default): sorted output, None last —
+        a deliberate deviation from the reference ``Dataset.unique``
+        (first-appearance order), chosen because Spark's ``distinct``
+        is unordered and sorted output is deterministic for free.
+
+        ``order="appearance"``: reference-exact first-appearance
+        order via ``zip_with_index`` + ``min(_row_id)`` per value —
+        one extra shuffle, and appearance follows the current
+        partition order (read order for freshly-loaded data)."""
+        if order == "appearance":
+            from .operators.joins import zip_with_index
+
+            with_id = zip_with_index(self.df.select(column))
+            firsts = (
+                with_id.groupBy(column)
+                .agg(F.min("_row_id").alias("_first"))
+                .orderBy("_first")
+                .collect()
+            )
+            return [r[0] for r in firsts]
+        if order != "sorted":
+            raise ValueError("order must be 'sorted' or 'appearance'")
         vals = [r[0] for r in self.df.select(column).distinct().collect()]
         return sorted(
             vals, key=lambda v: (v is None, v if v is not None else 0)

@@ -281,3 +281,17 @@ def test_add_column_order_by(spark):
     out = ds.add_column("tag", ["first", "second", "third"], order_by=["k"])
     got = {r["k"]: r["tag"] for r in out.head(5)}
     assert got == {"a": "first", "b": "second", "c": "third"}
+
+
+def test_unique_appearance_order(spark):
+    from biosets_spark.dataset import BioDataset
+
+    ds = BioDataset.from_dict(
+        {"k": ["z", "b", "z", "a", "b", "c"]}, spark=spark
+    )
+    assert ds.unique("k") == ["a", "b", "c", "z"]
+    assert ds.unique("k", order="appearance") == ["z", "b", "a", "c"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="order must be"):
+        ds.unique("k", order="nope")
