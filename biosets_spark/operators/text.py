@@ -345,3 +345,60 @@ def bm25_scores(df: DataFrame, query_terms: list[str], text_col: str = "text",
         .agg(F.sum(contrib).alias("bm25"))
         .withColumnRenamed("_id", id_col)
     )
+
+
+def token_cooccurrence(
+    df: DataFrame,
+    min_pair_count: int = 2,
+    min_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Within-document token co-occurrence with PMI scoring.
+
+    pmi(a, b) = ln( (c_ab * N) / (c_a * c_b) ) over document-level
+    presence counts (each token counted once per doc), the standard
+    collocation statistic.
+
+    Plan: per-doc DISTINCT tokens (array_distinct before the explode,
+    so a token repeated in one doc contributes one posting), pair
+    generation via an equi self-join on the doc id with ``t1 < t2``
+    (each unordered pair once), then map-side-combinable counts.
+
+    100 TB design: the pair space is quadratic in per-doc DISTINCT
+    vocabulary, not doc length — bounded for natural text, and
+    ``min_df`` prunes the long tail of the vocabulary BEFORE the
+    self-join (a broadcast semi join on the surviving vocab), which is
+    the lever that keeps the join linear-ish on web-scale corpora.
+    Determinism: every score input is an integer count; pmi is one
+    IEEE division + ln of identical doubles in any engine.
+    """
+    td = df.select(
+        col(id_col).alias("_doc"),
+        F.explode(F.array_distinct(tokens(col(text_col)))).alias("_tok"),
+    )
+    dfreq = td.groupBy("_tok").agg(F.count("*").alias("_df"))
+    if min_df > 1:
+        keep = dfreq.filter(col("_df") >= min_df).select("_tok")
+        td = td.join(F.broadcast(keep), "_tok", "left_semi")
+    n_docs = df.count()
+    a = td.select(col("_doc"), col("_tok").alias("t1"))
+    b = td.select(col("_doc"), col("_tok").alias("t2"))
+    pairs = (
+        a.join(b, ["_doc"])
+        .filter(col("t1") < col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("pair_count"))
+        .filter(col("pair_count") >= min_pair_count)
+    )
+    d1 = dfreq.select(col("_tok").alias("t1"), col("_df").alias("_df1"))
+    d2 = dfreq.select(col("_tok").alias("t2"), col("_df").alias("_df2"))
+    pmi = F.log(
+        (col("pair_count").cast("double") * lit(float(n_docs)))
+        / (col("_df1").cast("double") * col("_df2").cast("double"))
+    )
+    return (
+        pairs.join(F.broadcast(d1), "t1")
+        .join(F.broadcast(d2), "t2")
+        .select("t1", "t2", "pair_count", pmi.alias("pmi"))
+    )

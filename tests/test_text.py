@@ -174,3 +174,30 @@ def test_repetition_stats_methods_agree(spark):
     b = {r.doc_id: (r.top_bigram_frac, r.distinct_token_ratio)
          for r in TX.repetition_stats(df, method="explode").collect()}
     assert a == b
+
+
+def test_token_cooccurrence_pmi(spark):
+    import math
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta"),
+        (3, "alpha beta beta beta"),  # repeats count once per doc
+        (4, "gamma delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.t1, r.t2): (r.pair_count, r.pmi)
+           for r in TX.token_cooccurrence(df, min_pair_count=1).collect()}
+    # (alpha, beta) co-occur in docs 1,2,3; df(alpha)=3, df(beta)=3, N=4
+    pc, pmi = got[("alpha", "beta")]
+    assert pc == 3
+    assert abs(pmi - math.log(3 * 4 / (3 * 3))) < 1e-12
+    # per-doc distinct: repeated "beta" in doc 3 contributes one posting
+    assert got[("beta", "gamma")][0] == 1
+    # ordering contract: t1 < t2, each unordered pair once
+    assert all(t1 < t2 for t1, t2 in got)
+    assert ("beta", "alpha") not in got
+    # min_df prunes the vocab before the self-join
+    pruned = {(r.t1, r.t2) for r in
+              TX.token_cooccurrence(df, min_pair_count=1, min_df=3).collect()}
+    assert pruned == {("alpha", "beta")}
