@@ -1,9 +1,11 @@
 """Canonical loaders for the benchmark/test tables.
 
-``/root/testdata/sf*/`` holds TPC-H-ish parquet plus ``events``
-(timestamp[ns] — Spark's Parquet reader rejects NANOS, so it is read
-via the ``nanosAsLong`` legacy conf and converted to microseconds),
-``documents`` and ``embeddings``.
+``/root/testdata/sf*/`` holds TPC-H-ish parquet plus ``events``,
+``documents`` and ``embeddings``. The ``events.ts`` physical type has
+varied across driver-generated datasets (timestamp[ns] — which Spark's
+Parquet reader only accepts via the ``nanosAsLong`` legacy conf — vs
+timestamp[us]), so the loader adapts to whichever it finds and always
+yields a session-timezone TimestampType column.
 
 All loads are plain ``spark.read.parquet`` scans: predicate pushdown,
 column pruning and row-group skipping apply untouched.
@@ -15,6 +17,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TPCH_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
 ALL_TABLES = TPCH_TABLES + ("events", "documents", "embeddings")
@@ -31,11 +34,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # render identically to the DuckDB oracle's naive timestamps
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
-        # timestamp[ns] -> TimestampType at microsecond precision.
-        # Integer division: epoch-ns values exceed double's 53-bit
-        # mantissa, so (ts/1000).cast(long) would be off by 1us near
-        # microsecond boundaries.
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # timestamp[ns] read as epoch-ns long -> TimestampType at
+            # microsecond precision. Integer division: epoch-ns values
+            # exceed double's 53-bit mantissa, so (ts/1000).cast(long)
+            # would be off by 1us near microsecond boundaries.
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, TimestampNTZType):
+            # timestamp[us] without tz: under the pinned UTC session
+            # timezone this cast is wall-clock identical, and keeps the
+            # column type stable across dataset generations.
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 
