@@ -402,3 +402,65 @@ def token_cooccurrence(
         .join(F.broadcast(d2), "t2")
         .select("t1", "t2", "pair_count", pmi.alias("pmi"))
     )
+
+
+def unigram_surprise(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy under a corpus-fitted unigram LM —
+    the cheapest "perplexity filter" a training-data pipeline runs
+    before any neural scorer: docs whose tokens are globally rare get
+    a high mean surprise (-ln p) and sit at the contamination/garbage
+    tail.
+
+    Returns one row per document: (id_col, n_tokens, sum_surprise,
+    xent) where xent = sum(-ln c_t/N) / n_tokens over whitespace
+    tokens.
+
+    Plan: explode -> map-side-combinable global token counts (vocab
+    table, much smaller than the corpus) -> shuffle join of postings
+    with counts on the token -> per-doc sum. The join carries
+    (doc_id, tok) pairs only, never document bodies.
+
+    Determinism: each per-token surprise is quantized to
+    DECIMAL(18,8) before the per-doc SUM, so the sum is exact and
+    order-free; the only floats are ln/division of engine-identical
+    inputs (queries.py module docstring).
+    """
+    toks = df.select(col(id_col).alias("_id"), F.explode(tokens(col(text_col))).alias("_tok"))
+    counts = toks.groupBy("_tok").agg(F.count("*").alias("_c"))
+    total = counts.agg(F.sum("_c").cast("double").alias("_total"))
+    surprise = (
+        toks.join(counts, "_tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "_id",
+            (-F.log(col("_c").cast("double") / col("_total")))
+            .cast("decimal(18,8)")
+            .alias("_s"),
+        )
+    )
+    return (
+        surprise.groupBy("_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("_s").cast("double").alias("sum_surprise"),
+        )
+        .select(
+            col("_id").alias(id_col),
+            "n_tokens",
+            "sum_surprise",
+            (col("sum_surprise") / col("n_tokens")).alias("xent"),
+        )
+    )
+
+
+def ascii_ratio(c: Column, n_chars: Column) -> Column:
+    """Fraction of printable-ASCII characters, against a caller-supplied
+    total length (pass a stored n_chars column when one exists: counting
+    ASCII matches is engine-unambiguous, while full string length can
+    differ across engines on astral code points)."""
+    n_ascii = F.length(F.regexp_replace(c, r"[^ -~]", ""))
+    return F.when(n_chars > 0, n_ascii.cast("double") / n_chars.cast("double")).otherwise(lit(1.0))

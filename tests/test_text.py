@@ -201,3 +201,46 @@ def test_token_cooccurrence_pmi(spark):
     pruned = {(r.t1, r.t2) for r in
               TX.token_cooccurrence(df, min_pair_count=1, min_df=3).collect()}
     assert pruned == {("alpha", "beta")}
+
+
+def test_unigram_surprise(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # all common tokens
+            (2, "a a rare1 rare2"),  # half rare tokens
+            (3, ""),                 # empty doc: no output row
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in TX.unigram_surprise(df).collect()}
+    # corpus: a x6, rare1 x1, rare2 x1 -> N=8
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_tokens"] == 4
+    exp1 = -math.log(6 / 8)
+    assert abs(rows[1]["xent"] - exp1) < 1e-6
+    # doc 2 mixes common and rare -> strictly higher cross-entropy
+    assert rows[2]["xent"] > rows[1]["xent"]
+    exp2 = (2 * -math.log(6 / 8) + 2 * -math.log(1 / 8)) / 4
+    assert abs(rows[2]["xent"] - exp2) < 1e-6
+
+
+def test_ascii_ratio(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "abc", 3),      # pure printable ASCII
+            (2, "abé", 3),  # one non-ASCII char
+            (3, "", 0),         # empty: defined as 1.0
+        ],
+        "doc_id int, text string, n_chars int",
+    )
+    out = {
+        r["doc_id"]: r["r"]
+        for r in df.select(
+            "doc_id", TX.ascii_ratio(F.col("text"), F.col("n_chars")).alias("r")
+        ).collect()
+    }
+    assert out[1] == 1.0
+    assert abs(out[2] - 2 / 3) < 1e-9
+    assert out[3] == 1.0

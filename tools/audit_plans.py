@@ -21,8 +21,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import __spark_entry__  # noqa: E402,F401  (registers every query wave)
 from biosets_spark import queries as _q  # noqa: E402
-from biosets_spark import queries_ext, queries_more, queries_wave3, queries_wave4, queries_wave5, queries_wave6, queries_wave7, queries_wave8  # noqa: E402,F401
 from biosets_spark.session import get_spark  # noqa: E402
 
 EXPECTED_NESTED_LOOP = {"cross", "range"}  # tags that legitimately nested-loop
