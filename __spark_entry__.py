@@ -64,12 +64,14 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Queries that already have green driver CORRECTNESS rows (r1+r2 windows).
-# The driver records the first ~50 entries of queries(); registration order
-# below puts everything NOT in this set first, so queries that have never
-# had a driver row (wave-2 tail, wave3, wave4, and anything new this round)
-# land inside the recorded window. All queries keep their oracles either way.
+# Queries that already have GREEN driver CORRECTNESS rows (r1+r2+r3
+# windows). The driver records the first ~50 entries of queries();
+# registration order below puts everything NOT in this set first, so
+# queries that have never had a green driver row (wave 7-9 tail, the two
+# r3 array-hash ERRs, and anything new this round) land inside the
+# recorded window. All queries keep their oracles either way.
 _DRIVER_CHECKED = frozenset({
+    # --- r1/r2 windows ---
     "q_scan_filter_project", "q_cast_project", "q_pricing_summary",
     "q_forecast_revenue", "q_distinct_agg", "q_rollup", "q_cube", "q_quantiles",
     "q_join_agg", "q_top_orders", "q_left_join_histogram", "q_semi_join",
@@ -85,6 +87,24 @@ _DRIVER_CHECKED = frozenset({
     "q_events_sessions", "q_events_dedup_stateful", "q_multimodal_binary",
     "q_knn_ivf", "q_asof_join", "q_cross_join", "q_range_join",
     "q_flatten_struct",
+    # --- r3 window (48 green; q_collect_list / q_quantize_embeddings
+    # ERR'd on array hashing, now string-serialized — kept OUT so the
+    # r4 window records them green) ---
+    "q_dedup_ngram_jaccard_bounded", "q_slice_offset", "q_pivot", "q_having",
+    "q_grouping_sets", "q_join_renamed_keys", "q_join_multi_key",
+    "q_sort_nulls", "q_union_type_promotion", "q_join_salted",
+    "q_events_funnel", "q_events_retention", "q_text_langid",
+    "q_text_quality_score", "q_text_bpe_tokens", "q_window_first_last",
+    "q_events_sliding", "q_grouped_map_normalize", "q_approx_distinct",
+    "q_term_doc_freq", "q_dedup_clusters", "q_window_range_frame",
+    "q_pipeline_clean_corpus", "q_dedup_embedding", "q_exists_subquery",
+    "q_scalar_subquery", "q_not_exists_customers", "q_knn_quantized",
+    "q_events_multires", "q_events_gapfill", "q_stratified_sample",
+    "q_mix_resample", "q_pack_sequences", "q_top_ngrams", "q_contamination",
+    "q_chunk_stats", "q_quality_gopher", "q_text_repetition", "q_text_entropy",
+    "q_pii_redact", "q_bm25_topk", "q_volume_shipping", "q_market_share",
+    "q_returned_items", "q_promo_effect", "q_large_orders",
+    "q_order_priority_check", "q_product_profit",
 })
 
 

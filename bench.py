@@ -20,13 +20,12 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+# Import the driver contract module: its import block registers EVERY
+# query wave, so bench coverage cannot drift from the contract surface
+# (r3 missed waves 7-9 by importing waves individually here).
+import __spark_entry__  # noqa: E402,F401
+
 from biosets_spark import queries as _q  # noqa: E402
-from biosets_spark import queries_ext  # noqa: E402,F401
-from biosets_spark import queries_more  # noqa: E402,F401
-from biosets_spark import queries_wave3  # noqa: E402,F401
-from biosets_spark import queries_wave4  # noqa: E402,F401
-from biosets_spark import queries_wave5  # noqa: E402,F401
-from biosets_spark import queries_wave6  # noqa: E402,F401
 from biosets_spark.session import get_spark  # noqa: E402
 
 # the headline set: every registered query (oracle-checked + rows-only)

@@ -26,7 +26,7 @@ from pyspark.sql.functions import col, lit
 def normalize_text(c: Column) -> Column:
     """Lowercase, collapse whitespace — the canonical form for exact /
     fingerprint dedup."""
-    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.regexp_replace(F.lower(F.trim(c)), r"[ \t\n\x0B\f\r]+", " ")
 
 
 def fingerprint_md5(c: Column) -> Column:
@@ -55,7 +55,7 @@ def shingles(c: Column, n: int = 4) -> Column:
     zip_with's null-extension are cut by the final slice (when the doc
     has < n tokens, the single partial shingle is kept, i.e. the whole
     short document is one shingle)."""
-    toks = F.split(F.trim(c), r"\s+")
+    toks = F.split(F.trim(c), r"[ \t\n\x0B\f\r]+")
     acc = toks
     for j in range(1, n):
         shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, lit(0)))
@@ -74,7 +74,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 4,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (a < b, jaccard >= threshold).
 
@@ -85,9 +85,12 @@ def ngram_jaccard_pairs(
     (from BOTH the join and the per-doc counts, so the result is the
     exact Jaccard over the reduced shingle sets — stopword-shingle
     removal, the standard bound for this operator at corpus scale).
-    With ``max_shingle_df=None`` the semantics are exact over all
-    shingles; standalone at 100 TB either set a cutoff or compose
-    behind LSH prefiltering (minhash_lsh_pairs).
+    The DEFAULT is bounded (1000 docs/shingle: a safety valve far above
+    natural 4-gram document frequencies, so small-corpus results are
+    usually identical to exact) — the obvious API path must not hide an
+    unbounded self-join. Pass ``max_shingle_df=None`` explicitly for
+    exact-over-all-shingles semantics, and at 100 TB either keep a
+    cutoff or compose behind LSH prefiltering (minhash_lsh_pairs).
     """
     sh = shingle_table(df, text_col, id_col, n)
     if max_shingle_df is not None:

@@ -14,7 +14,7 @@ from pyspark.sql.functions import col, lit
 
 # BPE-ish word/number/punctuation splitter: words (incl. unicode
 # letters), numbers, or single non-space symbols.
-BPE_TOKEN_RE = r"[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]"
+BPE_TOKEN_RE = r"[\p{L}]+|[\p{N}]+|[^ \t\n\x0B\f\r\p{L}\p{N}]"
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic
 STOPWORDS = {
@@ -28,7 +28,7 @@ STOPWORDS = {
 
 def tokens(c: Column) -> Column:
     """Whitespace tokens of trimmed text (empty text -> empty array)."""
-    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+    return F.filter(F.split(F.trim(c), r"[ \t\n\x0B\f\r]+"), lambda t: t != "")
 
 
 def bpe_tokens(c: Column) -> Column:
@@ -55,7 +55,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_chars_actual", n_chars)
         .withColumn(
             "mean_token_len",
-            F.when(n_toks > 0, (F.length(F.regexp_replace(t, r"\s+", "")) / n_toks)).otherwise(lit(0.0)),
+            F.when(n_toks > 0, (F.length(F.regexp_replace(t, r"[ \t\n\x0B\f\r]+", "")) / n_toks)).otherwise(lit(0.0)),
         )
         .withColumn(
             "punct_ratio",
@@ -350,7 +350,8 @@ def bm25_scores(df: DataFrame, query_terms: list[str], text_col: str = "text",
 def token_cooccurrence(
     df: DataFrame,
     min_pair_count: int = 2,
-    min_df: int = 1,
+    min_df: int = 2,
+    max_distinct_per_doc: int | None = 4096,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -365,17 +366,30 @@ def token_cooccurrence(
     generation via an equi self-join on the doc id with ``t1 < t2``
     (each unordered pair once), then map-side-combinable counts.
 
-    100 TB design: the pair space is quadratic in per-doc DISTINCT
-    vocabulary, not doc length — bounded for natural text, and
-    ``min_df`` prunes the long tail of the vocabulary BEFORE the
-    self-join (a broadcast semi join on the surviving vocab), which is
-    the lever that keeps the join linear-ish on web-scale corpora.
+    100 TB design — two levers keep the doc-id self-join linear-ish,
+    and BOTH default on:
+
+    * ``min_df`` (default 2) prunes the long tail of the vocabulary
+      BEFORE the self-join (a broadcast semi join on the surviving
+      vocab) — hapaxes cannot reach min_pair_count>=2 anyway, so the
+      default prune is lossless for the output.
+    * ``max_distinct_per_doc`` (default 4096) caps the per-doc distinct
+      vocabulary BEFORE pair generation, bounding the join fan-out of
+      one pathological shard (a single 100k-distinct-token doc would
+      otherwise emit ~5e9 pairs in one task). The cap keeps the
+      alphabetically-first K tokens (sort -> slice: deterministic and
+      oracle-mirrorable; natural-language docs sit far below it, so it
+      is a safety valve, not a sampler). Pass ``None`` to disable.
+
     Determinism: every score input is an integer count; pmi is one
     IEEE division + ln of identical doubles in any engine.
     """
+    toks = F.array_distinct(tokens(col(text_col)))
+    if max_distinct_per_doc is not None:
+        toks = F.slice(F.array_sort(toks), 1, max_distinct_per_doc)
     td = df.select(
         col(id_col).alias("_doc"),
-        F.explode(F.array_distinct(tokens(col(text_col)))).alias("_tok"),
+        F.explode(toks).alias("_tok"),
     )
     dfreq = td.groupBy("_tok").agg(F.count("*").alias("_df"))
     if min_df > 1:
@@ -437,7 +451,10 @@ def unigram_surprise(
         .crossJoin(F.broadcast(total))
         .select(
             "_id",
-            (-F.log(col("_c").cast("double") / col("_total")))
+            # explicit ROUND before the decimal cast: half-way ties then
+            # resolve by the engines' shared ROUND semantics, not by each
+            # engine's cast-rounding rule
+            F.round(-F.log(col("_c").cast("double") / col("_total")), 8)
             .cast("decimal(18,8)")
             .alias("_s"),
         )

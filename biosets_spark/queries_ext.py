@@ -29,7 +29,7 @@ from .queries import q
     oracle="""
     SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
     FROM documents
-    GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    GROUP BY md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
     """,
     desc="exact dedup: min-id representative per normalized-text "
          "fingerprint; shuffles (fingerprint,id) only, never bodies.",
@@ -44,7 +44,7 @@ def q_dedup_exact(spark, sf_dir):
     "q_dedup_fingerprint",
     oracle="""
     SELECT lang,
-           COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n_unique,
+           COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS n_unique,
            COUNT(*) AS n_docs
     FROM documents GROUP BY lang
     """,
@@ -62,7 +62,7 @@ def q_dedup_fingerprint(spark, sf_dir):
 
 _NGRAM_ORACLE = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') t FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') t FROM documents
 ),
 sh AS (
   SELECT DISTINCT doc_id,
@@ -87,18 +87,21 @@ WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5
     "q_dedup_ngram_jaccard",
     oracle=_NGRAM_ORACLE,
     desc="exact 4-gram-shingle Jaccard near-dup pairs (>= 0.5); "
-         "quadratic verifier bounded by shingle selectivity.",
+         "quadratic verifier bounded by shingle selectivity. Oracle-"
+         "parity variant: max_shingle_df=None is passed EXPLICITLY "
+         "(the operator default is bounded); the corpus-scale twin is "
+         "q_dedup_ngram_jaccard_bounded.",
     tags=["dedup", "ngram"],
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
     docs = tables.load(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, n=4, threshold=0.5)
+    pairs = D.ngram_jaccard_pairs(docs, n=4, threshold=0.5, max_shingle_df=None)
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 _NGRAM_BOUNDED_ORACLE = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') t FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') t FROM documents
 ),
 sh AS (
   SELECT DISTINCT doc_id,
@@ -170,7 +173,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     # hamming <= 3", which the O(n^2) SQL below also produces.
     oracle="""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
     ),
     sh AS (
       SELECT DISTINCT doc_id,
@@ -322,7 +325,7 @@ def q_knn_lsh(spark, sf_dir):
     "q_text_tokens",
     oracle="""
     SELECT doc_id,
-           len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS n_tokens,
+           len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) AS n_tokens,
            length(text) AS text_chars
     FROM documents WHERE doc_id < 100
     """,
@@ -343,7 +346,7 @@ def q_text_tokens(spark, sf_dir):
     oracle="""
     WITH feats AS (
       SELECT lang,
-             len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS n_toks,
+             len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) AS n_toks,
              length(text) AS n_chars
       FROM documents
     )

@@ -176,19 +176,24 @@ def q_having(spark, sf_dir):
 
 @q(
     "q_collect_list",
+    # the collected set is serialized to a comma-joined string in BOTH
+    # engines: the driver's value-hasher canonicalizes via pandas
+    # sort_values, which cannot factorize top-level array cells
+    # (numpy.ndarray is unhashable) — r3 driver-ERR, values verified
+    # equal. Serialization changes the wire format only.
     oracle="""
     SELECT c_nationkey,
-           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
            COUNT(*) AS n
     FROM customer GROUP BY c_nationkey
     """,
-    desc="collect_set aggregation (sorted for determinism).",
+    desc="collect_set aggregation (sorted + serialized for determinism).",
     tags=["agg", "collect"],
 )
 def q_collect_list(spark, sf_dir):
     c = tables.load(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
-        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        F.concat_ws(",", F.sort_array(F.collect_set("c_mktsegment"))).alias("segments"),
         F.count("*").alias("n"),
     )
 

@@ -39,7 +39,7 @@ _ARGMAX_CASE = "CASE " + " ".join(
 _LANGID_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id,
-         list_transform(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''), t -> lower(t)) AS toks
+         list_transform(list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> ''), t -> lower(t)) AS toks
   FROM documents
 ),
 scores AS (
@@ -73,11 +73,11 @@ def q_text_langid(spark, sf_dir):
     oracle="""
     WITH feats AS (
       SELECT lang,
-             len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS n_tokens,
+             len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) AS n_tokens,
              length(text) AS n_chars,
              length(regexp_replace(text, '[^.,!?;:''"()\\[\\]-]', '', 'g')) AS n_punct,
              length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
-             length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace
+             length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) AS n_nonspace
     FROM documents
     ),
     scored AS (
@@ -111,7 +111,7 @@ def q_text_quality_score(spark, sf_dir):
     "q_text_bpe_tokens",
     oracle=r"""
     SELECT lang,
-           CAST(SUM(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]'))) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^ \t\n\x0B\f\r\p{L}\p{N}]'))) AS BIGINT) AS total_bpe_tokens,
            COUNT(*) AS n_docs
     FROM documents GROUP BY lang
     """,
@@ -267,7 +267,7 @@ def q_approx_distinct(spark, sf_dir):
     "q_term_doc_freq",
     oracle="""
     WITH t AS (
-      SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS term
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS term
       FROM documents
     )
     SELECT term, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS term_freq
@@ -296,7 +296,7 @@ def q_term_doc_freq(spark, sf_dir):
     # planted near-dup pairs), then min per node = component id.
     oracle="""
     WITH RECURSIVE toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
     ),
     sh AS (
       SELECT DISTINCT doc_id,
@@ -380,11 +380,11 @@ def q_window_range_frame(spark, sf_dir):
 _PIPELINE_ORACLE = """
 WITH feats AS (
   SELECT *,
-         len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS n_tok,
+         len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) AS n_tok,
          length(text) AS n_ch,
          length(regexp_replace(text, '[^.,!?;:''"()\\[\\]-]', '', 'g')) AS n_punct,
          length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
-         length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace
+         length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) AS n_nonspace
   FROM documents
 ),
 quality AS (
@@ -396,11 +396,11 @@ quality AS (
 ),
 exact AS (
   SELECT doc_id, text, lang FROM (
-    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS keep_id
+    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS keep_id
     FROM quality
   ) WHERE doc_id = keep_id
 ),
-toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') t FROM exact),
+toks AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') t FROM exact),
 sh AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(1, greatest(len(t) - 2, 2)),

@@ -171,6 +171,9 @@ def q_not_exists_customers(spark, sf_dir):
     # element-wise double arithmetic (no aggregation order): identical
     # IEEE ops in both engines, floor(x*s + 0.5) is the explicit
     # engine-portable round-half-up.
+    # the int8 vector is serialized to a comma-joined string in BOTH
+    # engines: the driver's value-hasher cannot canonicalize top-level
+    # array cells (r3 driver-ERR, values verified equal).
     oracle="""
     WITH s AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
@@ -179,7 +182,8 @@ def q_not_exists_customers(spark, sf_dir):
       FROM embeddings
     )
     SELECT vec_id,
-           list_transform(emb, x -> CAST(floor(x * sc + 0.5) AS INTEGER)) AS q8,
+           array_to_string(list_transform(emb,
+               x -> CAST(floor(x * sc + 0.5) AS INTEGER)), ',') AS q8,
            CAST(round(sc, 6) AS DOUBLE) AS scale6
     FROM s
     """,
@@ -198,7 +202,10 @@ def q_quantize_embeddings(spark, sf_dir):
     )
     return withs.select(
         "vec_id",
-        quantize_int8(col("emb"), col("sc")).alias("q8"),
+        F.concat_ws(
+            ",", F.transform(quantize_int8(col("emb"), col("sc")),
+                             lambda x: x.cast("string"))
+        ).alias("q8"),
         F.round(col("sc"), 6).cast("double").alias("scale6"),
     )
 
@@ -445,7 +452,7 @@ def q_mix_resample(spark, sf_dir):
     oracle="""
     WITH d AS (
       SELECT doc_id, lang,
-             len(string_split_regex(trim(text), '\\s+')) AS n_tok
+             len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS n_tok
       FROM documents
     ),
     c AS (
@@ -469,7 +476,7 @@ def q_pack_sequences(spark, sf_dir):
     docs = tables.load(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id", "lang",
-        F.size(F.split(F.trim(col("text")), r"\s+")).cast("long").alias("n_tok"),
+        F.size(F.split(F.trim(col("text")), r"[ \t\n\x0B\f\r]+")).cast("long").alias("n_tok"),
     )
     packed = pack_bins(d, token_col="n_tok", order_col="doc_id", budget=512, key_cols=["lang"])
     return (
@@ -487,7 +494,7 @@ def q_pack_sequences(spark, sf_dir):
     "q_top_ngrams",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
     ),
     sh AS (
       -- docs under 3 tokens emit NO grams (range is empty), so short
@@ -508,7 +515,7 @@ def q_pack_sequences(spark, sf_dir):
 )
 def q_top_ngrams(spark, sf_dir):
     docs = tables.load(spark, sf_dir, "documents")
-    t = F.split(F.trim(col("text")), r"\s+")
+    t = F.split(F.trim(col("text")), r"[ \t\n\x0B\f\r]+")
     n = 3
     # docs under n tokens are filtered before shingling so no partial
     # grams enter the counts
@@ -574,7 +581,7 @@ def q_contamination(spark, sf_dir):
     # cumulative-sum chunk ids) — fully deterministic.
     oracle="""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
     ),
     tok AS (
       SELECT doc_id,
@@ -614,7 +621,7 @@ def q_chunk_stats(spark, sf_dir):
 
     docs = tables.load(spark, sf_dir, "documents")
     tok = docs.select(
-        "doc_id", F.posexplode(F.split(F.trim(col("text")), r"\s+")).alias("pos", "w")
+        "doc_id", F.posexplode(F.split(F.trim(col("text")), r"[ \t\n\x0B\f\r]+")).alias("pos", "w")
     )
     bnd = tok.withColumn(
         "bnd", (F.pmod(portable_hash60(col("w")), lit(8)) == 0).cast("long")

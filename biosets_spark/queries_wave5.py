@@ -30,7 +30,7 @@ from .queries import q
     "q_quality_gopher",
     oracle="""
     WITH t AS (
-      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') toks FROM documents
+      SELECT doc_id, lang, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') toks FROM documents
     ),
     g AS (
       SELECT lang,
@@ -73,7 +73,7 @@ def q_quality_gopher(spark, sf_dir):
     "q_text_repetition",
     oracle="""
     WITH t AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') toks FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') toks FROM documents
     ),
     bg AS (
       SELECT doc_id, len(toks) AS n_toks, len(list_distinct(toks)) AS n_distinct,
@@ -219,11 +219,11 @@ _BM25_TERMS = ["table", "scan", "merge", "join", "hash"]
     oracle=f"""
     WITH params AS (
       SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
-             (SELECT AVG(len(string_split_regex(trim(text), '\\s+'))) FROM documents) AS avgdl
+             (SELECT AVG(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'))) FROM documents) AS avgdl
     ),
     toks AS (
-      SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS dl,
-             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      SELECT doc_id, len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS dl,
+             unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS t
       FROM documents
     ),
     tf AS (

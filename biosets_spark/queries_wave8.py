@@ -22,7 +22,7 @@ from .operators import text as T
 from .queries import q
 
 # the oracle-side whitespace tokenizer matching operators.text.tokens
-_TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+_TOKS_SQL = "list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')"
 
 
 @q(
@@ -71,15 +71,27 @@ def q_vocab_stats(spark, sf_dir):
 
 @q(
     "q_token_pmi",
+    # mirrors token_cooccurrence's two scale levers exactly: the per-doc
+    # alphabetical 4096-token cap (sort -> slice before pairing) and the
+    # min_df=2 vocabulary prune (lossless here: a pair reaching
+    # pair_count>=5 implies both tokens have df>=5).
     oracle=f"""
     WITH td AS (
       SELECT DISTINCT doc_id, tok
-      FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents)
+      FROM (SELECT doc_id,
+                   unnest(list_slice(list_sort(list_distinct({_TOKS_SQL})),
+                                     1, 4096)) AS tok
+            FROM documents)
     ),
     dfreq AS (SELECT tok, COUNT(*) AS df FROM td GROUP BY tok),
+    kept AS (
+      SELECT td.doc_id, td.tok FROM td
+      JOIN dfreq ON dfreq.tok = td.tok
+      WHERE dfreq.df >= 2
+    ),
     pairs AS (
       SELECT a.tok AS t1, b.tok AS t2, COUNT(*) AS pair_count
-      FROM td a JOIN td b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.tok < b.tok
       GROUP BY a.tok, b.tok
       HAVING COUNT(*) >= 5
     )
@@ -98,15 +110,17 @@ def q_vocab_stats(spark, sf_dir):
     LIMIT 20
     """,
     desc="Top-20 token collocations by PMI over document-level "
-         "presence: per-doc distinct tokens, pair generation via a "
-         "doc-id self-join (t1 < t2), integer counts everywhere; the "
-         "ordering uses the EXACT pmi double (rounding only in the "
-         "output column) with full (t1, t2) tie-break.",
+         "presence: per-doc distinct tokens (capped at 4096/doc), "
+         "min_df=2 vocabulary prune before the doc-id self-join "
+         "(t1 < t2), integer counts everywhere; the ordering uses the "
+         "EXACT pmi double (rounding only in the output column) with "
+         "full (t1, t2) tie-break.",
     tags=["text", "join", "agg"],
 )
 def q_token_pmi(spark, sf_dir):
     docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
-    scored = T.token_cooccurrence(docs, min_pair_count=5, min_df=1)
+    scored = T.token_cooccurrence(
+        docs, min_pair_count=5, min_df=2, max_distinct_per_doc=4096)
     return (
         scored.orderBy(col("pmi").desc(), "t1", "t2")
         .limit(20)

@@ -20,7 +20,7 @@ from . import tables
 from .operators import text as T
 from .queries import dsum, q
 
-_TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+_TOKS_SQL = "list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')"
 
 
 @q(
@@ -187,8 +187,8 @@ def q_idle_rich_customers(spark, sf_dir):
     tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM counts),
     surprise AS (
       SELECT toks.doc_id,
-             CAST(-LN(CAST(counts.c AS DOUBLE) / (SELECT total FROM tot))
-                  AS DECIMAL(18,8)) AS s
+             CAST(ROUND(-LN(CAST(counts.c AS DOUBLE) / (SELECT total FROM tot)),
+                        8) AS DECIMAL(18,8)) AS s
       FROM toks JOIN counts ON toks.tok = counts.tok
     ),
     doc AS (
@@ -207,7 +207,9 @@ def q_idle_rich_customers(spark, sf_dir):
          "surprise quantized to DECIMAL(18,8) before the per-doc sum "
          "(order-free); ordering uses the exact sum/count double with "
          "a doc_id tie-break; display value rounded.",
-    tags=["text", "join", "agg"],
+    # "cross" tag: unigram_surprise normalizes with a deliberate 1-row
+    # crossJoin(broadcast(total)) — same pattern as q_mix_temperature.
+    tags=["text", "join", "agg", "cross"],
 )
 def q_unigram_surprise(spark, sf_dir):
     docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -224,10 +226,10 @@ def q_unigram_surprise(spark, sf_dir):
     oracle="""
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(CAST(SUM(CAST(CASE WHEN n_chars > 0 THEN
+           ROUND(CAST(SUM(CAST(ROUND(CASE WHEN n_chars > 0 THEN
                      CAST(LENGTH(REGEXP_REPLACE(text, '[^ -~]', '', 'g'))
                           AS DOUBLE) / CAST(n_chars AS DOUBLE)
-                   ELSE 1.0 END AS DECIMAL(18,8))) AS DOUBLE)
+                   ELSE 1.0 END, 8) AS DECIMAL(18,8))) AS DOUBLE)
                  / COUNT(*), 6) AS mean_ascii_ratio
     FROM documents
     GROUP BY lang
@@ -244,7 +246,7 @@ def q_unigram_surprise(spark, sf_dir):
 )
 def q_script_ratio(spark, sf_dir):
     docs = tables.load(spark, sf_dir, "documents").select("lang", "text", "n_chars")
-    ratio = T.ascii_ratio(col("text"), col("n_chars")).cast("decimal(18,8)")
+    ratio = F.round(T.ascii_ratio(col("text"), col("n_chars")), 8).cast("decimal(18,8)")
     return (
         docs.select("lang", ratio.alias("_r"))
         .groupBy("lang")
