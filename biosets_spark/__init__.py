@@ -12,7 +12,7 @@ Layers (SURVEY.md §7.0):
 """
 
 from .dataset import BioDataset
-from .load import load_dataset
+from .load import ReadInstruction, load_dataset
 from .session import get_spark
 from .sources.sink import load_from_disk, save_to_disk
 
@@ -32,6 +32,6 @@ def concatenate_datasets(dsets: list, axis: int = 0) -> "BioDataset":
 __version__ = "0.1.0"
 
 __all__ = [
-    "BioDataset", "load_dataset", "get_spark", "save_to_disk",
+    "BioDataset", "load_dataset", "ReadInstruction", "get_spark", "save_to_disk",
     "load_from_disk", "concatenate_datasets",
 ]

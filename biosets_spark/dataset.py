@@ -191,21 +191,26 @@ class BioDataset:
     def slice(self, spec: str, order_by: list[str] | None = None) -> "BioDataset":
         """Percent/absolute slice strings on the dataset itself —
         ``ds.slice("10%:20%")``, ``ds.slice(":10%")``, ``ds.slice("10:20")``,
+        ``ds.slice("-80%:")``, ``ds.slice("[50%:52%](pct1_dropremainder)")``,
         with or without brackets (``"[:10%]"``). Same grammar as
         ``load_dataset(split="train[:10%]")`` (reference
         docs/DATA_LOADING.md:251-309), built on the limit/offset
         slicing in operators.split."""
         import re
 
-        m = re.fullmatch(r"\[?(-?\d*)(%?):(-?\d*)(%?)\]?", spec.strip())
+        m = re.fullmatch(r"\[?(-?\d*)(%?):(-?\d*)(%?)\]?(?:\((\w+)\))?", spec.strip())
         if not m:
             raise ValueError(f"Bad slice spec {spec!r} — expected 'a:b' or 'a%:b%'")
-        a, ap, b, bp = m.groups()
+        a, ap, b, bp, rounding = m.groups()
         start = int(a) if a else None
         stop = int(b) if b else None
         if ap or bp:
             return self._wrap(_split.slice_percent(
-                self.df, start or 0, stop if stop is not None else 100, order_by))
+                self.df, start if start is not None else 0,
+                stop if stop is not None else 100, order_by,
+                rounding=rounding or "closest"))
+        if rounding:
+            raise ValueError(f"rounding {rounding!r} applies to percent slices only")
         return self._wrap(_split.slice_rows(self.df, start or 0, stop, order_by))
 
     def head(self, n: int = 5) -> list[dict]:

@@ -46,6 +46,73 @@ METADATA_PATTERNS = [r"^metadata", r"^meta[_\-\s]", r"^covariate"]
 FEATURE_KEY_PATTERNS = [r"^feature(s|[_\-\s]*id|[_\-\s]*name)?$", r"^name$", r"^id$"]
 
 
+class ReadInstruction:
+    """Programmatic split-slice spec, the reference's alternative to the
+    string grammar (docs/DATA_LOADING.md:251-309):
+
+        ReadInstruction("train", from_=50, to=52, unit="%",
+                        rounding="pct1_dropremainder")
+
+    ``unit`` is ``"%"`` or ``"abs"``; ``rounding`` is ``"closest"``
+    (default) or ``"pct1_dropremainder"`` (percent unit only).
+    Instances compose with ``+`` (concatenation, like
+    ``"train[:10%]+train[-80%:]"``) and render back to the string
+    grammar via ``to_spec()`` — load_dataset accepts either form.
+    """
+
+    def __init__(self, split_name: str, from_: int | None = None,
+                 to: int | None = None, unit: str = "abs",
+                 rounding: str = "closest"):
+        if unit not in ("%", "abs"):
+            raise ValueError(f"unit must be '%' or 'abs', got {unit!r}")
+        if rounding not in ("closest", "pct1_dropremainder"):
+            raise ValueError(
+                f"rounding must be 'closest' or 'pct1_dropremainder', got {rounding!r}")
+        if rounding == "pct1_dropremainder" and unit != "%":
+            raise ValueError("pct1_dropremainder applies to unit='%' only")
+        self._parts: list[tuple[str, int | None, int | None, str, str]] = [
+            (split_name, from_, to, unit, rounding)
+        ]
+
+    @classmethod
+    def _from_parts(cls, parts) -> "ReadInstruction":
+        inst = cls.__new__(cls)
+        inst._parts = list(parts)
+        return inst
+
+    def __add__(self, other: "ReadInstruction") -> "ReadInstruction":
+        if not isinstance(other, ReadInstruction):
+            return NotImplemented
+        return ReadInstruction._from_parts(self._parts + other._parts)
+
+    @classmethod
+    def from_spec(cls, spec: str) -> "ReadInstruction":
+        parts = []
+        for name, a, b, pct, rounding in discovery.parse_split_spec(spec):
+            if a is None and b is None:
+                parts.append((name, None, None, "abs", rounding))
+            else:
+                parts.append((name, a, b, "%" if pct else "abs", rounding))
+        return cls._from_parts(parts)
+
+    def to_spec(self) -> str:
+        pieces = []
+        for name, a, b, unit, rounding in self._parts:
+            if a is None and b is None:
+                pieces.append(name)
+                continue
+            u = "%" if unit == "%" else ""
+            s = f"{name}[{'' if a is None else a}{u if a is not None else ''}:" \
+                f"{'' if b is None else b}{u if b is not None else ''}]"
+            if rounding != "closest":
+                s += f"({rounding})"
+            pieces.append(s)
+        return "+".join(pieces)
+
+    def __repr__(self) -> str:
+        return f"ReadInstruction({self.to_spec()!r})"
+
+
 def _match_col(columns: list[str], patterns: list[str]) -> str | None:
     for p in patterns:
         for c in columns:
@@ -91,7 +158,7 @@ def load_dataset(
     negative_labels: list | None = None,
     add_missing_columns: bool = False,
     zero_as_missing: bool = False,
-    split: str | None = None,
+    split: "str | ReadInstruction | list | None" = None,
     spark: SparkSession | None = None,
     **reader_options,
 ) -> BioDataset | dict[str, BioDataset]:
@@ -259,25 +326,45 @@ def load_dataset(
 
         out[split_name] = BioDataset(df, split=split_name)
 
-    if split:
-        parts = discovery.parse_split_spec(split)
-        if len(parts) == 1 and parts[0][1] is None and parts[0][2] is None:
-            return out[parts[0][0]]
-        from .operators.split import slice_percent, slice_rows
-
-        pieces = []
-        for name, a, b, pct in parts:
-            ds = out[name]
-            if a is None and b is None:
-                pieces.append(ds.df)
-            elif pct:
-                pieces.append(slice_percent(ds.df, a or 0, b if b is not None else 100))
-            else:
-                pieces.append(slice_rows(ds.df, a or 0, b))
-        merged = pieces[0]
-        for p in pieces[1:]:
-            merged = merged.unionByName(p, allowMissingColumns=True)
-        return BioDataset(merged, split=split)
+    if split is not None:
+        if isinstance(split, (list, tuple)):
+            # split list -> list of datasets (the k-fold pattern in
+            # docs/DATA_LOADING.md:251-309)
+            return [_apply_split_spec(out, s) for s in split]
+        return _apply_split_spec(out, split)
     if len(out) == 1:
         return next(iter(out.values()))
     return out
+
+
+def _apply_split_spec(out: dict[str, BioDataset], split) -> BioDataset:
+    """Resolve one split spec (string grammar or ReadInstruction)
+    against the loaded {split: BioDataset} map."""
+    if isinstance(split, ReadInstruction):
+        parts = [
+            (name, a, b, unit == "%", rounding)
+            for name, a, b, unit, rounding in split._parts
+        ]
+        label = split.to_spec()
+    else:
+        parts = discovery.parse_split_spec(split)
+        label = split
+    if len(parts) == 1 and parts[0][1] is None and parts[0][2] is None:
+        return out[parts[0][0]]
+    from .operators.split import slice_percent, slice_rows
+
+    pieces = []
+    for name, a, b, pct, rounding in parts:
+        ds = out[name]
+        if a is None and b is None:
+            pieces.append(ds.df)
+        elif pct:
+            pieces.append(slice_percent(
+                ds.df, a if a is not None else 0,
+                b if b is not None else 100, rounding=rounding))
+        else:
+            pieces.append(slice_rows(ds.df, a or 0, b))
+    merged = pieces[0]
+    for p in pieces[1:]:
+        merged = merged.unionByName(p, allowMissingColumns=True)
+    return BioDataset(merged, split=label)

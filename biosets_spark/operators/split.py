@@ -78,21 +78,64 @@ def shuffle(df: DataFrame, seed: int | None = None, scale_safe: bool = False,
 
 def slice_rows(df: DataFrame, start: int = 0, stop: int | None = None,
                order_by: list[str] | None = None) -> DataFrame:
-    """P8/O4 contiguous slicing ``ds[start:stop]`` over a defined order."""
+    """P8/O4 contiguous slicing ``ds[start:stop]`` over a defined order.
+
+    Negative boundaries count from the end (``ds[-10:]``), costing one
+    count() action to resolve; non-negative slices stay a pure
+    limit/offset plan (no count).
+    """
+    if (start is not None and start < 0) or (stop is not None and stop < 0):
+        n = df.count()
+        if start is not None and start < 0:
+            start = max(n + start, 0)
+        if stop is not None and stop < 0:
+            stop = max(n + stop, 0)
     src = df.orderBy(*order_by) if order_by else df
     if start:
         src = src.offset(start)
     if stop is not None:
-        src = src.limit(stop - start)
+        src = src.limit(max(stop - start, 0))
     return src
 
 
+def _round_half_even(num: int, den: int) -> int:
+    """Nearest integer to num/den, ties to even — exact integer
+    arithmetic (reference 'closest' rounding uses Python round())."""
+    q, r = divmod(num, den)
+    if 2 * r > den or (2 * r == den and q % 2 == 1):
+        return q + 1
+    return q
+
+
 def slice_percent(df: DataFrame, from_pct: int = 0, to_pct: int = 100,
-                  order_by: list[str] | None = None) -> DataFrame:
-    """``train[:10%]`` percent slicing (docs/DATA_LOADING.md:251-309)."""
+                  order_by: list[str] | None = None,
+                  rounding: str = "closest") -> DataFrame:
+    """``train[:10%]`` percent slicing (docs/DATA_LOADING.md:251-309).
+
+    ``rounding``:
+      * ``"closest"`` (default) — boundaries round to the nearest row
+        (ties to even, matching the reference's round()): 999 rows,
+        ``[50%:52%]`` -> rows 500..519 (19 rows).
+      * ``"pct1_dropremainder"`` — boundaries are multiples of the
+        1%% unit ``n // 100`` (equal-sized slices; the last < 1%% of
+        rows is dropped): 999 rows, ``[50%:52%]`` -> rows 450..468
+        under unit 9.
+    Negative percentages count from the end (``[-80%:]`` == ``[20%:]``).
+    """
     n = df.count()
-    start = n * from_pct // 100
-    stop = n * to_pct // 100
+    if from_pct < 0:
+        from_pct += 100
+    if to_pct < 0:
+        to_pct += 100
+    if rounding == "pct1_dropremainder":
+        unit = n // 100
+        start, stop = from_pct * unit, to_pct * unit
+    elif rounding == "closest":
+        start = _round_half_even(n * from_pct, 100)
+        stop = _round_half_even(n * to_pct, 100)
+    else:
+        raise ValueError(f"unknown rounding {rounding!r}: "
+                         "expected 'closest' or 'pct1_dropremainder'")
     return slice_rows(df, start, stop, order_by)
 
 

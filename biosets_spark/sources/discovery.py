@@ -135,19 +135,28 @@ def infer_splits(files: list[str]) -> dict[str, list[str]]:
     return splits
 
 
-def parse_split_spec(spec: str) -> list[tuple[str, int | None, int | None, bool]]:
-    """Parse 'train', 'train+test', 'train[10:20]', 'train[:10%]' into
-    (split, start, stop, is_percent) parts (docs/DATA_LOADING.md:
-    251-309)."""
+def parse_split_spec(
+    spec: str,
+) -> list[tuple[str, int | None, int | None, bool, str]]:
+    """Parse 'train', 'train+test', 'train[10:20]', 'train[:10%]',
+    'train[-80%:]', 'train[50%:52%](pct1_dropremainder)' into
+    (split, start, stop, is_percent, rounding) parts
+    (docs/DATA_LOADING.md:251-309). ``rounding`` is 'closest' unless a
+    '(pct1_dropremainder)' suffix names the equal-1%%-unit mode."""
     parts = []
     for piece in spec.split("+"):
-        m = re.fullmatch(r"(\w+)(?:\[(-?\d*)(%?):(-?\d*)(%?)\])?", piece.strip())
+        m = re.fullmatch(
+            r"(\w+)(?:\[(-?\d*)(%?):(-?\d*)(%?)\](?:\((\w+)\))?)?", piece.strip())
         if not m:
             raise ValueError(f"Bad split spec {piece!r}")
-        name, a, ap, b, bp = m.groups()
+        name, a, ap, b, bp, rounding = m.groups()
+        rounding = rounding or "closest"
+        if rounding not in ("closest", "pct1_dropremainder"):
+            raise ValueError(f"Bad rounding {rounding!r} in split spec {piece!r}")
         if a is None and b is None:
-            parts.append((name, None, None, False))
+            parts.append((name, None, None, False, rounding))
         else:
             pct = bool(ap or bp)
-            parts.append((name, int(a) if a else None, int(b) if b else None, pct))
+            parts.append(
+                (name, int(a) if a else None, int(b) if b else None, pct, rounding))
     return parts

@@ -174,6 +174,21 @@ def test_split_spec_slicing(spark, tmp_path):
     assert ds.num_rows == 3
     ds_pct = load_dataset(path=str(tmp_path), split="train[:50%]", spark=spark)
     assert ds_pct.num_rows == 5
+    # ReadInstruction form of the same slice
+    from biosets_spark import ReadInstruction
+
+    ri = ReadInstruction("train", to=50, unit="%")
+    assert load_dataset(path=str(tmp_path), split=ri, spark=spark).num_rows == 5
+    # split list -> list of datasets (k-fold pattern)
+    folds = load_dataset(
+        path=str(tmp_path),
+        split=[f"train[{k}%:{k + 50}%]" for k in (0, 50)],
+        spark=spark,
+    )
+    assert [f.num_rows for f in folds] == [5, 5]
+    # negative percent boundary counts from the end
+    tail = load_dataset(path=str(tmp_path), split="train[-20%:]", spark=spark)
+    assert tail.num_rows == 2
 
 
 def test_add_missing_columns_from_feature_metadata(spark, tmp_path):

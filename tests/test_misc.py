@@ -86,10 +86,55 @@ def test_infer_splits():
 
 
 def test_parse_split_spec():
-    assert parse_split_spec("train") == [("train", None, None, False)]
-    assert parse_split_spec("train[10:20]") == [("train", 10, 20, False)]
-    assert parse_split_spec("train[:10%]") == [("train", None, 10, True)]
-    assert parse_split_spec("train+test") == [("train", None, None, False), ("test", None, None, False)]
+    assert parse_split_spec("train") == [("train", None, None, False, "closest")]
+    assert parse_split_spec("train[10:20]") == [("train", 10, 20, False, "closest")]
+    assert parse_split_spec("train[:10%]") == [("train", None, 10, True, "closest")]
+    assert parse_split_spec("train+test") == [
+        ("train", None, None, False, "closest"),
+        ("test", None, None, False, "closest"),
+    ]
+    assert parse_split_spec("train[-80%:]") == [("train", -80, None, True, "closest")]
+    assert parse_split_spec("train[50%:52%](pct1_dropremainder)") == [
+        ("train", 50, 52, True, "pct1_dropremainder")
+    ]
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_split_spec("train[50%:52%](bogus)")
+
+
+def test_read_instruction_roundtrip():
+    from biosets_spark import ReadInstruction
+
+    ri = ReadInstruction("train", from_=50, to=52, unit="%",
+                         rounding="pct1_dropremainder")
+    assert ri.to_spec() == "train[50%:52%](pct1_dropremainder)"
+    combo = ReadInstruction("train", to=10, unit="%") + ReadInstruction("test")
+    assert combo.to_spec() == "train[:10%]+test"
+    assert ReadInstruction.from_spec("train[-80%:]").to_spec() == "train[-80%:]"
+    import pytest
+
+    with pytest.raises(ValueError):
+        ReadInstruction("train", from_=1, to=2, rounding="pct1_dropremainder")
+
+
+def test_percent_slice_rounding(spark):
+    """docs/DATA_LOADING.md:286-309: 999 rows — closest rounding gives
+    19/20-row 2% slices; pct1_dropremainder gives equal 18-row slices."""
+    from biosets_spark.operators import split as S
+
+    df = spark.range(999).toDF("i")
+    assert S.slice_percent(df, 50, 52, order_by=["i"]).count() == 19
+    assert S.slice_percent(df, 52, 54, order_by=["i"]).count() == 20
+    assert S.slice_percent(df, 50, 52, order_by=["i"],
+                           rounding="pct1_dropremainder").count() == 18
+    rows = S.slice_percent(df, 50, 52, order_by=["i"],
+                           rounding="pct1_dropremainder").collect()
+    assert [r.i for r in rows][:2] == [450, 451]
+    # negative boundaries count from the end
+    assert S.slice_percent(df, -80, None or 100, order_by=["i"]).count() == 999 - 200
+    assert S.slice_rows(df, -10, None, order_by=["i"]).count() == 10
+    assert [r.i for r in S.slice_rows(df, -3, -1, order_by=["i"]).collect()] == [996, 997]
 
 
 def test_register_custom_feature_type(spark):
