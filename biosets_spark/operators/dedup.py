@@ -121,6 +121,52 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by shingle containment
+    |A ∩ B| / |A| >= threshold — catches quote/excerpt duplication
+    (small doc A contained in big doc B) that symmetric Jaccard misses
+    (the union denominator drowns the small side).
+
+    Output: (id_small, id_big, containment) where ``id_small`` is the
+    CONTAINED document (its shingle set is the denominator); both
+    orientations are evaluated, so a pair can appear once per
+    direction. Same bounded self-join plan as ``ngram_jaccard_pairs``
+    (hot-shingle cutoff applies to BOTH the join and the denominators,
+    so the score is exact over the reduced shingle sets).
+    """
+    sh = shingle_table(df, text_col, id_col, n)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("_sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(col("_df") > max_shingle_df)
+            .select("_sh")
+        )
+        sh = sh.join(F.broadcast(hot), "_sh", "left_anti")
+    sh = sh.cache()
+    counts = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (col("a._sh") == col("b._sh")) & (col("a._id") != col("b._id")))
+        .groupBy(col("a._id").alias("id_small"), col("b._id").alias("id_big"))
+        .agg(F.count("*").alias("common"))
+    )
+    ca = counts.select(col("_id").alias("id_small"), col("_n").alias("n_small"))
+    return (
+        common.join(ca, "id_small")
+        .withColumn("containment", col("common") / col("n_small"))
+        .filter(col("containment") >= threshold)
+        .select("id_small", "id_big", "containment")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_perm: int = 32, shingle_n: int = 4,

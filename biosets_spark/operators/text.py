@@ -474,6 +474,69 @@ def unigram_surprise(
     )
 
 
+def spans(c: Column, span_tokens: int = 10) -> Column:
+    """Non-overlapping ``span_tokens``-token windows of a text column
+    as space-joined strings (the C4-style span unit for cross-document
+    span-level dedup). The final partial span (< span_tokens tokens)
+    is kept — short boilerplate tails matter."""
+    toks = tokens(c)
+    n_spans = F.ceil(F.size(toks) / lit(span_tokens)).cast("int")
+    return F.transform(
+        F.sequence(lit(0), F.greatest(n_spans - 1, lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * span_tokens + 1, span_tokens)),
+    )
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    span_tokens: int = 10,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document span-level duplication profile — the C4/RefinedWeb
+    "remove spans seen elsewhere" signal, scored rather than applied:
+    per document, how many of its spans also occur in >= ``min_docs``
+    documents (boilerplate headers, license blocks, navigation chrome).
+
+    Returns (id_col, n_spans, dup_spans, dup_frac).
+
+    Plan: explode non-overlapping spans -> per-span DISTINCT-doc count
+    (two combinable aggs) -> broadcast-or-shuffle join of the hot-span
+    set back onto the postings -> per-doc counts. The span table
+    carries (doc_id, span_hash) longs after the first projection, so
+    at 100 TB the shuffle is two longs per span, never document
+    bodies; counts are integers (engine-exact).
+    """
+    sp = df.select(
+        col(id_col).alias("_doc"),
+        F.explode(spans(col(text_col), span_tokens)).alias("_sp"),
+    ).filter(col("_sp") != "")
+    # hash spans to longs before any shuffle: 8 bytes vs the span text
+    sp = sp.select("_doc", F.xxhash64(col("_sp")).alias("_h"))
+    per_doc = sp.groupBy("_doc").agg(F.count("*").alias("n_spans"))
+    hot = (
+        sp.groupBy("_h")
+        .agg(F.count_distinct("_doc").alias("_nd"))
+        .filter(col("_nd") >= min_docs)
+        .select("_h")
+    )
+    dup = (
+        sp.join(hot, "_h", "left_semi")
+        .groupBy("_doc")
+        .agg(F.count("*").alias("dup_spans"))
+    )
+    return (
+        per_doc.join(dup, "_doc", "left")
+        .select(
+            col("_doc").alias(id_col),
+            "n_spans",
+            F.coalesce(col("dup_spans"), lit(0)).alias("dup_spans"),
+            (F.coalesce(col("dup_spans"), lit(0)) / col("n_spans")).alias("dup_frac"),
+        )
+    )
+
+
 def ascii_ratio(c: Column, n_chars: Column) -> Column:
     """Fraction of printable-ASCII characters, against a caller-supplied
     total length (pass a stored n_chars column when one exists: counting

@@ -339,3 +339,33 @@ def test_pack_bins_properties(spark):
             cum += r.n_tok
             total += r.n_tok
     assert total == sum(n for _, _, n in rows)
+
+
+def test_sessionize_and_keep_latest(spark):
+    """Batch sessionization (gap > 30 min starts a new session) and
+    keep-latest compaction with timestamp-collision tie-breaks."""
+    from biosets_spark.operators import events as E
+
+    rows = [
+        # user 1: 3 events in one session, then a 2-hour gap
+        (1, "2024-01-01 10:00:00", 1, "a"),
+        (2, "2024-01-01 10:10:00", 1, "b"),
+        (3, "2024-01-01 10:20:00", 1, "c"),
+        (4, "2024-01-01 12:30:00", 1, "d"),
+        # user 2: single event; plus a ts collision with event 6
+        (5, "2024-01-01 09:00:00", 2, "x"),
+        (6, "2024-01-01 09:00:00", 2, "y"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    sess = E.sessionize(df, gap_minutes=30)
+    got = {r["event_id"]: r["session_id"] for r in sess.collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == 2                       # after the 2-hour gap
+    assert got[5] == got[6] == 1
+
+    latest = {r["user_id"]: r["event_id"] for r in E.keep_latest(df).collect()}
+    assert latest[1] == 4
+    assert latest[2] == 6                    # ts tie -> higher event_id wins

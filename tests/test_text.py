@@ -244,3 +244,50 @@ def test_ascii_ratio(spark):
     assert out[1] == 1.0
     assert abs(out[2] - 2 / 3) < 1e-9
     assert out[3] == 1.0
+
+
+def test_spans_and_span_dedup(spark):
+    """spans(): non-overlapping 10-token windows, partial tail kept;
+    span_dedup_stats: cross-doc span frequency -> per-doc dup ratio."""
+    twelve = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [
+            (1, twelve),                # spans: w0..w9, w10 w11
+            (2, twelve + " extra"),     # shares span 1 (w0..w9); tail differs
+            (3, "totally different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    sp = df.select(TX.spans(F.col("text"), 10).alias("s")).collect()
+    assert [len(r["s"]) for r in sp] == [2, 2, 1]
+    assert sp[0]["s"][0] == " ".join(f"w{i}" for i in range(10))
+    assert sp[0]["s"][1] == "w10 w11"
+
+    out = {r["doc_id"]: r for r in TX.span_dedup_stats(df, span_tokens=10).collect()}
+    assert out[1]["n_spans"] == 2 and out[1]["dup_spans"] == 1
+    assert abs(out[1]["dup_frac"] - 0.5) < 1e-12
+    assert out[2]["dup_spans"] == 1
+    assert out[3]["dup_spans"] == 0 and out[3]["dup_frac"] == 0.0
+
+
+def test_containment_pairs(spark):
+    """A small doc fully contained in a big doc scores containment 1.0
+    in the small->big direction but low Jaccard symmetrically."""
+    from biosets_spark.operators import dedup as D
+
+    small = " ".join(f"t{i}" for i in range(8))
+    big = small + " " + " ".join(f"pad{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, "unrelated content entirely here now")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_small"], r["id_big"]): r["containment"]
+        for r in D.containment_pairs(df, n=4, threshold=0.8).collect()
+    }
+    assert pairs[(1, 2)] == 1.0          # small's shingles all inside big
+    assert (2, 1) not in pairs           # big is NOT contained in small
+    # symmetric Jaccard would miss this pair at the same bar
+    jac = {(r["id_a"], r["id_b"]) for r in
+           D.ngram_jaccard_pairs(df, n=4, threshold=0.8).collect()}
+    assert (1, 2) not in jac
