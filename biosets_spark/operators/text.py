@@ -474,6 +474,44 @@ def unigram_surprise(
     )
 
 
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k TF-IDF keywords — the cheap extractive
+    tagging pass a corpus pipeline runs for faceting / retrieval
+    hints.
+
+    Returns (id_col, term, rank, score): rank 1..k per document by
+    tf * ln(N/df), ties broken by term so the cut is total.
+
+    Plan: explode -> per-(doc, term) tf counts -> per-term df (one row
+    per posting GROUP, so df = document frequency exactly) -> join idf
+    onto the postings -> per-doc top-k via a row_number window keyed by
+    the document (high-cardinality partition key: parallel at any
+    scale). The df table is vocabulary-sized; broadcast when it fits
+    (the default here), else let AQE choose a shuffle join.
+    """
+    toks = df.select(
+        col(id_col).alias("_id"), F.explode(tokens(col(text_col))).alias("_t"))
+    tf = toks.groupBy("_id", "_t").agg(F.count("*").alias("_tf"))
+    dfreq = tf.groupBy("_t").agg(F.count("*").alias("_df"))
+    n_docs = df.count()
+    from pyspark.sql import Window
+
+    scored = tf.join(F.broadcast(dfreq), "_t").withColumn(
+        "score", col("_tf") * F.log(lit(float(n_docs)) / col("_df")))
+    w = Window.partitionBy("_id").orderBy(col("score").desc(), col("_t"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("_id").alias(id_col), col("_t").alias("term"),
+                "rank", "score")
+    )
+
+
 def spans(c: Column, span_tokens: int = 10) -> Column:
     """Non-overlapping ``span_tokens``-token windows of a text column
     as space-joined strings (the C4-style span unit for cross-document

@@ -1,0 +1,255 @@
+"""Eleventh-wave query inventory: extractive TF-IDF keywords, Zipf
+slope estimation, and a deterministic Johnson-Lindenstrauss random
+projection — the dimensionality-reduction scale path in front of ANN
+search (project 64-d embeddings to 8-d with a +-1 sign matrix derived
+from md5, identical in any engine, then verify norm preservation).
+
+Determinism discipline follows queries.py: integer counts everywhere
+possible; every double that enters a SUM is ROUND()ed to a fixed scale
+and accumulated in DECIMAL (order-free); orderings use exact
+expressions with unique tie-breaks; md5 is the portable randomness
+source (same digest in Spark, DuckDB, and Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col, lit
+
+from . import tables
+from .operators import text as T
+from .queries import q
+
+_TOKS_SQL = "list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')"
+
+
+@q(
+    "q_tfidf_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents
+    ),
+    tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT doc_id, t,
+             tf * LN((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / df)
+               AS score
+      FROM tf JOIN dfq USING (t)
+    ),
+    ranked AS (
+      SELECT doc_id, t, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, t) AS rn
+      FROM scored
+    )
+    SELECT doc_id, t AS term, CAST(rn AS INT) AS rank,
+           ROUND(score, 4) AS score
+    FROM ranked WHERE rn <= 3
+    """,
+    desc="per-document top-3 TF-IDF keywords (extractive tagging): "
+         "tf * ln(N/df) with exact-integer inputs, one IEEE product "
+         "per score, term tie-break; the top-k window partitions by "
+         "the high-cardinality doc id so it parallelizes at any "
+         "scale.",
+    tags=["text", "window", "agg"],
+)
+def q_tfidf_keywords(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    kw = T.tfidf_keywords(docs, k=3)
+    return kw.select("doc_id", "term", "rank", F.round("score", 4).alias("score"))
+
+
+@q(
+    "q_zipf_slope",
+    # least-squares fit of ln(count) on ln(rank) over the top-1000
+    # vocabulary head: each log term is ROUND(x, 8) -> DECIMAL(18,8)
+    # before the sums (order-free), slope/intercept are one closing
+    # double expression each
+    oracle=f"""
+    WITH counts AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (SELECT unnest({_TOKS_SQL}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rnk
+      FROM counts
+    ),
+    head AS (SELECT * FROM ranked WHERE rnk <= 1000),
+    terms AS (
+      SELECT CAST(ROUND(LN(CAST(rnk AS DOUBLE)), 8) AS DECIMAL(18,8)) AS x,
+             CAST(ROUND(LN(CAST(c AS DOUBLE)), 8) AS DECIMAL(18,8)) AS y,
+             CAST(ROUND(LN(CAST(rnk AS DOUBLE)) * LN(CAST(c AS DOUBLE)), 8)
+                  AS DECIMAL(18,8)) AS xy,
+             CAST(ROUND(LN(CAST(rnk AS DOUBLE)) * LN(CAST(rnk AS DOUBLE)), 8)
+                  AS DECIMAL(18,8)) AS xx
+      FROM head
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(xy) AS sxy, SUM(xx) AS sxx
+      FROM terms
+    )
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+    FROM s
+    """,
+    desc="Zipf slope of the vocabulary head: least-squares ln(count) ~ "
+         "ln(rank) over the top-1000 types (a natural corpus sits near "
+         "slope -1; flat slopes flag synthetic/templated shards). The "
+         "head is a TakeOrdered limit, so no global rank window at "
+         "scale; log terms quantize to DECIMAL(18,8) before the sums.",
+    tags=["text", "agg", "stats"],
+)
+def q_zipf_slope(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents").select("text")
+    counts = (
+        docs.select(F.explode(T.tokens(col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    # top-1000 head via TakeOrdered (no full-vocab single-task window),
+    # then rank via zip_with_index (narrow JVM passes — avoids even a
+    # bounded empty-partition-spec window, keeping the plan audit's
+    # global-window check meaningful)
+    from .operators.joins import zip_with_index
+
+    head = (
+        counts.orderBy(col("c").desc(), "tok").limit(1000)
+        .withColumn("_negc", -col("c"))
+    )
+    ranked = zip_with_index(
+        head, order_by=["_negc", "tok"], col_name="_rid"
+    ).select("c", (col("_rid") + 1).cast("int").alias("rnk"))
+    lx = F.log(col("rnk").cast("double"))
+    ly = F.log(col("c").cast("double"))
+    terms = ranked.select(
+        F.round(lx, 8).cast("decimal(18,8)").alias("x"),
+        F.round(ly, 8).cast("decimal(18,8)").alias("y"),
+        F.round(lx * ly, 8).cast("decimal(18,8)").alias("xy"),
+        F.round(lx * lx, 8).cast("decimal(18,8)").alias("xx"),
+    )
+    s = terms.agg(
+        F.count("*").alias("n"), F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"), F.sum("xx").alias("sxx"),
+    )
+    n = col("n")
+    sx, sy = col("sx").cast("double"), col("sy").cast("double")
+    sxy, sxx = col("sxy").cast("double"), col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return s.select(
+        col("n").alias("n_ranks"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
+@q(
+    "q_random_projection",
+    # the +-1 sign matrix is md5-derived (sign(k,d) = +1 iff the first
+    # hex digit of md5('k:d') < '8'), so Spark, DuckDB, and any other
+    # engine reconstruct the IDENTICAL projection; per-cell products
+    # quantize to DECIMAL before every sum
+    oracle="""
+    WITH dims AS (SELECT unnest(range(0, 8)) AS k),
+    comps AS (
+      SELECT e.vec_id, d.d AS d, k.k AS k,
+             CAST(e.embedding[d.d + 1] AS DOUBLE) AS x,
+             CASE WHEN substring(md5(concat(CAST(k.k AS VARCHAR), ':',
+                                            CAST(d.d AS VARCHAR))), 1, 1)
+                       < '8'
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM embeddings e, (SELECT unnest(range(0, 64)) AS d) d, dims k
+    ),
+    proj AS (
+      SELECT vec_id, k,
+             CAST(SUM(CAST(ROUND(x * s, 6) AS DECIMAL(18,6))) AS DOUBLE) AS y
+      FROM comps GROUP BY vec_id, k
+    ),
+    norms AS (
+      SELECT e.vec_id,
+             CAST(SUM(CAST(ROUND(CAST(e.embedding[d.d + 1] AS DOUBLE)
+                                 * CAST(e.embedding[d.d + 1] AS DOUBLE), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS orig_sq
+      FROM embeddings e, (SELECT unnest(range(0, 64)) AS d) d
+      GROUP BY e.vec_id
+    ),
+    ratios AS (
+      SELECT p.vec_id,
+             (CAST(SUM(CAST(ROUND(p.y * p.y, 6) AS DECIMAL(18,6))) AS DOUBLE)
+              / 8.0) / n.orig_sq AS ratio
+      FROM proj p JOIN norms n ON p.vec_id = n.vec_id
+      GROUP BY p.vec_id, n.orig_sq
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(CAST(SUM(CAST(ROUND(ratio, 8) AS DECIMAL(18,8))) AS DOUBLE)
+                 / COUNT(*), 4) AS mean_ratio,
+           ROUND(MIN(ratio), 4) AS min_ratio,
+           ROUND(MAX(ratio), 4) AS max_ratio
+    FROM ratios
+    """,
+    desc="deterministic Johnson-Lindenstrauss projection 64-d -> 8-d "
+         "with a +-1 md5-derived sign matrix, verified by the norm-"
+         "preservation ratio ||y||^2/K over ||x||^2 (mean ~= 1): the "
+         "dimensionality-reduction scale path in front of ANN search "
+         "(8-d probes are 8x cheaper to shuffle than 64-d). Sign "
+         "matrix reconstructed identically in any engine; every sum "
+         "decimal-quantized.",
+    # "cross" tag: the 8x64 sign-matrix build is a deliberate tiny
+    # range crossJoin (BroadcastNestedLoopJoin over 512 cells)
+    tags=["similarity", "projection", "agg", "cross"],
+)
+def q_random_projection(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    # (vec_id, d, x): posexplode of the embedding array
+    comps = emb.select(
+        "vec_id", F.posexplode(col("embedding")).alias("d", "xf")
+    ).select("vec_id", "d", col("xf").cast("double").alias("x"))
+    # sign table: 8 x 64, md5-derived, built as a literal-free Spark
+    # frame so the derivation is the same SQL as the oracle
+    spark_signs = (
+        spark.range(0, 8).toDF("k")
+        .crossJoin(spark.range(0, 64).toDF("d"))
+        .select(
+            "k", "d",
+            F.when(
+                F.substring(
+                    F.md5(F.concat_ws(":", col("k").cast("string"),
+                                      col("d").cast("string"))), 1, 1) < "8",
+                lit(1.0),
+            ).otherwise(lit(-1.0)).alias("s"),
+        )
+    )
+    proj = (
+        comps.join(broadcast(spark_signs), "d")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(F.round(col("x") * col("s"), 6).cast("decimal(18,6)"))
+             .cast("double").alias("y"))
+    )
+    norms = comps.groupBy("vec_id").agg(
+        F.sum(F.round(col("x") * col("x"), 6).cast("decimal(18,6)"))
+        .cast("double").alias("orig_sq"))
+    ratios = (
+        proj.groupBy("vec_id")
+        .agg(F.sum(F.round(col("y") * col("y"), 6).cast("decimal(18,6)"))
+             .cast("double").alias("proj_sq"))
+        .join(norms, "vec_id")
+        .select("vec_id",
+                ((col("proj_sq") / lit(8.0)) / col("orig_sq")).alias("ratio"))
+    )
+    return ratios.agg(
+        F.count("*").alias("n_vecs"),
+        F.round(
+            F.sum(F.round(col("ratio"), 8).cast("decimal(18,8)")).cast("double")
+            / F.count("*"), 4).alias("mean_ratio"),
+        F.round(F.min("ratio"), 4).alias("min_ratio"),
+        F.round(F.max("ratio"), 4).alias("max_ratio"),
+    )

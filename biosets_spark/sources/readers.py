@@ -45,6 +45,10 @@ def detect_format(path: str) -> str:
         return "arrow"
     if ext == ".npz":
         return "npz"
+    if ext == ".orc":
+        return "orc"
+    if ext == ".avro":
+        return "avro"
     raise ValueError(f"Unsupported file extension for {path!r}")
 
 
@@ -225,4 +229,19 @@ def read_files(
         from .npz import read_npz
 
         return read_npz(spark, files, **options)
+    if fmt == "orc":
+        # built into Spark (no extra jar); columnar with predicate
+        # pushdown like parquet
+        return spark.read.orc(*files)
+    if fmt == "avro":
+        # spark-avro is a SEPARATE artifact; only dispatch if the
+        # datasource is registered on this cluster, else a clear error
+        try:
+            return spark.read.format("avro").load(files)
+        except Exception as e:  # AnalysisException: failed to find data source
+            raise ValueError(
+                "Avro input needs the spark-avro package on the cluster "
+                "(--packages org.apache.spark:spark-avro_2.13:<spark-version>); "
+                f"not available here: {e}"
+            ) from e
     raise ValueError(f"Unsupported format {fmt!r}")

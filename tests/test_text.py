@@ -291,3 +291,23 @@ def test_containment_pairs(spark):
     jac = {(r["id_a"], r["id_b"]) for r in
            D.ngram_jaccard_pairs(df, n=4, threshold=0.8).collect()}
     assert (1, 2) not in jac
+
+
+def test_tfidf_keywords(spark):
+    """Corpus-common terms rank below doc-distinctive terms; rank cut
+    is total via the term tie-break."""
+    df = spark.createDataFrame(
+        [
+            (1, "common common apple apple apple"),
+            (2, "common banana"),
+            (3, "common cherry cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    kw = TX.tfidf_keywords(df, k=2)
+    rows = {(r["doc_id"], r["rank"]): r["term"] for r in kw.collect()}
+    assert rows[(1, 1)] == "apple"       # tf=3, df=1 -> top score
+    assert rows[(2, 1)] == "banana"
+    assert rows[(3, 1)] == "cherry"
+    # 'common' appears in every doc -> idf = ln(3/3) = 0 -> never rank 1
+    assert all(t != "common" for (d, r), t in rows.items() if r == 1)
