@@ -90,6 +90,33 @@ class BioDataset:
             df = spark.createDataFrame([], schema=schema)
         return cls(df, split=split)
 
+    @classmethod
+    def from_csv(cls, paths, spark=None, split: str = "train", **options) -> "BioDataset":
+        """Dataset.from_csv analogue: extension-dispatch CSV scan."""
+        from .sources.readers import read_csv
+
+        spark = spark or _default_spark()
+        paths = [paths] if isinstance(paths, str) else list(paths)
+        return cls(read_csv(spark, paths, **options), split=split)
+
+    @classmethod
+    def from_json(cls, paths, spark=None, split: str = "train", **options) -> "BioDataset":
+        """Dataset.from_json analogue (JSON/JSONL, nested field=)."""
+        from .sources.readers import read_json
+
+        spark = spark or _default_spark()
+        paths = [paths] if isinstance(paths, str) else list(paths)
+        return cls(read_json(spark, paths, **options), split=split)
+
+    @classmethod
+    def from_parquet(cls, paths, spark=None, split: str = "train") -> "BioDataset":
+        """Dataset.from_parquet analogue."""
+        from .sources.readers import read_parquet
+
+        spark = spark or _default_spark()
+        paths = [paths] if isinstance(paths, str) else list(paths)
+        return cls(read_parquet(spark, paths), split=split)
+
     # ---- basic info -------------------------------------------------
     @property
     def columns(self) -> list[str]:
@@ -283,11 +310,79 @@ class BioDataset:
             col = (with_labels or [_labels.TARGET_COLUMN])[0]
         return self._wrap(_labels.decode(self.df, col))
 
+    def shard(self, num_shards: int, index: int,
+              order_by: list[str] | None = None,
+              contiguous: bool = True) -> "BioDataset":
+        """Dataset.shard analogue: the ``index``-th of ``num_shards``
+        near-equal pieces (distributed-training data parallelism).
+
+        ``contiguous=True`` (reference default semantics): shard i is
+        rows [i*q + min(i, r), ...] of the ordered frame — the NTILE
+        allocation, computed from a JVM row index (no global window).
+        ``contiguous=False``: round-robin by ``row_id %% num_shards``
+        (better size balance under sorted-key skew). Both need a
+        defined order: pass ``order_by`` or accept partition order.
+        """
+        if not 0 <= index < num_shards:
+            raise ValueError(f"index must be in [0, {num_shards}), got {index}")
+        from .operators.joins import zip_with_index_counted
+        from .operators.split import kfold_assign
+
+        if contiguous:
+            assigned = kfold_assign(self.df, num_shards, order_by=order_by,
+                                    fold_col="_shard")
+            out = assigned.filter(F.col("_shard") == index + 1).drop("_shard")
+        else:
+            with_id, _ = zip_with_index_counted(self.df, order_by=order_by,
+                                                col_name="_shard_id")
+            out = (with_id.filter(F.pmod(F.col("_shard_id"), F.lit(num_shards))
+                                  == index).drop("_shard_id"))
+        return self._wrap(out)
+
+    def class_encode_column(self, column: str) -> "BioDataset":
+        """Dataset.class_encode_column analogue: encode a string column
+        as integer class labels via the sorted-distinct dictionary
+        (appends ``encoded_labels``; the original column is kept and
+        role-tagged as target)."""
+        out, _ = _labels.encode_labels(self.df, column)
+        return self._wrap(out)
+
+    def flatten_indices(self, cache_dir: str | None = None) -> "BioDataset":
+        """Reference flatten_indices analogue. Spark plans have no
+        indices mapping to flatten; with ``cache_dir`` this materializes
+        the plan into the fingerprint cache (the real analogue of
+        rewriting the arrow table), else it is a no-op returning self.
+        """
+        return self.materialize(cache_dir) if cache_dir else self
+
     # ---- persistence --------------------------------------------------
     def save_to_disk(self, path: str) -> None:
         from .sources.sink import save_to_disk
 
         save_to_disk(self.df, path, fingerprint=self.fingerprint)
+
+    def to_csv(self, path: str, mode: str = "overwrite", header: bool = True,
+               single_file: bool = False) -> None:
+        """Dataset.to_csv analogue — a DISTRIBUTED csv write (a
+        directory of part files; ``single_file=True`` coalesces to one
+        part for interop at small scale — never do that at 100 TB)."""
+        df = self.df.coalesce(1) if single_file else self.df
+        df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+    def to_json(self, path: str, mode: str = "overwrite",
+                single_file: bool = False) -> None:
+        """Dataset.to_json analogue (JSON Lines part files)."""
+        df = self.df.coalesce(1) if single_file else self.df
+        df.write.mode(mode).json(path)
+
+    def to_parquet(self, path: str, mode: str = "overwrite",
+                   partition_by: list[str] | str | None = None) -> None:
+        """Dataset.to_parquet analogue; ``partition_by`` writes the
+        hive layout for partition-pruned scans (see sources/sink.py)."""
+        from .sources.sink import save_to_disk
+
+        save_to_disk(self.df, path, fingerprint=self.fingerprint,
+                     mode=mode, partition_by=partition_by)
 
     def materialize(self, cache_dir: str) -> "BioDataset":
         """Force the transform chain into the fingerprint cache — the

@@ -340,3 +340,56 @@ def test_unique_appearance_order(spark):
 
     with _pytest.raises(ValueError, match="order must be"):
         ds.unique("k", order="nope")
+
+
+def test_shard(spark):
+    """Dataset.shard parity: contiguous NTILE allocation and
+    round-robin; shards partition the dataset exactly."""
+    from biosets_spark.dataset import BioDataset
+
+    ds = BioDataset(spark.range(10).toDF("i"))
+    shards = [ds.shard(3, k, order_by=["i"]) for k in range(3)]
+    rows = [sorted(r["i"] for r in s.df.collect()) for s in shards]
+    # NTILE allocation over 10 rows / 3 shards: sizes 4, 3, 3, contiguous
+    assert rows == [[0, 1, 2, 3], [4, 5, 6], [7, 8, 9]]
+    rr = [sorted(r["i"] for r in ds.shard(3, k, order_by=["i"],
+                                          contiguous=False).df.collect())
+          for k in range(3)]
+    assert rr == [[0, 3, 6, 9], [1, 4, 7], [2, 5, 8]]
+    import pytest
+
+    with pytest.raises(ValueError):
+        ds.shard(3, 3)
+
+
+def test_exporters_roundtrip(spark, tmp_path):
+    """to_csv / to_json / to_parquet write distributed part files that
+    read back equal; from_csv/from_json/from_parquet close the loop."""
+    from biosets_spark.dataset import BioDataset
+
+    ds = BioDataset(spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "k string, v long"))
+    p_csv, p_json, p_parq = (str(tmp_path / n) for n in ("c", "j", "p"))
+    ds.to_csv(p_csv)
+    ds.to_json(p_json)
+    ds.to_parquet(p_parq)
+
+    back_csv = BioDataset.from_csv(p_csv + "/*.csv", spark=spark)
+    assert sorted((r["k"], int(r["v"])) for r in back_csv.df.collect()) == \
+        [("a", 1), ("b", 2), ("c", 3)]
+    back_json = spark.read.json(p_json)
+    assert back_json.count() == 3
+    back_parq = BioDataset.from_parquet(p_parq, spark=spark)
+    assert sorted((r["k"], r["v"]) for r in back_parq.df.collect()) == \
+        [("a", 1), ("b", 2), ("c", 3)]
+
+
+def test_class_encode_column(spark):
+    from biosets_spark.dataset import BioDataset
+
+    ds = BioDataset(spark.createDataFrame(
+        [("x", "pos"), ("y", "neg"), ("z", "pos")], "s string, lbl string"))
+    enc = ds.class_encode_column("lbl")
+    got = {r["s"]: r["encoded_labels"] for r in enc.df.collect()}
+    # sorted-distinct dictionary: neg=0, pos=1
+    assert got == {"x": 1, "y": 0, "z": 1}
