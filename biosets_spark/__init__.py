@@ -11,7 +11,7 @@ Layers (SURVEY.md §7.0):
 - streaming/ Structured Streaming ingest + windowed/stateful ops
 """
 
-from .dataset import BioDataset
+from .dataset import BioDataset, BioDatasetDict
 from .load import ReadInstruction, load_dataset
 from .session import get_spark
 from .sources.sink import load_from_disk, save_to_disk
@@ -32,6 +32,6 @@ def concatenate_datasets(dsets: list, axis: int = 0) -> "BioDataset":
 __version__ = "0.1.0"
 
 __all__ = [
-    "BioDataset", "load_dataset", "ReadInstruction", "get_spark", "save_to_disk",
+    "BioDataset", "BioDatasetDict", "load_dataset", "ReadInstruction", "get_spark", "save_to_disk",
     "load_from_disk", "concatenate_datasets",
 ]

@@ -488,3 +488,83 @@ class BioDataset:
 
     def __repr__(self) -> str:
         return f"BioDataset(split={self.split!r}, columns={self.columns})"
+
+
+class BioDatasetDict(dict):
+    """{split: BioDataset} with per-split broadcasting — the reference's
+    DatasetDict surface (its dataset_dict.py defers to the base class):
+    transforms apply to EVERY split and return a new dict; save/load
+    round-trips the split layout as subdirectories.
+
+    Being a real dict, all mapping behavior (keys(), ["train"], **d)
+    is unchanged for existing callers.
+    """
+
+    def _apply(self, method: str, *args, **kwargs) -> "BioDatasetDict":
+        return BioDatasetDict(
+            {k: getattr(ds, method)(*args, **kwargs) for k, ds in self.items()})
+
+    def map(self, *args, **kwargs) -> "BioDatasetDict":
+        return self._apply("map", *args, **kwargs)
+
+    def filter(self, *args, **kwargs) -> "BioDatasetDict":
+        return self._apply("filter", *args, **kwargs)
+
+    def select_columns(self, *args, **kwargs) -> "BioDatasetDict":
+        return self._apply("select_columns", *args, **kwargs)
+
+    def remove_columns(self, *args, **kwargs) -> "BioDatasetDict":
+        return self._apply("remove_columns", *args, **kwargs)
+
+    def rename_column(self, *args, **kwargs) -> "BioDatasetDict":
+        return self._apply("rename_column", *args, **kwargs)
+
+    def rename_columns(self, *args, **kwargs) -> "BioDatasetDict":
+        return self._apply("rename_columns", *args, **kwargs)
+
+    def cast_column(self, *args, **kwargs) -> "BioDatasetDict":
+        return self._apply("cast_column", *args, **kwargs)
+
+    def sort(self, *args, **kwargs) -> "BioDatasetDict":
+        return self._apply("sort", *args, **kwargs)
+
+    def shuffle(self, *args, **kwargs) -> "BioDatasetDict":
+        return self._apply("shuffle", *args, **kwargs)
+
+    def flatten(self, *args, **kwargs) -> "BioDatasetDict":
+        return self._apply("flatten", *args, **kwargs)
+
+    def class_encode_column(self, *args, **kwargs) -> "BioDatasetDict":
+        return self._apply("class_encode_column", *args, **kwargs)
+
+    @property
+    def num_rows(self) -> dict[str, int]:
+        return {k: ds.num_rows for k, ds in self.items()}
+
+    @property
+    def column_names(self) -> dict[str, list[str]]:
+        return {k: ds.columns for k, ds in self.items()}
+
+    def save_to_disk(self, path: str) -> None:
+        """Each split under ``<path>/<split>/`` (the reference's
+        DatasetDict layout)."""
+        import os
+
+        for k, ds in self.items():
+            ds.save_to_disk(os.path.join(path, k))
+
+    @classmethod
+    def load_from_disk(cls, path: str, spark=None) -> "BioDatasetDict":
+        import os
+
+        from .sources.sink import load_from_disk
+
+        spark = spark or _default_spark()
+        out = cls()
+        for name in sorted(os.listdir(path)):
+            sub = os.path.join(path, name)
+            if os.path.isdir(sub):
+                out[name] = BioDataset(load_from_disk(spark, sub), split=name)
+        if not out:
+            raise ValueError(f"load_from_disk: no split directories under {path!r}")
+        return out

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .dataset import BioDataset
+from .dataset import BioDataset, BioDatasetDict
 from .operators import joins as _joins
 from .operators import labels as _labels
 from .schema import roles
@@ -334,7 +334,7 @@ def load_dataset(
         return _apply_split_spec(out, split)
     if len(out) == 1:
         return next(iter(out.values()))
-    return out
+    return BioDatasetDict(out)
 
 
 def _apply_split_spec(out: dict[str, BioDataset], split) -> BioDataset:

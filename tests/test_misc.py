@@ -393,3 +393,30 @@ def test_class_encode_column(spark):
     got = {r["s"]: r["encoded_labels"] for r in enc.df.collect()}
     # sorted-distinct dictionary: neg=0, pos=1
     assert got == {"x": 1, "y": 0, "z": 1}
+
+
+def test_dataset_dict_broadcasting(spark, tmp_path):
+    """BioDatasetDict: per-split transform broadcasting, split-layout
+    save/load round-trip, and load_dataset returning the dict type."""
+    from biosets_spark import BioDatasetDict, load_dataset
+    from biosets_spark.dataset import BioDataset
+
+    (tmp_path / "train-d.csv").write_text("sample,v\ns1,1\ns2,2\n")
+    (tmp_path / "test-d.csv").write_text("sample,v\ns3,3\n")
+    dd = load_dataset(path=str(tmp_path), spark=spark)
+    assert isinstance(dd, BioDatasetDict)
+    assert set(dd) == {"train", "test"}
+    assert dd.num_rows == {"train": 2, "test": 1}
+
+    filtered = dd.filter("v > 1")
+    assert isinstance(filtered, BioDatasetDict)
+    assert filtered.num_rows == {"train": 1, "test": 1}
+    renamed = dd.rename_column("v", "value")
+    assert renamed.column_names["train"] == ["sample", "value"]
+
+    out = str(tmp_path / "saved")
+    dd.save_to_disk(out)
+    back = BioDatasetDict.load_from_disk(out, spark=spark)
+    assert set(back) == {"train", "test"}
+    assert back.num_rows == {"train": 2, "test": 1}
+    assert isinstance(back["train"], BioDataset)
