@@ -129,3 +129,124 @@ def q_grouping_id(spark, sf_dir):
         )
         .select("c_mktsegment", "c_nationkey", "g_seg", "g_nat", "n")
     )
+
+
+@q(
+    "q_token_fertility",
+    oracle=r"""
+    SELECT lang,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+           CAST(SUM(len(regexp_extract_all(text,
+                 '[\p{L}]+|[\p{N}]+|[^ \t\n\x0B\f\r\p{L}\p{N}]'))) AS BIGINT)
+             AS total_bpe,
+           ROUND(CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE)
+                 / SUM(len(regexp_extract_all(text,
+                       '[\p{L}]+|[\p{N}]+|[^ \t\n\x0B\f\r\p{L}\p{N}]'))), 4)
+             AS chars_per_token
+    FROM documents GROUP BY lang
+    """,
+    desc="tokenizer fertility by language (chars per BPE-ish token): "
+         "the statistic that sizes vocabulary share per language in a "
+         "multilingual tokenizer. Integer sums + one closing division; "
+         "regexp_extract_all is JVM-side scan-speed.",
+    tags=["text", "tokens", "agg"],
+)
+def q_token_fertility(spark, sf_dir):
+    from .operators import text as T
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(col("n_chars").cast("bigint")).alias("total_chars"),
+        F.sum(F.size(T.bpe_tokens(col("text")))).cast("bigint").alias("total_bpe"),
+        F.round(
+            F.sum(col("n_chars").cast("bigint")).cast("double")
+            / F.sum(F.size(T.bpe_tokens(col("text")))), 4
+        ).alias("chars_per_token"),
+    )
+
+
+@q(
+    "q_source_quality_matrix",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source, lang,
+             list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    flags AS (
+      SELECT source, lang,
+             len(t) AS n,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+                            AS DOUBLE) / len(t) END AS alpha_frac,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(len(list_distinct(t)) AS DOUBLE) / len(t) END AS dratio
+      FROM toks
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN n >= 30 AND n <= 100000
+                            AND dratio >= 0.4 AND alpha_frac >= 0.8
+                           THEN 1 END) AS BIGINT) AS n_keep
+    FROM flags GROUP BY source, lang
+    """,
+    desc="per-(source, lang) quality keep matrix (word-count, distinct-"
+         "ratio, and alpha-fraction Gopher gates): the audit table a "
+         "corpus refresh publishes to catch a degraded source early. "
+         "Pure expressions + combinable counts; integer outputs. (The "
+         "mean-word-length gate is omitted so the matrix isolates the "
+         "composition-sensitive rules.)",
+    tags=["text", "agg", "quality"],
+)
+def q_source_quality_matrix(spark, sf_dir):
+    from .operators import text as T
+
+    docs = tables.load(spark, sf_dir, "documents").select("source", "lang", "text")
+    toks = T.tokens(col("text"))
+    n = F.size(toks)
+    nz = F.greatest(n, F.lit(1))
+    alpha_frac = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double") / n)
+    dratio = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_distinct(toks)).cast("double") / n)
+    keep = (n >= 30) & (n <= 100_000) & (dratio >= 0.4) & (alpha_frac >= 0.8)
+    return (
+        docs.select("source", "lang", keep.alias("keep"))
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.count(F.when(col("keep"), 1)).alias("n_keep"))
+    )
+
+
+@q(
+    "q_dup_rate_by_source",
+    oracle="""
+    WITH fp AS (
+      SELECT source,
+             md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
+               AS f
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT f) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT f) AS BIGINT) AS n_dups
+    FROM fp GROUP BY source
+    """,
+    desc="exact-duplicate rate per source (normalized-text md5 "
+         "fingerprints): the provenance-level dedup audit — a source "
+         "whose dup rate jumps between refreshes is re-crawling "
+         "itself. Shuffles (source, fingerprint) only.",
+    tags=["dedup", "agg"],
+)
+def q_dup_rate_by_source(spark, sf_dir):
+    from .operators.dedup import fingerprint_md5
+
+    docs = tables.load(spark, sf_dir, "documents").select("source", "text")
+    fp = docs.select("source", fingerprint_md5(col("text")).alias("f"))
+    return fp.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("f").alias("n_unique"),
+        (F.count("*") - F.countDistinct("f")).alias("n_dups"),
+    )
