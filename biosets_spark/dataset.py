@@ -244,9 +244,10 @@ class BioDataset:
         return [r.asDict(recursive=True) for r in self.df.limit(n).collect()]
 
     def train_test_split(self, test_size: float = 0.25, seed: int | None = None,
-                         stratify_by_column: str | None = None) -> dict[str, "BioDataset"]:
+                         stratify_by_column: str | None = None) -> "BioDatasetDict":
         parts = _split.train_test_split(self.df, test_size, seed, stratify_by_column)
-        return {k: BioDataset(v, split=k) for k, v in parts.items()}
+        return BioDatasetDict(
+            {k: BioDataset(v, split=k) for k, v in parts.items()})
 
     # ---- casts / structure (P9-P10) ----------------------------------
     def cast_column(self, col: str, dtype: T.DataType | str,

@@ -250,3 +250,45 @@ def q_dup_rate_by_source(spark, sf_dir):
         F.countDistinct("f").alias("n_unique"),
         (F.count("*") - F.countDistinct("f")).alias("n_dups"),
     )
+
+
+def _langid_confusion_oracle() -> str:
+    from .queries_wave3 import _ARGMAX_CASE, _lang_scores_sql
+
+    return f"""
+    WITH toks AS (
+      SELECT lang,
+             list_transform(list_filter(string_split_regex(trim(text),
+                 '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> ''), t -> lower(t)) AS toks
+      FROM documents
+    ),
+    scores AS (
+      SELECT lang,
+           {_lang_scores_sql()}
+      FROM toks
+    )
+    SELECT lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) > 0
+                THEN {_ARGMAX_CASE} ELSE 'und' END AS lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM scores GROUP BY 1, 2
+    """
+
+
+@q(
+    "q_langid_confusion",
+    oracle=_langid_confusion_oracle(),
+    desc="language-ID confusion matrix (labeled lang x stopword-vote "
+         "prediction): the label-quality audit a multilingual corpus "
+         "runs to catch mislabeled shards — a lang whose rows "
+         "concentrate off-diagonal is suspect. Pure expression "
+         "scoring + combinable counts; the oracle mirrors the argmax "
+         "tie-breaking exactly.",
+    tags=["text", "langid", "agg"],
+)
+def q_langid_confusion(spark, sf_dir):
+    from .operators import text as T
+
+    docs = tables.load(spark, sf_dir, "documents").select("lang", "text")
+    pred = T.lang_id(docs)
+    return pred.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
