@@ -63,3 +63,68 @@ def test_label_codes_contiguous_and_reversible(labels):
     # code range is contiguous 0..n-1 and decode(encode(x)) == x
     assert sorted(mapping.values()) == list(range(len(labels)))
     assert all(labels[mapping[lab]] == lab for lab in labels)
+
+
+# ---- round-4: percent-slice arithmetic + ReadInstruction ----------------
+
+from biosets_spark.operators.split import _round_half_even  # noqa: E402
+
+
+@given(st.integers(0, 10**9), st.integers(1, 10**6))
+@settings(max_examples=300, deadline=None)
+def test_round_half_even_matches_fraction(num, den):
+    """_round_half_even is exactly Python round() on the rational —
+    the reference's 'closest' boundary rule, in exact arithmetic."""
+    from fractions import Fraction
+
+    assert _round_half_even(num, den) == round(Fraction(num, den))
+
+
+@given(st.integers(0, 100_000))
+@settings(max_examples=200, deadline=None)
+def test_percent_boundaries_telescope(n):
+    """Percent boundaries are monotone, anchored at 0 and n, and the
+    hundred 1%-unit slices partition the table exactly — no row lost
+    or duplicated by rounding."""
+    bounds = [_round_half_even(n * p, 100) for p in range(101)]
+    assert bounds[0] == 0 and bounds[100] == n
+    assert all(b1 <= b2 for b1, b2 in zip(bounds, bounds[1:]))
+    assert sum(b2 - b1 for b1, b2 in zip(bounds, bounds[1:])) == n
+
+
+@given(st.integers(1, 10**6), st.integers(0, 99))
+@settings(max_examples=200, deadline=None)
+def test_pct1_dropremainder_equal_slices(n, start):
+    """pct1_dropremainder: every 1%-unit slice has exactly n//100 rows
+    (equal sizes), and the 100 units cover n - n%100 rows."""
+    unit = n // 100
+    lo, hi = start * unit, (start + 1) * unit
+    assert hi - lo == unit
+    assert 100 * unit == n - n % 100
+
+
+@given(
+    st.sampled_from(["train", "test", "validation"]),
+    st.one_of(st.none(), st.integers(-99, 100)),
+    st.one_of(st.none(), st.integers(-99, 100)),
+    st.sampled_from(["%", "abs"]),
+    st.sampled_from(["closest", "pct1_dropremainder"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_read_instruction_spec_roundtrip(name, a, b, unit, rounding):
+    """to_spec() -> from_spec() preserves every ReadInstruction exactly
+    (the string grammar is a faithful serialization)."""
+    from hypothesis import assume
+
+    from biosets_spark.load import ReadInstruction
+
+    assume(not (rounding == "pct1_dropremainder" and unit != "%"))
+    # rounding suffix only exists with a bracket slice in the grammar
+    assume(not (a is None and b is None and rounding != "closest"))
+    ri = ReadInstruction(name, from_=a, to=b, unit=unit, rounding=rounding)
+    back = ReadInstruction.from_spec(ri.to_spec())
+    if a is None and b is None:
+        assert back._parts == [(name, None, None, "abs", "closest")]
+    else:
+        assert back._parts == [(name, a, b, unit, rounding)]
+    assert back.to_spec() == ri.to_spec()
