@@ -150,3 +150,181 @@ def q_minhash_estimate_quality(spark, sf_dir):
             F.round(agree.cast("double") / num_perm, 4).alias("jaccard_est"),
         )
     )
+
+
+@q(
+    "q_span_dedup_applied",
+    # the APPLIED form of q_span_dedup: hot spans (present in >= 2
+    # docs) are REMOVED from every document, C4-style; output is the
+    # per-document surviving span/token mass
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {{toks}} AS t FROM documents),
+    sp AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, greatest(CAST(ceil(len(t) / 10.0) AS INT), 1)),
+               i -> array_to_string(list_slice(t, i * 10 + 1, i * 10 + 10), ' ')))
+               AS s
+      FROM toks
+    ),
+    spn AS (SELECT doc_id, s FROM sp WHERE s <> ''),
+    hot AS (SELECT s FROM spn GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+    kept AS (SELECT * FROM spn WHERE s NOT IN (SELECT s FROM hot))
+    SELECT d.doc_id,
+           CAST(COALESCE(k.kept_spans, 0) AS BIGINT) AS kept_spans,
+           CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS kept_spans,
+             SUM(len(list_filter(string_split(s, ' '), x -> x <> '')))
+               AS kept_tokens
+      FROM kept GROUP BY doc_id
+    ) k ON d.doc_id = k.doc_id
+    """.format(toks="list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')"),
+    desc="C4-style span removal APPLIED: every 10-token span occurring "
+         "in >= 2 documents is dropped from all of them; output is the "
+         "surviving span/token mass per document (docs reduced to zero "
+         "kept spans are full boilerplate). Span postings shuffle as "
+         "strings once for the hot-set semi join; counts are integers.",
+    tags=["dedup", "text"],
+)
+def q_span_dedup_applied(spark, sf_dir):
+    from .operators.text import spans
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    sp = docs.select(
+        "doc_id", F.explode(spans(col("text"), 10)).alias("s")
+    ).filter(col("s") != "")
+    hot = (
+        sp.groupBy("s").agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(col("nd") >= 2).select("s")
+    )
+    kept = sp.join(hot, "s", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("kept_spans"),
+        F.sum(F.size(F.filter(F.split(col("s"), " "), lambda x: x != "")))
+        .alias("kept_tokens"),
+    )
+    return (
+        docs.select("doc_id").distinct()
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(col("kept_spans"), lit(0)).cast("long").alias("kept_spans"),
+            F.coalesce(col("kept_tokens"), lit(0)).cast("long").alias("kept_tokens"),
+        )
+    )
+
+
+@q(
+    "q_incremental_dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT source, doc_id,
+             md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
+               AS f
+      FROM documents
+    ),
+    corpus AS (SELECT DISTINCT f FROM fp WHERE source < 'src15'),
+    incoming AS (SELECT * FROM fp WHERE source >= 'src15')
+    SELECT i.source,
+           CAST(COUNT(*) AS BIGINT) AS n_incoming,
+           CAST(COUNT(CASE WHEN c.f IS NULL THEN 1 END) AS BIGINT) AS n_new
+    FROM incoming i LEFT JOIN corpus c ON i.f = c.f
+    GROUP BY i.source
+    """,
+    desc="incremental-ingest dedup: an incoming shard (sources >= "
+         "'src15') is anti-matched against the existing corpus's "
+         "fingerprint set — the per-refresh shape that keeps a 100 TB "
+         "corpus append-only. Only (source, fingerprint) shuffles; at "
+         "scale the corpus side is a bucketed fingerprint table and "
+         "the join prunes to matching buckets.",
+    tags=["dedup", "join", "agg"],
+)
+def q_incremental_dedup(spark, sf_dir):
+    from .operators.dedup import fingerprint_md5
+
+    docs = tables.load(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    fp = docs.select("source", "doc_id", fingerprint_md5(col("text")).alias("f"))
+    corpus = fp.filter(col("source") < "src15").select("f").distinct()
+    incoming = fp.filter(col("source") >= "src15")
+    joined = incoming.join(
+        corpus.withColumnRenamed("f", "cf"), incoming.f == col("cf"), "left")
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_incoming"),
+        F.count(F.when(col("cf").isNull(), 1)).alias("n_new"),
+    )
+
+
+@q(
+    "q_ann_recall_audit",
+    # composes the q_knn_bruteforce and q_knn_ivf chains and counts the
+    # overlap — the recall@10 monitor an ANN deployment runs before
+    # trusting a cheaper index config. Both chains are engine-portable
+    # (md5-ordered centroid sampling; see q_knn_ivf's oracle notes).
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '42')) - 1 AS cell,
+             emb AS cemb
+      FROM base ORDER BY md5(CAST(vec_id AS VARCHAR) || '42') LIMIT 16
+    ),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+    assign AS (
+      SELECT b.vec_id, b.emb, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY b.vec_id
+               ORDER BY list_cosine_similarity(b.emb, c.cemb) DESC, c.cell DESC
+             ) AS rn
+      FROM base b CROSS JOIN cents c
+    ),
+    probe AS (
+      SELECT c.cell FROM cents c, qv
+      ORDER BY list_cosine_similarity(c.cemb, qv.q) DESC, c.cell
+      LIMIT 4
+    ),
+    ivf AS (
+      SELECT a.vec_id
+      FROM assign a, qv
+      WHERE a.rn = 1 AND a.cell IN (SELECT cell FROM probe)
+      ORDER BY list_cosine_similarity(a.emb, qv.q) DESC, a.vec_id
+      LIMIT 10
+    ),
+    exact AS (
+      SELECT b.vec_id
+      FROM base b, qv
+      ORDER BY list_cosine_similarity(b.emb, qv.q) DESC, b.vec_id
+      LIMIT 10
+    )
+    SELECT CAST((SELECT COUNT(*) FROM ivf JOIN exact USING (vec_id)) AS BIGINT)
+             AS n_hits,
+           CAST(10 AS BIGINT) AS k,
+           ROUND((SELECT COUNT(*) FROM ivf JOIN exact USING (vec_id)) / 10.0, 4)
+             AS recall
+    """,
+    desc="recall@10 audit of the IVF index against exact brute-force "
+         "cosine for the probe query: the monitoring number an ANN "
+         "deployment tracks before trusting a cheaper (fewer-probe) "
+         "config at scale. Both chains are deterministic and "
+         "engine-portable, so even the SKETCH'S QUALITY is "
+         "differentially verified.",
+    tags=["similarity", "ivf", "agg"],
+)
+def q_ann_recall_audit(spark, sf_dir):
+    from .operators import similarity as S
+    from .queries_ext import _query_vec
+
+    qv = _query_vec(spark, sf_dir, 0)
+    emb = tables.load(spark, sf_dir, "embeddings").filter(col("vec_id") != 0)
+    exact = S.knn_bruteforce(
+        tables.load(spark, sf_dir, "embeddings"), qv, k=10, exclude_self=0
+    ).select("neighbor_id")
+    assigned, cents = S.ivf_build(emb, n_cells=16)
+    ivf = S.ivf_knn(assigned, cents, qv, k=10, n_probe=4).select("neighbor_id")
+    hits = ivf.join(exact, "neighbor_id").count()
+    spark_df = spark.createDataFrame(
+        [(hits, 10, round(hits / 10.0, 4))], "n_hits long, k long, recall double")
+    return spark_df
