@@ -1,0 +1,75 @@
+"""Registry-integrity meta-tests: every registered query satisfies the
+driver contract's structural conventions, so a future wave can't
+silently regress the correctness gate."""
+
+import re
+
+
+def _registry():
+    import __spark_entry__  # registers every wave
+    from biosets_spark.queries import QUERIES
+
+    return QUERIES
+
+
+def test_every_query_has_oracle_and_desc():
+    qs = _registry()
+    assert len(qs) >= 143
+    missing_oracle = [n for n, q in qs.items() if not q.oracle]
+    missing_desc = [n for n, q in qs.items() if not q.desc]
+    # every single query is differentially checkable (no rows-only)
+    assert missing_oracle == []
+    assert missing_desc == []
+
+
+def test_query_names_well_formed():
+    qs = _registry()
+    assert all(re.fullmatch(r"q_[a-z0-9_]+", n) for n in qs)
+
+
+def test_oracles_reference_known_tables_only():
+    """Oracle FROM/JOIN targets must be registered test-table views (or
+    CTE names defined inside the same oracle)."""
+    from biosets_spark.tables import ALL_TABLES
+
+    known = set(ALL_TABLES) | {"range"}  # range() is a table function
+    # EXTRACT(part FROM col) / date_part-style FROMs are not table refs
+    col_prefixes = ("l_", "o_", "c_", "p_", "s_", "n_", "r_", "ps_")
+    qs = _registry()
+    bad = {}
+    for name, q in qs.items():
+        sql = q.oracle
+        # CTE names, with or without a column list: name [(cols)] AS (
+        ctes = {m.lower() for m in re.findall(
+            r"([a-zA-Z_][a-zA-Z0-9_]*)\s*(?:\([^()]*\))?\s+AS\s*\(",
+            sql, re.IGNORECASE)}
+        refs = set(re.findall(r"\b(?:FROM|JOIN)\s+([a-zA-Z_][a-zA-Z0-9_]*)\b",
+                              sql, re.IGNORECASE))
+        unknown = {
+            r for r in refs
+            if r.lower() not in known and r.lower() not in ctes
+            and not r.lower().startswith(col_prefixes)
+        }
+        if unknown:
+            bad[name] = unknown
+    assert bad == {}, f"oracles referencing unknown tables: {bad}"
+
+
+def test_driver_checked_names_exist():
+    """_DRIVER_CHECKED must only name real queries (a typo would
+    silently shrink the recorded window)."""
+    import __spark_entry__ as e
+
+    qs = _registry()
+    stale = [n for n in e._DRIVER_CHECKED if n not in qs]
+    assert stale == []
+
+
+def test_unchecked_fit_driver_window():
+    """Everything without a green driver row must fit inside the ~50
+    rows the driver records, so every query gets its row this round."""
+    import __spark_entry__ as e
+
+    qs = _registry()
+    unchecked = [n for n in qs if n not in e._DRIVER_CHECKED]
+    assert len(unchecked) <= 50
