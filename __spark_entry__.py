@@ -33,6 +33,7 @@ from biosets_spark import queries_wave10  # noqa: E402,F401
 from biosets_spark import queries_wave11  # noqa: E402,F401
 from biosets_spark import queries_wave12  # noqa: E402,F401
 from biosets_spark import queries_wave13  # noqa: E402,F401
+from biosets_spark import queries_wave14  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 

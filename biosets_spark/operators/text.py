@@ -587,3 +587,77 @@ def ascii_ratio(c: Column, n_chars: Column) -> Column:
     differ across engines on astral code points)."""
     n_ascii = F.length(F.regexp_replace(c, r"[^ -~]", ""))
     return F.when(n_chars > 0, n_ascii.cast("double") / n_chars.cast("double")).otherwise(lit(1.0))
+
+
+def bigram_surprise(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy under a corpus-fitted bigram LM with
+    add-one smoothing — the CCNet-style "perplexity filter" one rung
+    above ``unigram_surprise``: it also flags documents whose tokens
+    are individually common but strung together in globally unusual
+    ways (boilerplate mashups, shuffled text, template spam).
+
+    Model: P(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V) where c(w1·)
+    counts bigram positions whose context is w1 and V is the corpus
+    distinct-token count. Returns one row per document with >= 2
+    tokens: (id_col, n_bigrams, sum_surprise, xent).
+
+    Plan at 100 TB: bigrams are built per-row with zip_with over two
+    array slices (no explode-then-self-join — the classic quadratic
+    trap); postings carry (doc_id, 'w1 w2') strings only, never
+    bodies. Bigram counts and context counts are map-side-combinable
+    groupBys; V is a 1-row broadcast. The postings->counts joins
+    shuffle on the bigram/context key, both linear in corpus token
+    count.
+
+    Determinism: per-position surprise is ROUND(...,8) then
+    DECIMAL(18,8)-quantized before the per-doc SUM (order-free exact
+    accumulation); ln/division inputs are engine-identical integers.
+    """
+    t = tokens(col(text_col))
+    n = F.size(t)
+    bg_arr = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, F.lit(1), n - 1),
+            F.slice(t, F.lit(2), n - 1),
+            lambda a, b: F.concat(a, lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    posts = df.select(
+        col(id_col).alias("_id"), F.explode(bg_arr).alias("_bg")
+    ).withColumn("_w1", F.split(col("_bg"), " ", 2).getItem(0))
+    uni = df.select(F.explode(tokens(col(text_col))).alias("_tok"))
+    vocab = uni.agg(F.count_distinct("_tok").cast("double").alias("_v"))
+    bgc = posts.groupBy("_bg").agg(F.count("*").alias("_cbg"))
+    ctx = posts.groupBy("_w1").agg(F.count("*").alias("_cw1"))
+    surprise = (
+        posts.join(bgc, "_bg")
+        .join(ctx, "_w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "_id",
+            F.round(
+                -F.log((col("_cbg") + lit(1)).cast("double") / (col("_cw1") + col("_v"))),
+                8,
+            )
+            .cast("decimal(18,8)")
+            .alias("_s"),
+        )
+    )
+    return (
+        surprise.groupBy("_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("_s").cast("double").alias("sum_surprise"),
+        )
+        .select(
+            col("_id").alias(id_col),
+            "n_bigrams",
+            "sum_surprise",
+            (col("sum_surprise") / col("n_bigrams")).alias("xent"),
+        )
+    )

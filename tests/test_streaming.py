@@ -191,3 +191,37 @@ def test_file_sink_with_checkpoint_resumes(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 8
     assert got.select("event_id").distinct().count() == 8
+
+
+def test_incremental_dedup_sink(spark, tmp_path):
+    """foreachBatch incremental dedup: two overlapping file drops; the
+    store ends up with each distinct row exactly once, and replaying
+    the second drop appends nothing new."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+
+    def mk(ids):
+        return [(i, base + dt.timedelta(minutes=i), i % 3, "click", 1.0, "{}")
+                for i in ids]
+
+    spark.createDataFrame(mk([1, 2, 3]), SI.EVENTS_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    def drain(ckpt):
+        stream = SI.read_stream(spark, src)
+        q = SI.incremental_dedup_sink(
+            stream, store, str(tmp_path / ckpt), key_cols=["event_id"])
+        q.awaitTermination()
+
+    drain("ckpt1")
+    assert spark.read.parquet(store).count() == 3
+
+    # second drop overlaps {2,3}; only {4,5} are new
+    spark.createDataFrame(mk([2, 3, 4, 5]), SI.EVENTS_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(src)
+    drain("ckpt2")  # fresh checkpoint: replays ALL files -> anti-join filters
+    got = sorted(r.event_id for r in spark.read.parquet(store).collect())
+    assert got == [1, 2, 3, 4, 5]

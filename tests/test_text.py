@@ -311,3 +311,25 @@ def test_tfidf_keywords(spark):
     assert rows[(3, 1)] == "cherry"
     # 'common' appears in every doc -> idf = ln(3/3) = 0 -> never rank 1
     assert all(t != "common" for (d, r), t in rows.items() if r == 1)
+
+
+def test_bigram_surprise(spark):
+    """A doc whose tokens are common but whose bigrams never occur
+    elsewhere scores higher than a doc repeating the corpus's dominant
+    bigram; docs with < 2 tokens produce no row."""
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the cat sat"),
+            (3, "the cat sat"),
+            (4, "sat the cat"),   # same unigrams, unseen-elsewhere bigrams
+            (5, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TX.bigram_surprise(df).collect()}
+    assert 5 not in out                       # < 2 tokens -> no bigrams
+    assert out[1]["n_bigrams"] == 2
+    assert out[4]["xent"] > out[1]["xent"]    # mis-strung doc is more surprising
+    # docs 1-3 are identical -> identical quantized sums
+    assert out[1]["sum_surprise"] == out[2]["sum_surprise"] == out[3]["sum_surprise"]
