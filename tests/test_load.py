@@ -300,3 +300,46 @@ def test_feature_metadata_containment_fallback_warns(spark, tmp_path):
     with pytest.warns(UserWarning, match="value-containment"):
         ds = load_dataset(path=str(tmp_path), spark=spark)
     assert ds.num_rows == 1
+
+
+def test_free_function_accessors(spark, fixture_dir):
+    """Reference arrow_dataset.py:141-255 module-level accessor parity:
+    the same role queries as the methods, with the reference's
+    None/flatten return conventions."""
+    import biosets_spark as B
+
+    ds = load_dataset(path=fixture_dir, spark=spark)
+    assert B.get_sample_col_name(ds) == "sample"
+    assert B.get_batch_col_name(ds) == "batch"
+    assert B.get_metadata_col_names(ds) == ["sample", "batch", "metadata1", "metadata2"]
+    # two target-role columns (raw + encoded) -> list either way;
+    # a single target would flatten to a bare string
+    assert B.get_target_col_names(ds) == ["target", "encoded_labels"]
+    assert B.get_target_col_names(ds, flatten=False) == ["target", "encoded_labels"]
+    single = ds.remove_columns("encoded_labels")
+    assert B.get_target_col_names(single) == "target"
+    # data = complement of metadata+target (encoded_labels is target-role)
+    data_cols = B.get_data_col_names(ds)
+    assert data_cols == ["header1", "header2"]
+    assert B.get_data(ds).columns == data_cols
+    assert set(B.get_target(ds).columns) == {"target", "encoded_labels"}
+    assert B.get_sample_metadata(ds).columns == ["sample", "batch", "metadata1", "metadata2"]
+    assert B.get_feature_metadata(ds)["header2"] == {"metadata1": "y", "metadata2": 2}
+    # decode on a non-target column is a no-op, not an error
+    assert B.decode(ds, "header1") is ds
+    decoded = B.decode(ds, "encoded_labels")
+    assert "encoded_labels" in decoded.columns
+
+
+def test_cleanup_cache_files(spark, tmp_path):
+    """Top-level cleanup_cache_files removes materialized cache entries
+    and reports the count (reference arrow_dataset.py:255)."""
+    import biosets_spark as B
+    from biosets_spark.plans.fingerprint import FingerprintCache
+
+    cache_dir = str(tmp_path / "cache")
+    fc = FingerprintCache(cache_dir)
+    df = spark.range(10).withColumnRenamed("id", "x")
+    fc.materialize(df)
+    assert B.cleanup_cache_files(cache_dir) == 1
+    assert B.cleanup_cache_files(cache_dir) == 0
