@@ -125,6 +125,7 @@ _DEFER_NEXT_WINDOW = (
     "q_approx_quantile_audit",
     "q_group_sample",
     "q_equal_freq_bins",
+    "q_time_weighted_avg",
 )
 
 

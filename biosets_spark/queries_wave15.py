@@ -64,7 +64,7 @@ _CMS_W = 8  # buckets per row
          "bit-identically): for the top-20 exact heavy hitters, the "
          "CMS estimate (min over rows of the bucket sums) and its "
          "one-sided overestimate. At 100 TB the sketch is the point: "
-         "4×64 longs per shard, merged by addition (map-side "
+         "d×w longs per shard, merged by addition (map-side "
          "combinable), estimate any token's count without ever "
          "shuffling the unbounded token domain — audited here against "
          "the exact counts the sketch would replace.",
@@ -250,4 +250,116 @@ def q_time_weighted_avg(spark, sf_dir):
         agg.orderBy(col("_twa_raw").desc(), "user_id")
         .limit(20)
         .select("user_id", "n_events", F.round(col("_twa_raw"), 6).alias("twa_value"))
+    )
+
+
+@q(
+    "q_hll_portable_audit",
+    # Like q_minhash_estimate_quality / q_countmin_audit: the sketch
+    # itself is rebuilt bit-identically by both engines (md5-derived
+    # 60-bit hashes), so the ESTIMATE is deterministic and directly
+    # comparable to the exact distinct count. The register-sum is kept
+    # as an exact integer (SUM of 2^(57-rho)) — a float SUM(2^-rho)
+    # could round order-dependently once rho spans > 53 bits.
+    oracle="""
+    WITH hashed AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events
+    ),
+    regs AS (
+      SELECT event_type, h % 16 AS idx,
+             MAX(CASE WHEN h // 16 = 0 THEN 57
+                      ELSE 56 - length(bin(h // 16)) + 1 END) AS rho
+      FROM hashed GROUP BY event_type, h % 16
+    ),
+    est AS (
+      SELECT event_type,
+             SUM(CAST(POWER(2, 57 - rho) AS BIGINT)) AS denom_scaled,
+             COUNT(*) AS m_used
+      FROM regs GROUP BY event_type
+    ),
+    raw AS (
+      SELECT event_type, 16 - m_used AS empties,
+             0.673 * 256 * POWER(2.0, 57)
+               / (denom_scaled + (16 - m_used) * POWER(2.0, 57)) AS e_raw
+      FROM est
+    ),
+    corrected AS (
+      SELECT event_type, empties,
+             CASE WHEN e_raw <= 40 AND empties > 0
+                  THEN 16 * LN(16.0 / empties) ELSE e_raw END AS e
+      FROM raw
+    ),
+    exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT exact.event_type, CAST(n_exact AS BIGINT) AS n_exact,
+           ROUND(e, 1) AS hll_estimate,
+           ROUND((e - n_exact) / n_exact, 3) AS rel_err,
+           CAST(empties AS BIGINT) AS empty_registers
+    FROM exact JOIN corrected USING (event_type)
+    ORDER BY event_type
+    """,
+    desc="Differential audit of a PORTABLE HyperLogLog (m=16 "
+         "registers, md5-derived hashes both engines rebuild "
+         "bit-identically, with the small-range linear-counting "
+         "correction): estimated vs exact distinct users per event "
+         "type, with the relative error an operator would monitor "
+         "before trusting the 16-long mergeable register vector at "
+         "100 TB. Register sums stay exact integers (2^(57-rho)) so "
+         "the estimate is order-free; completes the audited-sketch "
+         "trilogy (MinHash, Count-Min, HLL). The production path is "
+         "approx_count_distinct (q_approx_distinct); this one makes "
+         "the estimator itself verifiable.",
+    tags=["events", "approx", "agg"],
+)
+def q_hll_portable_audit(spark, sf_dir):
+    from .operators.dedup import portable_hash60
+
+    ev = tables.load(spark, sf_dir, "events").select("event_type", "user_id")
+    hashed = ev.select(
+        "event_type", portable_hash60(col("user_id").cast("string")).alias("h")
+    )
+    v = F.expr("h div 16")
+    regs = (
+        hashed.groupBy("event_type", F.pmod(col("h"), lit(16)).alias("idx"))
+        .agg(
+            F.max(
+                F.when(v == 0, lit(57)).otherwise(lit(56) - F.length(F.bin(v)) + 1)
+            ).alias("rho")
+        )
+    )
+    est = regs.groupBy("event_type").agg(
+        F.sum(F.pow(lit(2), lit(57) - col("rho")).cast("long")).alias("denom_scaled"),
+        F.count("*").alias("m_used"),
+    )
+    raw = est.select(
+        "event_type",
+        (lit(16) - col("m_used")).alias("empties"),
+        (
+            lit(0.673 * 256) * F.pow(lit(2.0), lit(57))
+            / (col("denom_scaled") + (lit(16) - col("m_used")) * F.pow(lit(2.0), lit(57)))
+        ).alias("e_raw"),
+    )
+    corrected = raw.select(
+        "event_type",
+        "empties",
+        F.when(
+            (col("e_raw") <= 40) & (col("empties") > 0),
+            lit(16) * F.log(lit(16.0) / col("empties")),
+        ).otherwise(col("e_raw")).alias("e"),
+    )
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    return (
+        exact.join(corrected, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.round(col("e"), 1).alias("hll_estimate"),
+            F.round((col("e") - col("n_exact")) / col("n_exact"), 3).alias("rel_err"),
+            col("empties").cast("long").alias("empty_registers"),
+        )
+        .orderBy("event_type")
     )
