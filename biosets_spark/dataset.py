@@ -398,6 +398,28 @@ class BioDataset:
         out = roles.apply_roles(cache.materialize(self.df), snap)
         return BioDataset(out, split=self.split, fingerprint=fp)
 
+    def with_observation(self, name: str, *exprs) -> "BioDataset":
+        """Attach zero-cost pipeline metrics via ``DataFrame.observe``:
+        the named aggregate expressions (counts, sums, null tallies)
+        are accumulated DURING whatever action next materializes the
+        dataset — no extra pass over the data, which at 100 TB is the
+        difference between monitored and unmonitored pipelines.
+        Read them back after an action with ``get_observation(name)``.
+        """
+        from pyspark.sql import Observation
+
+        obs = Observation(name)
+        out = self._wrap(self.df.observe(obs, *exprs))
+        out._observations = {**getattr(self, "_observations", {}), name: obs}
+        return out
+
+    def get_observation(self, name: str) -> dict:
+        """Metrics recorded by ``with_observation`` during the first
+        action that materialized the observed plan (Observation.get
+        blocks until one has run)."""
+        obs = getattr(self, "_observations", {}).get(name)
+        return dict(obs.get) if obs is not None else {}
+
     def to_pandas(self):
         return self.df.toPandas()
 

@@ -72,3 +72,107 @@ def load_from_disk(spark: SparkSession, path: str) -> DataFrame:
         if cols:
             df = df.select(*cols)
     return df
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str] | str,
+) -> dict:
+    """MERGE-style upsert into a parquet dataset: rows of ``updates``
+    replace base rows sharing the same key tuple, new keys are
+    inserted — the incremental corpus-refresh primitive (a table
+    format's ``MERGE INTO ... WHEN MATCHED THEN UPDATE WHEN NOT
+    MATCHED THEN INSERT`` re-expressed as anti-join + union).
+
+    Plan: base LEFT ANTI updates' distinct keys (drops superseded
+    rows) unionByName updates, rewritten to a sibling temp directory
+    and atomically renamed over the original — readers see the old or
+    the new dataset, never a partial mix. Within ``updates``,
+    duplicate keys are resolved arbitrarily only if the caller passes
+    them; dedupe upstream (keep_latest / incremental_dedup) when the
+    feed can repeat keys.
+
+    At 100 TB the same plan applies per partition (run over the
+    hive-partition subpaths the updates actually touch, not the whole
+    table), and the rename becomes a metastore/table-format commit;
+    the anti-join side carries only the key columns.
+
+    Returns {"inserted": n_new_keys, "updated": n_replaced,
+    "total": rows_after}.
+    """
+    import shutil
+
+    from pyspark.sql.utils import AnalysisException
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    try:
+        base = spark.read.parquet(path)
+    except AnalysisException:
+        base = None
+    if base is None:
+        updates.write.mode("overwrite").parquet(path)
+        n = spark.read.parquet(path).count()
+        return {"inserted": n, "updated": 0, "total": n}
+
+    upd_keys = updates.select(*keys).distinct()
+    kept = base.join(upd_keys, keys, "left_anti")
+    n_base = base.count()
+    n_kept = kept.count()
+    n_new_keys = upd_keys.join(
+        base.select(*keys).distinct(), keys, "left_anti"
+    ).count()
+    merged = kept.unionByName(updates)
+
+    tmp = path.rstrip("/") + "__upsert_tmp__"
+    merged.write.mode("overwrite").parquet(tmp)
+    n_total = spark.read.parquet(tmp).count()
+    old = path.rstrip("/") + "__upsert_old__"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "inserted": n_new_keys,
+        "updated": n_base - n_kept,
+        "total": n_total,
+    }
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> dict:
+    """Small-file compaction: rewrite a parquet dataset into
+    ceil(rows / target_rows_per_file) files and atomically swap.
+    Streaming sinks and incremental upserts accrete small files; at
+    100 TB the resulting per-file open/footer overhead dominates scan
+    time long before data volume does (the classic small-files
+    problem), so periodic compaction is part of the table's lifecycle.
+
+    Uses repartition (round-robin, parallel) rather than coalesce:
+    coalesce(1) would funnel the rewrite through one task.
+
+    Returns {"files_before": ..., "files_after": ..., "rows": ...}.
+    """
+    import shutil
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    files_before = sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-n // target_rows_per_file))
+    tmp = path.rstrip("/") + "__compact_tmp__"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__compact_old__"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    files_after = sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    return {"files_before": files_before, "files_after": files_after, "rows": n}

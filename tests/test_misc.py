@@ -420,3 +420,25 @@ def test_dataset_dict_broadcasting(spark, tmp_path):
     assert set(back) == {"train", "test"}
     assert back.num_rows == {"train": 2, "test": 1}
     assert isinstance(back["train"], BioDataset)
+
+
+def test_with_observation(spark):
+    """observe() metrics accumulate during the action itself — no
+    second pass — and read back by name."""
+    from pyspark.sql import functions as F
+
+    from biosets_spark import BioDataset
+
+    ds = BioDataset(spark.range(0, 1000).withColumn("v", F.col("id") % 7))
+    observed = ds.with_observation(
+        "checks",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("v")).alias("v_sum"),
+        F.count(F.when(F.col("v") == 0, 1)).alias("n_zero"),
+    )
+    out = observed.filter("v >= 0")   # transforms after observe still count
+    assert out.num_rows == 1000       # the action that fills the observation
+    m = observed.get_observation("checks")
+    assert m["n_rows"] == 1000
+    assert m["n_zero"] == 143
+    assert m["v_sum"] == sum(i % 7 for i in range(1000))

@@ -412,3 +412,37 @@ def test_avro_gated_with_clear_error(spark, tmp_path):
         # if a cluster DOES have spark-avro, the fake file fails later
         # in parsing — either way the dispatch path is exercised
         pass
+
+
+def test_upsert_parquet(spark, tmp_path):
+    """MERGE semantics: matched keys replaced, new keys inserted,
+    untouched rows intact; swap is all-or-nothing on disk."""
+    from biosets_spark.sources.sink import upsert_parquet
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, name string, v long")
+    stats0 = upsert_parquet(spark, path, base, keys="id")
+    assert stats0 == {"inserted": 3, "updated": 0, "total": 3}
+
+    updates = spark.createDataFrame(
+        [(2, "B", 99), (4, "d", 40)], "id long, name string, v long")
+    stats = upsert_parquet(spark, path, updates, keys="id")
+    assert stats == {"inserted": 1, "updated": 1, "total": 4}
+    rows = {r.id: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    assert rows == {1: ("a", 10), 2: ("B", 99), 3: ("c", 30), 4: ("d", 40)}
+
+
+def test_compact_parquet(spark, tmp_path):
+    """Many small files collapse to the row-count-derived target;
+    data unchanged."""
+    from biosets_spark.sources.sink import compact_parquet
+
+    path = str(tmp_path / "frag")
+    spark.range(0, 100, 1, 16).write.parquet(path)  # 16 small files
+    stats = compact_parquet(spark, path, target_rows_per_file=50)
+    assert stats["files_before"] == 16
+    assert stats["files_after"] == 2
+    assert stats["rows"] == 100
+    got = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert got == list(range(100))
