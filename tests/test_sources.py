@@ -446,3 +446,28 @@ def test_compact_parquet(spark, tmp_path):
     assert stats["rows"] == 100
     got = sorted(r.id for r in spark.read.parquet(path).collect())
     assert got == list(range(100))
+
+
+def test_upsert_parquet_model_based(spark, tmp_path):
+    """Five seeded rounds of random upserts track a dict model exactly
+    (MERGE semantics: last write per key wins, everything else kept)."""
+    import random
+
+    from biosets_spark.sources.sink import upsert_parquet
+
+    rng = random.Random(7)
+    path = str(tmp_path / "mb")
+    model: dict[int, int] = {}
+    for rnd in range(5):
+        batch = {rng.randrange(40): rng.randrange(1000) for _ in range(rng.randrange(1, 15))}
+        updates = spark.createDataFrame(
+            [(k, v) for k, v in batch.items()], "id long, v long")
+        stats = upsert_parquet(spark, path, updates, keys="id")
+        expect_updated = sum(1 for k in batch if k in model)
+        expect_inserted = len(batch) - expect_updated
+        model.update(batch)
+        assert stats["updated"] == (expect_updated if rnd else 0)
+        assert stats["inserted"] == (expect_inserted if rnd else len(batch))
+        assert stats["total"] == len(model)
+        got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+        assert got == model
