@@ -35,6 +35,7 @@ from biosets_spark import queries_wave12  # noqa: E402,F401
 from biosets_spark import queries_wave13  # noqa: E402,F401
 from biosets_spark import queries_wave14  # noqa: E402,F401
 from biosets_spark import queries_wave15  # noqa: E402,F401
+from biosets_spark import queries_wave16  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -126,6 +127,11 @@ _DEFER_NEXT_WINDOW = (
     "q_group_sample",
     "q_equal_freq_bins",
     "q_time_weighted_avg",
+    # wave-16 (landed after the window filled): sessionize/first_value
+    # and spine-join/distinct-agg precedents are all in-window or
+    # already driver-green
+    "q_rolling_active_users",
+    "q_first_touch_attribution",
 )
 
 

@@ -39,9 +39,15 @@ def sessionize(
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     prev_ts = F.lag(col(ts_col)).over(w)
+    # microsecond-exact gap comparison: second-truncated casts would
+    # disagree with a fractional-seconds oracle on gaps that straddle
+    # the threshold by less than a second
     is_start = F.when(
         prev_ts.isNull()
-        | (col(ts_col).cast("long") - prev_ts.cast("long") > gap_minutes * 60),
+        | (
+            F.unix_micros(col(ts_col)) - F.unix_micros(prev_ts)
+            > gap_minutes * 60_000_000
+        ),
         1,
     ).otherwise(0)
     return df.withColumn("_start", is_start).withColumn(

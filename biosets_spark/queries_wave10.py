@@ -155,7 +155,7 @@ def q_keep_latest_event(spark, sf_dir):
     WITH marked AS (
       SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
-                    OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS is_start
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
