@@ -36,6 +36,7 @@ from biosets_spark import queries_wave13  # noqa: E402,F401
 from biosets_spark import queries_wave14  # noqa: E402,F401
 from biosets_spark import queries_wave15  # noqa: E402,F401
 from biosets_spark import queries_wave16  # noqa: E402,F401
+from biosets_spark import queries_wave17  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -132,6 +133,15 @@ _DEFER_NEXT_WINDOW = (
     # already driver-green
     "q_rolling_active_users",
     "q_first_touch_attribution",
+    # wave-17 BI shapes: every mechanism (broadcast-dim joins, decimal
+    # aggs, percentile cuts, lag/lead windows) has a driver-green
+    # precedent; the novel operators (sketches, bigram LM, cogroup,
+    # centroids) hold the window slots instead
+    "q_basket_pairs",
+    "q_rfm_segments",
+    "q_event_transitions",
+    "q_revenue_share",
+    "q_yoy_growth",
 )
 
 

@@ -46,9 +46,24 @@ def _is_global_window(line: str) -> bool:
     ``Window [exprs], [order]`` (2 bracket groups); a partitioned one
     as ``Window [exprs], [parts], [order]`` (3). An empty partition
     spec moves the entire input through ONE task — the textbook window
-    scale-killer (VERDICT r1 #2)."""
+    scale-killer (VERDICT r1 #2).
+
+    Disambiguation: a PARTITIONED window with no ORDER BY (e.g. a
+    share-of-total SUM over the whole partition) also renders 2
+    groups — ``Window [exprs], [parts]`` — but its second group is a
+    partition list, not an order spec, so it carries no ASC/DESC
+    keyword. Only flag 2-group nodes whose trailing group is an
+    actual sort order."""
     m = re.search(r"\bWindow (\[.*)$", line)
-    return bool(m) and _bracket_groups(m.group(1)) < 3
+    if not m:
+        return False
+    groups = _bracket_groups(m.group(1))
+    if groups >= 3:
+        return False
+    if groups == 2:
+        last = m.group(1).rsplit("[", 1)[-1]
+        return (" ASC" in last) or (" DESC" in last)
+    return True
 
 
 def main() -> None:
