@@ -398,6 +398,44 @@ class BioDataset:
         out = roles.apply_roles(cache.materialize(self.df), snap)
         return BioDataset(out, split=self.split, fingerprint=fp)
 
+    def profile(self) -> dict:
+        """One-pass column profile — the shard-audit a pipeline runs
+        when a new data drop lands: row count plus, per column, null
+        count, approximate distinct count (HLL, rsd 2%), and for
+        numeric columns min/max/mean. Everything is a combinable
+        aggregate compiled into ONE job over ONE scan — at 100 TB this
+        is a single pass, where per-column loops (or DataFrame.summary
+        with its exact percentiles) would re-scan per statistic.
+
+        Returns {"n_rows": N, "columns": {name: {...}}}.
+        """
+        numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                   T.FloatType, T.DoubleType, T.DecimalType)
+        simple = numeric + (T.StringType, T.BooleanType, T.DateType,
+                            T.TimestampType)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for f in self.df.schema.fields:
+            c = F.col(f"`{f.name}`")
+            aggs.append(
+                F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"{f.name}\x00nulls")
+            )
+            if isinstance(f.dataType, simple):
+                aggs.append(
+                    F.approx_count_distinct(c, 0.02).alias(f"{f.name}\x00distinct")
+                )
+            if isinstance(f.dataType, numeric):
+                aggs.append(F.min(c).cast("double").alias(f"{f.name}\x00min"))
+                aggs.append(F.max(c).cast("double").alias(f"{f.name}\x00max"))
+                aggs.append(F.avg(c).cast("double").alias(f"{f.name}\x00mean"))
+        row = self.df.agg(*aggs).collect()[0].asDict()
+        out: dict = {"n_rows": row["__n"], "columns": {}}
+        for k, v in row.items():
+            if k == "__n":
+                continue
+            name, stat = k.split("\x00", 1)
+            out["columns"].setdefault(name, {})[stat] = v
+        return out
+
     def with_observation(self, name: str, *exprs) -> "BioDataset":
         """Attach zero-cost pipeline metrics via ``DataFrame.observe``:
         the named aggregate expressions (counts, sums, null tallies)

@@ -45,6 +45,15 @@ def clean_corpus(
         .filter(col(id_col) == col("_keep_id"))
         .select(*orig_cols)
     )
+    # The survivor set feeds three consumers (both sides of the
+    # near-dup self-join and the final anti-join) whose aliased
+    # subtrees Catalyst does NOT unify into a ReusedExchange, so the
+    # quality gate + fingerprint shuffle would execute 3x. Truncate
+    # the lineage once: measured 9.2 s -> 3.8 s on the sf0.1 corpus
+    # (same lever graph.py uses per iteration). At cluster scale the
+    # equivalent is materializing the survivor set to the parquet
+    # cache between stages.
+    exact_kept = exact_kept.localCheckpoint(eager=False)
 
     if use_lsh:
         from .dedup import minhash_lsh_pairs

@@ -442,3 +442,22 @@ def test_with_observation(spark):
     assert m["n_rows"] == 1000
     assert m["n_zero"] == 143
     assert m["v_sum"] == sum(i % 7 for i in range(1000))
+
+
+def test_profile_one_pass(spark):
+    """profile() returns row count + per-column nulls/distinct/min/max/
+    mean from a single combinable aggregation."""
+    from biosets_spark import BioDataset
+
+    ds = BioDataset(spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, None, 3.5), (3, "a", 4.0)],
+        "id long, s string, v double"))
+    p = ds.profile()
+    assert p["n_rows"] == 4
+    assert p["columns"]["s"]["nulls"] == 1
+    assert p["columns"]["v"]["nulls"] == 1
+    assert p["columns"]["id"]["min"] == 1.0
+    assert p["columns"]["id"]["max"] == 3.0
+    assert p["columns"]["v"]["mean"] == (1.5 + 3.5 + 4.0) / 3
+    assert p["columns"]["id"]["distinct"] == 3   # HLL exact at this scale
+    assert "min" not in p["columns"]["s"]        # non-numeric: no min/max
