@@ -37,6 +37,7 @@ from biosets_spark import queries_wave14  # noqa: E402,F401
 from biosets_spark import queries_wave15  # noqa: E402,F401
 from biosets_spark import queries_wave16  # noqa: E402,F401
 from biosets_spark import queries_wave17  # noqa: E402,F401
+from biosets_spark import queries_wave18  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -142,6 +143,10 @@ _DEFER_NEXT_WINDOW = (
     "q_event_transitions",
     "q_revenue_share",
     "q_yoy_growth",
+    # wave-18 ops shapes: grouped exact percentiles and fact-fact
+    # join+agg, both precedent classes with multiple green rows
+    "q_weekly_percentiles",
+    "q_ship_latency_histogram",
 )
 
 
