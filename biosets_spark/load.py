@@ -160,6 +160,7 @@ def load_dataset(
     zero_as_missing: bool = False,
     split: "str | ReadInstruction | list | None" = None,
     spark: SparkSession | None = None,
+    streaming: bool = False,
     **reader_options,
 ) -> BioDataset | dict[str, BioDataset]:
     if spark is None:
@@ -176,6 +177,18 @@ def load_dataset(
     data_files = [data_files] if isinstance(data_files, str) else list(data_files or [])
     if not data_files:
         raise ValueError("load_dataset: no data files found")
+
+    if streaming:
+        # The reference raises NotImplementedError for
+        # load_dataset(streaming=True) (reference load.py:135-139);
+        # here it is a real Structured Streaming source: schema pinned
+        # from a batch pre-scan of the discovered files, then a
+        # file-arrival readStream over the directory — new files
+        # matching the pattern are ingested as they land. Returns the
+        # streaming DataFrame (metadata joins / label encoding are
+        # batch-side concerns; compose them per micro-batch via
+        # foreachBatch if needed).
+        return _load_stream(spark, path, data_files, reader_options)
     if isinstance(sample_metadata_files, str):
         sample_metadata_files = [sample_metadata_files]
     if isinstance(feature_metadata_files, str):
@@ -368,3 +381,32 @@ def _apply_split_spec(out: dict[str, BioDataset], split) -> BioDataset:
     for p in pieces[1:]:
         merged = merged.unionByName(p, allowMissingColumns=True)
     return BioDataset(merged, split=label)
+
+
+def _load_stream(spark, path, data_files, reader_options):
+    """Streaming twin of the batch load path: extension-dispatched
+    format, schema from a batch pre-scan (streaming sources require a
+    pinned schema), glob limited to the data extension so metadata
+    sidecar files never enter the stream."""
+    import os
+
+    from .sources.readers import detect_format, read_files
+    from .streaming.ingest import read_stream
+
+    fmt = detect_format(data_files[0])
+    stream_fmt = {"csv": "csv", "tsv": "csv", "json": "json",
+                  "parquet": "parquet", "orc": "orc"}.get(fmt)
+    if stream_fmt is None:
+        raise ValueError(
+            f"load_dataset(streaming=True) supports csv/tsv/json/parquet/orc "
+            f"file sources; got {fmt!r}"
+        )
+    schema = read_files(spark, data_files, **reader_options).schema
+    ext = os.path.splitext(data_files[0])[1]
+    src = os.path.join(path, f"*{ext}") if path else data_files[0]
+    options = dict(reader_options)
+    if fmt == "tsv":
+        options.setdefault("sep", "\t")
+    if stream_fmt == "csv":
+        options.setdefault("header", "true")
+    return read_stream(spark, src, fmt=stream_fmt, schema=schema, **options)

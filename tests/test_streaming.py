@@ -225,3 +225,22 @@ def test_incremental_dedup_sink(spark, tmp_path):
     drain("ckpt2")  # fresh checkpoint: replays ALL files -> anti-join filters
     got = sorted(r.event_id for r in spark.read.parquet(store).collect())
     assert got == [1, 2, 3, 4, 5]
+
+
+def test_load_dataset_streaming(spark, tmp_path):
+    """load_dataset(streaming=True) — NotImplementedError in the
+    reference — returns a live file-arrival stream: schema pinned from
+    the existing files, later drops ingested on the next drain."""
+    from biosets_spark import load_dataset
+
+    d = tmp_path / "stream_src"
+    d.mkdir()
+    (d / "part1.csv").write_text("sample,v\ns1,1\ns2,2\n")
+    stream = load_dataset(path=str(d), streaming=True, spark=spark)
+    assert stream.isStreaming
+    out = SI.run_available_now(stream, "ld_stream1")
+    assert sorted((r.sample, r.v) for r in out) == [("s1", 1), ("s2", 2)]
+
+    (d / "part2.csv").write_text("sample,v\ns3,3\n")
+    out2 = SI.run_available_now(stream, "ld_stream2")
+    assert len(out2) == 3
