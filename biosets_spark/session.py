@@ -74,4 +74,15 @@ def apply_session_conf(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     except Exception:
         pass
+    # runtime-settable perf knobs, so an externally owned session plans
+    # like the engine's own: star-schema dims should broadcast (32 MiB
+    # threshold), and the 200-partition default is oversized for the
+    # bench scales. Only the untouched default is overridden — a
+    # caller's explicit partition count is respected.
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+    except Exception:
+        pass
     return spark
