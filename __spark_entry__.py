@@ -38,6 +38,7 @@ from biosets_spark import queries_wave15  # noqa: E402,F401
 from biosets_spark import queries_wave16  # noqa: E402,F401
 from biosets_spark import queries_wave17  # noqa: E402,F401
 from biosets_spark import queries_wave18  # noqa: E402,F401
+from biosets_spark import queries_wave19  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
