@@ -148,6 +148,21 @@ _DEFER_NEXT_WINDOW = (
     # join+agg, both precedent classes with multiple green rows
     "q_weekly_percentiles",
     "q_ship_latency_histogram",
+    # wave-10/12 single-mechanism shapes deferred to make window room
+    # for wave-19's novel mechanisms (KS/PSI/chi2 drift, EWMA range
+    # join, E-S weighted sampling, SCD2 PIT, PageRank): each of these
+    # is one driver-green mechanism applied once — pure rank window
+    # (q_window_topk_per_group), stack/unpivot (q_pivot), GROUPING()
+    # markers (q_grouping_sets), quantile clamp (q_quantiles), decimal
+    # moment aggs (q_pricing_summary), distinct-agg histogram
+    # (q_left_join_histogram)
+    "q_percent_rank",
+    "q_length_histogram",
+    "q_grouping_id",
+    "q_unpivot_measures",
+    "q_winsorize",
+    "q_corr_exact",
+    "q_order_count_distribution",
 )
 
 
