@@ -244,3 +244,49 @@ def test_load_dataset_streaming(spark, tmp_path):
     (d / "part2.csv").write_text("sample,v\ns3,3\n")
     out2 = SI.run_available_now(stream, "ld_stream2")
     assert len(out2) == 3
+
+
+def test_cdc_upsert_sink(spark, tmp_path):
+    """foreachBatch CDC upsert: a change feed with repeated keys in
+    one batch, cross-batch updates, and an out-of-order stale replay.
+    The store always holds exactly one (latest) row per key."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "cdc_src")
+    store = str(tmp_path / "cdc_store")
+
+    def row(key, minute, value):
+        return (key, base + dt.timedelta(minutes=minute), key % 3,
+                "update", value, "{}")
+
+    def drain(ckpt):
+        stream = SI.read_stream(spark, src)
+        q = SI.cdc_upsert_sink(
+            stream, store, str(tmp_path / ckpt),
+            keys=["event_id"], order_col="ts")
+        q.awaitTermination()
+
+    # batch 1: key 1 appears twice -> within-batch latest (minute 5) wins
+    spark.createDataFrame(
+        [row(1, 1, 10.0), row(1, 5, 11.0), row(2, 2, 20.0)],
+        SI.EVENTS_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain("cdc_ckpt1")
+    got = {r.event_id: (r.ts, r.value) for r in spark.read.parquet(store).collect()}
+    assert set(got) == {1, 2}
+    assert got[1] == (base + dt.timedelta(minutes=5), 11.0)
+
+    # batch 2: newer update for key 2, STALE update for key 1 (minute 3
+    # < stored minute 5 -> discarded), new key 3
+    spark.createDataFrame(
+        [row(2, 9, 21.0), row(1, 3, 9.0), row(3, 4, 30.0)],
+        SI.EVENTS_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain("cdc_ckpt2")  # fresh checkpoint replays all files; guards hold
+    got = {r.event_id: (r.ts, r.value) for r in spark.read.parquet(store).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (base + dt.timedelta(minutes=5), 11.0)  # stale discarded
+    assert got[2] == (base + dt.timedelta(minutes=9), 21.0)  # updated
+    assert got[3] == (base + dt.timedelta(minutes=4), 30.0)  # inserted
+    assert spark.read.parquet(store).count() == 3
