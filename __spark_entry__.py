@@ -39,6 +39,7 @@ from biosets_spark import queries_wave16  # noqa: E402,F401
 from biosets_spark import queries_wave17  # noqa: E402,F401
 from biosets_spark import queries_wave18  # noqa: E402,F401
 from biosets_spark import queries_wave19  # noqa: E402,F401
+from biosets_spark import queries_wave20  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -163,6 +164,17 @@ _DEFER_NEXT_WINDOW = (
     "q_winsorize",
     "q_corr_exact",
     "q_order_count_distribution",
+    # deferred for wave-20's novel mechanisms (centroid E-step,
+    # dup-graph degrees, rule lift, interval clipping): each of these
+    # four applies ONE driver-green mechanism — levenshtein is a single
+    # scalar builtin (q_string_funcs), anomaly z-gate = window moments
+    # (q_window_running_sum), quick-succession = lag threshold
+    # (q_window_lag_gap), keep-latest = rank-1 window
+    # (q_window_topk_per_group)
+    "q_levenshtein_brands",
+    "q_events_anomaly",
+    "q_quick_succession",
+    "q_keep_latest_event",
 )
 
 
