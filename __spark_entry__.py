@@ -40,6 +40,7 @@ from biosets_spark import queries_wave17  # noqa: E402,F401
 from biosets_spark import queries_wave18  # noqa: E402,F401
 from biosets_spark import queries_wave19  # noqa: E402,F401
 from biosets_spark import queries_wave20  # noqa: E402,F401
+from biosets_spark import queries_wave21  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -175,6 +176,16 @@ _DEFER_NEXT_WINDOW = (
     "q_events_anomaly",
     "q_quick_succession",
     "q_keep_latest_event",
+    # deferred for wave-21's novel mechanisms (triangle join, Bloom
+    # audit, blocked sim-join, one-pass profile): cohort retention =
+    # q_events_retention's conditional-min shape, dup-rate-by-source =
+    # q_dedup_exact + a trivial rollup, activity streaks =
+    # gaps-and-islands from q_window_lag_gap + q_window_running_sum,
+    # token fertility = q_text_bpe_tokens' ratio aggs
+    "q_cohort_retention",
+    "q_dup_rate_by_source",
+    "q_activity_streaks",
+    "q_token_fertility",
 )
 
 
