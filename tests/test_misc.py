@@ -461,3 +461,21 @@ def test_profile_one_pass(spark):
     assert p["columns"]["v"]["mean"] == (1.5 + 3.5 + 4.0) / 3
     assert p["columns"]["id"]["distinct"] == 3   # HLL exact at this scale
     assert "min" not in p["columns"]["s"]        # non-numeric: no min/max
+
+
+def test_cli_version_and_list():
+    """Parity: reference __main__.py exposes --version; ours adds
+    list/run."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "biosets_spark", "--version"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0 and "0.1.0" in out.stdout
+    out = subprocess.run(
+        [sys.executable, "-m", "biosets_spark", "list", "bloom"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0 and "q_bloom_audit" in out.stdout
