@@ -56,8 +56,23 @@ def save_to_disk(
         json.dump(state, f, indent=2)
 
 
-def load_from_disk(spark: SparkSession, path: str) -> DataFrame:
+def load_from_disk(spark: SparkSession, path: str):
+    """Load a dataset saved by ``save_to_disk``. Mirrors the
+    reference's load_from_disk dispatch: a directory whose immediate
+    children are split datasets (each with its own state sidecar, no
+    top-level sidecar) comes back as a ``BioDatasetDict``; a plain
+    dataset directory comes back as a DataFrame."""
     from pyspark.sql.functions import col
+
+    if not os.path.exists(os.path.join(path, STATE_FILE)) and os.path.isdir(path):
+        splits = [
+            d for d in sorted(os.listdir(path))
+            if os.path.exists(os.path.join(path, d, STATE_FILE))
+        ]
+        if splits:
+            from ..dataset import BioDatasetDict
+
+            return BioDatasetDict.load_from_disk(path, spark=spark)
 
     df = spark.read.parquet(path)
     state_path = os.path.join(path, STATE_FILE)
