@@ -41,6 +41,7 @@ from biosets_spark import queries_wave18  # noqa: E402,F401
 from biosets_spark import queries_wave19  # noqa: E402,F401
 from biosets_spark import queries_wave20  # noqa: E402,F401
 from biosets_spark import queries_wave21  # noqa: E402,F401
+from biosets_spark import queries_wave22  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -186,6 +187,11 @@ _DEFER_NEXT_WINDOW = (
     "q_dup_rate_by_source",
     "q_activity_streaks",
     "q_token_fertility",
+    # deferred for wave-22 (shingle novelty, funnel latency): the
+    # source-quality matrix composes q_text_quality_score's green
+    # metrics, langid-confusion composes q_text_langid + q_pivot
+    "q_source_quality_matrix",
+    "q_langid_confusion",
 )
 
 
