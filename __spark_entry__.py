@@ -42,6 +42,7 @@ from biosets_spark import queries_wave19  # noqa: E402,F401
 from biosets_spark import queries_wave20  # noqa: E402,F401
 from biosets_spark import queries_wave21  # noqa: E402,F401
 from biosets_spark import queries_wave22  # noqa: E402,F401
+from biosets_spark import queries_wave23  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -192,6 +193,13 @@ _DEFER_NEXT_WINDOW = (
     # metrics, langid-confusion composes q_text_langid + q_pivot
     "q_source_quality_matrix",
     "q_langid_confusion",
+    # deferred for wave-23 (referential audit, cross-lingual dup
+    # matrix): bigram-surprise is q_unigram_surprise's shape with one
+    # more token of context (unigram stays in-window), span-dedup-
+    # applied composes the in-window q_span_dedup with an explode
+    # rewrite whose mechanics q_pack_sequences/q_chunk_stats cover
+    "q_bigram_surprise",
+    "q_span_dedup_applied",
 )
 
 

@@ -39,3 +39,28 @@ def test_funnel_latency_positive_and_ordered(spark):
     r = QUERIES["q_funnel_latency"].fn(spark, SF_SMOKE).collect()[0]
     assert r["n_converted"] > 0
     assert 0 <= r["p50_minutes"] <= r["p90_minutes"]
+
+
+def test_referential_audit_rows(spark):
+    import biosets_spark.queries_wave23  # noqa: F401
+
+    rows = {r["check_name"]: r["n_violations"]
+            for r in QUERIES["q_referential_audit"].fn(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"orphan_lineitems", "childless_orders",
+                         "orders_unknown_customer", "bad_lineitem_values"}
+    # TPC-H-shaped data: clean keys except orders with no lineitems
+    assert rows["orphan_lineitems"] == 0
+    assert rows["bad_lineitem_values"] == 0
+    assert rows["childless_orders"] > 0
+
+
+def test_crosslingual_dup_unordered_pairs(spark):
+    import biosets_spark.queries_wave23  # noqa: F401
+
+    rows = QUERIES["q_crosslingual_dup"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["lang_a"] <= r["lang_b"]  # unordered pair canonicalized
+        assert r["n_pairs"] > 0
+    # the testdata contains cross-lingual template mass (off-diagonal)
+    assert any(r["lang_a"] != r["lang_b"] for r in rows)
