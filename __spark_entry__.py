@@ -43,6 +43,7 @@ from biosets_spark import queries_wave20  # noqa: E402,F401
 from biosets_spark import queries_wave21  # noqa: E402,F401
 from biosets_spark import queries_wave22  # noqa: E402,F401
 from biosets_spark import queries_wave23  # noqa: E402,F401
+from biosets_spark import queries_wave24  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -200,6 +201,12 @@ _DEFER_NEXT_WINDOW = (
     # rewrite whose mechanics q_pack_sequences/q_chunk_stats cover
     "q_bigram_surprise",
     "q_span_dedup_applied",
+    # deferred for wave-24's omics normalizations (quantile-normalize
+    # reference, CLR transform): tfidf-keywords composes q_term_doc_freq
+    # (green) with the topk window (green); containment is the
+    # asymmetric ratio twin of the in-window bounded-Jaccard pair join
+    "q_tfidf_keywords",
+    "q_containment",
 )
 
 
