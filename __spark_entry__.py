@@ -44,6 +44,7 @@ from biosets_spark import queries_wave21  # noqa: E402,F401
 from biosets_spark import queries_wave22  # noqa: E402,F401
 from biosets_spark import queries_wave23  # noqa: E402,F401
 from biosets_spark import queries_wave24  # noqa: E402,F401
+from biosets_spark import queries_wave25  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -207,6 +208,13 @@ _DEFER_NEXT_WINDOW = (
     # asymmetric ratio twin of the in-window bounded-Jaccard pair join
     "q_tfidf_keywords",
     "q_containment",
+    # deferred for wave-25's diversity metrics (alpha diversity,
+    # Bray-Curtis): random-projection composes the in-window vector
+    # folds with fixed literal planes (q_knn_lsh green uses the same
+    # construction), zipf-slope is the q_forecast_revenue OLS shape
+    # (green) over the in-window vocab counts
+    "q_random_projection",
+    "q_zipf_slope",
 )
 
 
