@@ -45,6 +45,7 @@ from biosets_spark import queries_wave22  # noqa: E402,F401
 from biosets_spark import queries_wave23  # noqa: E402,F401
 from biosets_spark import queries_wave24  # noqa: E402,F401
 from biosets_spark import queries_wave25  # noqa: E402,F401
+from biosets_spark import queries_wave26  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -168,7 +169,6 @@ _DEFER_NEXT_WINDOW = (
     "q_unpivot_measures",
     "q_winsorize",
     "q_corr_exact",
-    "q_order_count_distribution",
     # deferred for wave-20's novel mechanisms (centroid E-step,
     # dup-graph degrees, rule lift, interval clipping): each of these
     # four applies ONE driver-green mechanism — levenshtein is a single
@@ -215,6 +215,18 @@ _DEFER_NEXT_WINDOW = (
     # (green) over the in-window vocab counts
     "q_random_projection",
     "q_zipf_slope",
+    # deferred for wave-26's linear algebra (correlation matrix, PCA
+    # power sweep) — NOTE q_order_count_distribution was pulled back
+    # OUT of this list: it is part of the r3 verdict's wave-7-9 tail
+    # that must land driver rows in r4. Displaced instead:
+    # label-centroids' build is subsumed by the in-window
+    # q_centroid_confusion/q_quantile_normalize; sessionize-batch is
+    # the batch twin of driver-green q_events_sessions;
+    # incremental-dedup's anti-join mechanism has q_dedup_exact +
+    # q_set_except green rows and its production sink is pytest-driven
+    "q_label_centroids",
+    "q_sessionize_batch",
+    "q_incremental_dedup",
 )
 
 

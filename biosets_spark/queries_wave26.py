@@ -1,0 +1,217 @@
+"""Twenty-sixth-wave query inventory: distributed linear algebra over
+the long (sample, dim, value) layout — the Pearson correlation matrix
+of embedding dimensions and the top principal direction via power
+iteration on the centered second-moment (covariance) matrix.
+
+These are the matrix-free shapes a feature-engineering pass runs at
+corpus scale: the covariance build is one self-join keyed on the
+sample id (64x64 fan-out per vector, combinable sums), after which
+every power sweep is a join-agg over the 4096-entry matrix — constant
+cost regardless of corpus size (the q_pagerank_nations pattern with a
+dense matrix in place of a sparse edge list).
+
+Determinism discipline (queries.py header, tightened to the
+TIE-SAFE variant after a ROUND-boundary mismatch surfaced in testing):
+every ROUND here is an IDENTITY on its input's exact decimal width —
+components and means are 6-dec so centered values are exact 6-dec
+differences; products of 6-dec values are exact 12-dec, captured by a
+DECIMAL(38,12) cast; scatter-matrix cells are exact decimal sums (no
+division, which would reintroduce unbounded decimals); only the
+power-iterate's normalization rounds a genuinely irrational value
+(10-dec, where a decimal tie has measure zero), and it is never
+re-rounded at a second boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col, lit
+
+from . import tables
+from .queries import q
+
+# Shared SQL prelude: centered 6-dec components of the first K dims.
+_CENTERED_SQL = """
+      WITH comps AS (
+        SELECT vec_id, pos, comp FROM (
+          SELECT vec_id, generate_subscripts(vec, 1) AS pos, unnest(vec) AS comp
+          FROM (SELECT vec_id,
+                       list_transform(CAST(embedding AS DOUBLE[]), x -> ROUND(x, 6)) AS vec
+                FROM embeddings)
+        ) WHERE pos <= {k}
+      ), means AS (
+        SELECT pos,
+               ROUND(CAST(SUM(CAST(comp AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6) AS m
+        FROM comps GROUP BY pos
+      ), centered AS (
+        SELECT c.vec_id, c.pos, ROUND(c.comp - m.m, 6) AS x
+        FROM comps c JOIN means m ON c.pos = m.pos
+      )
+"""
+
+
+@q(
+    "q_feature_correlation",
+    oracle=_CENTERED_SQL.format(k=8) + """
+    , prods AS (
+      SELECT a.pos AS i, b.pos AS j,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+      FROM centered a JOIN centered b
+        ON a.vec_id = b.vec_id AND a.pos <= b.pos
+      GROUP BY a.pos, b.pos
+    )
+    SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+           ROUND(p.sxy / SQRT(di.sxy * dj.sxy), 6) AS corr
+    FROM prods p
+    JOIN prods di ON di.i = p.i AND di.j = p.i
+    JOIN prods dj ON dj.i = p.j AND dj.j = p.j
+    ORDER BY i, j
+    """,
+    desc="Pearson correlation matrix of the first 8 embedding "
+         "dimensions (upper triangle): the redundancy screen a "
+         "feature audit runs before dimensionality reduction. "
+         "Matrix-free: components centered against broadcast per-dim "
+         "means, one self-join on the sample id (fan-out k^2 per "
+         "sample, combinable product sums — the shuffle carries "
+         "(i, j, partial sums), never vectors), then each cell "
+         "normalized by the diagonal. Products of 6-dec centered "
+         "values are exact 12-dec decimals (decimal-cast, no lossy "
+         "round); diagonals reuse the same cells so corr(i,i) is "
+         "exactly 1.",
+    tags=["vector", "join", "agg", "omics"],
+)
+def q_feature_correlation(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.slice("embedding", 1, 8),
+                    lambda x: F.round(x.cast("double"), 6)).alias("vec"),
+    )
+    comps = emb.select("vec_id", F.posexplode("vec").alias("pos", "comp")) \
+        .withColumn("pos", col("pos") + 1)
+    means = comps.groupBy("pos").agg(
+        F.round(
+            F.sum(col("comp").cast("decimal(18,8)")).cast("double") / F.count("*"), 6
+        ).alias("m")
+    )
+    centered = comps.join(broadcast(means), "pos").select(
+        "vec_id", "pos", F.round(col("comp") - col("m"), 6).alias("x")
+    )
+    a = centered.select(col("vec_id").alias("va"), col("pos").alias("i"), col("x").alias("xa"))
+    b = centered.select(col("vec_id").alias("vb"), col("pos").alias("j"), col("x").alias("xb"))
+    prods = (
+        a.join(b, (col("va") == col("vb")) & (col("i") <= col("j")))
+        .groupBy("i", "j")
+        .agg(
+            F.sum((col("xa") * col("xb")).cast("decimal(38,12)"))
+            .cast("double").alias("sxy")
+        )
+    )
+    di = prods.filter(col("i") == col("j")).select(
+        col("i").alias("di"), col("sxy").alias("sxx"))
+    dj = prods.filter(col("i") == col("j")).select(
+        col("j").alias("dj"), col("sxy").alias("syy"))
+    return (
+        prods.join(broadcast(di), col("i") == col("di"))
+        .join(broadcast(dj), col("j") == col("dj"))
+        .select(
+            col("i").cast("int").alias("i"), col("j").cast("int").alias("j"),
+            F.round(col("sxy") / F.sqrt(col("sxx") * col("syy")), 6).alias("corr"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+# One power sweep as SQL: u = M v (12-dec rounded terms, decimal-
+# summed), then v = ROUND(u / linf, 10) with the L-inf norm as a 1-row
+# broadcast. Starting vector is all 1/8 (unit L2 for 64 dims).
+_SWEEP_SQL = """
+      {out}_u AS (
+        SELECT m.i AS pos,
+               CAST(SUM(CAST(ROUND(m.c * {vin}.v, 12) AS DECIMAL(38,12))) AS DOUBLE) AS u
+        FROM cov m JOIN {vin} ON m.j = {vin}.pos
+        GROUP BY m.i
+      ), {out}_n AS (SELECT MAX(ABS(u)) AS linf FROM {out}_u),
+      {out} AS (
+        SELECT pos, ROUND(u / linf, 10) AS v FROM {out}_u, {out}_n
+      )
+"""
+
+
+@q(
+    "q_pca_power",
+    oracle=_CENTERED_SQL.format(k=64) + """
+    , cov AS (
+      SELECT a.pos AS i, b.pos AS j,
+             CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12))) AS DOUBLE) AS c
+      FROM centered a JOIN centered b ON a.vec_id = b.vec_id
+      GROUP BY a.pos, b.pos
+    ),
+    v0 AS (SELECT DISTINCT pos, 0.125 AS v FROM centered),
+    """ + _SWEEP_SQL.format(out="v1", vin="v0") + "," +
+    _SWEEP_SQL.format(out="v2", vin="v1") + "," +
+    _SWEEP_SQL.format(out="v3", vin="v2") + """
+    SELECT CAST(pos AS INT) AS pos, v AS loading
+    FROM v3 ORDER BY pos
+    """,
+    desc="Three power-iteration sweeps toward the embedding cloud's "
+         "top principal direction (L-inf normalized each sweep; the "
+         "SWEEP is the operator — convergence is rate lambda2/lambda1 "
+         "per sweep, so production iterates the same cheap step to "
+         "tolerance; this corpus's top eigenvalues are deliberately "
+         "near-degenerate). The corpus-size-dependent "
+         "work is ONE pass: the 64x64 SCATTER matrix build (sample-"
+         "keyed self-join; products of 6-dec centered values are "
+         "exact 12-dec decimals, decimal-summed with no division — "
+         "scaling does not move eigenvectors); each sweep after that "
+         "is a join-agg over 4096 matrix cells — constant cost at any "
+         "corpus size, the dense-matrix twin of q_pagerank_nations' "
+         "sparse sweeps. Matvec terms are 12-dec rounded then "
+         "decimal-summed and the iterate is normalized and rounded "
+         "once per sweep, so both engines walk the identical "
+         "trajectory; the all-positive start vector fixes the "
+         "eigenvector sign.",
+    tags=["vector", "join", "agg", "cross", "omics"],
+)
+def q_pca_power(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(col("embedding"), lambda x: F.round(x.cast("double"), 6)).alias("vec"),
+    )
+    comps = emb.select("vec_id", F.posexplode("vec").alias("pos", "comp")) \
+        .withColumn("pos", col("pos") + 1)
+    means = comps.groupBy("pos").agg(
+        F.round(
+            F.sum(col("comp").cast("decimal(18,8)")).cast("double") / F.count("*"), 6
+        ).alias("m")
+    )
+    centered = comps.join(broadcast(means), "pos").select(
+        "vec_id", "pos", F.round(col("comp") - col("m"), 6).alias("x")
+    )
+    a = centered.select(col("vec_id").alias("va"), col("pos").alias("i"), col("x").alias("xa"))
+    b = centered.select(col("vec_id").alias("vb"), col("pos").alias("j"), col("x").alias("xb"))
+    cov = (
+        a.join(b, col("va") == col("vb"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum((col("xa") * col("xb")).cast("decimal(38,12)"))
+            .cast("double").alias("c")
+        )
+    )
+    cov = cov.localCheckpoint(eager=False)  # reused by every sweep
+    v = cov.select("i").distinct().select(col("i").alias("pos"), lit(0.125).alias("v"))
+    for _ in range(3):
+        u = (
+            cov.join(v.select(col("pos").alias("j"), "v"), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(F.round(col("c") * col("v"), 12).cast("decimal(38,12)"))
+                .cast("double").alias("u")
+            )
+        )
+        linf = u.agg(F.max(F.abs(col("u"))).alias("linf"))
+        v = u.crossJoin(broadcast(linf)).select(
+            col("i").alias("pos"), F.round(col("u") / col("linf"), 10).alias("v")
+        )
+    return v.select(col("pos").cast("int").alias("pos"),
+                    col("v").alias("loading")).orderBy("pos")
