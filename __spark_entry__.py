@@ -46,6 +46,7 @@ from biosets_spark import queries_wave23  # noqa: E402,F401
 from biosets_spark import queries_wave24  # noqa: E402,F401
 from biosets_spark import queries_wave25  # noqa: E402,F401
 from biosets_spark import queries_wave26  # noqa: E402,F401
+from biosets_spark import queries_wave27  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -227,6 +228,14 @@ _DEFER_NEXT_WINDOW = (
     "q_label_centroids",
     "q_sessionize_batch",
     "q_incremental_dedup",
+    # deferred for wave-27 (CUSUM change-point, SAX symbolization):
+    # minhash-estimate-quality is the estimate-vs-exact audit shape
+    # that q_countmin_audit / q_hll_portable_audit / q_ann_recall_audit
+    # keep in-window, over the driver-green q_dedup_minhash_lsh;
+    # dup-graph-degree is a count agg over the driver-green bounded
+    # pair set (q_left_join_histogram's histogram mechanism)
+    "q_minhash_estimate_quality",
+    "q_dup_graph_degree",
 )
 
 
