@@ -47,6 +47,7 @@ from biosets_spark import queries_wave24  # noqa: E402,F401
 from biosets_spark import queries_wave25  # noqa: E402,F401
 from biosets_spark import queries_wave26  # noqa: E402,F401
 from biosets_spark import queries_wave27  # noqa: E402,F401
+from biosets_spark import queries_wave28  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -236,6 +237,13 @@ _DEFER_NEXT_WINDOW = (
     # pair set (q_left_join_histogram's histogram mechanism)
     "q_minhash_estimate_quality",
     "q_dup_graph_degree",
+    # deferred for wave-28 (A/B z-test, Kaplan-Meier): lift-rules
+    # extends the driver-green q_basket_pairs join with one ratio
+    # expression; interval-overlap's clip mechanism shares the
+    # driver-green q_range_join band-join plan plus integer date math
+    # precedented across the green TPC-H date shapes
+    "q_lift_rules",
+    "q_interval_overlap",
 )
 
 

@@ -1,0 +1,47 @@
+"""Wave-28 semantics: A/B z-test, Kaplan-Meier survival."""
+
+from __future__ import annotations
+
+import math
+
+import biosets_spark.queries_wave28  # noqa: F401  (registers the wave)
+from biosets_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def test_ab_test_z_consistency(spark):
+    r = QUERIES["q_ab_test_z"].fn(spark, SF_SMOKE).collect()[0]
+    assert r["n0"] > 0 and r["n1"] > 0
+    assert 0 <= r["x0"] <= r["n0"] and 0 <= r["x1"] <= r["n1"]
+    # recompute z from the reported counts
+    p0, p1 = r["x0"] / r["n0"], r["x1"] / r["n1"]
+    pp = (r["x0"] + r["x1"]) / (r["n0"] + r["n1"])
+    z = (p0 - p1) / math.sqrt(pp * (1 - pp) * (1 / r["n0"] + 1 / r["n1"]))
+    assert math.isclose(r["z"], round(z, 6), abs_tol=2e-6)
+    assert math.isclose(r["diff"], round(p0 - p1, 6), abs_tol=2e-6)
+
+
+def test_survival_km_curve_properties(spark):
+    rows = QUERIES["q_survival_km"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    prev_s, prev_n = 1.0 + 1e-9, None
+    for r in sorted(rows, key=lambda r: r["hour"]):
+        assert 0.0 <= r["survival"] <= 1.0
+        assert r["survival"] <= prev_s + 1e-9  # monotone non-increasing
+        if prev_n is not None:
+            assert r["n_at_risk"] <= prev_n  # risk set shrinks
+        assert r["n_events"] <= r["n_at_risk"]
+        prev_s, prev_n = r["survival"], r["n_at_risk"]
+
+
+def test_survival_km_matches_product_form(spark):
+    """S at the last reported hour equals prod(1 - d/n) computed
+    directly from the reported table."""
+    rows = sorted(
+        QUERIES["q_survival_km"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["hour"],
+    )
+    s = 1.0
+    for r in rows:
+        s *= 1.0 - r["n_events"] / r["n_at_risk"]
+    assert math.isclose(rows[-1]["survival"], s, rel_tol=1e-4)
