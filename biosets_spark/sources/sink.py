@@ -27,13 +27,32 @@ def save_to_disk(
     fingerprint: str | None = None,
     mode: str = "overwrite",
     partition_by: list[str] | str | None = None,
+    sort_by: list[str] | str | None = None,
+    sort_files: int | None = None,
 ) -> None:
     """Persist as parquet (+ role sidecar). ``partition_by`` writes a
     hive-style layout (``col=value/`` directories) so downstream scans
     with an equality/range filter on those columns prune whole
     partitions before reading a byte — the 100 TB layout lever for
-    date- or split-keyed datasets.
+    date- or split-keyed datasets. ``sort_by`` clusters rows WITHIN
+    each output file (``repartitionByRange`` + ``sortWithinPartitions``
+    before the write — one range shuffle, paid once at write time):
+    files then cover disjoint key ranges and the parquet row-group
+    min/max statistics become selective, so point/range filters on
+    those columns skip whole files and row groups — the second layout
+    lever, for high-cardinality keys (ids, timestamps) where
+    ``partition_by`` would create millions of directories.
+    ``sort_files`` pins the clustered file count (default: the
+    session's shuffle parallelism, which AQE may coalesce for small
+    data — pin it when file-level pruning granularity matters).
     """
+    if sort_by:
+        sort_by = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        if sort_files:
+            df = df.repartitionByRange(sort_files, *sort_by)
+        else:
+            df = df.repartitionByRange(*sort_by)
+        df = df.sortWithinPartitions(*sort_by)
     writer = df.write.mode(mode)
     if partition_by:
         partition_by = [partition_by] if isinstance(partition_by, str) else list(partition_by)

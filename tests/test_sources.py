@@ -471,3 +471,37 @@ def test_upsert_parquet_model_based(spark, tmp_path):
         assert stats["total"] == len(model)
         got = {r.id: r.v for r in spark.read.parquet(path).collect()}
         assert got == model
+
+
+def test_save_sort_by_tightens_rowgroup_stats(spark, tmp_path):
+    """sort_by clusters rows within files so parquet min/max spans
+    shrink — the row-group skipping lever for high-cardinality keys."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from biosets_spark.sources.sink import save_to_disk
+
+    df = spark.range(0, 100_000, 1, 4).selectExpr(
+        "pmod(hash(id), 100000) AS k", "id AS v"
+    )
+
+    def span_sum(path):
+        total = n = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(0).statistics
+                total += st.max - st.min
+                n += 1
+        return total / max(n, 1)
+
+    unsorted_path = str(tmp_path / "unsorted")
+    sorted_path = str(tmp_path / "sorted")
+    save_to_disk(df, unsorted_path)
+    save_to_disk(df, sorted_path, sort_by="k", sort_files=8)
+    # sorted files cover disjoint-ish k ranges; unsorted cover ~full range
+    assert span_sum(sorted_path) < span_sum(unsorted_path) / 2
+    # content identical
+    back = spark.read.parquet(sorted_path)
+    assert back.count() == 100_000
