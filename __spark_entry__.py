@@ -48,6 +48,7 @@ from biosets_spark import queries_wave25  # noqa: E402,F401
 from biosets_spark import queries_wave26  # noqa: E402,F401
 from biosets_spark import queries_wave27  # noqa: E402,F401
 from biosets_spark import queries_wave28  # noqa: E402,F401
+from biosets_spark import queries_wave29  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -244,6 +245,10 @@ _DEFER_NEXT_WINDOW = (
     # precedented across the green TPC-H date shapes
     "q_lift_rules",
     "q_interval_overlap",
+    # deferred for wave-29's Poisson bootstrap: the blocked sim-join
+    # is an equi-join on a derived key plus the levenshtein scalar —
+    # both mechanisms have green rows (any equi-join; q_string_funcs)
+    "q_simjoin_names",
 )
 
 

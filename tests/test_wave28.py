@@ -45,3 +45,30 @@ def test_survival_km_matches_product_form(spark):
     for r in rows:
         s *= 1.0 - r["n_events"] / r["n_at_risk"]
     assert math.isclose(rows[-1]["survival"], s, rel_tol=1e-4)
+
+
+def test_bootstrap_ci_brackets_true_mean(spark):
+    import biosets_spark.queries_wave29  # noqa: F401
+
+    from pyspark.sql import functions as F
+
+    r = QUERIES["q_bootstrap_ci"].fn(spark, SF_SMOKE).collect()[0]
+    assert r["n_resamples"] == 64
+    true_mean = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              / F.count("*")).alias("m"))
+        .collect()[0]["m"]
+    )
+    # the 95% CI should bracket the sample mean and be reasonably tight
+    assert r["ci_lo"] < true_mean < r["ci_hi"]
+    assert (r["ci_hi"] - r["ci_lo"]) < 0.2 * true_mean
+    assert r["ci_lo"] < r["boot_mean"] < r["ci_hi"]
+
+
+def test_bootstrap_deterministic(spark):
+    import biosets_spark.queries_wave29  # noqa: F401
+
+    a = QUERIES["q_bootstrap_ci"].fn(spark, SF_SMOKE).collect()
+    b = QUERIES["q_bootstrap_ci"].fn(spark, SF_SMOKE).collect()
+    assert a == b
