@@ -49,6 +49,7 @@ from biosets_spark import queries_wave26  # noqa: E402,F401
 from biosets_spark import queries_wave27  # noqa: E402,F401
 from biosets_spark import queries_wave28  # noqa: E402,F401
 from biosets_spark import queries_wave29  # noqa: E402,F401
+from biosets_spark import queries_wave30  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -249,6 +250,12 @@ _DEFER_NEXT_WINDOW = (
     # is an equi-join on a derived key plus the levenshtein scalar —
     # both mechanisms have green rows (any equi-join; q_string_funcs)
     "q_simjoin_names",
+    # deferred for wave-30 (Welch t-test, closed-form OLS): PSI and
+    # chi-square share the decimal-summed-closed-form-terms mechanism
+    # with the in-window z/t/bootstrap/alpha-diversity family; KS
+    # keeps the distinct CDF-window mechanism in-window
+    "q_psi_drift",
+    "q_chi2_assoc",
 )
 
 

@@ -72,3 +72,36 @@ def test_bootstrap_deterministic(spark):
     a = QUERIES["q_bootstrap_ci"].fn(spark, SF_SMOKE).collect()
     b = QUERIES["q_bootstrap_ci"].fn(spark, SF_SMOKE).collect()
     assert a == b
+
+
+def test_welch_ttest_formula(spark):
+    import biosets_spark.queries_wave30  # noqa: F401
+
+    r = QUERIES["q_welch_ttest"].fn(spark, SF_SMOKE).collect()[0]
+    assert r["n0"] > 0 and r["n1"] > 0
+    assert r["n0"] + r["n1"] == 1500  # sf0.001 orders
+    # df bounded by min(n)-1 .. n0+n1-2 for Welch
+    assert min(r["n0"], r["n1"]) - 1 <= r["df"] <= r["n0"] + r["n1"] - 2
+
+
+def test_ols_normal_eq_against_numpy(spark):
+    import numpy as np
+
+    import biosets_spark.queries_wave30  # noqa: F401
+
+    r = QUERIES["q_ols_normal_eq"].fn(spark, SF_SMOKE).collect()[0]
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    from pyspark.sql import functions as F
+
+    feat = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("x1"), F.sum("l_quantity").alias("x2"))
+    rows = feat.join(o, feat["l_orderkey"] == o["o_orderkey"]).select(
+        "x1", "x2", F.round("o_totalprice", 2).alias("y")).collect()
+    X = np.array([[1.0, float(x["x1"]), float(x["x2"])] for x in rows])
+    y = np.array([float(x["y"]) for x in rows])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert abs(beta[1] - r["beta_items"]) < 1e-2
+    assert abs(beta[2] - r["beta_qty"]) < 1e-2
+    assert abs(beta[0] - r["intercept"]) < 1.0
+    assert 0.0 <= r["r2"] <= 1.0
