@@ -182,10 +182,15 @@ _SWEEP_SQL = """
     tags=["vector", "join", "agg", "cross", "omics"],
 )
 def q_pca_power(spark, sf_dir):
-    emb = tables.load(spark, sf_dir, "embeddings").select(
+    from .operators.dedup import spread
+
+    # spread() before the 64x explode (the q_bootstrap_ci lesson: a
+    # single-file scan otherwise funnels the fan-out through one core;
+    # 6.0 s -> 3.9 s at sf0.1)
+    emb = spread(tables.load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(col("embedding"), lambda x: F.round(x.cast("double"), 6)).alias("vec"),
-    )
+    ))
     comps = emb.select("vec_id", F.posexplode("vec").alias("pos", "comp")) \
         .withColumn("pos", col("pos") + 1)
     means = comps.groupBy("pos").agg(
