@@ -50,7 +50,12 @@ def _grid_index(df: DataFrame, id_col: str, vec_col: str, max_index_rows: int):
     column (and is cached) whenever more than one block is needed."""
     import math
 
-    src = df.select(id_col, vec_col)
+    from .dedup import spread
+
+    # spread(): the BLAS mapInPandas streams THROUGH these partitions —
+    # a compact single-task scan would serialize every block multiply
+    # on one core (the q_bootstrap_ci fan-out lesson)
+    src = spread(df.select(id_col, vec_col))
     n = src.count()
     n_blocks = max(1, math.ceil(n / max_index_rows))
     if n_blocks > 1:
