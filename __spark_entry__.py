@@ -50,6 +50,7 @@ from biosets_spark import queries_wave27  # noqa: E402,F401
 from biosets_spark import queries_wave28  # noqa: E402,F401
 from biosets_spark import queries_wave29  # noqa: E402,F401
 from biosets_spark import queries_wave30  # noqa: E402,F401
+from biosets_spark import queries_wave31  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -256,6 +257,13 @@ _DEFER_NEXT_WINDOW = (
     # keeps the distinct CDF-window mechanism in-window
     "q_psi_drift",
     "q_chi2_assoc",
+    # deferred for wave-31 (interval union, weighted median): EWMA's
+    # bounded range self-join plan is kept in-window three times over
+    # (SCD2, KM survival, interval clip); SAX composes percentile cuts
+    # (q_quantiles green) with ordered string assembly (q_collect_list
+    # in-window)
+    "q_ewma_daily",
+    "q_sax_symbolize",
 )
 
 

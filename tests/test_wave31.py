@@ -1,0 +1,66 @@
+"""Wave-31 semantics: interval union, weighted median."""
+
+from __future__ import annotations
+
+import biosets_spark.queries_wave31  # noqa: F401  (registers the wave)
+from biosets_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def test_interval_union_bounds(spark):
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["q_interval_union"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    n_events = ev.count()
+    total_cov = sum(r["covered_minutes"] for r in rows)
+    # union <= sum of raw window lengths (5 min each); > 0
+    assert 0 < total_cov <= n_events * 5
+    # islands can't outnumber events
+    assert sum(r["n_islands"] for r in rows) <= n_events
+    # an isolated event contributes exactly 5 minutes: plant one
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:02:00"),
+         (1, "2024-01-01 01:00:00")],
+        "user_id long, ts string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    iv = df.select("user_id", F.unix_micros("ts").alias("s"),
+                   (F.unix_micros("ts") + 300_000_000).alias("e"))
+    from pyspark.sql import Window
+
+    wprev = Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, -1)
+    wcum = Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    merged = (
+        iv.withColumn("ni", F.when(F.col("s") > F.max("e").over(wprev), 1).otherwise(0))
+        .withColumn("island", F.sum("ni").over(wcum))
+        .groupBy("user_id", "island")
+        .agg((F.max("e") - F.min("s")).alias("len_us"))
+    )
+    lens = sorted(r["len_us"] for r in merged.collect())
+    # two overlapping windows (0:00 + 0:02) merge to 7 min; the 1:00
+    # event is its own 5-min island
+    assert lens == [300_000_000, 420_000_000]
+
+
+def test_weighted_median_definition(spark):
+    rows = {r["flag"]: r for r in QUERIES["q_weighted_median"].fn(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"A", "N", "R"}
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect()
+    import collections
+
+    for flag, r in rows.items():
+        pairs = collections.defaultdict(int)
+        for x in li:
+            if x["l_returnflag"] == flag:
+                pairs[round(x["l_extendedprice"], 2)] += int(x["l_quantity"])
+        tw = sum(pairs.values())
+        assert r["total_weight"] == tw
+        cum = 0
+        for price in sorted(pairs):
+            cum += pairs[price]
+            if 2 * cum >= tw:
+                assert abs(r["weighted_median"] - price) < 1e-6
+                break
