@@ -51,6 +51,7 @@ from biosets_spark import queries_wave28  # noqa: E402,F401
 from biosets_spark import queries_wave29  # noqa: E402,F401
 from biosets_spark import queries_wave30  # noqa: E402,F401
 from biosets_spark import queries_wave31  # noqa: E402,F401
+from biosets_spark import queries_wave32  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -264,6 +265,13 @@ _DEFER_NEXT_WINDOW = (
     # in-window)
     "q_ewma_daily",
     "q_sax_symbolize",
+    # deferred for wave-32 (per-segment Gini, decile lift): the
+    # weighted-sample rank window shares q_stratified_sample's green
+    # hash gate + the in-window weighted-median cumulative mechanism;
+    # referential-audit's anti-join counting has q_anti_join /
+    # q_semi_join green rows per check
+    "q_weighted_sample",
+    "q_referential_audit",
 )
 
 

@@ -64,3 +64,34 @@ def test_weighted_median_definition(spark):
             if 2 * cum >= tw:
                 assert abs(r["weighted_median"] - price) < 1e-6
                 break
+
+
+def test_gini_bounds_and_uniform_case(spark):
+    import biosets_spark.queries_wave32  # noqa: F401
+
+    rows = QUERIES["q_gini_revenue"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r["gini"] < 1.0
+        assert r["n_customers"] > 0
+    # hand check: equal values -> gini 0 by the rank formula
+    vals = [10.0] * 8
+    n, tot = len(vals), sum(vals)
+    weighted = sum((2 * (i + 1) - 1) * v for i, v in enumerate(sorted(vals)))
+    assert abs(weighted / (n * tot) - 1.0) < 1e-12
+
+
+def test_decile_lift_consistency(spark):
+    import biosets_spark.queries_wave32  # noqa: F401
+
+    rows = QUERIES["q_decile_lift"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, rs in by_source.items():
+        assert sorted(x["decile"] for x in rs) == list(range(1, len(rs) + 1))
+        # weighted average lift over deciles is 1 by construction
+        tot_n = sum(x["n"] for x in rs)
+        avg = sum(x["lift"] * x["n"] for x in rs) / tot_n
+        assert abs(avg - 1.0) < 0.02, (source, avg)
