@@ -52,6 +52,7 @@ from biosets_spark import queries_wave29  # noqa: E402,F401
 from biosets_spark import queries_wave30  # noqa: E402,F401
 from biosets_spark import queries_wave31  # noqa: E402,F401
 from biosets_spark import queries_wave32  # noqa: E402,F401
+from biosets_spark import queries_wave33  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -272,6 +273,12 @@ _DEFER_NEXT_WINDOW = (
     # q_semi_join green rows per check
     "q_weighted_sample",
     "q_referential_audit",
+    # deferred for wave-33 (lag-k ACF, Theil-Sen): the Welch t shares
+    # the decimal-moment closed-form mechanism with the in-window
+    # z-test/OLS/ACF family; crosslingual-dup composes the
+    # driver-green bounded pair join with a lang lookup join
+    "q_welch_ttest",
+    "q_crosslingual_dup",
 )
 
 

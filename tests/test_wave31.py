@@ -95,3 +95,33 @@ def test_decile_lift_consistency(spark):
         tot_n = sum(x["n"] for x in rs)
         avg = sum(x["lift"] * x["n"] for x in rs) / tot_n
         assert abs(avg - 1.0) < 0.02, (source, avg)
+
+
+def test_autocorrelation_bounds(spark):
+    import biosets_spark.queries_wave33  # noqa: F401
+
+    rows = QUERIES["q_autocorrelation"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert -1.0 - 1e-6 <= r["acf_1"] <= 1.0 + 1e-6
+        assert -1.0 - 1e-6 <= r["acf_7"] <= 1.0 + 1e-6
+        assert r["n_days"] == 30
+
+
+def test_theil_sen_robustness(spark):
+    import biosets_spark.queries_wave33  # noqa: F401
+
+    rows = QUERIES["q_theil_sen"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_pairs"] == 30 * 29 // 2  # C(30,2) day pairs
+    # hand check: a clean linear series recovers its slope exactly
+    import itertools
+    import statistics
+
+    ys = [2.0 * d + 1.0 for d in range(10)]
+    slopes = [
+        (ys[j] - ys[i]) / (j - i)
+        for i, j in itertools.combinations(range(10), 2)
+    ]
+    assert statistics.median(slopes) == 2.0
