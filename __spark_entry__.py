@@ -53,6 +53,8 @@ from biosets_spark import queries_wave30  # noqa: E402,F401
 from biosets_spark import queries_wave31  # noqa: E402,F401
 from biosets_spark import queries_wave32  # noqa: E402,F401
 from biosets_spark import queries_wave33  # noqa: E402,F401
+from biosets_spark import queries_wave34  # noqa: E402,F401
+from biosets_spark import queries_wave35  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -279,6 +281,22 @@ _DEFER_NEXT_WINDOW = (
     # driver-green bounded pair join with a lang lookup join
     "q_welch_ttest",
     "q_crosslingual_dup",
+    # deferred for waves 34-35 (Mann-Whitney + Spearman's two-level
+    # prefix-sum global ranking; Benford + mutual information) — the
+    # verdict's wave-7-9 tail stays in-window untouched; displaced
+    # instead are four precedent-covered compositions:
+    # funnel-latency = driver-green q_events_funnel staging + green
+    # percentile aggs (q_quantiles); alpha-diversity = per-sample
+    # Shannon entropy, q_text_entropy's green explode+combiner-count
+    # mechanism over taxa; clr-transform = the same per-row log
+    # closed-form family plus the in-window broadcast normalizer;
+    # ngram-novelty = driver-green bounded-shingle join
+    # (q_dedup_ngram_jaccard_bounded) + green containment check
+    # (q_contamination)
+    "q_funnel_latency",
+    "q_alpha_diversity",
+    "q_clr_transform",
+    "q_ngram_novelty",
 )
 
 
