@@ -55,6 +55,7 @@ from biosets_spark import queries_wave32  # noqa: E402,F401
 from biosets_spark import queries_wave33  # noqa: E402,F401
 from biosets_spark import queries_wave34  # noqa: E402,F401
 from biosets_spark import queries_wave35  # noqa: E402,F401
+from biosets_spark import queries_wave36  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -297,6 +298,14 @@ _DEFER_NEXT_WINDOW = (
     "q_alpha_diversity",
     "q_clr_transform",
     "q_ngram_novelty",
+    # deferred for wave-36 (shard-layout audit, Cohen's kappa):
+    # bray-curtis is the bounded pair-join shape with green rows
+    # (q_dedup_embedding, q_knn_pairs) plus one per-pair ratio;
+    # feature-correlation shares the decimal-moment closed-form
+    # mechanism held in-window by q_ols_normal_eq/q_spearman_corr and
+    # driver-green by q_forecast_revenue
+    "q_bray_curtis",
+    "q_feature_correlation",
 )
 
 
