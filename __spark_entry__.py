@@ -56,6 +56,7 @@ from biosets_spark import queries_wave33  # noqa: E402,F401
 from biosets_spark import queries_wave34  # noqa: E402,F401
 from biosets_spark import queries_wave35  # noqa: E402,F401
 from biosets_spark import queries_wave36  # noqa: E402,F401
+from biosets_spark import queries_wave37  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -306,6 +307,16 @@ _DEFER_NEXT_WINDOW = (
     # driver-green by q_forecast_revenue
     "q_bray_curtis",
     "q_feature_correlation",
+    # deferred for wave-37 (integer-cent moment skew/kurtosis, exact
+    # rolling median): countmin-audit is the estimate-vs-exact audit
+    # shape its in-window siblings (q_hll_portable_audit,
+    # q_bloom_audit, q_ann_recall_audit) keep recorded, with the
+    # exact side driver-green via q_top_ngrams; quantile-normalize's
+    # rank-map-then-join mechanism is held in-window by
+    # q_spearman_corr's rank maps plus driver-green
+    # q_grouped_map_normalize
+    "q_countmin_audit",
+    "q_quantile_normalize",
 )
 
 
