@@ -57,6 +57,7 @@ from biosets_spark import queries_wave34  # noqa: E402,F401
 from biosets_spark import queries_wave35  # noqa: E402,F401
 from biosets_spark import queries_wave36  # noqa: E402,F401
 from biosets_spark import queries_wave37  # noqa: E402,F401
+from biosets_spark import queries_wave38  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -317,6 +318,15 @@ _DEFER_NEXT_WINDOW = (
     # q_grouped_map_normalize
     "q_countmin_audit",
     "q_quantile_normalize",
+    # deferred for wave-38 (Z-order layout audit, readability):
+    # bloom-audit is the same estimate-vs-exact sketch-audit shape
+    # as the in-window q_hll_portable_audit/q_ann_recall_audit with
+    # exact sides driver-green (q_dedup_exact, q_semi_join);
+    # gini-revenue's per-segment exact rank-formula mechanism is
+    # held in-window by q_decile_lift (same NTILE/rank family) and
+    # driver-green by q_ntile_kfold
+    "q_bloom_audit",
+    "q_gini_revenue",
 )
 
 
