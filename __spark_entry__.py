@@ -58,6 +58,7 @@ from biosets_spark import queries_wave35  # noqa: E402,F401
 from biosets_spark import queries_wave36  # noqa: E402,F401
 from biosets_spark import queries_wave37  # noqa: E402,F401
 from biosets_spark import queries_wave38  # noqa: E402,F401
+from biosets_spark import queries_wave39  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -327,6 +328,15 @@ _DEFER_NEXT_WINDOW = (
     # driver-green by q_ntile_kfold
     "q_bloom_audit",
     "q_gini_revenue",
+    # deferred for wave-39 (deterministic rarefaction, core
+    # prevalence): ks-drift's distinct-CDF window mechanism is held
+    # in-window by the wave-34 midrank-histogram family (same
+    # cumulative-over-distinct-values construction) with
+    # driver-green q_window_running_sum; column-profile composes
+    # per-column aggs that are each green (q_distinct_agg,
+    # q_quantiles, q_left_join_histogram)
+    "q_ks_drift",
+    "q_column_profile",
 )
 
 
