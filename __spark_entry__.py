@@ -59,6 +59,7 @@ from biosets_spark import queries_wave36  # noqa: E402,F401
 from biosets_spark import queries_wave37  # noqa: E402,F401
 from biosets_spark import queries_wave38  # noqa: E402,F401
 from biosets_spark import queries_wave39  # noqa: E402,F401
+from biosets_spark import queries_wave40  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -337,6 +338,15 @@ _DEFER_NEXT_WINDOW = (
     # q_quantiles, q_left_join_histogram)
     "q_ks_drift",
     "q_column_profile",
+    # deferred for wave-40 (exact ROC AUC, Good-Turing FoF):
+    # hll-portable-audit is the estimate-vs-exact sketch-audit shape
+    # kept in-window by q_ann_recall_audit with its exact side
+    # driver-green (q_approx_distinct); ab-test-z's closed-form-
+    # over-counts z is held in-window by the mann-whitney/auc/
+    # survival/bootstrap family (same decimal-count -> one-double
+    # construction)
+    "q_hll_portable_audit",
+    "q_ab_test_z",
 )
 
 
