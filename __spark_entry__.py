@@ -60,6 +60,7 @@ from biosets_spark import queries_wave37  # noqa: E402,F401
 from biosets_spark import queries_wave38  # noqa: E402,F401
 from biosets_spark import queries_wave39  # noqa: E402,F401
 from biosets_spark import queries_wave40  # noqa: E402,F401
+from biosets_spark import queries_wave41  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -347,6 +348,14 @@ _DEFER_NEXT_WINDOW = (
     # construction)
     "q_hll_portable_audit",
     "q_ab_test_z",
+    # deferred for wave-41 (session trigram paths, log2 histogram):
+    # scd2-pit-join's carry-forward band join is the driver-green
+    # q_asof_join mechanism plus an effective-range filter;
+    # cusum-changepoint composes the in-window decimal daily series
+    # (q_autocorrelation/q_theil_sen prelude) with a running-extreme
+    # window whose mechanics q_window_running_sum holds green
+    "q_scd2_pit_join",
+    "q_cusum_changepoint",
 )
 
 
