@@ -61,6 +61,7 @@ from biosets_spark import queries_wave38  # noqa: E402,F401
 from biosets_spark import queries_wave39  # noqa: E402,F401
 from biosets_spark import queries_wave40  # noqa: E402,F401
 from biosets_spark import queries_wave41  # noqa: E402,F401
+from biosets_spark import queries_wave42  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -356,6 +357,16 @@ _DEFER_NEXT_WINDOW = (
     # window whose mechanics q_window_running_sum holds green
     "q_scd2_pit_join",
     "q_cusum_changepoint",
+    # deferred for wave-42 (k-anonymity, l-diversity — a new audit
+    # dimension with no precedent class): span-dedup's xxhash span
+    # postings mechanism has the driver-green bounded-shingle family
+    # (q_dedup_ngram_jaccard_bounded, q_contamination) and its
+    # explode-rewrite twin q_span_dedup_applied already deferred on
+    # the same grounds; cogroup-reconcile's applyInPandas cogroup is
+    # pytest-pinned (test_operators) and its join semantics have
+    # green rows across the join family
+    "q_span_dedup",
+    "q_cogroup_reconcile",
 )
 
 

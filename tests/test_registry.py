@@ -75,11 +75,19 @@ def test_unchecked_fit_driver_window():
     unchecked = [n for n in qs if n not in e._DRIVER_CHECKED]
     prioritized = [n for n in unchecked if n not in e._DEFER_NEXT_WINDOW]
     assert len(prioritized) <= 50
-    # the defer list holds precedent-covered variants displaced by
-    # novel-mechanism waves (each entry carries its justification in
-    # __spark_entry__.py); it must stay a minority of the inventory
-    # and must itself be unchecked
-    assert len(e._DEFER_NEXT_WINDOW) < len(unchecked) / 2 + 10
+    # the window must be FULL whenever enough unchecked queries exist:
+    # an under-filled window wastes driver rows (the scarce resource
+    # the defer list exists to ration)
+    if len(unchecked) >= 50:
+        assert len(prioritized) == 50
+    # every deferred name is still unchecked (a name that lands a
+    # green driver row moves to _DRIVER_CHECKED, not the defer list);
+    # each entry carries its precedent justification in
+    # __spark_entry__.py. NOTE the old "minority of the inventory"
+    # bound is gone: with a fixed 50-row window and 100+ unchecked
+    # queries, |defers| = |unchecked| - 50 by arithmetic — the list's
+    # size is set by the window, not by restraint. The invariant that
+    # matters is fullness + documented membership + ordering (below).
     assert all(n not in e._DRIVER_CHECKED for n in e._DEFER_NEXT_WINDOW)
     # deferred names sit right after the prioritized block, so they are
     # first in line for the next window
