@@ -62,6 +62,7 @@ from biosets_spark import queries_wave39  # noqa: E402,F401
 from biosets_spark import queries_wave40  # noqa: E402,F401
 from biosets_spark import queries_wave41  # noqa: E402,F401
 from biosets_spark import queries_wave42  # noqa: E402,F401
+from biosets_spark import queries_wave43  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -367,6 +368,14 @@ _DEFER_NEXT_WINDOW = (
     # green rows across the join family
     "q_span_dedup",
     "q_cogroup_reconcile",
+    # deferred for wave-43 (jackknife SE, Markov entropy rate):
+    # pagerank-nations' iterative sweep shares q_dedup_clusters'
+    # driver-green checkpoint-per-round mechanism over a broadcast
+    # edge list; triangle-count's ordered two-hop join is the
+    # bounded pair-join family (driver-green q_dedup_* pair joins)
+    # with a closed budget documented in PERFORMANCE.md
+    "q_pagerank_nations",
+    "q_triangle_count",
 )
 
 
