@@ -63,6 +63,7 @@ from biosets_spark import queries_wave40  # noqa: E402,F401
 from biosets_spark import queries_wave41  # noqa: E402,F401
 from biosets_spark import queries_wave42  # noqa: E402,F401
 from biosets_spark import queries_wave43  # noqa: E402,F401
+from biosets_spark import queries_wave44  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -376,6 +377,14 @@ _DEFER_NEXT_WINDOW = (
     # with a closed budget documented in PERFORMANCE.md
     "q_pagerank_nations",
     "q_triangle_count",
+    # deferred for wave-44 (seasonal index, burstiness):
+    # centroid-confusion's broadcast-fold E-step shares the
+    # driver-green q_knn_* blocked-broadcast mechanism and its
+    # scale probe is recorded in PERFORMANCE.md; ann-recall-audit
+    # keeps the sketch-audit family's window slot while bootstrap's
+    # exact side (q_knn_bruteforce) is driver-green
+    "q_centroid_confusion",
+    "q_ann_recall_audit",
 )
 
 
