@@ -64,6 +64,7 @@ from biosets_spark import queries_wave41  # noqa: E402,F401
 from biosets_spark import queries_wave42  # noqa: E402,F401
 from biosets_spark import queries_wave43  # noqa: E402,F401
 from biosets_spark import queries_wave44  # noqa: E402,F401
+from biosets_spark import queries_wave45  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -385,6 +386,16 @@ _DEFER_NEXT_WINDOW = (
     # exact side (q_knn_bruteforce) is driver-green
     "q_centroid_confusion",
     "q_ann_recall_audit",
+    # deferred for wave-45 (held-out perplexity, feature-hash
+    # collision audit): survival-km's conditional-product curve
+    # shares the cumulative-window-over-distinct-times mechanism the
+    # in-window interval/weighted-median family holds plus
+    # driver-green q_window_running_sum; ols-normal-eq's
+    # decimal-moment closed form is held in-window by
+    # q_spearman_corr/q_jackknife_variance and driver-green by
+    # q_forecast_revenue
+    "q_survival_km",
+    "q_ols_normal_eq",
 )
 
 
