@@ -65,6 +65,7 @@ from biosets_spark import queries_wave42  # noqa: E402,F401
 from biosets_spark import queries_wave43  # noqa: E402,F401
 from biosets_spark import queries_wave44  # noqa: E402,F401
 from biosets_spark import queries_wave45  # noqa: E402,F401
+from biosets_spark import queries_wave46  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -396,6 +397,15 @@ _DEFER_NEXT_WINDOW = (
     # q_forecast_revenue
     "q_survival_km",
     "q_ols_normal_eq",
+    # deferred for wave-46 (partial correlation, HHI concentration):
+    # bootstrap-ci's resampling family keeps its window slot via the
+    # in-window jackknife twin, and its deterministic draw mechanism
+    # (portable hash gate) is driver-green via q_stratified_sample;
+    # interval-union's gaps-and-islands merge is built from the two
+    # driver-green windows it composes (q_window_lag_gap start flags
+    # + q_window_running_sum island numbering)
+    "q_bootstrap_ci",
+    "q_interval_union",
 )
 
 
