@@ -66,6 +66,7 @@ from biosets_spark import queries_wave43  # noqa: E402,F401
 from biosets_spark import queries_wave44  # noqa: E402,F401
 from biosets_spark import queries_wave45  # noqa: E402,F401
 from biosets_spark import queries_wave46  # noqa: E402,F401
+from biosets_spark import queries_wave47  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -406,6 +407,15 @@ _DEFER_NEXT_WINDOW = (
     # + q_window_running_sum island numbering)
     "q_bootstrap_ci",
     "q_interval_union",
+    # deferred for wave-47 (cohort LTV curve, forecast backtest):
+    # decile-lift's NTILE + base-rate join is driver-green via
+    # q_ntile_kfold (same tie-broken NTILE) plus any green ratio
+    # agg; weighted-median's cumulative-weight threshold pick shares
+    # the distinct-value cumulative construction held in-window by
+    # the wave-34 midrank family, with exact-percentile semantics
+    # driver-green via q_quantiles
+    "q_decile_lift",
+    "q_weighted_median",
 )
 
 
