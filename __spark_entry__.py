@@ -67,6 +67,7 @@ from biosets_spark import queries_wave44  # noqa: E402,F401
 from biosets_spark import queries_wave45  # noqa: E402,F401
 from biosets_spark import queries_wave46  # noqa: E402,F401
 from biosets_spark import queries_wave47  # noqa: E402,F401
+from biosets_spark import queries_wave48  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -416,6 +417,15 @@ _DEFER_NEXT_WINDOW = (
     # driver-green via q_quantiles
     "q_decile_lift",
     "q_weighted_median",
+    # deferred for wave-48 (ABC/XYZ matrix, dispersion index):
+    # autocorrelation + theil-sen share the wave-33 exact-decimal
+    # daily-series prelude; ACF's closed-form moment mechanism is
+    # held in-window by the skew/kurtosis + backtest family and
+    # driver-green by q_forecast_revenue's moment sums, and
+    # theil-sen's bounded per-type pair join has driver-green
+    # precedent in the bounded dedup pair-join family
+    "q_autocorrelation",
+    "q_theil_sen",
 )
 
 
