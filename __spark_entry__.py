@@ -68,6 +68,7 @@ from biosets_spark import queries_wave45  # noqa: E402,F401
 from biosets_spark import queries_wave46  # noqa: E402,F401
 from biosets_spark import queries_wave47  # noqa: E402,F401
 from biosets_spark import queries_wave48  # noqa: E402,F401
+from biosets_spark import queries_wave49  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -426,6 +427,16 @@ _DEFER_NEXT_WINDOW = (
     # precedent in the bounded dedup pair-join family
     "q_autocorrelation",
     "q_theil_sen",
+    # deferred for wave-49 (assortativity, power-law alpha — both on
+    # q_triangle_count's in-window edge list): pca-power's building
+    # blocks (decimal scatter agg, broadcast vector fold, iterate-
+    # with-checkpoint) are driver-green via q_knn_* /
+    # q_grouped_map_normalize / q_dedup_clusters and its scale probe
+    # is recorded in PERFORMANCE.md; auc-roc shares q_mann_whitney's
+    # EXACT two-level prefix-sum plan (its own desc says so) — the
+    # in-window mann-whitney row records the mechanism
+    "q_pca_power",
+    "q_auc_roc",
 )
 
 
