@@ -69,6 +69,7 @@ from biosets_spark import queries_wave46  # noqa: E402,F401
 from biosets_spark import queries_wave47  # noqa: E402,F401
 from biosets_spark import queries_wave48  # noqa: E402,F401
 from biosets_spark import queries_wave49  # noqa: E402,F401
+from biosets_spark import queries_wave50  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -437,6 +438,15 @@ _DEFER_NEXT_WINDOW = (
     # in-window mann-whitney row records the mechanism
     "q_pca_power",
     "q_auc_roc",
+    # deferred for wave-50 (Heaps curve, word adaptation):
+    # jackknife-variance shares the totals-subtraction + quantized-
+    # deviation mechanism the in-window closed-form stat family
+    # records (skew/kurtosis, burstiness, backtest) with the group
+    # agg driver-green everywhere; entropy-rate composes in-window
+    # q_session_paths' lag-bigram construction with q_text_entropy's
+    # driver-green quantized -p ln p terms
+    "q_jackknife_variance",
+    "q_entropy_rate",
 )
 
 
