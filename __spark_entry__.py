@@ -70,6 +70,7 @@ from biosets_spark import queries_wave47  # noqa: E402,F401
 from biosets_spark import queries_wave48  # noqa: E402,F401
 from biosets_spark import queries_wave49  # noqa: E402,F401
 from biosets_spark import queries_wave50  # noqa: E402,F401
+from biosets_spark import queries_wave51  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -447,6 +448,16 @@ _DEFER_NEXT_WINDOW = (
     # driver-green quantized -p ln p terms
     "q_jackknife_variance",
     "q_entropy_rate",
+    # deferred for wave-51 (retention half-life, peak concurrency):
+    # seasonal-index shares the exact-cents daily prelude +
+    # 1-row-broadcast ratio mechanism recorded in-window by the
+    # benford/mutual-information/shard family (driver-green
+    # precedents q_pricing_summary for decimal day aggs); good-
+    # turing's stacked count-of-counts is held in-window by
+    # q_feature_hash_collisions (the same vocabulary->histogram
+    # stack) with the token-count stage driver-green via q_top_ngrams
+    "q_seasonal_index",
+    "q_good_turing",
 )
 
 
