@@ -71,6 +71,7 @@ from biosets_spark import queries_wave48  # noqa: E402,F401
 from biosets_spark import queries_wave49  # noqa: E402,F401
 from biosets_spark import queries_wave50  # noqa: E402,F401
 from biosets_spark import queries_wave51  # noqa: E402,F401
+from biosets_spark import queries_wave52  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -458,6 +459,15 @@ _DEFER_NEXT_WINDOW = (
     # stack) with the token-count stage driver-green via q_top_ngrams
     "q_seasonal_index",
     "q_good_turing",
+    # deferred for wave-52 (price indices, power analysis):
+    # log2-histogram is one scalar binning expression over a green
+    # count-agg class (q_left_join_histogram, q_length_histogram
+    # precedents); session-paths' per-user ordered-window LEAD
+    # construction is held in-window by q_peak_concurrency's
+    # tie-broken event windows and driver-green by
+    # q_events_sessions / q_window_first_last
+    "q_log2_histogram",
+    "q_session_paths",
 )
 
 
