@@ -72,6 +72,7 @@ from biosets_spark import queries_wave49  # noqa: E402,F401
 from biosets_spark import queries_wave50  # noqa: E402,F401
 from biosets_spark import queries_wave51  # noqa: E402,F401
 from biosets_spark import queries_wave52  # noqa: E402,F401
+from biosets_spark import queries_wave53  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -468,6 +469,16 @@ _DEFER_NEXT_WINDOW = (
     # q_events_sessions / q_window_first_last
     "q_log2_histogram",
     "q_session_paths",
+    # deferred for wave-53 (odds ratio CI, McNemar paired test):
+    # benford-digits is one conditional-count agg + closed-form
+    # chi-square terms, the exact mechanism class the in-window
+    # odds-ratio/power-analysis pair records with driver-green
+    # conditional counts everywhere (q_promo_effect); rolling-median
+    # shares the ROWS-frame percentile window driver-green via
+    # q_window_range_frame + q_quantiles, with the half-cent-grid
+    # determinism note carried in COVERAGE.md
+    "q_benford_digits",
+    "q_rolling_median",
 )
 
 
