@@ -73,6 +73,7 @@ from biosets_spark import queries_wave50  # noqa: E402,F401
 from biosets_spark import queries_wave51  # noqa: E402,F401
 from biosets_spark import queries_wave52  # noqa: E402,F401
 from biosets_spark import queries_wave53  # noqa: E402,F401
+from biosets_spark import queries_wave54  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -479,6 +480,16 @@ _DEFER_NEXT_WINDOW = (
     # determinism note carried in COVERAGE.md
     "q_benford_digits",
     "q_rolling_median",
+    # deferred for wave-54 (threshold sweep, calibration bins):
+    # zorder-layout is pure integer bit arithmetic + a green 16-group
+    # count agg (scalar-expression class, q_math_funcs green) with
+    # its layout semantics pytest-pinned (test_wave38); readability's
+    # collapse-and-diff regexp counting shares the driver-green
+    # q_text_quality_score / q_pii_redact JVM-regex class with the
+    # decimal-mean discipline recorded in-window by mean-flesch's
+    # siblings (jackknife/entropy quantized sums)
+    "q_zorder_layout",
+    "q_readability",
 )
 
 
