@@ -74,6 +74,7 @@ from biosets_spark import queries_wave51  # noqa: E402,F401
 from biosets_spark import queries_wave52  # noqa: E402,F401
 from biosets_spark import queries_wave53  # noqa: E402,F401
 from biosets_spark import queries_wave54  # noqa: E402,F401
+from biosets_spark import queries_wave55  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -490,6 +491,15 @@ _DEFER_NEXT_WINDOW = (
     # siblings (jackknife/entropy quantized sums)
     "q_zorder_layout",
     "q_readability",
+    # deferred for wave-55 (stratified effect, one-way ANOVA):
+    # rarefaction's bounded explode + per-sample rank window is
+    # driver-green by composition (q_stratified_sample's hash order,
+    # q_window_topk_per_group's rank) with its depth semantics
+    # pytest-pinned (test_wave39); core-prevalence is one
+    # distinct-count agg + 1-row broadcast, both green classes
+    # (q_distinct_agg, q_left_join_histogram)
+    "q_rarefaction",
+    "q_core_prevalence",
 )
 
 
