@@ -75,6 +75,7 @@ from biosets_spark import queries_wave52  # noqa: E402,F401
 from biosets_spark import queries_wave53  # noqa: E402,F401
 from biosets_spark import queries_wave54  # noqa: E402,F401
 from biosets_spark import queries_wave55  # noqa: E402,F401
+from biosets_spark import queries_wave56  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -500,6 +501,15 @@ _DEFER_NEXT_WINDOW = (
     # (q_distinct_agg, q_left_join_histogram)
     "q_rarefaction",
     "q_core_prevalence",
+    # deferred for wave-56 (diff-in-diff, capture-recapture):
+    # skew-kurtosis' integer-cent moment collection is the
+    # combinable-decimal-agg class with multiple green rows
+    # (q_pricing_summary) and its formulas pytest-pinned
+    # (test_wave37); burstiness composes the driver-green
+    # q_window_lag_gap lag gaps with the same in-window moment
+    # mechanism (dispersion-index keeps the count-side slot)
+    "q_skew_kurtosis",
+    "q_burstiness",
 )
 
 
