@@ -76,6 +76,7 @@ from biosets_spark import queries_wave53  # noqa: E402,F401
 from biosets_spark import queries_wave54  # noqa: E402,F401
 from biosets_spark import queries_wave55  # noqa: E402,F401
 from biosets_spark import queries_wave56  # noqa: E402,F401
+from biosets_spark import queries_wave57  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -510,6 +511,16 @@ _DEFER_NEXT_WINDOW = (
     # mechanism (dispersion-index keeps the count-side slot)
     "q_skew_kurtosis",
     "q_burstiness",
+    # deferred for wave-57 (bias-corrected Cramer's V, round-price
+    # forensic): mutual-information shares the identical 125-cell +
+    # window-margin construction now held in-window by q_cramers_v
+    # (same cells, different closed form) with the cell agg
+    # driver-green (q_join_agg class); forecast-backtest composes
+    # the in-window daily-series prelude with driver-green lag
+    # windows (q_window_lag_gap) and the quantized-term mean
+    # recorded across the in-window stat family
+    "q_mutual_information",
+    "q_forecast_backtest",
 )
 
 
