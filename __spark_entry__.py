@@ -77,6 +77,7 @@ from biosets_spark import queries_wave54  # noqa: E402,F401
 from biosets_spark import queries_wave55  # noqa: E402,F401
 from biosets_spark import queries_wave56  # noqa: E402,F401
 from biosets_spark import queries_wave57  # noqa: E402,F401
+from biosets_spark import queries_wave58  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -521,6 +522,16 @@ _DEFER_NEXT_WINDOW = (
     # recorded across the in-window stat family
     "q_mutual_information",
     "q_forecast_backtest",
+    # deferred for wave-58 (skyline operator, knee point):
+    # dispersion-index is the per-(type,day) count collapse + decimal
+    # moment mechanism recorded in-window by its q_anova_oneway
+    # sibling (same daily integer counts) with driver-green
+    # q_events_hourly for the count stage; heldout-perplexity's
+    # train/test hash split + postings join is held in-window by
+    # q_calibration_bins (same md5 fold gate) and driver-green via
+    # q_term_doc_freq / q_bm25_topk postings joins
+    "q_dispersion_index",
+    "q_heldout_perplexity",
 )
 
 
