@@ -78,6 +78,7 @@ from biosets_spark import queries_wave55  # noqa: E402,F401
 from biosets_spark import queries_wave56  # noqa: E402,F401
 from biosets_spark import queries_wave57  # noqa: E402,F401
 from biosets_spark import queries_wave58  # noqa: E402,F401
+from biosets_spark import queries_wave59  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -532,6 +533,16 @@ _DEFER_NEXT_WINDOW = (
     # q_term_doc_freq / q_bm25_topk postings joins
     "q_dispersion_index",
     "q_heldout_perplexity",
+    # deferred for wave-59 (control chart, seasonal strength):
+    # spearman shares the wave-34 midrank-histogram mechanism the
+    # in-window mann-whitney row records (identical rank maps, one
+    # more moment formula) with decimal moments driver-green via
+    # q_forecast_revenue; price-index's common-basket cross-product
+    # sums are the decimal-agg + dim-self-join class with green rows
+    # (q_join_agg, q_pricing_summary) and its Fisher identity
+    # pytest-pinned (test_wave52)
+    "q_spearman_corr",
+    "q_price_index",
 )
 
 
