@@ -81,14 +81,25 @@ def test_unchecked_fit_driver_window():
     if len(unchecked) >= 50:
         assert len(prioritized) == 50
     # every deferred name is still unchecked (a name that lands a
-    # green driver row moves to _DRIVER_CHECKED, not the defer list);
-    # each entry carries its precedent justification in
-    # __spark_entry__.py. NOTE the old "minority of the inventory"
-    # bound is gone: with a fixed 50-row window and 100+ unchecked
-    # queries, |defers| = |unchecked| - 50 by arithmetic — the list's
-    # size is set by the window, not by restraint. The invariant that
-    # matters is fullness + documented membership + ordering (below).
+    # green driver row moves to _DRIVER_CHECKED, not the defer list).
+    # With a fixed 50-row window and 100+ unchecked queries,
+    # |defers| = |unchecked| - 50 by arithmetic — the list's size is
+    # set by the window, not by restraint. The invariants that matter:
+    # fullness, membership, ordering (below), and ROTATION — no name
+    # may sit deferred forever.
     assert all(n not in e._DRIVER_CHECKED for n in e._DEFER_NEXT_WINDOW)
+    # rotation invariant: each defer entry is round-tagged with the
+    # round it (re-)entered the schedule; at ~50 recorded rows/round a
+    # deferred name must reach the window within 2 rounds of its tag.
+    # A name aging past that means deferral became permanent exclusion
+    # from driver verification — exactly the failure mode this guards.
+    overdue = [
+        (n, r) for n, r in e._DEFER_NEXT_WINDOW_TAGGED if e._ROUND - r > 2
+    ]
+    assert overdue == [], f"defer entries older than 2 rounds: {overdue}"
+    assert e._DEFER_NEXT_WINDOW == tuple(
+        n for n, _ in e._DEFER_NEXT_WINDOW_TAGGED
+    )
     # deferred names sit right after the prioritized block, so they are
     # first in line for the next window
     ordered = e._ordered_names()
