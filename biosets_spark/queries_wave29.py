@@ -125,7 +125,7 @@ _POIS_CUM = [0.36787944, 0.73575888, 0.91969860, 0.98101184,
       FROM weighted GROUP BY b HAVING SUM(m) > 0
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_resamples,
-           ROUND(CAST(SUM(CAST(mean_b AS DECIMAL(24,8))) AS DOUBLE) / COUNT(*), 4)
+           ROUND(CAST(SUM(CAST(ROUND(mean_b, 8) AS DECIMAL(24,8))) AS DOUBLE) / COUNT(*), 4)
              AS boot_mean,
            ROUND(quantile_cont(mean_b, 0.025), 4) AS ci_lo,
            ROUND(quantile_cont(mean_b, 0.975), 4) AS ci_hi
@@ -194,7 +194,7 @@ def q_bootstrap_ci(spark, sf_dir):
     return means.agg(
         F.count("*").alias("n_resamples"),
         F.round(
-            F.sum(col("mean_b").cast("decimal(24,8)")).cast("double") / F.count("*"), 4
+            F.sum(F.round(col("mean_b"), 8).cast("decimal(24,8)")).cast("double") / F.count("*"), 4
         ).alias("boot_mean"),
         F.round(F.expr("percentile(mean_b, 0.025)"), 4).alias("ci_lo"),
         F.round(F.expr("percentile(mean_b, 0.975)"), 4).alias("ci_hi"),

@@ -8,11 +8,13 @@ two-proportion test (how many samples per arm to detect a given lift
 at 80% power: the pre-experiment number that decides whether an A/B
 test is even worth running, q_ab_test_z's prospective twin).
 
-Determinism discipline: prices are exact average-cents ratios of
-integer sums; index numerators/denominators are DECIMAL(38,0)
-cross-products of integer cents and quantities scaled by the
-opposite year's integer weights; the z quantiles (1.959964, 0.841621)
-are shared literals; every output is one closed-form double.
+Determinism discipline: per-(part, year) cents and quantities are
+exact integer sums; the one per-part division each true index needs
+(p1*q0 = c1*q0/q1) is quantized ROUND(., 6) -> DECIMAL(28,6)
+identically on both engines before summing, while the p0*q0 / p1*q1
+sides reduce exactly to the integer sums c0 / c1; the z quantiles
+(1.959964, 0.841621) are shared literals; every output is one
+closed-form double.
 """
 
 from __future__ import annotations
@@ -48,14 +50,12 @@ _Z_BETA = 0.841621   # 80% power
       JOIN years ON a.y = years.y0 AND b.y = years.y1
     ), agg AS (
       SELECT COUNT(*) AS n_parts,
-             CAST(SUM(CAST(c1 AS DECIMAL(38,0)) * q0 * q1) AS DOUBLE)
-               AS l_num,
-             CAST(SUM(CAST(c0 AS DECIMAL(38,0)) * q1 * q1) AS DOUBLE)
-               AS l_den,
-             CAST(SUM(CAST(c1 AS DECIMAL(38,0)) * q0 * q0) AS DOUBLE)
-               AS p_num,
-             CAST(SUM(CAST(c0 AS DECIMAL(38,0)) * q1 * q0) AS DOUBLE)
-               AS p_den
+             CAST(SUM(CAST(ROUND(CAST(c1 AS DOUBLE) * q0 / q1, 6)
+                           AS DECIMAL(28,6))) AS DOUBLE) AS l_num,
+             CAST(SUM(c0) AS DOUBLE) AS l_den,
+             CAST(SUM(c1) AS DOUBLE) AS p_num,
+             CAST(SUM(CAST(ROUND(CAST(c0 AS DOUBLE) * q1 / q0, 6)
+                           AS DECIMAL(28,6))) AS DOUBLE) AS p_den
       FROM basket
     )
     SELECT CAST((SELECT y0 FROM years) AS BIGINT) AS base_year,
@@ -72,13 +72,15 @@ _Z_BETA = 0.841621   # 80% power
          "base-year (Laspeyres) vs current-year (Paasche) quantities "
          "— the fixed-basket construction that separates true price "
          "change from mix shift, which q_yoy_growth's raw revenue "
-         "ratio conflates; Fisher is their geometric mean. Unit "
-         "prices stay as ratios of integer sums: each index term is "
-         "cents * the opposite year's qty products, accumulated "
-         "DECIMAL(38,0) — no division happens until the final "
-         "index, so there is NO per-part rounding at all. One "
-         "combinable (part, year) agg, a self-join on the part "
-         "dimension, three exact sums.",
+         "ratio conflates; Fisher is their geometric mean. The true "
+         "index needs one per-part division (p1*q0 = c1*q0/q1); that "
+         "term is quantized ROUND(.,6) -> DECIMAL(28,6) identically "
+         "on both engines before summing (the repo's standard "
+         "computed-double discipline), while the p0*q0 and p1*q1 "
+         "sides reduce exactly to the integer cents sums c0 and c1 "
+         "with no rounding. One combinable (part, year) agg, a "
+         "self-join on the part dimension, two exact and two "
+         "quantized sums.",
     tags=["stats", "join", "agg", "cross"],
 )
 def q_price_index(spark, sf_dir):
@@ -106,17 +108,15 @@ def q_price_index(spark, sf_dir):
         col("qty").alias("q1"),
     )
     basket = a.join(b, col("l_partkey") == col("pk2"))
-    d38 = "decimal(38,0)"
+    d28 = "decimal(28,6)"
+    p1q0 = F.round(col("c1").cast("double") * col("q0") / col("q1"), 6)
+    p0q1 = F.round(col("c0").cast("double") * col("q1") / col("q0"), 6)
     agg = basket.groupBy("y0", "y1").agg(
         F.count("*").alias("n_parts"),
-        F.sum(col("c1").cast(d38) * col("q0") * col("q1")).cast("double")
-        .alias("l_num"),
-        F.sum(col("c0").cast(d38) * col("q1") * col("q1")).cast("double")
-        .alias("l_den"),
-        F.sum(col("c1").cast(d38) * col("q0") * col("q0")).cast("double")
-        .alias("p_num"),
-        F.sum(col("c0").cast(d38) * col("q1") * col("q0")).cast("double")
-        .alias("p_den"),
+        F.sum(p1q0.cast(d28)).cast("double").alias("l_num"),
+        F.sum("c0").cast("double").alias("l_den"),
+        F.sum("c1").cast("double").alias("p_num"),
+        F.sum(p0q1.cast(d28)).cast("double").alias("p_den"),
     )
     lasp = col("l_num") / col("l_den")
     paas = col("p_num") / col("p_den")

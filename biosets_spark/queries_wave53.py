@@ -133,15 +133,16 @@ def q_odds_ratio(spark, sf_dir):
            CAST(c AS BIGINT) AS b_only_correct,
            ROUND(CAST(acc_a AS DOUBLE) / n, 6) AS accuracy_a,
            ROUND(CAST(acc_b AS DOUBLE) / n, 6) AS accuracy_b,
-           ROUND(POWER(ABS(CAST(b AS DOUBLE) - c) - 1, 2)
+           ROUND(POWER(GREATEST(ABS(CAST(b AS DOUBLE) - c) - 1, 0), 2)
                  / NULLIF(b + c, 0), 6) AS mcnemar_chi2
     FROM cells
     """,
     desc="McNemar's paired test comparing two English detectors on "
          "the SAME documents (A: any-English-stopword hit; B: "
          "ascii-ratio > 0.95) against the labeled truth: only the "
-         "asymmetry of the disagreement cells matters ((|b-c|-1)^2 / "
-         "(b+c), continuity-corrected) — the correct paired "
+         "asymmetry of the disagreement cells matters "
+         "(max(|b-c|-1, 0)^2 / (b+c), continuity-corrected with the "
+         "standard clamp so b = c yields exactly 0) — the correct paired "
          "comparison where an unpaired two-proportion z on the two "
          "accuracies (also reported) ignores that both classifiers "
          "saw identical documents and overstates the variance. Both "
@@ -184,7 +185,11 @@ def q_mcnemar_paired(spark, sf_dir):
         F.round(col("acc_b").cast("double") / col("n"), 6)
         .alias("accuracy_b"),
         F.round(
-            F.pow(F.abs(col("b").cast("double") - col("c")) - 1, 2)
+            F.pow(
+                F.greatest(
+                    F.abs(col("b").cast("double") - col("c")) - 1, lit(0.0)
+                ), 2,
+            )
             / F.nullif((col("b") + col("c")).cast("double"), lit(0.0)), 6,
         ).alias("mcnemar_chi2"),
     )

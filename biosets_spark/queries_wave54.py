@@ -83,17 +83,25 @@ def q_threshold_sweep(spark, sf_dir):
         F.posexplode("thrs").alias("k0", "thr"), "p"
     ).select((col("k0") + 1).alias("k"), "thr", "p")
     # bin every row once against the broadcast cut list: bin = number
-    # of cuts strictly below c = how many thresholds this row clears
+    # of cuts strictly below c = how many thresholds this row clears.
+    # A decile whose threshold equals the max score produces NO rows
+    # here (nothing clears it), so the 9-row cuts table is the spine
+    # and the counts left-join onto it with tp/fp coalesced to 0 —
+    # the oracle's scalar-subquery form always emits all 9 deciles.
     binned = (
         scored.crossJoin(broadcast(cuts.select("k", "thr")))
         .filter(col("c") > col("thr"))
-        .groupBy("k", "thr")
+        .groupBy("k")
         .agg(
             F.count(F.when(col("pos"), 1)).alias("tp"),
             F.count(F.when(~col("pos"), 1)).alias("fp"),
         )
     )
-    out = binned.join(broadcast(cuts.select("k", "p").distinct()), "k")
+    out = cuts.join(binned, "k", "left").select(
+        "k", "thr", "p",
+        F.coalesce(col("tp"), lit(0)).alias("tp"),
+        F.coalesce(col("fp"), lit(0)).alias("fp"),
+    )
     return out.select(
         col("k").alias("decile"),
         F.round(col("thr"), 1).alias("threshold_cents"),

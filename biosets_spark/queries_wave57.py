@@ -56,8 +56,8 @@ from .queries import q
            ROUND(SQRT(
              GREATEST(chi2 / n - (CAST(r AS DOUBLE) - 1) * (c - 1) / (n - 1),
                       0)
-             / LEAST(r - (CAST(r AS DOUBLE) - 1) * (r - 1) / (n - 1),
-                     c - (CAST(c AS DOUBLE) - 1) * (c - 1) / (n - 1))
+             / LEAST(r - (CAST(r AS DOUBLE) - 1) * (r - 1) / (n - 1) - 1,
+                     c - (CAST(c AS DOUBLE) - 1) * (c - 1) / (n - 1) - 1)
            ), 6) AS cramers_v_corrected
     FROM agg
     """,
@@ -119,7 +119,7 @@ def q_cramers_v(spark, sf_dir):
         F.round(col("chi2"), 6).alias("chi2"),
         F.round(F.sqrt(col("chi2") / (nd * F.least(rd - 1, cd - 1))), 6)
         .alias("cramers_v"),
-        F.round(F.sqrt(phi2c / F.least(rc, cc)), 6)
+        F.round(F.sqrt(phi2c / F.least(rc - 1, cc - 1)), 6)
         .alias("cramers_v_corrected"),
     )
 

@@ -134,7 +134,7 @@ def q_token_pmi(spark, sf_dir):
     WITH src AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
     w AS (
       SELECT source, n,
-             CAST(POW(CAST(n AS DOUBLE), 0.7) AS DECIMAL(24,8)) AS wq
+             CAST(ROUND(POW(CAST(n AS DOUBLE), 0.7), 8) AS DECIMAL(24,8)) AS wq
       FROM src
     )
     SELECT source, n,
@@ -159,7 +159,8 @@ def q_mix_temperature(spark, sf_dir):
         docs.groupBy("source")
         .agg(F.count("*").alias("n"))
         .withColumn(
-            "wq", F.pow(col("n").cast("double"), lit(0.7)).cast("decimal(24,8)"))
+            "wq", F.round(F.pow(col("n").cast("double"), lit(0.7)), 8)
+            .cast("decimal(24,8)"))
     )
     total = w.agg(F.sum("wq").alias("_tw"))
     return (

@@ -27,11 +27,15 @@ def test_price_index_matches_bruteforce(spark):
     for pk in common:
         c0, q0 = agg[(pk, y0)]
         c1, q1 = agg[(pk, y1)]
-        # p1*q0 / p0*q0 with p = c/q kept as exact cross-products
-        l_num += c1 * q0 * q1
-        l_den += c0 * q1 * q1
-        p_num += c1 * q0 * q0
-        p_den += c0 * q1 * q0
+        # true fixed-basket terms with unit prices p_y = c_y / q_y:
+        # Laspeyres = sum(p1*q0) / sum(p0*q0); p0*q0 reduces to c0
+        # exactly, p1*q1 to c1, so only two terms carry a division
+        # (the engine quantizes those to 6 dp, absorbed by the final
+        # 1e-6 tolerance on a ratio of much larger magnitudes)
+        l_num += c1 * q0 / q1
+        l_den += c0
+        p_num += c1
+        p_den += c0 * q1 / q0
     assert (row["base_year"], row["current_year"]) == (y0, y1)
     assert row["n_common_parts"] == len(common)
     lasp = l_num / l_den

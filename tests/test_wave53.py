@@ -62,7 +62,9 @@ def test_mcnemar_matches_bruteforce(spark):
     assert abs(row["accuracy_a"] - round(acc_a / n, 6)) < 1e-9
     assert abs(row["accuracy_b"] - round(acc_b / n, 6)) < 1e-9
     if b + c:
-        expect = (abs(b - c) - 1) ** 2 / (b + c)
+        # continuity correction clamps at 0 so b == c gives chi2 = 0,
+        # not 1/(b+c) — the most-null case must carry no evidence
+        expect = max(abs(b - c) - 1, 0) ** 2 / (b + c)
         assert abs(row["mcnemar_chi2"] - round(expect, 6)) < 1e-6
     else:
         assert row["mcnemar_chi2"] is None

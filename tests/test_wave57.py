@@ -31,7 +31,8 @@ def test_cramers_v_matches_bruteforce(spark):
     phi2c = max(chi2 / n - (r - 1) * (c_ - 1) / (n - 1), 0)
     rc = r - (r - 1) ** 2 / (n - 1)
     cc = c_ - (c_ - 1) ** 2 / (n - 1)
-    vc = math.sqrt(phi2c / min(rc, cc))
+    # published Bergsma-Wicher form divides by min(r~ - 1, c~ - 1)
+    vc = math.sqrt(phi2c / min(rc - 1, cc - 1))
     assert (row["n_rows"], row["n_segments"], row["n_nations"]) == (n, r, c_)
     assert abs(row["chi2"] - round(chi2, 6)) < 1e-4
     assert abs(row["cramers_v"] - round(v, 6)) < 1e-6
