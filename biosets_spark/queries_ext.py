@@ -149,18 +149,24 @@ def q_dedup_ngram_jaccard_bounded(spark, sf_dir):
     # whenever every pair with jaccard >= threshold collides in at
     # least one band the result set EQUALS the exact n-gram-Jaccard
     # pair set — the same oracle as q_dedup_ngram_jaccard. With 64
-    # bands of r=2, a borderline j=0.5 pair misses every band with
-    # probability (1-0.25)^64 ~= 1e-8, so the equality holds at any
-    # scale factor, not just the locally verified ones (a 16-band
-    # config had a ~1% per-pair miss risk). Verified at sf0.001/sf0.01.
+    # bands of r=1, a borderline j=0.5 pair misses every band with
+    # probability (1-j)^64 <= 2^-64 ~= 5e-20 — airtight at any scale
+    # factor (r=2/128-perm gave 1e-8; a 16-band r=2 config ~1%). The
+    # r=1 cost is candidate fan-out (any shared min is a candidate:
+    # ~35x more candidates than r=2 at sf0.1, all removed by the exact
+    # verification join); corpora with heavy boilerplate shingles
+    # should prefer the r=2 default of minhash_lsh_pairs, where a hot
+    # bucket needs TWO coinciding mins (see the 20x scale probe in
+    # PERFORMANCE.md for the measured tradeoff). Verified at
+    # sf0.001/sf0.01.
     oracle=_NGRAM_ORACLE,
-    desc="MinHash(128 perms)+LSH(64 bands) near-dup candidates verified "
-         "with exact Jaccard; only signatures shuffle at scale.",
+    desc="MinHash(64 perms)+LSH(64 bands, r=1) near-dup candidates "
+         "verified with exact Jaccard; only signatures shuffle at scale.",
     tags=["dedup", "minhash"],
 )
 def q_dedup_minhash_lsh(spark, sf_dir):
     docs = tables.load(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs, num_perm=128, bands=64, threshold=0.5)
+    pairs = D.minhash_lsh_pairs(docs, num_perm=64, bands=64, threshold=0.5)
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 

@@ -54,6 +54,11 @@ def get_spark(
         # out of the repo/cwd
         .config("spark.sql.warehouse.dir", "/tmp/biosets_spark_warehouse")
         .config("spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/biosets_spark_derby")
+        # wide aggregates (128-permutation minhash signatures, packed
+        # simhash vote lanes) exceed the 100-field default and fall out
+        # of whole-stage codegen into interpreted mode (measured 2x on
+        # the minhash signature stage); 400 keeps them compiled
+        .config("spark.sql.codegen.maxFields", "400")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -83,6 +88,10 @@ def apply_session_conf(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         if spark.conf.get("spark.sql.shuffle.partitions") == "200":
             spark.conf.set("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+        # keep wide aggregates (128-perm minhash signatures) inside
+        # whole-stage codegen; the 100-field default drops them to
+        # interpreted mode (measured 2x on the signature stage)
+        spark.conf.set("spark.sql.codegen.maxFields", "400")
     except Exception:
         pass
     return spark
