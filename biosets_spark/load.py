@@ -45,6 +45,12 @@ TARGET_PATTERNS = [r"^target$", r"^label(s)?$", r"^class(es)?$", r"^y$", r"^dise
 METADATA_PATTERNS = [r"^metadata", r"^meta[_\-\s]", r"^covariate"]
 FEATURE_KEY_PATTERNS = [r"^feature(s|[_\-\s]*id|[_\-\s]*name)?$", r"^name$", r"^id$"]
 
+# Feature metadata (one row per data column) is driver-collected; these
+# bound that collect. 100k features ~ tens of MB of row dicts (fine but
+# worth a warning); 10M rows is not feature metadata — refuse.
+FEATURE_METADATA_WARN_ROWS = 100_000
+FEATURE_METADATA_HARD_CAP = 10_000_000
+
 
 class ReadInstruction:
     """Programmatic split-slice spec, the reference's alternative to the
@@ -208,6 +214,25 @@ def load_dataset(
     if feature_metadata_files:
         fm_df = _read_shards(spark, list(feature_metadata_files))
         fm_cols = fm_df.columns
+        # feature metadata is collected to the driver (one row per data
+        # COLUMN — omics-scale tables have 1e3..1e5 features, a few MB).
+        # Guard the collect so a file that is actually row-shaped data
+        # (1e8 rows) can't silently balloon the driver: count first,
+        # warn past the soft cap, and refuse past the hard cap.
+        n_fm = fm_df.count()
+        if n_fm > FEATURE_METADATA_HARD_CAP:
+            raise ValueError(
+                f"feature metadata has {n_fm} rows (> hard cap "
+                f"{FEATURE_METADATA_HARD_CAP}); this is row-shaped data, "
+                "not per-column metadata — pass it as data_files or "
+                "sample_metadata_files instead"
+            )
+        if n_fm > FEATURE_METADATA_WARN_ROWS:
+            warnings.warn(
+                f"feature metadata has {n_fm} rows (> "
+                f"{FEATURE_METADATA_WARN_ROWS}); it is collected to the "
+                "driver — expect several hundred MB of driver memory"
+            )
         fm_rows = [r.asDict(recursive=True) for r in fm_df.collect()]
         fm_key = _match_col(fm_cols, FEATURE_KEY_PATTERNS)
         if fm_key:

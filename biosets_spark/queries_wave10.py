@@ -265,9 +265,13 @@ def q_unpivot_measures(spark, sf_dir):
          "top-quartile population (cume_dist) — both ratios of exact "
          "integers with engine-identical tie semantics. 100 TB note: "
          "a rank window over a LOW-cardinality partition key funnels "
-         "each segment through one task; at that scale compute the "
-         "decile CUT per segment first (q_winsorize's percentile "
-         "pattern) and filter against the broadcast cuts instead.",
+         "each segment through one task; at that scale either compute "
+         "the decile CUT per segment first (q_winsorize's percentile "
+         "pattern) and filter against the broadcast cuts, or — when "
+         "exact ranks are needed — use operators/ranking.py's "
+         "doubled_midranks (distinct-value histogram + two-level "
+         "prefix sum; parallelism = #buckets, not #groups), the "
+         "shared scale path of q_mann_whitney and q_auc_roc.",
     tags=["window", "agg"],
 )
 def q_percent_rank(spark, sf_dir):

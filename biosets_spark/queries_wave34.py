@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
+from .operators import ranking
 from .queries import q
 
 
@@ -112,25 +113,8 @@ def q_mann_whitney(spark, sf_dir):
             F.count("*").alias("nt"),
         )
     )
-    w_in = (
-        Window.partitionBy("ls", "bkt").orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    in_bkt = hist.withColumn(
-        "cum_in", F.coalesce(F.sum("nt").over(w_in), F.lit(0))
-    )
-    w_off = (
-        Window.partitionBy("ls").orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    bkt_off = (
-        hist.groupBy("ls", "bkt").agg(F.sum("nt").alias("bn"))
-        .withColumn("off", F.coalesce(F.sum("bn").over(w_off), F.lit(0)))
-        .select("ls", "bkt", "off")
-    )
-    ranked = in_bkt.join(broadcast(bkt_off), ["ls", "bkt"]).select(
-        "ls", "na", "nr", "nt",
-        (2 * (col("cum_in") + col("off")) + col("nt") + 1).alias("mr2"),
+    ranked = ranking.doubled_midranks(hist, ["ls"]).select(
+        "ls", "na", "nr", "nt", "mr2"
     )
     agg = ranked.groupBy("ls").agg(
         F.sum("na").alias("n1"),

@@ -15,11 +15,11 @@ at half credit.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
+from .operators import ranking
 from .queries import q
 
 
@@ -84,32 +84,14 @@ def q_auc_roc(spark, sf_dir):
             F.count("*").alias("nt"),
         )
     )
-    w_in = (
-        Window.partitionBy("st", "bkt").orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    in_bkt = hist.withColumn(
-        "cum_in", F.coalesce(F.sum("nt").over(w_in), F.lit(0))
-    )
-    w_off = (
-        Window.partitionBy("st").orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    bkt_off = (
-        hist.groupBy("st", "bkt").agg(F.sum("nt").alias("bn"))
-        .withColumn("off", F.coalesce(F.sum("bn").over(w_off), F.lit(0)))
-        .select("st", "bkt", "off")
-    )
     agg = (
-        in_bkt.join(broadcast(bkt_off), ["st", "bkt"])
+        ranking.doubled_midranks(hist, ["st"])
         .groupBy("st")
         .agg(
             F.sum("np").alias("n_pos"),
             F.sum(col("nt") - col("np")).alias("n_neg"),
-            F.sum(
-                col("np").cast("decimal(38,0)")
-                * (2 * (col("cum_in") + col("off")) + col("nt") + 1)
-            ).cast("decimal(38,0)").alias("r2p"),
+            F.sum(col("np").cast("decimal(38,0)") * col("mr2"))
+            .cast("decimal(38,0)").alias("r2p"),
         )
     )
     u = (col("r2p") - col("n_pos") * (col("n_pos") + 1)).cast("double") / 2

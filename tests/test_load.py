@@ -302,6 +302,24 @@ def test_feature_metadata_containment_fallback_warns(spark, tmp_path):
     assert ds.num_rows == 1
 
 
+def test_feature_metadata_driver_collect_guard(spark, tmp_path, monkeypatch):
+    """Feature metadata is driver-collected (one row per data column);
+    a row-shaped file passed by mistake must warn past the soft cap and
+    refuse past the hard cap instead of ballooning the driver."""
+    import biosets_spark.load as load_mod
+
+    (tmp_path / "d.csv").write_text("sample,geneA,geneB\ns1,1,10\n")
+    (tmp_path / "feature_metadata.csv").write_text(
+        "gene,weight\n" + "".join(f"g{i},{i}\n" for i in range(6))
+    )
+    monkeypatch.setattr(load_mod, "FEATURE_METADATA_WARN_ROWS", 2)
+    with pytest.warns(UserWarning, match="collected to the driver"):
+        load_dataset(path=str(tmp_path), spark=spark)
+    monkeypatch.setattr(load_mod, "FEATURE_METADATA_HARD_CAP", 5)
+    with pytest.raises(ValueError, match="row-shaped data"):
+        load_dataset(path=str(tmp_path), spark=spark)
+
+
 def test_free_function_accessors(spark, fixture_dir):
     """Reference arrow_dataset.py:141-255 module-level accessor parity:
     the same role queries as the methods, with the reference's

@@ -369,3 +369,20 @@ def test_sessionize_and_keep_latest(spark):
     latest = {r["user_id"]: r["event_id"] for r in E.keep_latest(df).collect()}
     assert latest[1] == 4
     assert latest[2] == 6                    # ts tie -> higher event_id wins
+
+
+def test_doubled_midranks_worked_example(spark):
+    """operators/ranking.py: exact midranks from a bucketed histogram —
+    the shared scale path of q_mann_whitney / q_auc_roc. Values
+    [1,1,2,3,3,3] rank as 1.5,1.5,3,5,5,5 (ties at the mean rank);
+    mr2 = 2*midrank must come out 3, 6, 10 regardless of how the
+    bucket boundary splits the value range."""
+    from biosets_spark.operators import ranking
+
+    rows = [("g", 1, 0, 2), ("g", 2, 0, 1), ("g", 3, 1, 3),
+            # second group: one value only, midrank 1 -> mr2 = 2
+            ("h", 9, 4, 1)]
+    hist = spark.createDataFrame(rows, "grp string, v long, bkt long, nt long")
+    got = {(r["grp"], r["v"]): r["mr2"]
+           for r in ranking.doubled_midranks(hist, ["grp"]).collect()}
+    assert got == {("g", 1): 3, ("g", 2): 6, ("g", 3): 10, ("h", 9): 2}
