@@ -79,6 +79,7 @@ from biosets_spark import queries_wave56  # noqa: E402,F401
 from biosets_spark import queries_wave57  # noqa: E402,F401
 from biosets_spark import queries_wave58  # noqa: E402,F401
 from biosets_spark import queries_wave59  # noqa: E402,F401
+from biosets_spark import queries_wave60  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -243,6 +244,9 @@ _DEFER_NEXT_WINDOW_TAGGED = (
     ("q_forecast_backtest", 5),
     ("q_dispersion_index", 5),
     ("q_price_index", 5),
+    # round-5 additions (registered after the r5 window was planned)
+    ("q_mann_kendall", 5),
+    ("q_gumbel_maxima", 5),
 )
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)
