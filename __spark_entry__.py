@@ -80,6 +80,7 @@ from biosets_spark import queries_wave57  # noqa: E402,F401
 from biosets_spark import queries_wave58  # noqa: E402,F401
 from biosets_spark import queries_wave59  # noqa: E402,F401
 from biosets_spark import queries_wave60  # noqa: E402,F401
+from biosets_spark import queries_wave61  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -247,6 +248,8 @@ _DEFER_NEXT_WINDOW_TAGGED = (
     # round-5 additions (registered after the r5 window was planned)
     ("q_mann_kendall", 5),
     ("q_gumbel_maxima", 5),
+    ("q_kendall_tau", 5),
+    ("q_hodges_lehmann", 5),
 )
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)
