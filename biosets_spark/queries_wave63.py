@@ -1,0 +1,227 @@
+"""Sixty-third-wave query inventory: corpus stylometry — BURROWS'
+DELTA between sources (the authorship-attribution distance: z-score
+the top-K token frequencies across sources, then mean |z_a - z_b| —
+the standard stylometric measure for 'which sources write alike',
+catching register/template kinship that q_vocab_stats' per-source
+scalars and q_crosslingual_dup's doc-level pairs both miss) and the
+RENYI ENTROPY SPECTRUM per source (H0 = ln richness, H1 = Shannon,
+H2 = collision entropy: the three-point diversity profile whose
+SLOPE says whether a source's vocabulary is head-heavy — H1-H2 large
+— or uniformly spread, extending q_alpha_diversity's single-alpha
+view to the spectrum).
+
+Determinism discipline: token counts and per-source totals are exact
+integers; relative frequencies are exact-ratio doubles; z-scores and
+entropy terms are closed-form doubles quantized ROUND(,8/,12)->
+DECIMAL before any cross-token sum; the top-K token set is ordered
+(count DESC, token) so both engines pick the identical basis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col
+
+from . import tables
+from .queries import q
+
+_TOKS_SQL = ("list_filter(string_split_regex(trim(text),"
+             " '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')")
+_TOP_K = 30
+
+
+@q(
+    "q_burrows_delta",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), src_tot AS (
+      SELECT source, COUNT(*) AS ns FROM toks GROUP BY source
+    ), topk AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+        ORDER BY c DESC, tok LIMIT {_TOP_K}
+      )
+    ), grid AS (
+      SELECT s.source, s.ns, k.tok FROM src_tot s CROSS JOIN topk k
+    ), freq AS (
+      SELECT g.source, g.tok,
+             CAST(ROUND(CAST(COALESCE(c.c, 0) AS DOUBLE) / g.ns, 10)
+                  AS DECIMAL(28,10)) AS f
+      FROM grid g LEFT JOIN (
+        SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+      ) c ON g.source = c.source AND g.tok = c.tok
+    ), marg AS (
+      SELECT tok, COUNT(*) AS k,
+             CAST(SUM(f) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(ROUND(CAST(f AS DOUBLE) * CAST(f AS DOUBLE), 14)
+                           AS DECIMAL(38,14))) AS DOUBLE) AS s2
+      FROM freq GROUP BY tok
+    ), zs AS (
+      SELECT fr.source, fr.tok,
+             (CAST(fr.f AS DOUBLE) - m.s1 / m.k)
+             / SQRT(m.s2 / m.k - POWER(m.s1 / m.k, 2)) AS z
+      FROM freq fr JOIN marg m ON fr.tok = m.tok
+    ), deltas AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(SUM(CAST(ROUND(ABS(a.z - b.z), 8) AS DECIMAL(18,8)))
+                  AS DOUBLE) / {_TOP_K} AS delta
+      FROM zs a JOIN zs b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, ROUND(delta, 6) AS delta
+    FROM deltas ORDER BY delta, source_a, source_b LIMIT 10
+    """,
+    desc=f"Burrows' delta stylometric distance between sources over "
+         f"the top-{_TOP_K} corpus tokens: per-source relative "
+         "frequencies, z-scored per token across the source "
+         "population (margins from exact DECIMAL moment sums of "
+         "quantized frequencies, never streaming STDDEV), "
+         "delta(a,b) = mean "
+         "|z_a - z_b| — the authorship-attribution measure; the 10 "
+         "lowest-delta pairs are the sources that write alike "
+         "(template kinship q_vocab_stats' scalars can't see). The "
+         "corpus collapses to a (source, token) count table; the "
+         "token basis is deterministically ordered (count DESC, "
+         "token); |z| differences quantize ROUND(,8)->DECIMAL before "
+         "the per-pair sum; token margins come from a group-by over "
+         f"the {_TOP_K}-token grid with a broadcast join back, no "
+         "corpus-wide window. Source-pair join is bounded at "
+         "C(n_sources,2) x K rows.",
+    tags=["text", "stats", "join", "agg", "cross"],
+)
+def q_burrows_delta(spark, sf_dir):
+    from .operators.text import tokens
+
+    docs = tables.load(spark, sf_dir, "documents").select("source", "text")
+    toks = docs.select("source", F.explode(tokens(col("text"))).alias("tok"))
+    src_tot = toks.groupBy("source").agg(F.count("*").alias("ns"))
+    topk = (
+        toks.groupBy("tok").agg(F.count("*").alias("c"))
+        .orderBy(col("c").desc(), "tok").limit(_TOP_K).select("tok")
+    )
+    stc = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    grid = src_tot.crossJoin(broadcast(topk))
+    freq = grid.join(stc, ["source", "tok"], "left").select(
+        "source", "tok",
+        F.round(
+            F.coalesce(col("c"), F.lit(0)).cast("double") / col("ns"), 10
+        ).cast("decimal(28,10)").alias("f"),
+    )
+    # square in DOUBLE and quantize: a (28,10)x(28,10) decimal multiply
+    # overflows precision 38 and the two engines truncate differently
+    fd = col("f").cast("double")
+    marg = freq.groupBy(col("tok").alias("tok_m")).agg(
+        F.count("*").alias("k"),
+        F.sum("f").cast("double").alias("s1"),
+        F.sum(F.round(fd * fd, 14).cast("decimal(38,14)"))
+        .cast("double").alias("s2"),
+    )
+    mu = col("s1") / col("k")
+    sigma = F.sqrt(col("s2") / col("k") - F.pow(mu, 2))
+    zs = freq.join(broadcast(marg), col("tok") == col("tok_m")).select(
+        "source", "tok",
+        ((col("f").cast("double") - mu) / sigma).alias("z"),
+    )
+    a, b = zs.alias("a"), zs.alias("b")
+    deltas = (
+        a.join(
+            b,
+            (col("a.tok") == col("b.tok"))
+            & (col("a.source") < col("b.source")),
+        )
+        .groupBy(
+            col("a.source").alias("source_a"),
+            col("b.source").alias("source_b"),
+        )
+        .agg(
+            (
+                F.sum(
+                    F.round(F.abs(col("a.z") - col("b.z")), 8)
+                    .cast("decimal(18,8)")
+                ).cast("double") / _TOP_K
+            ).alias("delta")
+        )
+    )
+    return (
+        deltas.select("source_a", "source_b", F.round("delta", 6).alias("delta"))
+        .orderBy("delta", "source_a", "source_b")
+        .limit(10)
+    )
+
+
+@q(
+    "q_renyi_spectrum",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), stc AS (
+      SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    ), tot AS (
+      SELECT source, SUM(c) AS ns, COUNT(*) AS v FROM stc GROUP BY source
+    ), terms AS (
+      SELECT s.source, t.ns, t.v,
+             CAST(ROUND(-(CAST(s.c AS DOUBLE) / t.ns)
+                        * LN(CAST(s.c AS DOUBLE) / t.ns), 12)
+                  AS DECIMAL(38,12)) AS h1t,
+             CAST(ROUND(POWER(CAST(s.c AS DOUBLE) / t.ns, 2), 12)
+                  AS DECIMAL(38,12)) AS p2t
+      FROM stc s JOIN tot t ON s.source = t.source
+    )
+    SELECT source,
+           CAST(MAX(v) AS BIGINT) AS richness,
+           ROUND(LN(MAX(v)), 6) AS h0,
+           ROUND(CAST(SUM(h1t) AS DOUBLE), 6) AS h1_shannon,
+           ROUND(-LN(CAST(SUM(p2t) AS DOUBLE)), 6) AS h2_collision,
+           ROUND(CAST(SUM(h1t) AS DOUBLE) / LN(MAX(v)), 6) AS evenness,
+           ROUND(CAST(SUM(h1t) AS DOUBLE)
+                 - (-LN(CAST(SUM(p2t) AS DOUBLE))), 6) AS head_heaviness
+    FROM terms GROUP BY source ORDER BY source
+    """,
+    desc="Renyi entropy spectrum of each source's token distribution: "
+         "H0 = ln(richness), H1 = Shannon, H2 = -ln(sum p^2) "
+         "(collision entropy), with evenness H1/H0 and head-heaviness "
+         "H1 - H2 — the spectrum's downward slope quantifies how "
+         "much of a source's diversity lives in its head (H1-H2 "
+         "large = a few dominant tokens carry the mass; 0 = uniform) "
+         "— the multi-alpha extension of q_alpha_diversity and the "
+         "per-source refinement of q_text_entropy's per-doc scalar. "
+         "Token probabilities are exact-ratio doubles; both the "
+         "-p ln p and p^2 terms quantize ROUND(,12)->DECIMAL(38,12) "
+         "before their per-source sums, so no accumulation order "
+         "exists. The corpus collapses to (source, token) counts; "
+         "everything downstream runs on the vocabulary table.",
+    tags=["text", "stats", "agg"],
+)
+def q_renyi_spectrum(spark, sf_dir):
+    from .operators.text import tokens
+
+    docs = tables.load(spark, sf_dir, "documents").select("source", "text")
+    stc = (
+        docs.select("source", F.explode(tokens(col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = stc.groupBy(col("source").alias("src_t")).agg(
+        F.sum("c").alias("ns"), F.count("*").alias("v")
+    )
+    p = col("c").cast("double") / col("ns")
+    terms = stc.join(broadcast(tot), col("source") == col("src_t")).select(
+        "source", "v",
+        F.round(-p * F.log(p), 12).cast("decimal(38,12)").alias("h1t"),
+        F.round(F.pow(p, 2), 12).cast("decimal(38,12)").alias("p2t"),
+    )
+    h1 = F.sum("h1t").cast("double")
+    h2 = -F.log(F.sum("p2t").cast("double"))
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("v").cast("long").alias("richness"),
+            F.round(F.log(F.max("v")), 6).alias("h0"),
+            F.round(h1, 6).alias("h1_shannon"),
+            F.round(h2, 6).alias("h2_collision"),
+            F.round(h1 / F.log(F.max("v")), 6).alias("evenness"),
+            F.round(h1 - h2, 6).alias("head_heaviness"),
+        )
+        .orderBy("source")
+    )
