@@ -83,6 +83,7 @@ from biosets_spark import queries_wave60  # noqa: E402,F401
 from biosets_spark import queries_wave61  # noqa: E402,F401
 from biosets_spark import queries_wave62  # noqa: E402,F401
 from biosets_spark import queries_wave63  # noqa: E402,F401
+from biosets_spark import queries_wave64  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -256,6 +257,8 @@ _DEFER_NEXT_WINDOW_TAGGED = (
     ("q_recency_value", 5),
     ("q_burrows_delta", 5),
     ("q_renyi_spectrum", 5),
+    ("q_vocab_overlap", 5),
+    ("q_interarrival_fit", 5),
 )
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)
