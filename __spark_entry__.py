@@ -84,6 +84,7 @@ from biosets_spark import queries_wave61  # noqa: E402,F401
 from biosets_spark import queries_wave62  # noqa: E402,F401
 from biosets_spark import queries_wave63  # noqa: E402,F401
 from biosets_spark import queries_wave64  # noqa: E402,F401
+from biosets_spark import queries_wave65  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -259,6 +260,8 @@ _DEFER_NEXT_WINDOW_TAGGED = (
     ("q_renyi_spectrum", 5),
     ("q_vocab_overlap", 5),
     ("q_interarrival_fit", 5),
+    ("q_dedup_truncation", 5),
+    ("q_embedding_norms", 5),
 )
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)

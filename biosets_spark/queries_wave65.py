@@ -1,0 +1,157 @@
+"""Sixty-fifth-wave query inventory: truncation dedup and embedding
+health — TRUNCATION-DUPLICATE detection (pairs where one document is
+an exact PREFIX of another: the crawl-artifact class — truncated
+fetches, pagination cuts, excerpt pages — that exact-hash dedup
+misses because the hashes differ and Jaccard-threshold dedup misses
+when the long doc dwarfs the short one; blocked on a head-hash so no
+O(n^2) text comparison ever runs) and the EMBEDDING NORM AUDIT
+(per-label L2-norm profile + degenerate-vector counts: the health
+check a pipeline runs BEFORE trusting any cosine-based ANN, since
+near-zero or wildly-scaled vectors silently poison q_knn_* results).
+
+Determinism discipline: prefix candidacy blocks on the exact
+64-char head and verifies with exact string equality; norms are
+sums of ROUND(,6)-quantized squared components accumulated in
+DECIMAL(38,12) (order-free), with a single closed-form sqrt per
+vector; every rate is an exact integer ratio.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col, lit
+
+from . import tables
+from .queries import q
+
+
+@q(
+    "q_dedup_truncation",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, text, LENGTH(text) AS n FROM documents
+    ), blocked AS (
+      SELECT a.doc_id AS id_short, b.doc_id AS id_long,
+             a.n AS len_short, b.n AS len_long
+      FROM docs a JOIN docs b
+        ON SUBSTRING(a.text, 1, 64) = SUBSTRING(b.text, 1, 64)
+       AND a.n < b.n
+       AND SUBSTRING(b.text, 1, a.n) = a.text
+    )
+    SELECT id_short, id_long,
+           CAST(len_short AS BIGINT) AS len_short,
+           CAST(len_long AS BIGINT) AS len_long,
+           ROUND(CAST(len_short AS DOUBLE) / len_long, 6) AS kept_fraction
+    FROM blocked ORDER BY id_short, id_long
+    """,
+    desc="Truncation-duplicate pairs: document A is an exact prefix "
+         "of a strictly longer document B — the crawl-artifact dup "
+         "class (cut-off fetches, pagination splits, excerpt pages) "
+         "that q_dedup_exact cannot see (different hashes) and "
+         "Jaccard-threshold dedup misses when len_short/len_long is "
+         "small; kept_fraction says how much of the long doc the "
+         "short one covers. Candidates BLOCK on the exact 64-char "
+         "head (equi-join on a bounded key: docs sharing a head are "
+         "the only comparisons made, so no all-pairs scan exists at "
+         "any corpus size — template-heavy corpora should raise the "
+         "block width), then verify with one exact substring "
+         "equality. Pure JVM string ops; ids+heads shuffle, bodies "
+         "move only for the blocked candidates.",
+    tags=["dedup", "text", "join"],
+)
+def q_dedup_truncation(spark, sf_dir):
+    docs = (
+        tables.load(spark, sf_dir, "documents")
+        .select("doc_id", "text", F.length("text").alias("n"))
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    # block on the exact 64-char head, then verify: the long doc's
+    # first len_short chars equal the short doc (expr() because
+    # substring's length must be a column here).
+    pairs = a.join(
+        b,
+        (F.substring(col("a.text"), 1, 64) == F.substring(col("b.text"), 1, 64))
+        & (col("a.n") < col("b.n"))
+        & (F.expr("substring(b.text, 1, a.n)") == col("a.text")),
+    )
+    return pairs.select(
+        col("a.doc_id").alias("id_short"),
+        col("b.doc_id").alias("id_long"),
+        col("a.n").cast("long").alias("len_short"),
+        col("b.n").cast("long").alias("len_long"),
+        F.round(col("a.n").cast("double") / col("b.n"), 6)
+        .alias("kept_fraction"),
+    ).orderBy("id_short", "id_long")
+
+
+@q(
+    "q_embedding_norms",
+    oracle="""
+    WITH norms AS (
+      SELECT label, vec_id,
+             SQRT(CAST(list_sum(list_transform(
+                    CAST(embedding AS DOUBLE[]),
+                    x -> CAST(ROUND(ROUND(x, 6) * ROUND(x, 6), 12)
+                              AS DECIMAL(38,12))))
+                  AS DOUBLE)) AS l2
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(CAST(SUM(CAST(ROUND(l2, 8) AS DECIMAL(28,8))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_norm,
+           ROUND(MIN(l2), 6) AS min_norm,
+           ROUND(MAX(l2), 6) AS max_norm,
+           CAST(COUNT(*) FILTER (WHERE l2 < 1e-6) AS BIGINT) AS n_degenerate,
+           ROUND(MAX(l2) / NULLIF(MIN(l2), 0), 6) AS norm_spread
+    FROM norms GROUP BY label ORDER BY label
+    """,
+    desc="Embedding L2-norm audit per label: mean/min/max norm, the "
+         "count of degenerate (near-zero) vectors, and the max/min "
+         "spread — the health gate a pipeline runs BEFORE any "
+         "cosine ANN, because a zero vector makes cosine undefined "
+         "and a 100x norm spread means dot-product shortcuts "
+         "(q_knn_* uses normalized vectors) quietly change ranking. "
+         "Each squared component is quantized ROUND(,12)->"
+         "DECIMAL(38,12) inside a per-row fold (order-free within "
+         "the vector), one sqrt per vector, and the per-label mean "
+         "sums ROUND(,8)-quantized norms — no cross-row float "
+         "accumulation anywhere. One scan, one combinable agg; "
+         "norms are per-row expressions (JVM higher-order "
+         "functions, no Python).",
+    tags=["vector", "stats", "agg"],
+)
+def q_embedding_norms(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform(
+            col("embedding"),
+            lambda x: F.round(
+                F.round(x.cast("double"), 6) * F.round(x.cast("double"), 6), 12
+            ).cast("decimal(38,12)"),
+        ),
+        lit(0).cast("decimal(38,12)"),
+        # re-cast inside the merge: decimal+decimal widens to (38,11)
+        # under Spark's precision-loss rules and breaks the fold type
+        lambda acc, v: (acc + v).cast("decimal(38,12)"),
+    )
+    norms = emb.select("label", F.sqrt(sq.cast("double")).alias("l2"))
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.round(
+                F.sum(F.round(col("l2"), 8).cast("decimal(28,8)"))
+                .cast("double") / F.count("*"), 6
+            ).alias("mean_norm"),
+            F.round(F.min("l2"), 6).alias("min_norm"),
+            F.round(F.max("l2"), 6).alias("max_norm"),
+            F.count(F.when(col("l2") < 1e-6, 1)).cast("long")
+            .alias("n_degenerate"),
+            F.round(
+                F.max("l2") / F.nullif(F.min("l2"), lit(0.0)), 6
+            ).alias("norm_spread"),
+        )
+        .orderBy("label")
+    )
