@@ -30,13 +30,27 @@ from .queries import q
     oracle="""
     WITH docs AS (
       SELECT doc_id, text, LENGTH(text) AS n FROM documents
-    ), blocked AS (
+    ), long_pairs AS (
       SELECT a.doc_id AS id_short, b.doc_id AS id_long,
              a.n AS len_short, b.n AS len_long
       FROM docs a JOIN docs b
-        ON SUBSTRING(a.text, 1, 64) = SUBSTRING(b.text, 1, 64)
+        ON SUBSTRING(a.text, 1, 32) = SUBSTRING(b.text, 1, 32)
        AND a.n < b.n
        AND SUBSTRING(b.text, 1, a.n) = a.text
+      WHERE a.n >= 32
+    ), short_prefixes AS (
+      SELECT b.doc_id, b.n, CAST(r.range AS INTEGER) AS plen,
+             SUBSTRING(b.text, 1, CAST(r.range AS INTEGER)) AS pref
+      FROM docs b, range(1, 32) r
+      WHERE b.n > r.range
+    ), short_pairs AS (
+      SELECT a.doc_id AS id_short, p.doc_id AS id_long,
+             a.n AS len_short, p.n AS len_long
+      FROM docs a JOIN short_prefixes p
+        ON a.n = p.plen AND a.text = p.pref
+      WHERE a.n < 32
+    ), blocked AS (
+      SELECT * FROM long_pairs UNION ALL SELECT * FROM short_pairs
     )
     SELECT id_short, id_long,
            CAST(len_short AS BIGINT) AS len_short,
@@ -50,13 +64,15 @@ from .queries import q
          "that q_dedup_exact cannot see (different hashes) and "
          "Jaccard-threshold dedup misses when len_short/len_long is "
          "small; kept_fraction says how much of the long doc the "
-         "short one covers. Candidates BLOCK on the exact 64-char "
-         "head (equi-join on a bounded key: docs sharing a head are "
-         "the only comparisons made, so no all-pairs scan exists at "
-         "any corpus size — template-heavy corpora should raise the "
-         "block width), then verify with one exact substring "
-         "equality. Pure JVM string ops; ids+heads shuffle, bodies "
-         "move only for the blocked candidates.",
+         "short one covers. LOSSLESS blocking in two branches: short "
+         "docs >= 32 chars equi-join on the exact 32-char head and "
+         "verify with one substring equality; docs under 32 chars "
+         "equi-join on (length, text) against every doc's exploded "
+         "1..31-char prefixes (bounded 31-row fan-out), where the "
+         "key IS the verification. No all-pairs scan exists at any "
+         "corpus size; template-heavy corpora should raise the block "
+         "width. Pure JVM string ops; heads+ids shuffle, bodies move "
+         "only for blocked candidates.",
     tags=["dedup", "text", "join"],
 )
 def q_dedup_truncation(spark, sf_dir):
@@ -66,23 +82,65 @@ def q_dedup_truncation(spark, sf_dir):
     )
     a = docs.alias("a")
     b = docs.alias("b")
-    # block on the exact 64-char head, then verify: the long doc's
-    # first len_short chars equal the short doc (expr() because
-    # substring's length must be a column here).
-    pairs = a.join(
-        b,
-        (F.substring(col("a.text"), 1, 64) == F.substring(col("b.text"), 1, 64))
-        & (col("a.n") < col("b.n"))
-        & (F.expr("substring(b.text, 1, a.n)") == col("a.text")),
+    # branch 1 — short doc has >= 32 chars: block on the exact 32-char
+    # head (equi-join), then verify the long doc's first len_short
+    # chars equal the short doc (expr() because substring's length
+    # must be a column here)
+    long_pairs = (
+        a.filter(col("a.n") >= 32)
+        .join(
+            b,
+            (F.substring(col("a.text"), 1, 32)
+             == F.substring(col("b.text"), 1, 32))
+            & (col("a.n") < col("b.n"))
+            & (F.expr("substring(b.text, 1, a.n)") == col("a.text")),
+        )
+        .select(
+            col("a.doc_id").alias("id_short"),
+            col("b.doc_id").alias("id_long"),
+            col("a.n").alias("len_short"),
+            col("b.n").alias("len_long"),
+        )
     )
-    return pairs.select(
-        col("a.doc_id").alias("id_short"),
-        col("b.doc_id").alias("id_long"),
-        col("a.n").cast("long").alias("len_short"),
-        col("b.n").cast("long").alias("len_long"),
-        F.round(col("a.n").cast("double") / col("b.n"), 6)
-        .alias("kept_fraction"),
-    ).orderBy("id_short", "id_long")
+    # branch 2 — short doc under 32 chars: explode every doc's 1..31
+    # char prefixes (bounded fan-out) and equi-join on (length, text),
+    # which IS the verification; a.n < b.n holds because b.n > plen
+    prefixes = (
+        docs.select(
+            col("doc_id").alias("p_id"), col("n").alias("p_n"),
+            F.explode(F.sequence(F.lit(1), F.lit(31))).alias("plen"),
+            col("text").alias("p_text"),
+        )
+        .filter(col("p_n") > col("plen"))
+        .select(
+            "p_id", "p_n", "plen",
+            F.expr("substring(p_text, 1, plen)").alias("pref"),
+        )
+    )
+    short_pairs = (
+        docs.filter(col("n") < 32)
+        .join(
+            prefixes,
+            (col("n") == col("plen")) & (col("text") == col("pref")),
+        )
+        .select(
+            col("doc_id").alias("id_short"),
+            col("p_id").alias("id_long"),
+            col("n").alias("len_short"),
+            col("p_n").alias("len_long"),
+        )
+    )
+    return (
+        long_pairs.unionByName(short_pairs)
+        .select(
+            "id_short", "id_long",
+            col("len_short").cast("long").alias("len_short"),
+            col("len_long").cast("long").alias("len_long"),
+            F.round(col("len_short").cast("double") / col("len_long"), 6)
+            .alias("kept_fraction"),
+        )
+        .orderBy("id_short", "id_long")
+    )
 
 
 @q(
