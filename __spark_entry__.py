@@ -86,6 +86,7 @@ from biosets_spark import queries_wave63  # noqa: E402,F401
 from biosets_spark import queries_wave64  # noqa: E402,F401
 from biosets_spark import queries_wave65  # noqa: E402,F401
 from biosets_spark import queries_wave66  # noqa: E402,F401
+from biosets_spark import queries_wave67  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -265,6 +266,8 @@ _DEFER_NEXT_WINDOW_TAGGED = (
     ("q_embedding_norms", 5),
     ("q_embedding_anisotropy", 5),
     ("q_session_conversion", 5),
+    ("q_label_separation", 5),
+    ("q_knn_loo_eval", 5),
 )
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)

@@ -229,6 +229,83 @@ def embedding_dup_pairs(
     return out
 
 
+def knn_all(
+    df: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_index_rows: int = 200_000,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for EVERY row (self excluded) —
+    the per-vector twin of ``all_pairs_topk``'s global top-k, used by
+    leave-one-out k-NN evaluation (q_knn_loo_eval).
+
+    Same grid-block plan: broadcast one normalized index block at a
+    time, stream the full table through an Arrow-batched BLAS
+    multiply, emit each row's block-local top-k (ties broken by
+    neighbor id ascending), and finish with a per-row rank over the
+    bounded n_blocks*k candidates. Peak resident broadcast is one
+    block; the candidate table is N*n_blocks*k rows of (id, id, sim)
+    — never the N^2 pair matrix. For corpora where even the grid is
+    too slow, evaluate on a deterministic sample or prefilter with
+    lsh_signatures/ivf_build.
+    """
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    src, n_blocks = _grid_index(df, id_col, vec_col, max_index_rows)
+    parts = []
+    for bi in range(n_blocks):
+        b = _broadcast_block(src, bi, n_blocks, id_col, vec_col)
+        if b is None:
+            continue
+
+        def block(batches, _b=b, _k=k):
+            import pandas as pd
+
+            ids_blk, Mb = _b.value
+            for batch in batches:
+                A = np.vstack(batch[vec_col].to_numpy()).astype("float64")
+                A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+                sims = A @ Mb.T
+                out_a, out_b, out_s = [], [], []
+                for r, aid in enumerate(batch[id_col].to_numpy()):
+                    mask = ids_blk != aid
+                    if not mask.any():
+                        continue
+                    s = sims[r][mask]
+                    partners = ids_blk[mask]
+                    # lexsort: sim desc, then neighbor id asc on ties
+                    order = np.lexsort((partners, -s))[:_k]
+                    out_a.extend([aid] * len(order))
+                    out_b.extend(partners[order])
+                    out_s.extend(s[order])
+                yield pd.DataFrame({"qid": out_a, "nid": out_b, "sim": out_s})
+
+        try:
+            parts.append(
+                src.select(id_col, vec_col)
+                .mapInPandas(block, schema="qid long, nid long, sim double")
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            b.destroy()
+    if n_blocks > 1:
+        src.unpersist()
+    if not parts:
+        return spark.createDataFrame([], schema="qid long, nid long, sim double, rank int")
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.union(p)
+    w = Window.partitionBy("qid").orderBy(col("sim").desc(), col("nid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(col("rank") <= k)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (driver-side, tiny)."""
     import numpy as np
