@@ -87,6 +87,7 @@ from biosets_spark import queries_wave64  # noqa: E402,F401
 from biosets_spark import queries_wave65  # noqa: E402,F401
 from biosets_spark import queries_wave66  # noqa: E402,F401
 from biosets_spark import queries_wave67  # noqa: E402,F401
+from biosets_spark import queries_wave68  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -268,6 +269,8 @@ _DEFER_NEXT_WINDOW_TAGGED = (
     ("q_session_conversion", 5),
     ("q_label_separation", 5),
     ("q_knn_loo_eval", 5),
+    ("q_stump_split", 5),
+    ("q_eta2_scan", 5),
 )
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)
