@@ -88,6 +88,7 @@ from biosets_spark import queries_wave65  # noqa: E402,F401
 from biosets_spark import queries_wave66  # noqa: E402,F401
 from biosets_spark import queries_wave67  # noqa: E402,F401
 from biosets_spark import queries_wave68  # noqa: E402,F401
+from biosets_spark import queries_wave69  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -271,6 +272,8 @@ _DEFER_NEXT_WINDOW_TAGGED = (
     ("q_knn_loo_eval", 5),
     ("q_stump_split", 5),
     ("q_eta2_scan", 5),
+    ("q_skipgram_pmi", 5),
+    ("q_char_trigram_profile", 5),
 )
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)
