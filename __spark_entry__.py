@@ -89,6 +89,7 @@ from biosets_spark import queries_wave66  # noqa: E402,F401
 from biosets_spark import queries_wave67  # noqa: E402,F401
 from biosets_spark import queries_wave68  # noqa: E402,F401
 from biosets_spark import queries_wave69  # noqa: E402,F401
+from biosets_spark import queries_wave70  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -274,6 +275,8 @@ _DEFER_NEXT_WINDOW_TAGGED = (
     ("q_eta2_scan", 5),
     ("q_skipgram_pmi", 5),
     ("q_char_trigram_profile", 5),
+    ("q_cross_entropy_sources", 5),
+    ("q_runs_test", 5),
 )
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)
