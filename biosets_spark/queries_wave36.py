@@ -135,10 +135,16 @@ def q_cohens_kappa(spark, sf_dir):
     from .operators import text as T
 
     docs = tables.load(spark, sf_dir, "documents").select("lang", "text")
+    # the confusion-cell table feeds THREE plan branches (row margins,
+    # column margins, agreement); without materialization Catalyst
+    # re-runs the regex-heavy lang_id scan once per branch (measured
+    # 3x). localCheckpoint the <=25-cell table so the corpus is
+    # scanned once.
     cells = (
         T.lang_id(docs)
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
     )
     rm = cells.groupBy(col("lang").alias("k")).agg(F.sum("n").alias("nr"))
     cm = cells.groupBy(col("lang_pred").alias("k")).agg(F.sum("n").alias("nc"))
