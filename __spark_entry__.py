@@ -91,6 +91,7 @@ from biosets_spark import queries_wave68  # noqa: E402,F401
 from biosets_spark import queries_wave69  # noqa: E402,F401
 from biosets_spark import queries_wave70  # noqa: E402,F401
 from biosets_spark import queries_wave71  # noqa: E402,F401
+from biosets_spark import queries_wave72  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -280,6 +281,8 @@ _DEFER_NEXT_WINDOW_TAGGED = (
     ("q_runs_test", 5),
     ("q_js_divergence", 5),
     ("q_sprt_monitor", 5),
+    ("q_hill_tail", 5),
+    ("q_wilcoxon_signed_rank", 5),
 )
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)
