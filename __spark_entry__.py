@@ -92,6 +92,7 @@ from biosets_spark import queries_wave69  # noqa: E402,F401
 from biosets_spark import queries_wave70  # noqa: E402,F401
 from biosets_spark import queries_wave71  # noqa: E402,F401
 from biosets_spark import queries_wave72  # noqa: E402,F401
+from biosets_spark import queries_wave73  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -283,6 +284,8 @@ _DEFER_NEXT_WINDOW_TAGGED = (
     ("q_sprt_monitor", 5),
     ("q_hill_tail", 5),
     ("q_wilcoxon_signed_rank", 5),
+    ("q_cochran_q", 5),
+    ("q_friedman_test", 5),
 )
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)
