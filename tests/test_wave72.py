@@ -36,7 +36,10 @@ def test_wilcoxon_matches_bruteforce(spark):
         k = (e["event_type"], e["ts"].date())
         acc[k][0] += round(round(e["value"], 2) * 100)
         acc[k][1] += 1
-    mc = {k: round(c * 100 / n) for k, (c, n) in acc.items()}
+    # replicate the engine op-for-op: decimal value sum -> double,
+    # / count, * 100, HALF_UP round (the W statistic is invariant to
+    # the |d| scale, but quantization boundaries are not)
+    mc = {k: math.floor(c / 100 / n * 100 + 0.5) for k, (c, n) in acc.items()}
     import datetime
 
     diffs = defaultdict(list)
