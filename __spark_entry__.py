@@ -94,6 +94,7 @@ from biosets_spark import queries_wave71  # noqa: E402,F401
 from biosets_spark import queries_wave72  # noqa: E402,F401
 from biosets_spark import queries_wave73  # noqa: E402,F401
 from biosets_spark import queries_wave74  # noqa: E402,F401
+from biosets_spark import queries_wave75  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -289,6 +290,8 @@ _DEFER_NEXT_WINDOW_TAGGED = (
     ("q_friedman_test", 5),
     ("q_theil_decomposition", 5),
     ("q_jarque_bera", 5),
+    ("q_theils_u", 5),
+    ("q_unit_root_ar1", 5),
 )
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)
