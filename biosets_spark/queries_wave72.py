@@ -106,7 +106,8 @@ def q_hill_tail(spark, sf_dir):
         ON a.event_type = b.event_type AND b.day = a.day + INTERVAL 7 DAY
       WHERE b.mc <> a.mc
     ), hist AS (
-      SELECT event_type, ABS(d) AS v, ABS(d) / 1000 AS bkt,
+      SELECT event_type, ABS(d) AS v,
+             CAST(FLOOR(ABS(d) / 1000.0) AS BIGINT) AS bkt,
              COUNT(*) AS nt,
              COUNT(*) FILTER (WHERE d > 0) AS npos
       FROM pairs GROUP BY 1, 2, 3
