@@ -96,6 +96,7 @@ from biosets_spark import queries_wave73  # noqa: E402,F401
 from biosets_spark import queries_wave74  # noqa: E402,F401
 from biosets_spark import queries_wave75  # noqa: E402,F401
 from biosets_spark import queries_wave76  # noqa: E402,F401
+from biosets_spark import queries_wave77  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -295,6 +296,8 @@ _DEFER_NEXT_WINDOW_TAGGED = (
     ("q_unit_root_ar1", 5),
     ("q_mde_planner", 5),
     ("q_vocab_turnover", 5),
+    ("q_rank_churn", 5),
+    ("q_kendall_rankings", 5),
 )
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)
