@@ -98,6 +98,7 @@ from biosets_spark import queries_wave75  # noqa: E402,F401
 from biosets_spark import queries_wave76  # noqa: E402,F401
 from biosets_spark import queries_wave77  # noqa: E402,F401
 from biosets_spark import queries_wave78  # noqa: E402,F401
+from biosets_spark import queries_wave79  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -301,6 +302,8 @@ _DEFER_NEXT_WINDOW_TAGGED = (
     ("q_kendall_rankings", 5),
     ("q_atkinson_index", 5),
     ("q_overdispersion", 5),
+    ("q_collocation_llr", 5),
+    ("q_tost_equivalence", 5),
 )
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)
