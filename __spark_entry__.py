@@ -101,6 +101,7 @@ from biosets_spark import queries_wave78  # noqa: E402,F401
 from biosets_spark import queries_wave79  # noqa: E402,F401
 from biosets_spark import queries_wave80  # noqa: E402,F401
 from biosets_spark import queries_wave81  # noqa: E402,F401
+from biosets_spark import queries_wave82  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -310,6 +311,8 @@ _DEFER_NEXT_WINDOW_TAGGED = (
     ("q_trimmed_mean", 5),
     ("q_matthews_mcc", 5),
     ("q_brier_decomposition", 5),
+    ("q_levene_bf", 5),
+    ("q_grubbs_test", 5),
 )
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)
