@@ -134,7 +134,7 @@ _TOKS_SQL = ("list_filter(string_split_regex(trim(text),"
          "collapses to distinct (lang, half, token) rows; the "
          "half-to-half comparison is one full outer join on (lang, "
          "token) — per-token fan-out exactly 1; every count exact.",
-    tags=["text", "dedup", "join", "agg"],
+    tags=["text", "dedup", "join", "agg", "cross"],
 )
 def q_vocab_turnover(spark, sf_dir):
     from .operators.text import tokens

@@ -70,7 +70,7 @@ _HALVES_SQL = """
          "rank windows partition by period half over the small "
          "supplier-period table (the fact table collapses first); "
          "supplier names broadcast-join in.",
-    tags=["window", "join", "agg"],
+    tags=["window", "join", "agg", "cross"],
 )
 def q_rank_churn(spark, sf_dir):
     from pyspark.sql import Window
@@ -188,9 +188,12 @@ def q_kendall_rankings(spark, sf_dir):
             * (col("pa.rank_late") - col("pb.rank_late")) > 0, 1
         ).otherwise(0)
     )
-    pairs = pa.join(pb, col("pa.suppkey") < col("pb.suppkey")).select(
-        conc.alias("c")
-    )
+    # broadcast one side: the rank table is dimension-sized, and the
+    # declared BNLJ (tagged cross) replaces the CartesianProduct plan
+    # the bare theta join would produce
+    pairs = pa.join(
+        F.broadcast(pb), col("pa.suppkey") < col("pb.suppkey")
+    ).select(conc.alias("c"))
     n_sup = both.agg(F.count("*").alias("n_suppliers"))
     agg = pairs.agg(
         F.sum("c").alias("nc"), F.count("*").alias("np")

@@ -202,7 +202,7 @@ def q_collocation_llr(spark, sf_dir):
          "the exact FLOOR-midpoint epoch day on both engines; "
          "per-half moments are DECIMAL-accumulated; both t's are "
          "single closed forms against the shared critical literal.",
-    tags=["events", "stats", "agg"],
+    tags=["events", "stats", "agg", "cross"],
 )
 def q_tost_equivalence(spark, sf_dir):
     ev = tables.load(spark, sf_dir, "events")
