@@ -104,6 +104,7 @@ from biosets_spark import queries_wave81  # noqa: E402,F401
 from biosets_spark import queries_wave82  # noqa: E402,F401
 from biosets_spark import queries_wave83  # noqa: E402,F401
 from biosets_spark import queries_wave84  # noqa: E402,F401
+from biosets_spark import queries_wave85  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -319,6 +320,8 @@ _DEFER_NEXT_WINDOW_TAGGED = (
     ("q_cvar_shortfall", 5),
     ("q_fleiss_kappa", 5),
     ("q_icc_reliability", 5),
+    ("q_average_precision", 5),
+    ("q_ndcg_at_100", 5),
 )
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)
