@@ -105,6 +105,7 @@ from biosets_spark import queries_wave82  # noqa: E402,F401
 from biosets_spark import queries_wave83  # noqa: E402,F401
 from biosets_spark import queries_wave84  # noqa: E402,F401
 from biosets_spark import queries_wave85  # noqa: E402,F401
+from biosets_spark import queries_wave86  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -322,6 +323,8 @@ _DEFER_NEXT_WINDOW_TAGGED = (
     ("q_icc_reliability", 5),
     ("q_average_precision", 5),
     ("q_ndcg_at_100", 5),
+    ("q_cochran_armitage", 5),
+    ("q_moods_median", 5),
 )
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)
