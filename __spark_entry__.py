@@ -106,6 +106,7 @@ from biosets_spark import queries_wave83  # noqa: E402,F401
 from biosets_spark import queries_wave84  # noqa: E402,F401
 from biosets_spark import queries_wave85  # noqa: E402,F401
 from biosets_spark import queries_wave86  # noqa: E402,F401
+from biosets_spark import queries_wave87  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -325,6 +326,8 @@ _DEFER_NEXT_WINDOW_TAGGED = (
     ("q_ndcg_at_100", 5),
     ("q_cochran_armitage", 5),
     ("q_moods_median", 5),
+    ("q_fisher_z_diff", 5),
+    ("q_welch_anova", 5),
 )
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)
