@@ -107,6 +107,7 @@ from biosets_spark import queries_wave84  # noqa: E402,F401
 from biosets_spark import queries_wave85  # noqa: E402,F401
 from biosets_spark import queries_wave86  # noqa: E402,F401
 from biosets_spark import queries_wave87  # noqa: E402,F401
+from biosets_spark import queries_wave88  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -328,6 +329,8 @@ _DEFER_NEXT_WINDOW_TAGGED = (
     ("q_moods_median", 5),
     ("q_fisher_z_diff", 5),
     ("q_welch_anova", 5),
+    ("q_capm_beta", 5),
+    ("q_max_drawdown", 5),
 )
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)
