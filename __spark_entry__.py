@@ -108,6 +108,7 @@ from biosets_spark import queries_wave85  # noqa: E402,F401
 from biosets_spark import queries_wave86  # noqa: E402,F401
 from biosets_spark import queries_wave87  # noqa: E402,F401
 from biosets_spark import queries_wave88  # noqa: E402,F401
+from biosets_spark import queries_wave89  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -331,6 +332,8 @@ _DEFER_NEXT_WINDOW_TAGGED = (
     ("q_welch_anova", 5),
     ("q_capm_beta", 5),
     ("q_max_drawdown", 5),
+    ("q_hurst_exponent", 5),
+    ("q_jain_fairness", 5),
 )
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)
