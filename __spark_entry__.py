@@ -110,6 +110,7 @@ from biosets_spark import queries_wave87  # noqa: E402,F401
 from biosets_spark import queries_wave88  # noqa: E402,F401
 from biosets_spark import queries_wave89  # noqa: E402,F401
 from biosets_spark import queries_wave90  # noqa: E402,F401
+from biosets_spark import queries_wave91  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -337,6 +338,8 @@ _DEFER_NEXT_WINDOW_TAGGED = (
     ("q_jain_fairness", 5),
     ("q_neyman_allocation", 5),
     ("q_mixture_gap", 5),
+    ("q_youden_cutpoint", 5),
+    ("q_hosmer_lemeshow", 5),
 )
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)
