@@ -111,6 +111,7 @@ from biosets_spark import queries_wave88  # noqa: E402,F401
 from biosets_spark import queries_wave89  # noqa: E402,F401
 from biosets_spark import queries_wave90  # noqa: E402,F401
 from biosets_spark import queries_wave91  # noqa: E402,F401
+from biosets_spark import queries_wave92  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -340,6 +341,8 @@ _DEFER_NEXT_WINDOW_TAGGED = (
     ("q_mixture_gap", 5),
     ("q_youden_cutpoint", 5),
     ("q_hosmer_lemeshow", 5),
+    ("q_mantel_haenszel", 5),
+    ("q_meta_heterogeneity", 5),
 )
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)
