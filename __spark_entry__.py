@@ -112,6 +112,7 @@ from biosets_spark import queries_wave89  # noqa: E402,F401
 from biosets_spark import queries_wave90  # noqa: E402,F401
 from biosets_spark import queries_wave91  # noqa: E402,F401
 from biosets_spark import queries_wave92  # noqa: E402,F401
+from biosets_spark import queries_wave93  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -343,6 +344,8 @@ _DEFER_NEXT_WINDOW_TAGGED = (
     ("q_hosmer_lemeshow", 5),
     ("q_mantel_haenszel", 5),
     ("q_meta_heterogeneity", 5),
+    ("q_bonferroni_family", 5),
+    ("q_bh_fdr", 5),
 )
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)
