@@ -114,6 +114,7 @@ from biosets_spark import queries_wave91  # noqa: E402,F401
 from biosets_spark import queries_wave92  # noqa: E402,F401
 from biosets_spark import queries_wave93  # noqa: E402,F401
 from biosets_spark import queries_wave94  # noqa: E402,F401
+from biosets_spark import queries_wave95  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -349,6 +350,8 @@ _DEFER_NEXT_WINDOW_TAGGED = (
     ("q_bh_fdr", 5),
     ("q_log_rank_test", 5),
     ("q_rmst", 5),
+    ("q_cuped_adjustment", 5),
+    ("q_winsor_variance_gain", 5),
 )
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)
