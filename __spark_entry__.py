@@ -118,6 +118,7 @@ from biosets_spark import queries_wave95  # noqa: E402,F401
 from biosets_spark import queries_wave96  # noqa: E402,F401
 from biosets_spark import queries_wave97  # noqa: E402,F401
 from biosets_spark import queries_wave98  # noqa: E402,F401
+from biosets_spark import queries_wave99  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 
@@ -369,6 +370,8 @@ _DEFER_NEXT_WINDOW_TAGGED = (
     ("q_e_value", 5),
     ("q_sharpe_revenue", 5),
     ("q_price_dispersion", 5),
+    ("q_chao1_richness", 5),
+    ("q_doubling_time", 5),
 )
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)
