@@ -156,7 +156,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Current build round (bump each round; drives the defer-age invariant
 # in tests/test_registry.py).
-_ROUND = 5
+_ROUND = 6
 
 # Queries that already have GREEN driver CORRECTNESS rows (r1..r4
 # windows — the union of CORRECTNESS_r0{1..4}.json). The driver records
@@ -217,161 +217,127 @@ _DRIVER_CHECKED = frozenset({
     "q_anova_oneway", "q_diff_in_diff", "q_capture_recapture", "q_cramers_v",
     "q_round_price_bias", "q_skyline_orders", "q_knee_point",
     "q_control_chart", "q_seasonal_strength",
+    # --- r5 window (50/50 green, CORRECTNESS_r05.json) ---
+    "q_span_dedup", "q_containment", "q_keep_latest_event",
+    "q_sessionize_batch", "q_unpivot_measures", "q_percent_rank",
+    "q_corr_exact", "q_length_histogram", "q_levenshtein_brands",
+    "q_events_anomaly", "q_winsorize", "q_tfidf_keywords", "q_zipf_slope",
+    "q_random_projection", "q_cohort_retention", "q_quick_succession",
+    "q_grouping_id", "q_token_fertility", "q_source_quality_matrix",
+    "q_dup_rate_by_source", "q_langid_confusion", "q_activity_streaks",
+    "q_minhash_estimate_quality", "q_span_dedup_applied",
+    "q_incremental_dedup", "q_ann_recall_audit", "q_bigram_surprise",
+    "q_cogroup_reconcile", "q_mad_outliers", "q_group_sample",
+    "q_approx_quantile_audit", "q_countmin_audit", "q_label_centroids",
+    "q_equal_freq_bins", "q_time_weighted_avg", "q_hll_portable_audit",
+    "q_rolling_active_users", "q_first_touch_attribution", "q_basket_pairs",
+    "q_rfm_segments", "q_event_transitions", "q_revenue_share", "q_yoy_growth",
+    "q_weekly_percentiles", "q_ship_latency_histogram", "q_ks_drift",
+    "q_psi_drift", "q_chi2_assoc", "q_ewma_daily", "q_weighted_sample",
 })
 
 
 # Never-driver-checked queries that do NOT fit in this round's ~50-row
 # window. The backlog (judge-verified green in the full local oracle
 # re-run every round) rotates through the driver window at ~50/round:
-# the first 50 (registration order) are in the r5 window; the entries
-# below — the original 54-name tail plus every round-5 wave (60-98) —
-# are scheduled for r6 onward. Each entry is (name,
-# round_first_deferred); the test_registry invariant asserts no entry
+# the 50 oldest backlog names (r5 defer-list head) are the r6 window;
+# the 84 entries below are scheduled for r7/r8. Each entry is (name,
+# round_re-deferred); the test_registry invariant asserts no entry
 # ages more than 2 rounds, so deferral stays a scheduling device,
-# never a permanent exclusion.
+# never a permanent exclusion. Round 6 adds NO new q_* names (r5
+# verdict task #2) so the backlog drains 134 -> 84.
 #
-# R6 HANDOFF: after recording CORRECTNESS_r05, (1) add its 50 green
-# names to _DRIVER_CHECKED, (2) bump _ROUND to 6, (3) shrink this list
+# R7 HANDOFF: after recording CORRECTNESS_r06, (1) add its 50 green
+# names to _DRIVER_CHECKED, (2) bump _ROUND to 7, (3) shrink this list
 # so exactly 50 never-checked names sit in front (keep list order —
-# the oldest backlog is first in line), re-tagging any entry you
-# re-defer with the new round number. The age invariant will fail the
+# the oldest backlog is first in line), re-tagging any re-deferred
+# entry with the new round number. The age invariant will fail the
 # build if the rotation stalls.
 _DEFER_NEXT_WINDOW_TAGGED = (
-    ("q_scd2_pit_join", 5),
-    ("q_pagerank_nations", 5),
-    ("q_centroid_confusion", 5),
-    ("q_dup_graph_degree", 5),
-    ("q_lift_rules", 5),
-    ("q_interval_overlap", 5),
-    ("q_triangle_count", 5),
-    ("q_simjoin_names", 5),
-    ("q_bloom_audit", 5),
-    ("q_column_profile", 5),
-    ("q_ngram_novelty", 5),
-    ("q_funnel_latency", 5),
-    ("q_referential_audit", 5),
-    ("q_crosslingual_dup", 5),
-    ("q_quantile_normalize", 5),
-    ("q_clr_transform", 5),
-    ("q_alpha_diversity", 5),
-    ("q_bray_curtis", 5),
-    ("q_feature_correlation", 5),
-    ("q_pca_power", 5),
-    ("q_cusum_changepoint", 5),
-    ("q_sax_symbolize", 5),
-    ("q_ab_test_z", 5),
-    ("q_survival_km", 5),
-    ("q_bootstrap_ci", 5),
-    ("q_welch_ttest", 5),
-    ("q_ols_normal_eq", 5),
-    ("q_interval_union", 5),
-    ("q_weighted_median", 5),
-    ("q_gini_revenue", 5),
-    ("q_decile_lift", 5),
-    ("q_autocorrelation", 5),
-    ("q_theil_sen", 5),
-    ("q_spearman_corr", 5),
-    ("q_benford_digits", 5),
-    ("q_mutual_information", 5),
-    ("q_skew_kurtosis", 5),
-    ("q_rolling_median", 5),
-    ("q_zorder_layout", 5),
-    ("q_readability", 5),
-    ("q_rarefaction", 5),
-    ("q_core_prevalence", 5),
-    ("q_auc_roc", 5),
-    ("q_good_turing", 5),
-    ("q_session_paths", 5),
-    ("q_log2_histogram", 5),
-    ("q_jackknife_variance", 5),
-    ("q_entropy_rate", 5),
-    ("q_seasonal_index", 5),
-    ("q_burstiness", 5),
-    ("q_heldout_perplexity", 5),
-    ("q_forecast_backtest", 5),
-    ("q_dispersion_index", 5),
-    ("q_price_index", 5),
-    # round-5 additions (registered after the r5 window was planned)
-    ("q_mann_kendall", 5),
-    ("q_gumbel_maxima", 5),
-    ("q_kendall_tau", 5),
-    ("q_hodges_lehmann", 5),
-    ("q_simpson_paradox", 5),
-    ("q_recency_value", 5),
-    ("q_burrows_delta", 5),
-    ("q_renyi_spectrum", 5),
-    ("q_vocab_overlap", 5),
-    ("q_interarrival_fit", 5),
-    ("q_dedup_truncation", 5),
-    ("q_embedding_norms", 5),
-    ("q_embedding_anisotropy", 5),
-    ("q_session_conversion", 5),
-    ("q_label_separation", 5),
-    ("q_knn_loo_eval", 5),
-    ("q_stump_split", 5),
-    ("q_eta2_scan", 5),
-    ("q_skipgram_pmi", 5),
-    ("q_char_trigram_profile", 5),
-    ("q_cross_entropy_sources", 5),
-    ("q_runs_test", 5),
-    ("q_js_divergence", 5),
-    ("q_sprt_monitor", 5),
-    ("q_hill_tail", 5),
-    ("q_wilcoxon_signed_rank", 5),
-    ("q_cochran_q", 5),
-    ("q_friedman_test", 5),
-    ("q_theil_decomposition", 5),
-    ("q_jarque_bera", 5),
-    ("q_theils_u", 5),
-    ("q_unit_root_ar1", 5),
-    ("q_mde_planner", 5),
-    ("q_vocab_turnover", 5),
-    ("q_rank_churn", 5),
-    ("q_kendall_rankings", 5),
-    ("q_atkinson_index", 5),
-    ("q_overdispersion", 5),
-    ("q_collocation_llr", 5),
-    ("q_tost_equivalence", 5),
-    ("q_cpk_capability", 5),
-    ("q_trimmed_mean", 5),
-    ("q_matthews_mcc", 5),
-    ("q_brier_decomposition", 5),
-    ("q_levene_bf", 5),
-    ("q_grubbs_test", 5),
-    ("q_page_trend", 5),
-    ("q_cvar_shortfall", 5),
-    ("q_fleiss_kappa", 5),
-    ("q_icc_reliability", 5),
-    ("q_average_precision", 5),
-    ("q_ndcg_at_100", 5),
-    ("q_cochran_armitage", 5),
-    ("q_moods_median", 5),
-    ("q_fisher_z_diff", 5),
-    ("q_welch_anova", 5),
-    ("q_capm_beta", 5),
-    ("q_max_drawdown", 5),
-    ("q_hurst_exponent", 5),
-    ("q_jain_fairness", 5),
-    ("q_neyman_allocation", 5),
-    ("q_mixture_gap", 5),
-    ("q_youden_cutpoint", 5),
-    ("q_hosmer_lemeshow", 5),
-    ("q_mantel_haenszel", 5),
-    ("q_meta_heterogeneity", 5),
-    ("q_bonferroni_family", 5),
-    ("q_bh_fdr", 5),
-    ("q_log_rank_test", 5),
-    ("q_rmst", 5),
-    ("q_cuped_adjustment", 5),
-    ("q_winsor_variance_gain", 5),
-    ("q_eb_shrinkage", 5),
-    ("q_kish_ess", 5),
-    ("q_covariate_balance", 5),
-    ("q_e_value", 5),
-    ("q_sharpe_revenue", 5),
-    ("q_price_dispersion", 5),
-    ("q_chao1_richness", 5),
-    ("q_doubling_time", 5),
+    ("q_heldout_perplexity", 6),
+    ("q_forecast_backtest", 6),
+    ("q_dispersion_index", 6),
+    ("q_price_index", 6),
+    ("q_mann_kendall", 6),
+    ("q_gumbel_maxima", 6),
+    ("q_kendall_tau", 6),
+    ("q_hodges_lehmann", 6),
+    ("q_simpson_paradox", 6),
+    ("q_recency_value", 6),
+    ("q_burrows_delta", 6),
+    ("q_renyi_spectrum", 6),
+    ("q_vocab_overlap", 6),
+    ("q_interarrival_fit", 6),
+    ("q_dedup_truncation", 6),
+    ("q_embedding_norms", 6),
+    ("q_embedding_anisotropy", 6),
+    ("q_session_conversion", 6),
+    ("q_label_separation", 6),
+    ("q_knn_loo_eval", 6),
+    ("q_stump_split", 6),
+    ("q_eta2_scan", 6),
+    ("q_skipgram_pmi", 6),
+    ("q_char_trigram_profile", 6),
+    ("q_cross_entropy_sources", 6),
+    ("q_runs_test", 6),
+    ("q_js_divergence", 6),
+    ("q_sprt_monitor", 6),
+    ("q_hill_tail", 6),
+    ("q_wilcoxon_signed_rank", 6),
+    ("q_cochran_q", 6),
+    ("q_friedman_test", 6),
+    ("q_theil_decomposition", 6),
+    ("q_jarque_bera", 6),
+    ("q_theils_u", 6),
+    ("q_unit_root_ar1", 6),
+    ("q_mde_planner", 6),
+    ("q_vocab_turnover", 6),
+    ("q_rank_churn", 6),
+    ("q_kendall_rankings", 6),
+    ("q_atkinson_index", 6),
+    ("q_overdispersion", 6),
+    ("q_collocation_llr", 6),
+    ("q_tost_equivalence", 6),
+    ("q_cpk_capability", 6),
+    ("q_trimmed_mean", 6),
+    ("q_matthews_mcc", 6),
+    ("q_brier_decomposition", 6),
+    ("q_levene_bf", 6),
+    ("q_grubbs_test", 6),
+    ("q_page_trend", 6),
+    ("q_cvar_shortfall", 6),
+    ("q_fleiss_kappa", 6),
+    ("q_icc_reliability", 6),
+    ("q_average_precision", 6),
+    ("q_ndcg_at_100", 6),
+    ("q_cochran_armitage", 6),
+    ("q_moods_median", 6),
+    ("q_fisher_z_diff", 6),
+    ("q_welch_anova", 6),
+    ("q_capm_beta", 6),
+    ("q_max_drawdown", 6),
+    ("q_hurst_exponent", 6),
+    ("q_jain_fairness", 6),
+    ("q_neyman_allocation", 6),
+    ("q_mixture_gap", 6),
+    ("q_youden_cutpoint", 6),
+    ("q_hosmer_lemeshow", 6),
+    ("q_mantel_haenszel", 6),
+    ("q_meta_heterogeneity", 6),
+    ("q_bonferroni_family", 6),
+    ("q_bh_fdr", 6),
+    ("q_log_rank_test", 6),
+    ("q_rmst", 6),
+    ("q_cuped_adjustment", 6),
+    ("q_winsor_variance_gain", 6),
+    ("q_eb_shrinkage", 6),
+    ("q_kish_ess", 6),
+    ("q_covariate_balance", 6),
+    ("q_e_value", 6),
+    ("q_sharpe_revenue", 6),
+    ("q_price_dispersion", 6),
+    ("q_chao1_richness", 6),
+    ("q_doubling_time", 6),
 )
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)
