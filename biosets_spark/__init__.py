@@ -125,10 +125,20 @@ def cleanup_cache_files(cache_directory: str) -> int:
     return FingerprintCache(cache_directory).clear()
 
 
+def release_pinned_indexes() -> int:
+    """Unpersist the partition-layout intermediates pinned by index-
+    based operators (kfold, slicing, horizontal align). Call between
+    jobs in a long-running session, after results are materialized."""
+    from .operators.joins import release_pinned_indexes as _release
+
+    return _release()
+
+
 __all__ = [
     "BioDataset", "BioDatasetDict", "load_dataset", "ReadInstruction", "get_spark", "save_to_disk",
     "load_from_disk", "concatenate_datasets",
     "get_sample_col_name", "get_batch_col_name", "get_metadata_col_names",
     "get_target_col_names", "get_data_col_names", "get_data", "get_target",
     "get_sample_metadata", "get_feature_metadata", "decode", "cleanup_cache_files",
+    "release_pinned_indexes",
 ]

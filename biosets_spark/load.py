@@ -49,7 +49,11 @@ FEATURE_KEY_PATTERNS = [r"^feature(s|[_\-\s]*id|[_\-\s]*name)?$", r"^name$", r"^
 # bound that collect. 100k features ~ tens of MB of row dicts (fine but
 # worth a warning); 10M rows is not feature metadata — refuse.
 FEATURE_METADATA_WARN_ROWS = 100_000
-FEATURE_METADATA_HARD_CAP = 10_000_000
+# Hard cap on collected feature-metadata rows. 1M rows of per-column
+# metadata is already far beyond any omics panel (1e3..1e5 features);
+# anything larger is row-shaped data misrouted into this argument. The
+# cap also bounds driver memory for the limit(cap+1).collect() guard.
+FEATURE_METADATA_HARD_CAP = 1_000_000
 
 
 class ReadInstruction:
@@ -217,23 +221,26 @@ def load_dataset(
         # feature metadata is collected to the driver (one row per data
         # COLUMN — omics-scale tables have 1e3..1e5 features, a few MB).
         # Guard the collect so a file that is actually row-shaped data
-        # (1e8 rows) can't silently balloon the driver: count first,
-        # warn past the soft cap, and refuse past the hard cap.
-        n_fm = fm_df.count()
-        if n_fm > FEATURE_METADATA_HARD_CAP:
+        # (1e8 rows) can't silently balloon the driver: ONE
+        # limit(cap+1) scan — the LIMIT bounds what ever reaches the
+        # driver, overflow past the cap raises, and the warn threshold
+        # is judged from the collected length (no separate count()
+        # pre-scan of the metadata files; r5 ADVICE fix).
+        collected = fm_df.limit(FEATURE_METADATA_HARD_CAP + 1).collect()
+        if len(collected) > FEATURE_METADATA_HARD_CAP:
             raise ValueError(
-                f"feature metadata has {n_fm} rows (> hard cap "
-                f"{FEATURE_METADATA_HARD_CAP}); this is row-shaped data, "
-                "not per-column metadata — pass it as data_files or "
-                "sample_metadata_files instead"
+                f"feature metadata has > hard cap "
+                f"{FEATURE_METADATA_HARD_CAP} rows; this is row-shaped "
+                "data, not per-column metadata — pass it as data_files "
+                "or sample_metadata_files instead"
             )
-        if n_fm > FEATURE_METADATA_WARN_ROWS:
+        if len(collected) > FEATURE_METADATA_WARN_ROWS:
             warnings.warn(
-                f"feature metadata has {n_fm} rows (> "
+                f"feature metadata has {len(collected)} rows (> "
                 f"{FEATURE_METADATA_WARN_ROWS}); it is collected to the "
-                "driver — expect several hundred MB of driver memory"
+                "driver — expect substantial driver memory use"
             )
-        fm_rows = [r.asDict(recursive=True) for r in fm_df.collect()]
+        fm_rows = [r.asDict(recursive=True) for r in collected]
         fm_key = _match_col(fm_cols, FEATURE_KEY_PATTERNS)
         if fm_key:
             feature_meta, feature_names_ordered = _feature_meta_from_rows(fm_rows, fm_key)

@@ -214,11 +214,44 @@ def zip_with_index(df: DataFrame, order_by: list[str] | None = None, col_name: s
     shuffle, rows never leave the JVM.
 
     The returned frame references a cached intermediate (the pinned
-    partition layout); in long-running sessions call
-    ``spark.catalog.clearCache()`` (or unpersist via
-    ``df.sparkSession``) once the indexed result is materialized.
+    partition layout). Every pinned intermediate is registered in a
+    module-level registry; once the indexed result (or anything
+    derived from it) has been materialized, call
+    ``release_pinned_indexes()`` to unpersist them all — batch jobs
+    can ignore this (executor teardown frees the cache), long-running
+    sessions should call it between jobs (r5 verdict task: explicit
+    lifecycle instead of a documented ``clearCache()``).
     """
     return _zip_with_index_impl(df, order_by, col_name)[0]
+
+
+# Pinned partition-layout intermediates (the .cache() inside
+# _zip_with_index_impl), kept so their lifecycle is explicit. Callers
+# (kfold_assign, align_horizontal, select_indices, shard) hand lazy
+# frames to the user, so the unpersist point is necessarily after the
+# USER materializes — hence a registry + release function rather than
+# an unpersist inside the operator.
+_PINNED_INDEX_FRAMES: list[DataFrame] = []
+
+
+def release_pinned_indexes() -> int:
+    """Unpersist every partition-layout intermediate pinned by
+    ``zip_with_index`` / ``zip_with_index_counted`` since the last
+    release. Safe to call any time AFTER the derived results have been
+    materialized (collect/write); a later re-materialization of a
+    still-lazy derived frame would recompute the layout, which is only
+    guaranteed identical for deterministic sources. Returns the number
+    of frames released.
+    """
+    n = 0
+    while _PINNED_INDEX_FRAMES:
+        f = _PINNED_INDEX_FRAMES.pop()
+        try:
+            f.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped; nothing to release
+    return n
 
 
 def _zip_with_index_impl(
@@ -231,6 +264,7 @@ def _zip_with_index_impl(
         .withColumn("_pos", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)))
         .cache()  # pin the partition layout: both passes must see the same ids
     )
+    _PINNED_INDEX_FRAMES.append(tmp)
     counts = sorted(
         (r["_pid"], r["n"]) for r in tmp.groupBy("_pid").agg(F.count("*").alias("n")).collect()
     )

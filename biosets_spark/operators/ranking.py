@@ -15,8 +15,13 @@ whole-group window:
 2. in-bucket cumulative counts via a window partitioned by
    (group, bucket) — each task sees one value-range slice, so
    parallelism = #buckets, not #groups;
-3. bucket base offsets via a window over the tiny per-bucket count
-   table, broadcast back.
+3. bucket base offsets via a window over the small per-(group,
+   bucket) count table, joined back on (group, bucket). No explicit
+   broadcast hint: for the low-cardinality-group regimes this helper
+   targets the offset table is tiny and AQE broadcasts it at runtime,
+   while in a high-cardinality groups*buckets regime a forced
+   broadcast would exceed driver limits — AQE's size-based choice is
+   the 100 TB-safe one (r5 ADVICE fix).
 
 midrank(v) = rank_lt(v) + (cnt(v) + 1) / 2; to stay integer-exact we
 return the DOUBLED midrank `mr2 = 2*(cum_lt) + cnt + 1` so rank sums
@@ -68,7 +73,7 @@ def doubled_midranks(
         .select(*group_cols, bucket_col, "_off")
     )
     return (
-        in_bkt.join(broadcast(bkt_off), [*group_cols, bucket_col])
+        in_bkt.join(bkt_off, [*group_cols, bucket_col])
         .withColumn(
             "mr2", 2 * (col("_cum_in") + col("_off")) + col(count_col) + 1
         )

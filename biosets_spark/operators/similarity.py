@@ -249,10 +249,24 @@ def knn_all(
     — never the N^2 pair matrix. For corpora where even the grid is
     too slow, evaluate on a deterministic sample or prefilter with
     lsh_signatures/ivf_build.
+
+    ``id_col`` must be an integral type: the mapInPandas output schema
+    emits ids as ``long`` (same contract as ``all_pairs_topk``), so a
+    string/decimal id would silently coerce or fail mid-job — rejected
+    up front instead (r5 ADVICE fix).
     """
     import numpy as np
 
     from pyspark.sql import Window
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"knn_all requires an integral id column; {id_col!r} is "
+            f"{id_type.simpleString()} — add a surrogate long id (e.g. "
+            "zip_with_index) or hash the key to long first"
+        )
 
     spark = df.sparkSession
     src, n_blocks = _grid_index(df, id_col, vec_col, max_index_rows)

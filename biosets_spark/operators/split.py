@@ -180,8 +180,8 @@ def kfold(df: DataFrame, k: int, order_by: list[str]) -> list[tuple[DataFrame, D
     fold assignment via ``kfold_assign`` (no single-partition sort).
 
     The fold frame references a cached partition layout; long-running
-    sessions should ``spark.catalog.clearCache()`` after materializing
-    all folds (see zip_with_index docstring).
+    sessions should call ``joins.release_pinned_indexes()`` after
+    materializing all folds (see zip_with_index docstring).
     """
     with_fold = kfold_assign(df, k, order_by)
     out = []

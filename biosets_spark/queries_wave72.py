@@ -44,11 +44,11 @@ _TAIL_K = 200
                   AS DECIMAL(38,10)) AS lr
       FROM topk t, thresh th
     )
-    SELECT CAST({_TAIL_K} AS BIGINT) AS k,
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
            ROUND(CAST((SELECT ck FROM thresh) AS DOUBLE) / 100, 2)
              AS threshold_value,
-           ROUND(CAST(SUM(lr) AS DOUBLE) / {_TAIL_K}, 6) AS hill_gamma,
-           ROUND({_TAIL_K} / CAST(SUM(lr) AS DOUBLE), 6) AS tail_alpha
+           ROUND(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 6) AS hill_gamma,
+           ROUND(COUNT(*) / CAST(SUM(lr) AS DOUBLE), 6) AS tail_alpha
     FROM terms
     """,
     desc=f"Hill tail-index of order value over the top-{_TAIL_K} "
@@ -81,11 +81,17 @@ def q_hill_tail(spark, sf_dir):
         F.round(F.log(col("c").cast("double") / col("ck")), 10)
         .cast("decimal(38,10)").alias("lr"),
     )
+    # k is COUNT(*) over the actual top-k set (not the _TAIL_K
+    # literal): on inputs with fewer than _TAIL_K orders the reported
+    # k and the gamma/alpha denominators reflect the true
+    # order-statistic count in BOTH engines (r5 ADVICE fix).
     return terms.groupBy("ck").agg(
-        F.lit(_TAIL_K).cast("long").alias("k"),
+        F.count("*").cast("long").alias("k"),
         F.round(col("ck").cast("double") / 100, 2).alias("threshold_value"),
-        F.round(F.sum("lr").cast("double") / _TAIL_K, 6).alias("hill_gamma"),
-        F.round(_TAIL_K / F.sum("lr").cast("double"), 6).alias("tail_alpha"),
+        F.round(F.sum("lr").cast("double") / F.count("*"), 6)
+        .alias("hill_gamma"),
+        F.round(F.count("*") / F.sum("lr").cast("double"), 6)
+        .alias("tail_alpha"),
     ).select("k", "threshold_value", "hill_gamma", "tail_alpha")
 
 

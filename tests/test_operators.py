@@ -184,6 +184,29 @@ def test_zip_with_index_contiguous(spark):
     assert rows == {"a": 0, "b": 1, "c": 2, "d": 3, "e": 4}
 
 
+def test_zip_with_index_release_pinned(spark):
+    """r5 verdict task #3: the pinned partition-layout cache inside
+    zip_with_index has an explicit lifecycle — after materializing the
+    derived results, release_pinned_indexes() leaves NO lingering
+    cached RDDs (asserted via the JVM persistent-RDD registry)."""
+    import biosets_spark as B
+    from biosets_spark.operators import split as S_
+
+    spark.catalog.clearCache()
+    B.release_pinned_indexes()  # drain pins from earlier tests
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "i int")
+    J.zip_with_index(df, order_by=["i"]).collect()
+    for train, test in S_.kfold(df, 4, order_by=["i"]):
+        train.collect()
+        test.collect()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
+    released = B.release_pinned_indexes()
+    assert released > 0
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
 def test_salted_join_matches_plain(spark):
     from biosets_spark.operators.skew import salted_join
 
