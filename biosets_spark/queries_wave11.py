@@ -20,7 +20,7 @@ from . import tables
 from .operators import text as T
 from .queries import q
 
-_TOKS_SQL = "list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')"
+from .oracle_fragments import TOKS_SQL as _TOKS_SQL
 
 
 @q(

@@ -22,7 +22,7 @@ from .operators import text as T
 from .operators.dedup import portable_hash60
 from .queries import q
 
-_TOKS_SQL = "list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
+from .oracle_fragments import TOKS_SQL as _TOKS_SQL
 
 # Deliberately undersized for the synthetic ~31-token vocabulary so the
 # one-sided CMS error is actually visible in the audit output (a

@@ -100,8 +100,7 @@ def q_zorder_layout(spark, sf_dir):
 # shared character classes (no \s shorthand, per ADVICE r3)
 _VOWELS = "[aeiouyAEIOUY]+"
 _SENTS = "[.!?]+"
-_TOKS_SQL = ("list_filter(string_split_regex(trim(text),"
-             " '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')")
+from .oracle_fragments import TOKS_SQL as _TOKS_SQL
 
 
 @q(

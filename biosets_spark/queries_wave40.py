@@ -104,8 +104,7 @@ def q_auc_roc(spark, sf_dir):
     ).orderBy("o_orderstatus")
 
 
-_TOKS_SQL = ("list_filter(string_split_regex(trim(text),"
-             " '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')")
+from .oracle_fragments import TOKS_SQL as _TOKS_SQL
 
 
 @q(

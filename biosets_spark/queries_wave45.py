@@ -20,8 +20,7 @@ from pyspark.sql.functions import broadcast, col, lit
 from . import tables
 from .queries import q
 
-_TOKS_SQL = ("list_filter(string_split_regex(trim(text),"
-             " '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')")
+from .oracle_fragments import TOKS_SQL as _TOKS_SQL
 _GATE = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5"
 _DIM = 16
 

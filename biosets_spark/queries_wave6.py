@@ -19,7 +19,7 @@ def _rev():
     return col("l_extendedprice").cast("decimal(12,2)") * (lit(1) - col("l_discount").cast("decimal(12,2)"))
 
 
-_REV_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+from .oracle_fragments import REV_SQL as _REV_SQL
 
 
 @q(

@@ -53,7 +53,7 @@ def _rev():
     )
 
 
-_REV_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+from .oracle_fragments import REV_SQL as _REV_SQL
 
 
 @q(

@@ -24,8 +24,7 @@ from pyspark.sql.functions import broadcast, col, lit
 from . import tables
 from .queries import q
 
-_TOKS_SQL = ("list_filter(string_split_regex(trim(text),"
-             " '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')")
+from .oracle_fragments import TOKS_SQL as _TOKS_SQL
 _MIN_BG = 30
 _T_CRIT = 1.703  # one-sided 5%, ~27 df (n_days-2 per half at 30-day span)
 _MARGIN = 0.10

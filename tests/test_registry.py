@@ -107,3 +107,38 @@ def test_unchecked_fit_driver_window():
     assert set(ordered[n_front:n_front + len(e._DEFER_NEXT_WINDOW)]) == set(
         n for n in e._DEFER_NEXT_WINDOW if n in qs
     )
+
+
+def test_no_wave_redeclares_oracle_fragments():
+    """r5 verdict task #7: the shared oracle fragments (whitespace
+    tokenizer, DECIMAL revenue) live ONLY in oracle_fragments.py —
+    a wave file re-declaring the literal is how a drift between the
+    Spark plan and its oracle sneaks past the differential gate."""
+    import glob
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "biosets_spark")
+    # Pre-r6 files with the raw split literal spelled inline inside an
+    # oracle string (unfiltered/transform variants, each pinned by the
+    # differential gate). Frozen ratchet: the list may only SHRINK —
+    # any new file inlining the literal must import the fragment.
+    inline_grandfathered = {
+        "queries_ext.py", "queries_wave3.py", "queries_wave4.py",
+        "queries_wave5.py", "queries_wave10.py", "queries_wave12.py",
+        "queries_wave13.py", "queries_wave20.py", "queries_wave22.py",
+        "queries_wave23.py", "queries_wave53.py",
+    }
+    offenders = []
+    for path in sorted(glob.glob(os.path.join(root, "queries*.py"))):
+        src = open(path).read()
+        base = os.path.basename(path)
+        if re.search(r"_TOKS_SQL\s*=\s*[\"(]", src):
+            offenders.append((base, "_TOKS_SQL"))
+        if re.search(r"_REV_SQL\s*=\s*[\"(]", src):
+            offenders.append((base, "_REV_SQL"))
+        if (
+            "string_split_regex(trim(text)" in src
+            and base not in inline_grandfathered
+        ):
+            offenders.append((base, "inline tokenizer"))
+    assert offenders == [], f"re-declared shared fragments: {offenders}"
