@@ -479,3 +479,15 @@ def test_cli_version_and_list():
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert out.returncode == 0 and "q_bloom_audit" in out.stdout
+
+
+def test_quickstart_example_runs(spark):
+    """docs/QUICKSTART.md's fenced example must run exactly as
+    documented (r5 verdict task #8) — extracted and exec'd verbatim."""
+    import os
+    import re
+
+    doc = os.path.join(os.path.dirname(__file__), "..", "docs", "QUICKSTART.md")
+    block = re.search(r"```python\n(.*?)```", open(doc).read(), re.S)
+    assert block, "QUICKSTART.md lost its runnable example"
+    exec(compile(block.group(1), "quickstart.py", "exec"), {})
