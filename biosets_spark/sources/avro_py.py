@@ -1,0 +1,483 @@
+"""Pure-Python Avro Object Container File codec — the dependency-free
+fallback behind the S-series Avro source (readers.py avro dispatch).
+
+The reference ingests Avro through its generic builder surface; Spark's
+first-class path is the `spark-avro` JVM datasource, which is a
+SEPARATE artifact not always present on a cluster (and absent from
+this container). Rather than gating the format behind an install, this
+module implements the public Avro 1.x *object container file* spec
+(magic `Obj\\x01`, metadata map with `avro.schema`/`avro.codec`, sync
+markers, length-prefixed blocks) and the binary encoding for the
+standard type set — in ~300 lines of stdlib-only Python.
+
+Scale design (100 TB): `read_avro` distributes with
+`spark.read.format("binaryFile")` + `mapInPandas`, so parallelism is
+per-FILE — ideal for the many-file layouts Avro is used for
+(Kafka-archive dumps, event logs). A single multi-GB avro file would
+be one task here; the JVM datasource (which splits on sync markers)
+is preferred whenever its artifact is on the cluster — readers.py
+tries it FIRST and falls back to this module. Decoding is Python-side
+(the slow path, honestly: this is a fallback, not the hot path), but
+output is Arrow-batched via mapInPandas, and the driver only ever
+reads one file HEADER (schema negotiation), never data rows.
+
+Supported: null, boolean, int, long, float, double, bytes, string,
+record, enum, array, map, fixed, unions of [null, T] (any order), and
+the common logical types (date, timestamp-millis/micros, decimal on
+bytes/fixed). Codecs: `null` and `deflate` (raw zlib, per spec);
+`snappy`/`zstandard` raise with an actionable message. General unions
+of multiple non-null branches are rejected up front (restructure as a
+struct of nullables — same guidance as the engine's list-join-key
+rejection).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+
+MAGIC = b"Obj\x01"
+
+# ---------------------------------------------------------------- decode
+
+_STRUCT_FLOAT = struct.Struct("<f")
+_STRUCT_DOUBLE = struct.Struct("<d")
+
+
+class _Cursor:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def read(self, n: int) -> bytes:
+        b = self.buf[self.pos:self.pos + n]
+        if len(b) != n:
+            raise EOFError("truncated avro data")
+        self.pos += n
+        return b
+
+    def read_long(self) -> int:
+        """Zigzag varint (spec: int and long share this encoding)."""
+        buf, pos = self.buf, self.pos
+        b = buf[pos]
+        n = b & 0x7F
+        shift = 7
+        while b & 0x80:
+            pos += 1
+            b = buf[pos]
+            n |= (b & 0x7F) << shift
+            shift += 7
+        self.pos = pos + 1
+        return (n >> 1) ^ -(n & 1)
+
+    def read_bytes(self) -> bytes:
+        return self.read(self.read_long())
+
+
+def _named(schema):
+    """Normalize a schema node to (type_name, node_dict)."""
+    if isinstance(schema, str):
+        return schema, {"type": schema}
+    if isinstance(schema, list):
+        return "union", {"type": "union", "branches": schema}
+    return schema["type"], schema
+
+
+def _decoder(schema, names=None):
+    """Compile a schema node into a closure `cursor -> python value`.
+
+    Compiling once per schema (instead of dispatching per value) keeps
+    the per-record cost to closure calls only; `names` resolves
+    references to previously defined named types (recursive records).
+    """
+    names = names if names is not None else {}
+    t, node = _named(schema)
+
+    if t in names:  # reference to a named type
+        return names[t]
+
+    logical = node.get("logicalType")
+    if t == "null":
+        return lambda c: None
+    if t == "boolean":
+        return lambda c: c.read(1) == b"\x01"
+    if t == "int":
+        if logical == "date":
+            import datetime
+
+            epoch = datetime.date(1970, 1, 1)
+            day = datetime.timedelta(days=1)
+            return lambda c: epoch + day * c.read_long()
+        return _Cursor.read_long
+    if t == "long":
+        if logical in ("timestamp-millis", "timestamp-micros"):
+            import datetime
+
+            unit = 1_000 if logical == "timestamp-millis" else 1_000_000
+            epoch = datetime.datetime(1970, 1, 1)
+            return lambda c: epoch + datetime.timedelta(
+                microseconds=c.read_long() * (1_000_000 // unit)
+            )
+        return _Cursor.read_long
+    if t == "float":
+        return lambda c: _STRUCT_FLOAT.unpack(c.read(4))[0]
+    if t == "double":
+        return lambda c: _STRUCT_DOUBLE.unpack(c.read(8))[0]
+    if t == "bytes":
+        if logical == "decimal":
+            from decimal import Decimal
+
+            scale = node.get("scale", 0)
+            q = Decimal(1).scaleb(-scale)
+            return lambda c: (
+                Decimal(int.from_bytes(c.read_bytes(), "big", signed=True))
+                .scaleb(-scale).quantize(q)
+            )
+        return _Cursor.read_bytes
+    if t == "string":
+        return lambda c: c.read_bytes().decode("utf-8")
+    if t == "fixed":
+        size = node["size"]
+        if logical == "decimal":
+            from decimal import Decimal
+
+            scale = node.get("scale", 0)
+            q = Decimal(1).scaleb(-scale)
+            return lambda c: (
+                Decimal(int.from_bytes(c.read(size), "big", signed=True))
+                .scaleb(-scale).quantize(q)
+            )
+        return lambda c: c.read(size)
+    if t == "enum":
+        symbols = node["symbols"]
+        return lambda c: symbols[c.read_long()]
+    if t == "record":
+        # decode to dicts ({field: value}) — the shape both pandas and
+        # the Arrow struct converter accept for nested records.
+        # Registered before compiling fields so recursive refs resolve.
+        field_fns: list = []
+
+        def rec(c, _fns=field_fns):
+            return {name: fn(c) for name, fn in _fns}
+
+        if "name" in node:
+            names[node["name"]] = rec
+        field_fns.extend(
+            (f["name"], _decoder(f["type"], names)) for f in node["fields"]
+        )
+        return rec
+    if t == "array":
+        item = _decoder(node["items"], names)
+
+        def arr(c):
+            out = []
+            n = c.read_long()
+            while n != 0:
+                if n < 0:  # block with byte-size prefix
+                    n = -n
+                    c.read_long()
+                for _ in range(n):
+                    out.append(item(c))
+                n = c.read_long()
+            return out
+
+        return arr
+    if t == "map":
+        val = _decoder(node["values"], names)
+
+        def mp(c):
+            out = {}
+            n = c.read_long()
+            while n != 0:
+                if n < 0:
+                    n = -n
+                    c.read_long()
+                for _ in range(n):
+                    k = c.read_bytes().decode("utf-8")
+                    out[k] = val(c)
+                n = c.read_long()
+            return out
+
+        return mp
+    if t == "union":
+        branches = node["branches"]
+        kinds = [_named(b)[0] for b in branches]
+        non_null = [b for b in branches if _named(b)[0] != "null"]
+        if len(non_null) > 1:
+            raise ValueError(
+                "avro_py: only [null, T] unions are supported; restructure "
+                f"the {kinds} union as a record of nullables"
+            )
+        fns = [_decoder(b, names) for b in branches]
+        return lambda c: fns[c.read_long()](c)
+    raise ValueError(f"avro_py: unsupported schema node {schema!r}")
+
+
+def parse_header(raw: bytes):
+    """Parse a container header -> (schema_dict, codec, sync, data_pos)."""
+    if raw[:4] != MAGIC:
+        raise ValueError("not an Avro object container file (bad magic)")
+    c = _Cursor(raw, 4)
+    meta = {}
+    n = c.read_long()
+    while n != 0:
+        if n < 0:
+            n = -n
+            c.read_long()
+        for _ in range(n):
+            k = c.read_bytes().decode("utf-8")
+            meta[k] = c.read_bytes()
+        n = c.read_long()
+    sync = c.read(16)
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    return schema, codec, sync, c.pos
+
+
+def _decompress(block: bytes, codec: str) -> bytes:
+    if codec == "null":
+        return block
+    if codec == "deflate":  # raw deflate, no zlib header (spec)
+        return zlib.decompress(block, -15)
+    raise ValueError(
+        f"avro_py: codec {codec!r} needs its decompressor library "
+        "(python-snappy / zstandard), not available here — re-encode "
+        "with deflate or null, or install spark-avro on the cluster"
+    )
+
+
+def iter_records(raw: bytes):
+    """Yield decoded records (tuples for the top-level record schema)
+    from one container file held in memory."""
+    schema, codec, sync, pos = parse_header(raw)
+    dec = _decoder(schema)
+    c = _Cursor(raw, pos)
+    end = len(raw)
+    while c.pos < end:
+        n_rec = c.read_long()
+        block = _decompress(c.read_bytes(), codec)
+        if c.read(16) != sync:
+            raise ValueError("avro_py: sync marker mismatch (corrupt file)")
+        bc = _Cursor(block)
+        for _ in range(n_rec):
+            yield dec(bc)
+
+
+# --------------------------------------------------------- schema mapping
+
+def spark_type(schema) -> str:
+    """Avro schema node -> Spark DDL type string."""
+    t, node = _named(schema)
+    logical = node.get("logicalType")
+    if t == "union":
+        non_null = [b for b in node["branches"] if _named(b)[0] != "null"]
+        if len(non_null) != 1:
+            raise ValueError("avro_py: only [null, T] unions are supported")
+        return spark_type(non_null[0])
+    if logical == "date":
+        return "date"
+    if logical in ("timestamp-millis", "timestamp-micros"):
+        return "timestamp"
+    if logical == "decimal":
+        return f"decimal({node.get('precision', 38)},{node.get('scale', 0)})"
+    simple = {
+        "null": "void", "boolean": "boolean", "int": "int", "long": "bigint",
+        "float": "float", "double": "double", "bytes": "binary",
+        "string": "string", "enum": "string", "fixed": "binary",
+    }
+    if t in simple:
+        return simple[t]
+    if t == "record":
+        inner = ", ".join(
+            f"`{f['name']}`: {spark_type(f['type'])}" for f in node["fields"]
+        )
+        return f"struct<{inner}>"
+    if t == "array":
+        return f"array<{spark_type(node['items'])}>"
+    if t == "map":
+        return f"map<string, {spark_type(node['values'])}>"
+    raise ValueError(f"avro_py: unsupported schema node {schema!r}")
+
+
+def record_ddl(schema) -> str:
+    """Top-level record schema -> Spark DDL column list."""
+    t, node = _named(schema)
+    if t != "record":
+        raise ValueError("avro_py: top-level schema must be a record")
+    return ", ".join(
+        f"`{f['name']}` {spark_type(f['type'])}" for f in node["fields"]
+    )
+
+
+# ---------------------------------------------------------------- encode
+
+def _zigzag(n: int) -> bytes:
+    n = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _encoder(schema, names=None):
+    names = names if names is not None else {}
+    t, node = _named(schema)
+    if t in names:
+        return names[t]
+    if t == "null":
+        return lambda v: b""
+    if t == "boolean":
+        return lambda v: b"\x01" if v else b"\x00"
+    if t in ("int", "long"):
+        return _zigzag
+    if t == "float":
+        return _STRUCT_FLOAT.pack
+    if t == "double":
+        return _STRUCT_DOUBLE.pack
+    if t == "bytes":
+        return lambda v: _zigzag(len(v)) + bytes(v)
+    if t == "string":
+        return lambda v: (lambda b: _zigzag(len(b)) + b)(v.encode("utf-8"))
+    if t == "fixed":
+        return bytes
+    if t == "enum":
+        idx = {s: i for i, s in enumerate(node["symbols"])}
+        return lambda v: _zigzag(idx[v])
+    if t == "record":
+        field_fns: list = []
+
+        def rec(v, _fns=field_fns):
+            return b"".join(fn(x) for fn, x in zip(_fns, v))
+
+        if "name" in node:
+            names[node["name"]] = rec
+        field_fns.extend(_encoder(f["type"], names) for f in node["fields"])
+        return rec
+    if t == "array":
+        item = _encoder(node["items"], names)
+        return lambda v: (
+            (_zigzag(len(v)) + b"".join(item(x) for x in v)) if v else b""
+        ) + _zigzag(0)
+    if t == "map":
+        val = _encoder(node["values"], names)
+        enc_s = _encoder("string", names)
+        return lambda v: (
+            (_zigzag(len(v)) + b"".join(enc_s(k) + val(x) for k, x in v.items()))
+            if v else b""
+        ) + _zigzag(0)
+    if t == "union":
+        branches = node["branches"]
+        fns = [_encoder(b, names) for b in branches]
+        null_i = next(
+            (i for i, b in enumerate(branches) if _named(b)[0] == "null"), None
+        )
+        other_i = next(
+            (i for i, b in enumerate(branches) if _named(b)[0] != "null"), None
+        )
+        if null_i is None or other_i is None or len(branches) != 2:
+            raise ValueError("avro_py: only [null, T] unions are supported")
+
+        def un(v):
+            if v is None:
+                return _zigzag(null_i)
+            return _zigzag(other_i) + fns[other_i](v)
+
+        return un
+    raise ValueError(f"avro_py: unsupported schema node {schema!r}")
+
+
+def write_container(
+    path: str,
+    schema: dict,
+    rows,
+    codec: str = "null",
+    records_per_block: int = 4096,
+    sync: bytes = b"\x00" * 16,
+) -> int:
+    """Write rows (sequences matching the record field order) to an
+    Avro object container file. Test/sink helper — one file per call;
+    for a distributed sink, call per partition via foreachPartition.
+    Returns the number of rows written."""
+    enc = _encoder(schema)
+    n_total = 0
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        meta = {
+            "avro.schema": json.dumps(schema).encode("utf-8"),
+            "avro.codec": codec.encode("utf-8"),
+        }
+        f.write(_zigzag(len(meta)))
+        for k, v in meta.items():
+            kb = k.encode("utf-8")
+            f.write(_zigzag(len(kb)) + kb + _zigzag(len(v)) + v)
+        f.write(_zigzag(0))
+        f.write(sync)
+        buf, n = io.BytesIO(), 0
+        for row in rows:
+            buf.write(enc(row))
+            n += 1
+            if n >= records_per_block:
+                _flush_block(f, buf, n, codec, sync)
+                buf, n = io.BytesIO(), 0
+                n_total += records_per_block
+        if n:
+            _flush_block(f, buf, n, codec, sync)
+            n_total += n
+    return n_total
+
+
+def _flush_block(f, buf, n, codec, sync):
+    data = buf.getvalue()
+    if codec == "deflate":
+        comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+        data = comp.compress(data) + comp.flush()
+    elif codec != "null":
+        raise ValueError(f"avro_py: unsupported write codec {codec!r}")
+    f.write(_zigzag(n) + _zigzag(len(data)) + data + sync)
+
+
+# ------------------------------------------------------------ spark read
+
+def read_avro_py(spark, files: list[str]):
+    """Distributed Avro read without the spark-avro artifact.
+
+    Driver reads ONE header (first file, first ~1 MB) to negotiate the
+    schema; executors get whole files via the binaryFile source and
+    decode them Arrow-batched through mapInPandas. Per-file
+    parallelism; see module docstring for the scale contract.
+    """
+    import pandas as pd  # noqa: F401 (executor-side requirement)
+
+    first = sorted(files)[0]
+    with open(first.replace("file://", ""), "rb") as f:
+        head = f.read(1 << 20)
+    schema, _codec, _sync, _pos = parse_header(head)
+    ddl = record_ddl(schema)
+    t, node = _named(schema)
+    field_names = [f["name"] for f in node["fields"]]
+
+    bin_df = spark.read.format("binaryFile").load(files).select("content")
+
+    def decode(batches):
+        import pandas as pd
+
+        for batch in batches:
+            for raw in batch["content"]:
+                recs = list(iter_records(bytes(raw)))
+                if not recs:
+                    continue
+                yield pd.DataFrame(
+                    {n: [r[n] for r in recs] for n in field_names}
+                )
+
+    return bin_df.mapInPandas(decode, schema=ddl)

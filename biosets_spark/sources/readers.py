@@ -234,14 +234,14 @@ def read_files(
         # pushdown like parquet
         return spark.read.orc(*files)
     if fmt == "avro":
-        # spark-avro is a SEPARATE artifact; only dispatch if the
-        # datasource is registered on this cluster, else a clear error
+        # spark-avro is a SEPARATE artifact; prefer it when registered
+        # (JVM-side, splits large files on sync markers), else fall
+        # back to the dependency-free pure-Python container reader
+        # (per-file parallelism — see sources/avro_py.py docstring).
         try:
             return spark.read.format("avro").load(files)
-        except Exception as e:  # AnalysisException: failed to find data source
-            raise ValueError(
-                "Avro input needs the spark-avro package on the cluster "
-                "(--packages org.apache.spark:spark-avro_2.13:<spark-version>); "
-                f"not available here: {e}"
-            ) from e
+        except Exception:  # AnalysisException: failed to find data source
+            from .avro_py import read_avro_py
+
+            return read_avro_py(spark, files)
     raise ValueError(f"Unsupported format {fmt!r}")

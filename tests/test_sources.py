@@ -393,25 +393,72 @@ def test_orc_roundtrip_through_load_dataset(spark, tmp_path):
     assert ds.num_rows == 2
 
 
-def test_avro_gated_with_clear_error(spark, tmp_path):
-    """Avro dispatch exists but needs the spark-avro package; absent
-    here, the reader must fail with an actionable message."""
-    p = tmp_path / "x.avro"
-    p.write_bytes(b"Obj\x01fake")
+def test_avro_roundtrip_pure_python(spark, tmp_path):
+    """S-series Avro source: the dependency-free container codec
+    (sources/avro_py.py) writes and reads the Avro 1.x object
+    container format — both codecs, logical types, nested records,
+    [null, T] unions — and read_files dispatches .avro through the
+    JVM datasource when present, else this fallback."""
+    import datetime
+
+    from biosets_spark.sources import avro_py as A
     from biosets_spark.sources.readers import detect_format, read_files
 
-    assert detect_format(str(p)) == "avro"
+    schema = {
+        "type": "record", "name": "Doc", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "nested", "type": {
+                "type": "record", "name": "Inner", "fields": [
+                    {"name": "a", "type": "int"},
+                    {"name": "b", "type": ["null", "string"]}]}},
+            {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+        ],
+    }
+    rows = [
+        (i, f"n{i}" if i % 2 else None, [f"t{i}"], (i, "x"), 18000 + i)
+        for i in range(300)
+    ]
+    f1 = str(tmp_path / "part1.avro")
+    f2 = str(tmp_path / "part2.avro")
+    A.write_container(f1, schema, rows[:200], codec="deflate",
+                      records_per_block=64)
+    A.write_container(f2, schema, rows[200:], codec="null")
+    assert detect_format(f1) == "avro"
+
+    # plain-python roundtrip (no Spark)
+    back = list(A.iter_records(open(f1, "rb").read()))
+    assert len(back) == 200
+    assert back[5] == {"id": 5, "name": "n5", "tags": ["t5"],
+                       "nested": {"a": 5, "b": "x"},
+                       "day": datetime.date(1970, 1, 1)
+                       + datetime.timedelta(days=18005)}
+
+    # distributed read through the dispatch (spark-avro absent here ->
+    # pure-python fallback; present -> JVM datasource, same results)
+    df = read_files(spark, [f1, f2])
+    assert df.count() == 300
+    r = df.filter("id = 5").collect()[0]
+    assert r["name"] == "n5" and r["nested"]["a"] == 5
+    assert df.filter("name IS NULL").count() == 150
+
+
+def test_avro_unsupported_shapes_rejected(tmp_path):
+    """Multi-branch unions and exotic codecs fail fast with guidance."""
     import pytest
 
-    try:
-        df = read_files(spark, [str(p)])
-        df.collect()
-    except ValueError as e:
-        assert "spark-avro" in str(e)
-    except Exception:
-        # if a cluster DOES have spark-avro, the fake file fails later
-        # in parsing — either way the dispatch path is exercised
-        pass
+    from biosets_spark.sources import avro_py as A
+
+    bad_union = {"type": "record", "name": "R", "fields": [
+        {"name": "u", "type": ["int", "string"]}]}
+    with pytest.raises(ValueError, match="null, T"):
+        A.write_container(str(tmp_path / "u.avro"), bad_union, [(1,)])
+    ok = {"type": "record", "name": "R", "fields": [
+        {"name": "x", "type": "long"}]}
+    with pytest.raises(ValueError, match="codec"):
+        A.write_container(str(tmp_path / "c.avro"), ok, [(1,)],
+                          codec="snappy")
 
 
 def test_upsert_parquet(spark, tmp_path):
