@@ -192,19 +192,23 @@ def test_zip_with_index_release_pinned(spark):
     import biosets_spark as B
     from biosets_spark.operators import split as S_
 
-    spark.catalog.clearCache()
+    def persistent_ids():
+        # delta-based: earlier tests' localCheckpoint RDDs legitimately
+        # stay registered; this test asserts only that ITS pins vanish
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
     B.release_pinned_indexes()  # drain pins from earlier tests
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    before = persistent_ids()
 
     df = spark.createDataFrame([(i,) for i in range(100)], "i int")
     J.zip_with_index(df, order_by=["i"]).collect()
     for train, test in S_.kfold(df, 4, order_by=["i"]):
         train.collect()
         test.collect()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
+    assert len(persistent_ids() - before) > 0
     released = B.release_pinned_indexes()
     assert released > 0
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert persistent_ids() - before == set()
 
 
 def test_salted_join_matches_plain(spark):
