@@ -38,10 +38,18 @@ def clean_corpus(
 
     survivors = quality_score(df, text_col).filter(col("keep")).select(*orig_cols)
 
-    fp = survivors.withColumn("_fp", fingerprint_md5(col(text_col)))
-    reps = fp.groupBy("_fp").agg(F.min(id_col).alias("_keep_id"))
+    # min-id survivor per fingerprint via ONE window shuffle instead of
+    # the former groupBy + re-join (two shuffles on _fp); both shapes
+    # move every duplicate group through its _fp partition, so the skew
+    # exposure (a viral text duplicated millions of times) is identical
+    # — the window just skips the second exchange. Measured at sf0.1:
+    # full pipeline 3.8 s -> 3.0 s (r6).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_fp")
     exact_kept = (
-        fp.join(reps, "_fp")
+        survivors.withColumn("_fp", fingerprint_md5(col(text_col)))
+        .withColumn("_keep_id", F.min(id_col).over(w))
         .filter(col(id_col) == col("_keep_id"))
         .select(*orig_cols)
     )
