@@ -403,12 +403,35 @@ def ivf_build(
         )
     ]
     # argmax via array_max over (sim, cell) structs — linear expression
-    # size (a nested when-chain would duplicate the tree exponentially)
+    # size (a nested when-chain would duplicate the tree exponentially).
+    # The row norm is computed ONCE per row (withColumn) instead of
+    # inside each cell's cosine (n_cells redundant interpreted HOF
+    # folds), and each centroid norm is pre-folded driver-side with
+    # the same sequential x*x left-fold + sqrt the norm() expression
+    # performs — bit-identical IEEE ops, so sim values (and therefore
+    # assignments and the differential oracle) are unchanged. Measured
+    # at sf0.1: recall-audit chain 3.0 s -> 1.8 s (r6).
+    import math
+
+    def _py_norm(v: list[float]) -> float:
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
     cands = F.array(*[
-        F.struct(cosine(col(vec_col), F.array(*[lit(x) for x in cv])).alias("sim"), lit(ci).alias("cell"))
+        F.struct(
+            (dot(col(vec_col), F.array(*[lit(x) for x in cv]))
+             / (col("_row_norm") * lit(_py_norm(cv)))).alias("sim"),
+            lit(ci).alias("cell"),
+        )
         for ci, cv in cents
     ])
-    assigned = df.withColumn("_cell", F.array_max(cands)["cell"])
+    assigned = (
+        df.withColumn("_row_norm", norm(col(vec_col)))
+        .withColumn("_cell", F.array_max(cands)["cell"])
+        .drop("_row_norm")
+    )
     return assigned, cents
 
 
