@@ -45,6 +45,7 @@ def connected_components(
     b_col: str = "id_b",
     max_iterations: int = 20,
     on_nonconvergence: str = "raise",
+    small_graph_threshold: int = 100_000,
 ) -> DataFrame:
     """Label every node in the pair graph with its component's min id.
 
@@ -54,6 +55,19 @@ def connected_components(
     WRONG (some nodes still carry a non-minimal label); by default
     this raises — pass ``on_nonconvergence="warn"`` to get the
     partial labels with a warning instead.
+
+    Strategy switch (the broadcast-join pattern applied to iteration):
+    the symmetrized-distinct edge list is counted first; at or below
+    ``small_graph_threshold`` edges (bounded: 100k edge tuples ≈ a few
+    MB) the components are solved with one driver-side union-find pass
+    over the collected edges — identical labels, none of the per-
+    iteration join/checkpoint/fixpoint-count jobs. Above the threshold
+    the distributed min-label loop below runs unchanged; at 100 TB a
+    detector emitting MORE than 100k pairs is exactly the regime the
+    iterative plan exists for, while a detector emitting a handful of
+    pairs (the common converged-corpus case) no longer pays 2 rounds
+    of shuffle for a graph that fits in one task. Pass
+    ``small_graph_threshold=0`` to force the distributed path.
 
     Storage note: the returned frame is backed by the FINAL
     iteration's localCheckpoint, which stays pinned on the executors
@@ -70,6 +84,43 @@ def connected_components(
         .distinct()
         .cache()
     )
+    n_edges = edges.count()
+    if n_edges <= small_graph_threshold:
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            u, v = r["u"], r["v"]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+        comp_min: dict = {}
+        for node in parent:
+            root = find(node)
+            cur = comp_min.get(root)
+            if cur is None or node < cur:
+                comp_min[root] = node
+        out_schema = (
+            edges.select(
+                col("u").alias("node"), col("u").alias("component")
+            ).schema
+        )
+        out = pairs.sparkSession.createDataFrame(
+            [(n, comp_min[find(n)]) for n in parent], out_schema
+        )
+        edges.unpersist()
+        return out
+
     labels = edges.select("u").distinct().withColumn("component", col("u")).cache()
 
     changed = 1

@@ -112,10 +112,19 @@ def test_connected_components_chain_and_clique(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
         "id_a long, id_b long",
     )
-    comp = {r.node: r.component for r in connected_components(pairs).collect()}
-    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
-    assert comp[10] == comp[11] == comp[12] == 10
-    assert comp[20] == comp[21] == 20
+    # both strategies must produce identical labels: the driver-side
+    # union-find fast path (default for <=100k edges) and the
+    # distributed min-label loop (forced via small_graph_threshold=0)
+    for thr in (100_000, 0):
+        comp = {
+            r.node: r.component
+            for r in connected_components(
+                pairs, small_graph_threshold=thr
+            ).collect()
+        }
+        assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+        assert comp[10] == comp[11] == comp[12] == 10
+        assert comp[20] == comp[21] == 20
 
 
 def test_dedup_clusters_end_to_end(spark, docs):
@@ -194,9 +203,22 @@ def test_connected_components_nonconvergence_raises(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(6)], "id_a long, id_b long"
     )  # diameter 6 > max_iterations=2
+    # the distributed path must be forced: union-find solves any
+    # small graph in one pass regardless of diameter
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iterations=2).collect()
+        connected_components(
+            chain, max_iterations=2, small_graph_threshold=0
+        ).collect()
     # warn mode returns (partial) labels instead
     with pytest.warns(RuntimeWarning, match="did not converge"):
-        out = connected_components(chain, max_iterations=2, on_nonconvergence="warn")
+        out = connected_components(
+            chain, max_iterations=2, on_nonconvergence="warn",
+            small_graph_threshold=0,
+        )
         assert out.count() == 7
+    # the fast path solves the same chain exactly, no iteration bound
+    comp = {
+        r.node: r.component
+        for r in connected_components(chain, max_iterations=2).collect()
+    }
+    assert all(v == 0 for v in comp.values())
