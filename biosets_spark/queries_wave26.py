@@ -198,26 +198,57 @@ def q_pca_power(spark, sf_dir):
             F.sum(col("comp").cast("decimal(18,8)")).cast("double") / F.count("*"), 6
         ).alias("m")
     )
-    centered = comps.join(broadcast(means), "pos").select(
-        "vec_id", "pos",
-        # exact integer micro-units of the 6-dec centered value: the
-        # scatter cells then accumulate in LONG arithmetic (exact, and
-        # ~2x faster than decimal cells); CAST back via /1e12 is a
-        # single correctly-rounded conversion, identical on both
-        # engines. ANSI overflow (sum beyond ~1e18 of micro-unit^2
-        # mass) fails loudly; the fallback is the same plan with a
-        # DECIMAL(38,12) cast.
-        F.round(F.round(col("comp") - col("m"), 6) * 1000000, 0).cast("long").alias("xi"),
+    # exact integer micro-units of the 6-dec centered values, built as
+    # ONE long array per row (the 64 per-dim means are a collected
+    # 64-double literal — deterministic, and the arithmetic per element
+    # is the identical round(round(x-m,6)*1e6) chain the former
+    # row-exploded form used). Scatter cells then accumulate in LONG
+    # arithmetic (exact; integer addition is associative, so any
+    # grouping of partials reproduces the same cell totals bit-for-bit).
+    m_lits = F.array(*[
+        lit(float(r["m"])) for r in means.orderBy("pos").collect()
+    ])
+    ints = emb.select(
+        "vec_id",
+        F.zip_with(
+            "vec", m_lits,
+            lambda x, m: F.round(F.round(x - m, 6) * 1000000, 0).cast("long"),
+        ).alias("xi"),
     )
-    a = centered.select(col("vec_id").alias("va"), col("pos").alias("i"), col("xi").alias("xa"))
-    b = centered.select(col("vec_id").alias("vb"), col("pos").alias("j"), col("xi").alias("xb"))
-    # symmetric matrix: aggregate the upper triangle only (halves the
-    # corpus-pass fan-out), checkpoint it, then mirror the cheap
-    # aggregated cells — mirrored copies are the same exact integers.
+
+    # scatter matrix via MAP-SIDE PARTIAL OUTER PRODUCTS: each Arrow
+    # batch contributes one 64x64 int64 V^T V partial (BLAS), and only
+    # the 2080 upper-triangle cells per batch shuffle — at any corpus
+    # size the shuffle is O(partitions * d^2), never the former
+    # O(N * d^2) exploded self-join rows. The in-batch product bound is
+    # checked explicitly (numpy int64 would wrap silently where the
+    # former ANSI LONG sum failed loudly); the cross-batch sum stays in
+    # Spark LONG, where ANSI overflow still raises.
+    def _partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        for batch in batches:
+            if not len(batch):
+                continue
+            V = np.vstack(batch["xi"].to_numpy()).astype("int64")
+            mx = int(np.abs(V).max()) if V.size else 0
+            if mx and V.shape[0] * mx * mx >= (1 << 63):
+                raise ValueError(
+                    "pca_power: int64 partial-product bound exceeded; "
+                    "re-run with the DECIMAL(38,12) cell fallback"
+                )
+            P = V.T @ V
+            iu, ju = np.triu_indices(P.shape[0])
+            yield pd.DataFrame(
+                {"i": iu + 1, "j": ju + 1, "p": P[iu, ju]}
+            )
+
     upper = (
-        a.join(b, (col("va") == col("vb")) & (col("i") <= col("j")))
+        ints.select("xi")
+        .mapInPandas(_partials, schema="i int, j int, p long")
         .groupBy("i", "j")
-        .agg((F.sum(col("xa") * col("xb")).cast("double") / F.lit(1e12)).alias("c"))
+        .agg((F.sum("p").cast("double") / F.lit(1e12)).alias("c"))
     ).localCheckpoint(eager=False)
     cov = upper.unionAll(
         upper.filter(col("i") != col("j")).select(
