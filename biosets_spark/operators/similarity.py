@@ -44,6 +44,22 @@ def knn_bruteforce(
     return out.orderBy(col("sim").desc(), col("neighbor_id")).limit(k)
 
 
+def _require_integral_id(df: DataFrame, id_col: str, op: str) -> None:
+    """The grid kernels' mapInPandas output schemas emit ids as
+    ``long``; a string/decimal id would silently coerce or fail
+    mid-job — rejected up front instead (r5 ADVICE, generalized from
+    knn_all to every grid-block kernel)."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"{op} requires an integral id column; {id_col!r} is "
+            f"{id_type.simpleString()} — add a surrogate long id (e.g. "
+            "zip_with_index) or hash the key to long first"
+        )
+
+
 def _grid_index(df: DataFrame, id_col: str, vec_col: str, max_index_rows: int):
     """Shared grid-block scaffolding for the exact quadratic kernels:
     returns (src, n_blocks) where src carries a ``_blk`` hash-assignment
@@ -51,6 +67,8 @@ def _grid_index(df: DataFrame, id_col: str, vec_col: str, max_index_rows: int):
     import math
 
     from .dedup import spread
+
+    _require_integral_id(df, id_col, "grid-block similarity kernel")
 
     # spread(): the BLAS mapInPandas streams THROUGH these partitions —
     # a compact single-task scan would serialize every block multiply
@@ -258,16 +276,8 @@ def knn_all(
     import numpy as np
 
     from pyspark.sql import Window
-    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
-    id_type = df.schema[id_col].dataType
-    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
-        raise TypeError(
-            f"knn_all requires an integral id column; {id_col!r} is "
-            f"{id_type.simpleString()} — add a surrogate long id (e.g. "
-            "zip_with_index) or hash the key to long first"
-        )
-
+    _require_integral_id(df, id_col, "knn_all")
     spark = df.sparkSession
     src, n_blocks = _grid_index(df, id_col, vec_col, max_index_rows)
     parts = []

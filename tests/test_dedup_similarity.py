@@ -222,3 +222,14 @@ def test_connected_components_nonconvergence_raises(spark):
         for r in connected_components(chain, max_iterations=2).collect()
     }
     assert all(v == 0 for v in comp.values())
+
+
+def test_grid_kernels_reject_non_integral_ids(spark):
+    """The grid-block kernels emit long ids from their Arrow batches;
+    a string id must fail fast with guidance, not coerce mid-job."""
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])], "vec_id string, embedding array<double>"
+    )
+    for fn in (S.all_pairs_topk, S.knn_all, S.embedding_dup_pairs):
+        with pytest.raises(TypeError, match="integral id column"):
+            fn(df)
