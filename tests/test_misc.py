@@ -491,3 +491,73 @@ def test_quickstart_example_runs(spark):
     block = re.search(r"```python\n(.*?)```", open(doc).read(), re.S)
     assert block, "QUICKSTART.md lost its runnable example"
     exec(compile(block.group(1), "quickstart.py", "exec"), {})
+
+
+def _make_bmp(width, height, rgb):
+    """Minimal bottom-up 24-bit BI_RGB bitmap with constant color."""
+    import struct
+
+    row = bytes([rgb[2], rgb[1], rgb[0]] * width)
+    row += b"\x00" * ((4 - len(row) % 4) % 4)
+    pixels = row * height
+    data_off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", data_off + len(pixels), 0, 0, data_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(pixels), 2835, 2835, 0, 0)
+    return header + dib + pixels
+
+
+def _make_ppm(width, height, rgb):
+    return (f"P6\n{width} {height}\n255\n".encode()
+            + bytes(rgb) * (width * height))
+
+
+def _make_wav(rate, n_ch, frames):
+    """PCM16 WAV with a constant amplitude-1000 square-ish signal."""
+    import struct
+
+    import numpy as np
+
+    samples = (np.ones(frames * n_ch, dtype="<i2") * 1000).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(samples)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(samples)) + samples)
+
+
+def test_multimodal_real_decode_uncompressed(spark):
+    """r6: BMP / binary PPM / PCM WAV decode for REAL with stdlib-only
+    parsers — dims, channel means, sample rate, duration, RMS — via
+    the same Arrow-batched mapInPandas plumbing."""
+    bmp = _make_bmp(5, 3, (200, 100, 50))
+    ppm = _make_ppm(4, 2, (10, 20, 30))
+    imgs = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(ppm))], "doc_id long, payload binary"
+    )
+    stats = {r.doc_id: r for r in MM.extract_image_stats(imgs).collect()}
+    assert (stats[1].width, stats[1].height) == (5, 3)
+    assert (stats[1].mean_r, stats[1].mean_g, stats[1].mean_b) == (200.0, 100.0, 50.0)
+    assert (stats[2].width, stats[2].height) == (4, 2)
+    assert (stats[2].mean_r, stats[2].mean_g, stats[2].mean_b) == (10.0, 20.0, 30.0)
+
+    # extract_image_features real mode now works on decodable formats
+    feats = {r.doc_id: r for r in
+             MM.extract_image_features(imgs, fake_decode=False).collect()}
+    assert (feats[1].width, feats[1].height) == (5, 3)
+
+    wav = _make_wav(8000, 1, 4000)  # 0.5 s mono
+    audio = spark.createDataFrame([(7, bytearray(wav))], "doc_id long, payload binary")
+    a = MM.extract_audio_features(audio).collect()[0]
+    assert a.sample_rate == 8000 and a.n_channels == 1
+    assert a.duration_ms == 500 and abs(a.rms - 1000.0) < 1e-9
+
+
+def test_multimodal_compressed_still_gated(spark):
+    """Compressed payloads (PNG magic) still raise the actionable
+    import-gated error in real mode."""
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 20
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="PIL|compressed"):
+        MM.extract_image_features(df, fake_decode=False).collect()
+    with pytest.raises(Exception, match="PIL|compressed"):
+        MM.extract_image_stats(df).collect()
