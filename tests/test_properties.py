@@ -128,3 +128,75 @@ def test_read_instruction_spec_roundtrip(name, a, b, unit, rounding):
     else:
         assert back._parts == [(name, a, b, unit, rounding)]
     assert back.to_spec() == ri.to_spec()
+
+
+# --------------------------------------------------------------- avro_py
+# Roundtrip identity for the stdlib Avro container codec (r6): any
+# value tree a supported schema admits must survive
+# write_container -> iter_records bit-exactly, under both codecs.
+
+_AVRO_LEAF = st.sampled_from(["long", "int", "double", "boolean", "string", "bytes"])
+
+
+def _leaf_values(t):
+    return {
+        "long": st.integers(min_value=-(2**62), max_value=2**62),
+        "int": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        "double": st.floats(allow_nan=False, width=64),
+        "boolean": st.booleans(),
+        "string": st.text(max_size=40),
+        "bytes": st.binary(max_size=40),
+    }[t]
+
+
+@given(
+    st.lists(_AVRO_LEAF, min_size=1, max_size=5),
+    st.data(),
+    st.sampled_from(["null", "deflate"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_avro_py_roundtrip_property(leaf_types, data, codec):
+    import tempfile
+
+    from biosets_spark.sources import avro_py as A
+
+    fields = []
+    for i, t in enumerate(leaf_types):
+        # alternate plain / nullable / array / map shapes over the leaf
+        shape = i % 4
+        if shape == 0:
+            ftype = t
+        elif shape == 1:
+            ftype = ["null", t]
+        elif shape == 2:
+            ftype = {"type": "array", "items": t}
+        else:
+            ftype = {"type": "map", "values": t}
+        fields.append({"name": f"f{i}", "type": ftype})
+    schema = {"type": "record", "name": "R", "fields": fields}
+
+    def value_for(i, t):
+        shape = i % 4
+        leaf = _leaf_values(t)
+        if shape == 0:
+            return data.draw(leaf)
+        if shape == 1:
+            return data.draw(st.none() | leaf)
+        if shape == 2:
+            return data.draw(st.lists(leaf, max_size=5))
+        return data.draw(
+            st.dictionaries(st.text(max_size=8), leaf, max_size=4)
+        )
+
+    rows = [
+        tuple(value_for(i, t) for i, t in enumerate(leaf_types))
+        for _ in range(data.draw(st.integers(min_value=0, max_value=20)))
+    ]
+    with tempfile.NamedTemporaryFile(suffix=".avro") as f:
+        A.write_container(f.name, schema, rows, codec=codec,
+                          records_per_block=7)
+        back = list(A.iter_records(open(f.name, "rb").read()))
+    assert len(back) == len(rows)
+    for row, dec in zip(rows, back):
+        for i, t in enumerate(leaf_types):
+            assert dec[f"f{i}"] == row[i], (t, i)
