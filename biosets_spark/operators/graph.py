@@ -81,6 +81,11 @@ def connected_components(
     edges = (
         pairs.select(col(a_col).alias("u"), col(b_col).alias("v"))
         .union(pairs.select(col(b_col).alias("u"), col(a_col).alias("v")))
+        # a null endpoint carries no similarity information; dropping
+        # it up front keeps the two strategies' outputs identical (a
+        # null would TypeError in the union-find and produce an inert
+        # orphan row in the join path — r6 review)
+        .dropna()
         .distinct()
         .cache()
     )

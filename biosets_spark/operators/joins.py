@@ -230,8 +230,15 @@ def zip_with_index(df: DataFrame, order_by: list[str] | None = None, col_name: s
 # (kfold_assign, align_horizontal, select_indices, shard) hand lazy
 # frames to the user, so the unpersist point is necessarily after the
 # USER materializes — hence a registry + release function rather than
-# an unpersist inside the operator.
+# an unpersist inside the operator. The registry is BOUNDED: past
+# _PINNED_MAX entries the oldest Python reference is dropped (not
+# unpersisted — its derived result may still be un-materialized), which
+# re-enables Spark's GC-driven ContextCleaner reclamation for it once
+# the caller's own references die; without the bound, a session that
+# never calls release_pinned_indexes() would accumulate pinned caches
+# forever (r6 review).
 _PINNED_INDEX_FRAMES: list[DataFrame] = []
+_PINNED_MAX = 64
 
 
 def release_pinned_indexes() -> int:
@@ -265,6 +272,8 @@ def _zip_with_index_impl(
         .cache()  # pin the partition layout: both passes must see the same ids
     )
     _PINNED_INDEX_FRAMES.append(tmp)
+    if len(_PINNED_INDEX_FRAMES) > _PINNED_MAX:
+        del _PINNED_INDEX_FRAMES[0]  # oldest falls back to GC cleanup
     counts = sorted(
         (r["_pid"], r["n"]) for r in tmp.groupBy("_pid").agg(F.count("*").alias("n")).collect()
     )

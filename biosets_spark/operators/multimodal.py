@@ -277,8 +277,9 @@ def extract_audio_features(
     """Decode + feature-extract over binary audio payloads: one row per
     payload with (id, sample_rate, n_channels, duration_ms, rms,
     n_bytes). PCM WAV decodes natively (decode_wav, stdlib-only);
-    compressed audio raises the import-gated error per payload batch.
-    Same Arrow-batched mapInPandas shape as extract_image_features."""
+    compressed audio raises the import-gated error per payload batch;
+    NULL/empty payloads are skipped (no output row). Same Arrow-batched
+    mapInPandas shape as extract_image_features."""
     out_schema = T.StructType([
         T.StructField(id_col, T.LongType()),
         T.StructField("sample_rate", T.IntegerType()),
@@ -294,7 +295,9 @@ def extract_audio_features(
                     (id_col, "sample_rate", "n_channels", "duration_ms",
                      "rms", "n_bytes")}
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
-                raw = bytes(payload) if payload is not None else b""
+                if payload is None or len(payload) == 0:
+                    continue  # null payloads carry nothing to decode
+                raw = bytes(payload)
                 rate, n_ch, dur, rms = decode_wav(raw)
                 rows[id_col].append(i)
                 rows["sample_rate"].append(rate)
@@ -315,7 +318,8 @@ def extract_image_stats(
     """Full real-decode image statistics for natively decodable
     payloads (BMP / binary PPM / PGM): (id, width, height, mean_r,
     mean_g, mean_b, n_bytes). Compressed payloads raise the gated
-    error — filter on the metadata struct's mime first at scale."""
+    error — filter on the metadata struct's mime first at scale;
+    NULL/empty payloads are skipped (no output row)."""
     out_schema = T.StructType([
         T.StructField(id_col, T.LongType()),
         T.StructField("width", T.IntegerType()),
@@ -332,7 +336,9 @@ def extract_image_stats(
                     (id_col, "width", "height", "mean_r", "mean_g",
                      "mean_b", "n_bytes")}
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
-                raw = bytes(payload) if payload is not None else b""
+                if payload is None or len(payload) == 0:
+                    continue  # null payloads carry nothing to decode
+                raw = bytes(payload)
                 if raw[:2] == b"BM":
                     w, h, mr, mg, mb = decode_bmp(raw)
                 elif raw[:2] in (b"P5", b"P6"):

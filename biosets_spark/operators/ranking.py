@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast, col
+from pyspark.sql.functions import col
 
 
 def doubled_midranks(

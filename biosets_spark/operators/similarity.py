@@ -277,7 +277,6 @@ def knn_all(
 
     from pyspark.sql import Window
 
-    _require_integral_id(df, id_col, "knn_all")
     spark = df.sparkSession
     src, n_blocks = _grid_index(df, id_col, vec_col, max_index_rows)
     parts = []

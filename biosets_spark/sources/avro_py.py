@@ -64,14 +64,17 @@ class _Cursor:
     def read_long(self) -> int:
         """Zigzag varint (spec: int and long share this encoding)."""
         buf, pos = self.buf, self.pos
-        b = buf[pos]
-        n = b & 0x7F
-        shift = 7
-        while b & 0x80:
-            pos += 1
+        try:
             b = buf[pos]
-            n |= (b & 0x7F) << shift
-            shift += 7
+            n = b & 0x7F
+            shift = 7
+            while b & 0x80:
+                pos += 1
+                b = buf[pos]
+                n |= (b & 0x7F) << shift
+                shift += 7
+        except IndexError:
+            raise EOFError("truncated avro data") from None
         self.pos = pos + 1
         return (n >> 1) ^ -(n & 1)
 
@@ -334,17 +337,57 @@ def _encoder(schema, names=None):
     t, node = _named(schema)
     if t in names:
         return names[t]
+    logical = node.get("logicalType")
     if t == "null":
         return lambda v: b""
     if t == "boolean":
         return lambda v: b"\x01" if v else b"\x00"
     if t in ("int", "long"):
+        # logical types encode from the decoded Python objects too, so
+        # decode -> encode roundtrips (r6 review); raw ints pass through
+        if logical == "date":
+            import datetime
+
+            epoch = datetime.date(1970, 1, 1)
+            return lambda v: _zigzag(
+                (v - epoch).days if isinstance(v, datetime.date) else v
+            )
+        if logical in ("timestamp-millis", "timestamp-micros"):
+            import datetime
+
+            unit = 1_000 if logical == "timestamp-millis" else 1_000_000
+            epoch = datetime.datetime(1970, 1, 1)
+
+            def enc_ts(v, _u=unit, _e=epoch):
+                if isinstance(v, datetime.datetime):
+                    delta = v - _e
+                    micros = (
+                        (delta.days * 86_400 + delta.seconds) * 1_000_000
+                        + delta.microseconds
+                    )
+                    v = micros // (1_000_000 // _u)
+                return _zigzag(v)
+
+            return enc_ts
         return _zigzag
     if t == "float":
         return _STRUCT_FLOAT.pack
     if t == "double":
         return _STRUCT_DOUBLE.pack
     if t == "bytes":
+        if logical == "decimal":
+            from decimal import Decimal
+
+            scale = node.get("scale", 0)
+
+            def enc_dec(v, _s=scale):
+                if isinstance(v, Decimal):
+                    unscaled = int(v.scaleb(_s))
+                    length = max(1, (unscaled.bit_length() + 8) // 8)
+                    v = unscaled.to_bytes(length, "big", signed=True)
+                return _zigzag(len(v)) + bytes(v)
+
+            return enc_dec
         return lambda v: _zigzag(len(v)) + bytes(v)
     if t == "string":
         return lambda v: (lambda b: _zigzag(len(b)) + b)(v.encode("utf-8"))
@@ -459,25 +502,50 @@ def read_avro_py(spark, files: list[str]):
     import pandas as pd  # noqa: F401 (executor-side requirement)
 
     first = sorted(files)[0]
-    with open(first.replace("file://", ""), "rb") as f:
+    local = first
+    if local.startswith("file://"):
+        local = local[len("file://"):]
+    if "://" in local:
+        raise ValueError(
+            "the pure-Python Avro fallback negotiates its schema by "
+            f"reading the first file's header driver-side; {first!r} is "
+            "a remote URI — install the spark-avro datasource for "
+            "remote storage, or stage the files locally"
+        )
+    with open(local, "rb") as f:
         head = f.read(1 << 20)
     schema, _codec, _sync, _pos = parse_header(head)
     ddl = record_ddl(schema)
     t, node = _named(schema)
     field_names = [f["name"] for f in node["fields"]]
 
-    bin_df = spark.read.format("binaryFile").load(files).select("content")
+    bin_df = spark.read.format("binaryFile").load(files)
 
     def decode(batches):
         import pandas as pd
 
         for batch in batches:
-            for raw in batch["content"]:
-                recs = list(iter_records(bytes(raw)))
+            for raw, path in zip(batch["content"], batch["path"]):
+                raw = bytes(raw)
+                # each file decodes under its OWN embedded schema; the
+                # output frame is pinned to the first file's field list,
+                # so drift must fail with the file named, not a
+                # KeyError deep in an executor (r6 review)
+                f_schema, _c, _s, _p = parse_header(raw[:1 << 20])
+                _t, f_node = _named(f_schema)
+                f_names = [f["name"] for f in f_node["fields"]]
+                if f_names != field_names:
+                    raise ValueError(
+                        f"avro schema drift: {path} has fields "
+                        f"{f_names}, expected {field_names} (from the "
+                        "first file) — read drifted files separately "
+                        "and align with the engine's schema lattice"
+                    )
+                recs = list(iter_records(raw))
                 if not recs:
                     continue
                 yield pd.DataFrame(
                     {n: [r[n] for r in recs] for n in field_names}
                 )
 
-    return bin_df.mapInPandas(decode, schema=ddl)
+    return bin_df.select("content", "path").mapInPandas(decode, schema=ddl)

@@ -240,7 +240,18 @@ def read_files(
         # (per-file parallelism — see sources/avro_py.py docstring).
         try:
             return spark.read.format("avro").load(files)
-        except Exception:  # AnalysisException: failed to find data source
+        except Exception as e:
+            # fall back ONLY on the missing-datasource failure; a real
+            # load error (bad path, permissions) from a registered
+            # spark-avro must surface as itself, not as a confusing
+            # secondary failure from the fallback (r6 review)
+            msg = str(e)
+            if not (
+                "DATA_SOURCE_NOT_FOUND" in msg
+                or "Failed to find data source" in msg
+                or "Failed to find the data source" in msg
+            ):
+                raise
             from .avro_py import read_avro_py
 
             return read_avro_py(spark, files)

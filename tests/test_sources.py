@@ -552,3 +552,50 @@ def test_save_sort_by_tightens_rowgroup_stats(spark, tmp_path):
     # content identical
     back = spark.read.parquet(sorted_path)
     assert back.count() == 100_000
+
+
+def test_avro_review_hardening(spark, tmp_path):
+    """r6 review fixes: truncated varints raise EOFError (not a bare
+    IndexError), schema drift across files fails with the file named,
+    remote URIs are rejected up front, and logical types roundtrip
+    through encode (decode -> encode -> decode identity)."""
+    import datetime
+
+    import pytest
+
+    from biosets_spark.sources import avro_py as A
+
+    # truncated varint -> EOFError
+    with pytest.raises((EOFError, ValueError)):
+        list(A.iter_records(b"Obj\x01\x02"))
+
+    # logical-type encode roundtrip
+    schema = {"type": "record", "name": "L", "fields": [
+        {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "ts", "type": {"type": "long",
+                                "logicalType": "timestamp-micros"}},
+    ]}
+    rows = [(datetime.date(2020, 3, 1),
+             datetime.datetime(2021, 5, 1, 12, 30, 0, 250))]
+    p = str(tmp_path / "l.avro")
+    A.write_container(p, schema, rows)
+    back = list(A.iter_records(open(p, "rb").read()))
+    assert back[0]["d"] == rows[0][0] and back[0]["ts"] == rows[0][1]
+    # re-encoding the decoded dicts is also accepted (review fix #4)
+    A.write_container(p, schema, [tuple(r.values()) for r in back])
+    assert list(A.iter_records(open(p, "rb").read()))[0]["d"] == rows[0][0]
+
+    # schema drift across files -> named failure
+    s1 = {"type": "record", "name": "R", "fields": [
+        {"name": "id", "type": "long"}]}
+    s2 = {"type": "record", "name": "R", "fields": [
+        {"name": "id", "type": "long"}, {"name": "extra", "type": "long"}]}
+    f1, f2 = str(tmp_path / "a1.avro"), str(tmp_path / "a2.avro")
+    A.write_container(f1, s1, [(1,)])
+    A.write_container(f2, s2, [(2, 3)])
+    with pytest.raises(Exception, match="schema drift"):
+        A.read_avro_py(spark, [f1, f2]).collect()
+
+    # remote URI rejected with guidance
+    with pytest.raises(ValueError, match="remote URI"):
+        A.read_avro_py(spark, ["s3://bucket/x.avro"])
