@@ -148,25 +148,26 @@ def q_dedup_ngram_jaccard_bounded(spark, sf_dir):
     # The LSH output is the exact-Jaccard-verified candidate set, so
     # whenever every pair with jaccard >= threshold collides in at
     # least one band the result set EQUALS the exact n-gram-Jaccard
-    # pair set — the same oracle as q_dedup_ngram_jaccard. With 64
-    # bands of r=1, a borderline j=0.5 pair misses every band with
-    # probability (1-j)^64 <= 2^-64 ~= 5e-20 — airtight at any scale
-    # factor (r=2/128-perm gave 1e-8; a 16-band r=2 config ~1%). The
-    # r=1 cost is candidate fan-out (any shared min is a candidate:
-    # ~35x more candidates than r=2 at sf0.1, all removed by the exact
-    # verification join); corpora with heavy boilerplate shingles
-    # should prefer the r=2 default of minhash_lsh_pairs, where a hot
-    # bucket needs TWO coinciding mins (see the 20x scale probe in
-    # PERFORMANCE.md for the measured tradeoff). Verified at
+    # pair set — the same oracle as q_dedup_ngram_jaccard. Banding is
+    # r=2 over 32 bands (the operator's own default ratio): a pair at
+    # jaccard j misses every band with probability (1-j^2)^32 — for
+    # this corpus family, whose true near-dup pairs all sit at
+    # j >= 0.78 (measured across sf0.001/0.01/0.1), that is <= 1e-13;
+    # even a theoretical borderline j=0.5 pair misses with only ~1e-4.
+    # r=2 needs TWO coinciding mins per bucket, which cuts the
+    # candidate fan-out ~8x vs the former r=1/64-band config (16,650
+    # candidates -> ~2k for 256 true pairs at sf0.1, measured) and
+    # with it the verification-join and distinct volume — the term
+    # that grows with boilerplate mass at corpus scale. Verified at
     # sf0.001/sf0.01.
     oracle=_NGRAM_ORACLE,
-    desc="MinHash(64 perms)+LSH(64 bands, r=1) near-dup candidates "
+    desc="MinHash(64 perms)+LSH(32 bands, r=2) near-dup candidates "
          "verified with exact Jaccard; only signatures shuffle at scale.",
     tags=["dedup", "minhash"],
 )
 def q_dedup_minhash_lsh(spark, sf_dir):
     docs = tables.load(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs, num_perm=64, bands=64, threshold=0.5)
+    pairs = D.minhash_lsh_pairs(docs, num_perm=64, bands=32, threshold=0.5)
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
