@@ -408,15 +408,18 @@ def _encoder(schema, names=None):
         return rec
     if t == "array":
         item = _encoder(node["items"], names)
+        # len() (not truthiness): Arrow hands arrays to the writer as
+        # numpy arrays, whose bool() raises for length > 1
         return lambda v: (
-            (_zigzag(len(v)) + b"".join(item(x) for x in v)) if v else b""
+            (_zigzag(len(v)) + b"".join(item(x) for x in v))
+            if len(v) else b""
         ) + _zigzag(0)
     if t == "map":
         val = _encoder(node["values"], names)
         enc_s = _encoder("string", names)
         return lambda v: (
             (_zigzag(len(v)) + b"".join(enc_s(k) + val(x) for k, x in v.items()))
-            if v else b""
+            if len(v) else b""
         ) + _zigzag(0)
     if t == "union":
         branches = node["branches"]
@@ -549,3 +552,94 @@ def read_avro_py(spark, files: list[str]):
                 )
 
     return bin_df.select("content", "path").mapInPandas(decode, schema=ddl)
+
+
+# ------------------------------------------------------------ spark write
+
+def avro_schema_of(spark_type_obj, name: str = "Row"):
+    """Spark DataType -> Avro schema node (inverse of spark_type for
+    the supported set). Nullable fields become [null, T] unions at the
+    field level (see write_avro)."""
+    from pyspark.sql import types as T
+
+    t = spark_type_obj
+    if isinstance(t, T.BooleanType):
+        return "boolean"
+    if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType)):
+        return "int"
+    if isinstance(t, T.LongType):
+        return "long"
+    if isinstance(t, T.FloatType):
+        return "float"
+    if isinstance(t, T.DoubleType):
+        return "double"
+    if isinstance(t, T.StringType):
+        return "string"
+    if isinstance(t, T.BinaryType):
+        return "bytes"
+    if isinstance(t, T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(t, T.DecimalType):
+        return {"type": "bytes", "logicalType": "decimal",
+                "precision": t.precision, "scale": t.scale}
+    if isinstance(t, T.ArrayType):
+        return {"type": "array", "items": avro_schema_of(t.elementType)}
+    if isinstance(t, T.MapType):
+        if not isinstance(t.keyType, T.StringType):
+            raise ValueError("avro maps require string keys")
+        return {"type": "map", "values": avro_schema_of(t.valueType)}
+    if isinstance(t, T.StructType):
+        return {
+            "type": "record", "name": name,
+            "fields": [
+                {"name": f.name,
+                 "type": ["null", avro_schema_of(f.dataType, name + "_" + f.name)]
+                 if f.nullable else avro_schema_of(f.dataType, name + "_" + f.name)}
+                for f in t.fields
+            ],
+        }
+    raise ValueError(f"avro_py: unsupported Spark type {t.simpleString()}")
+
+
+def write_avro(df, path: str, codec: str = "deflate") -> int:
+    """Distributed Avro sink without the spark-avro artifact: each
+    partition writes one container file ``part-<pid>.avro`` under
+    ``path`` (local/shared filesystem — the same constraint as the
+    fallback reader; use spark-avro for object stores). Every column
+    becomes a [null, T]-union field when nullable. Returns the number
+    of partitions written. Complements read_avro_py so the codec
+    round-trips end-to-end."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    schema = avro_schema_of(df.schema, "SparkRow")
+    fields = [f["name"] for f in schema["fields"]]
+
+    def write_part(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows = []
+        for batch in batches:
+            for tup in batch[fields].itertuples(index=False, name=None):
+                rows.append(tuple(
+                    None if v is None or (isinstance(v, float) and v != v)
+                    else (bytes(v) if isinstance(v, bytearray) else v)
+                    for v in tup
+                ))
+        if rows:
+            write_container(
+                os.path.join(path, f"part-{pid:05d}.avro"), schema, rows,
+                codec=codec,
+            )
+            yield pd.DataFrame({"files": [1]})
+
+    n = (
+        df.mapInPandas(write_part, schema="files int")
+        .agg({"files": "sum"})
+        .collect()[0][0]
+    )
+    return int(n or 0)

@@ -599,3 +599,48 @@ def test_avro_review_hardening(spark, tmp_path):
     # remote URI rejected with guidance
     with pytest.raises(ValueError, match="remote URI"):
         A.read_avro_py(spark, ["s3://bucket/x.avro"])
+
+
+def test_avro_write_sink_roundtrip(spark, tmp_path):
+    """Distributed Avro SINK (write_avro): one container file per
+    partition, nullable [null,T] fields, logical types — read back
+    through the fallback reader with identical rows."""
+    import datetime
+    from decimal import Decimal
+
+    from pyspark.sql import Row
+
+    from biosets_spark.sources import avro_py as A
+
+    rows = [
+        Row(id=i, name=(None if i % 3 == 0 else f"n{i}"),
+            score=i * 0.5, ok=i % 2 == 0,
+            tags=[f"t{j}" for j in range(i % 3)],
+            attrs={"k": i},
+            day=datetime.date(2020, 1, 1) + datetime.timedelta(days=i),
+            ts=datetime.datetime(2021, 1, 1) + datetime.timedelta(seconds=i),
+            amt=Decimal(i).scaleb(-2).quantize(Decimal("0.01")))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, name string, score double, ok boolean, "
+        "tags array<string>, attrs map<string, long>, day date, "
+        "ts timestamp, amt decimal(10,2)",
+    ).repartition(4)
+    out = str(tmp_path / "sink")
+    n_parts = A.write_avro(df, out)
+    assert n_parts >= 1
+
+    import glob
+
+    files = sorted(glob.glob(out + "/part-*.avro"))
+    assert len(files) == n_parts
+    back = A.read_avro_py(spark, files)
+    got = {r["id"]: r for r in back.collect()}
+    assert len(got) == 200
+    r7 = got[7]
+    assert r7["name"] == "n7" and r7["tags"] == ["t0"]
+    assert r7["attrs"] == {"k": 7} and str(r7["day"]) == "2020-01-08"
+    assert r7["amt"] == Decimal("0.07")
+    assert got[9]["name"] is None  # nullable union survived
