@@ -301,8 +301,9 @@ def q_incremental_dedup(spark, sf_dir):
     )
     SELECT CAST((SELECT COUNT(*) FROM ivf JOIN exact USING (vec_id)) AS BIGINT)
              AS n_hits,
-           CAST(10 AS BIGINT) AS k,
-           ROUND((SELECT COUNT(*) FROM ivf JOIN exact USING (vec_id)) / 10.0, 4)
+           CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS k,
+           ROUND((SELECT COUNT(*) FROM ivf JOIN exact USING (vec_id))
+                 / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE), 4)
              AS recall
     """,
     desc="recall@10 audit of the IVF index against exact brute-force "
@@ -325,6 +326,11 @@ def q_ann_recall_audit(spark, sf_dir):
     assigned, cents = S.ivf_build(emb, n_cells=16)
     ivf = S.ivf_knn(assigned, cents, qv, k=10, n_probe=4).select("neighbor_id")
     hits = ivf.join(exact, "neighbor_id").count()
+    # k = the ACTUAL exact-top-k size, not the literal 10: on a table
+    # smaller than k the recall denominator reflects the true
+    # neighbor count in BOTH engines (r5 q_hill_tail ADVICE class)
+    k_actual = exact.count()
     spark_df = spark.createDataFrame(
-        [(hits, 10, round(hits / 10.0, 4))], "n_hits long, k long, recall double")
+        [(hits, k_actual, round(hits / float(k_actual), 4))],
+        "n_hits long, k long, recall double")
     return spark_df

@@ -64,7 +64,7 @@ _TOP_K = 30
     ), deltas AS (
       SELECT a.source AS source_a, b.source AS source_b,
              CAST(SUM(CAST(ROUND(ABS(a.z - b.z), 8) AS DECIMAL(18,8)))
-                  AS DOUBLE) / {_TOP_K} AS delta
+                  AS DOUBLE) / COUNT(*) AS delta
       FROM zs a JOIN zs b ON a.tok = b.tok AND a.source < b.source
       GROUP BY 1, 2
     )
@@ -134,11 +134,15 @@ def q_burrows_delta(spark, sf_dir):
             col("b.source").alias("source_b"),
         )
         .agg(
+            # COUNT(*) over the joined top-k tokens, not the _TOP_K
+            # literal: on inputs with fewer than _TOP_K distinct tokens
+            # the mean-|Δz| denominator reflects the true marker count
+            # in BOTH engines (same class as the r5 q_hill_tail ADVICE)
             (
                 F.sum(
                     F.round(F.abs(col("a.z") - col("b.z")), 8)
                     .cast("decimal(18,8)")
-                ).cast("double") / _TOP_K
+                ).cast("double") / F.count("*")
             ).alias("delta")
         )
     )
