@@ -31,7 +31,7 @@ SPLIT_PREFIXES = ("train", "test", "validation", "val", "dev")
 
 DATA_EXTS = {
     ".csv", ".tsv", ".txt", ".json", ".jsonl", ".ndjson", ".parquet", ".pq",
-    ".arrow", ".feather", ".ipc", ".npz",
+    ".arrow", ".feather", ".ipc", ".npz", ".avro", ".orc",
 }
 COMPRESSED_EXTS = {".gz", ".bz2", ".zst", ".zstd", ".lz4"}
 # single source of truth for container formats lives in archives.py

@@ -644,3 +644,21 @@ def test_avro_write_sink_roundtrip(spark, tmp_path):
     assert r7["attrs"] == {"k": 7} and str(r7["day"]) == "2020-01-08"
     assert r7["amt"] == Decimal("0.07")
     assert got[9]["name"] is None  # nullable union survived
+
+
+def test_avro_through_load_dataset(spark, tmp_path):
+    """Avro shards discovered by load_dataset(path=...): extension
+    dispatch + split inference over the fallback reader."""
+    from biosets_spark import load_dataset
+    from biosets_spark.sources import avro_py as A
+
+    schema = {"type": "record", "name": "R", "fields": [
+        {"name": "sample", "type": "string"},
+        {"name": "geneA", "type": "long"}]}
+    A.write_container(str(tmp_path / "train-p0.avro"), schema,
+                      [(f"s{i}", i) for i in range(30)], codec="deflate")
+    A.write_container(str(tmp_path / "test-p0.avro"), schema,
+                      [(f"t{i}", i) for i in range(10)])
+    ds = load_dataset(path=str(tmp_path), spark=spark)
+    assert ds["train"].num_rows == 30 and ds["test"].num_rows == 10
+    assert "geneA" in ds["train"].columns
