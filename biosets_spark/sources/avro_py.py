@@ -10,13 +10,15 @@ module implements the public Avro 1.x *object container file* spec
 markers, length-prefixed blocks) and the binary encoding for the
 standard type set — in ~300 lines of stdlib-only Python.
 
-Scale design (100 TB): `read_avro` distributes with
-`spark.read.format("binaryFile")` + `mapInPandas`, so parallelism is
-per-FILE — ideal for the many-file layouts Avro is used for
-(Kafka-archive dumps, event logs). A single multi-GB avro file would
-be one task here; the JVM datasource (which splits on sync markers)
-is preferred whenever its artifact is on the cluster — readers.py
-tries it FIRST and falls back to this module. Decoding is Python-side
+Scale design (100 TB): `read_avro_py` distributes with
+`spark.read.format("binaryFile")` + `mapInPandas` for many-small-file
+layouts (Kafka-archive dumps, event logs), and DELEGATES to
+`read_avro_ranged` when any file is large: that path carves files
+into byte ranges and splits on sync markers exactly like the JVM
+datasource (Hadoop split contract, boundary-partition tested), so a
+single multi-GB container parallelizes across the cluster too. The
+JVM datasource is still preferred whenever its artifact is on the
+cluster — readers.py tries it FIRST and falls back to this module. Decoding is Python-side
 (the slow path, honestly: this is a fallback, not the hot path), but
 output is Arrow-batched via mapInPandas, and the driver only ever
 reads one file HEADER (schema negotiation), never data rows.
@@ -494,15 +496,27 @@ def _flush_block(f, buf, n, codec, sync):
 
 # ------------------------------------------------------------ spark read
 
-def read_avro_py(spark, files: list[str]):
+def read_avro_py(spark, files: list[str], large_file_bytes: int = 64 << 20):
     """Distributed Avro read without the spark-avro artifact.
 
     Driver reads ONE header (first file, first ~1 MB) to negotiate the
     schema; executors get whole files via the binaryFile source and
     decode them Arrow-batched through mapInPandas. Per-file
-    parallelism; see module docstring for the scale contract.
+    parallelism for many-small-file layouts; when any file exceeds
+    ``large_file_bytes`` the read delegates to ``read_avro_ranged``,
+    which splits on sync markers for intra-file parallelism (so one
+    multi-GB container no longer serializes on one task).
     """
+    import os as _os
+
     import pandas as pd  # noqa: F401 (executor-side requirement)
+
+    plain = [p[len("file://"):] if p.startswith("file://") else p for p in files]
+    if all("://" not in p for p in plain) and any(
+        _os.path.exists(p) and _os.path.getsize(p) > large_file_bytes
+        for p in plain
+    ):
+        return read_avro_ranged(spark, files)
 
     first = sorted(files)[0]
     local = first
@@ -643,3 +657,132 @@ def write_avro(df, path: str, codec: str = "deflate") -> int:
         .collect()[0][0]
     )
     return int(n or 0)
+
+
+# ---------------------------------------------------- ranged (split) read
+
+def _iter_block_records(f, schema, codec, sync, end: int):
+    """Yield records from container blocks OWNED by a range ending at
+    ``end``; assumes ``f`` is positioned at a block start (just past a
+    sync marker). Ownership follows the Avro/Hadoop split contract: a
+    block belongs to the range containing the FIRST BYTE of its
+    preceding sync marker — so a sync spanning a range boundary is
+    owned by the earlier range (whose scan read it in full), adjacent
+    ranges partition the block set exactly, and no block is read twice
+    or lost."""
+    dec = _decoder(schema)
+    while True:
+        block_start = f.tell()
+        if block_start - 16 >= end:  # preceding sync starts past range
+            return
+        head = f.read(20)  # enough for two varints
+        if not head:
+            return
+        c = _Cursor(head)
+        try:
+            n_rec = c.read_long()
+            n_bytes = c.read_long()
+        except EOFError:
+            return
+        body = head[c.pos:] + f.read(n_bytes - (len(head) - c.pos))
+        if len(body) < n_bytes:
+            return  # truncated tail
+        if f.read(16) != sync:
+            raise ValueError("avro_py: sync marker mismatch (corrupt file)")
+        bc = _Cursor(_decompress(body, codec))
+        for _ in range(n_rec):
+            yield dec(bc)
+
+
+def _scan_to_sync(f, sync: bytes, limit: int) -> bool:
+    """Advance ``f`` to just past the next sync marker at/after the
+    current position (returns False if none before ``limit``).
+    Overlapping-window search so markers spanning read chunks are
+    found."""
+    tail = b""
+    while True:
+        pos = f.tell()
+        if pos - len(tail) >= limit:
+            return False
+        chunk = f.read(1 << 20)
+        if not chunk:
+            return False
+        buf = tail + chunk
+        i = buf.find(sync)
+        if i != -1:
+            sync_start = pos - len(tail) + i
+            if sync_start >= limit:
+                return False  # that sync belongs to the next range
+            f.seek(sync_start + 16)
+            return True
+        tail = buf[-15:]
+
+
+def read_avro_ranged(spark, files: list[str], split_bytes: int = 32 << 20):
+    """Split-parallel Avro read without the spark-avro artifact: every
+    file is carved into ~``split_bytes`` byte ranges; each task seeks
+    to its range, scans to the next sync marker, and decodes exactly
+    the blocks that START inside its range (the Hadoop split contract,
+    so ranges partition the records with no overlap or loss). This
+    removes the whole-file-per-task limitation of ``read_avro_py`` —
+    a single multi-GB container file parallelizes across the cluster.
+    Requires the files to be reachable from the executors by path
+    (local/shared FS — the same constraint as the fallback reader).
+    """
+    import os as _os
+
+    import pandas as pd  # noqa: F401
+
+    first = sorted(files)[0]
+    if "://" in first.replace("file://", ""):
+        raise ValueError("read_avro_ranged needs executor-reachable local paths")
+    paths = [p[len("file://"):] if p.startswith("file://") else p for p in files]
+    with open(paths[0], "rb") as f:
+        head = f.read(1 << 20)
+    schema, _codec, _sync, _pos = parse_header(head)
+    ddl = record_ddl(schema)
+    t, node = _named(schema)
+    field_names = [f["name"] for f in node["fields"]]
+
+    split_bytes = max(split_bytes, 1 << 20)  # never split inside a header
+    ranges = []
+    for p in paths:
+        size = _os.path.getsize(p)
+        start = 0
+        while start < size:
+            ranges.append((p, start, min(start + split_bytes, size)))
+            start += split_bytes
+    rdf = spark.createDataFrame(ranges, "path string, start long, end long")
+    n_parts = min(len(ranges), 256)
+    rdf = rdf.repartition(n_parts)
+
+    def decode(batches):
+        import pandas as pd
+
+        for batch in batches:
+            for path, start, end in zip(batch["path"], batch["start"], batch["end"]):
+                with open(path, "rb") as f:
+                    f_schema, f_codec, f_sync, data_pos = parse_header(
+                        f.read(1 << 20)
+                    )
+                    f_names = [x["name"] for x in _named(f_schema)[1]["fields"]]
+                    if f_names != field_names:
+                        raise ValueError(
+                            f"avro schema drift: {path} has fields "
+                            f"{f_names}, expected {field_names}"
+                        )
+                    if start == 0:
+                        f.seek(data_pos)  # first block follows the header
+                    else:
+                        f.seek(start)
+                        if not _scan_to_sync(f, f_sync, end):
+                            continue  # no block starts in this range
+                    recs = list(
+                        _iter_block_records(f, f_schema, f_codec, f_sync, end)
+                    )
+                if recs:
+                    yield pd.DataFrame(
+                        {n: [r[n] for r in recs] for n in field_names}
+                    )
+
+    return rdf.mapInPandas(decode, schema=ddl)
