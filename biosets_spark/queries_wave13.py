@@ -325,12 +325,20 @@ def q_ann_recall_audit(spark, sf_dir):
     ).select("neighbor_id")
     assigned, cents = S.ivf_build(emb, n_cells=16)
     ivf = S.ivf_knn(assigned, cents, qv, k=10, n_probe=4).select("neighbor_id")
-    hits = ivf.join(exact, "neighbor_id").count()
     # k = the ACTUAL exact-top-k size, not the literal 10: on a table
-    # smaller than k the recall denominator reflects the true
-    # neighbor count in BOTH engines (r5 q_hill_tail ADVICE class)
-    k_actual = exact.count()
+    # smaller than k the recall denominator reflects the true neighbor
+    # count in BOTH engines (r5 q_hill_tail ADVICE class). The exact
+    # set is collected ONCE (<= k rows) so the brute-force scan runs a
+    # single time, hits become a broadcast isin filter, and the empty
+    # set yields recall NULL exactly like the oracle's NULL division
+    # (r6 review).
+    exact_ids = [r["neighbor_id"] for r in exact.collect()]
+    k_actual = len(exact_ids)
+    if k_actual:
+        hits = ivf.filter(col("neighbor_id").isin(exact_ids)).count()
+        recall = round(hits / float(k_actual), 4)
+    else:
+        hits, recall = 0, None
     spark_df = spark.createDataFrame(
-        [(hits, k_actual, round(hits / float(k_actual), 4))],
-        "n_hits long, k long, recall double")
+        [(hits, k_actual, recall)], "n_hits long, k long, recall double")
     return spark_df

@@ -400,9 +400,13 @@ def _encoder(schema, names=None):
         return lambda v: _zigzag(idx[v])
     if t == "record":
         field_fns: list = []
+        f_names = [f["name"] for f in node["fields"]]
 
-        def rec(v, _fns=field_fns):
-            return b"".join(fn(x) for fn, x in zip(_fns, v))
+        def rec(v, _fns=field_fns, _fnames=f_names):
+            # nested records arrive from Arrow/pandas as DICTS; encode
+            # values in schema field order, never dict iteration order
+            vals = [v[nm] for nm in _fnames] if isinstance(v, dict) else v
+            return b"".join(fn(x) for fn, x in zip(_fns, vals))
 
         if "name" in node:
             names[node["name"]] = rec
@@ -450,12 +454,19 @@ def write_container(
     rows,
     codec: str = "null",
     records_per_block: int = 4096,
-    sync: bytes = b"\x00" * 16,
+    sync: bytes | None = None,
 ) -> int:
     """Write rows (sequences matching the record field order) to an
     Avro object container file. Test/sink helper — one file per call;
     for a distributed sink, call per partition via foreachPartition.
-    Returns the number of rows written."""
+    Returns the number of rows written. ``sync`` defaults to a random
+    16-byte marker per file (the spec's intent: block data must not be
+    able to collide with the marker, which the ranged reader's scan
+    relies on)."""
+    if sync is None:
+        sync = os.urandom(16)
+    if len(sync) != 16:
+        raise ValueError("avro sync marker must be 16 bytes")
     enc = _encoder(schema)
     n_total = 0
     with open(path, "wb") as f:
@@ -551,13 +562,7 @@ def read_avro_py(spark, files: list[str], large_file_bytes: int = 64 << 20):
                 f_schema, _c, _s, _p = parse_header(raw[:1 << 20])
                 _t, f_node = _named(f_schema)
                 f_names = [f["name"] for f in f_node["fields"]]
-                if f_names != field_names:
-                    raise ValueError(
-                        f"avro schema drift: {path} has fields "
-                        f"{f_names}, expected {field_names} (from the "
-                        "first file) — read drifted files separately "
-                        "and align with the engine's schema lattice"
-                    )
+                _check_schema_drift(path, f_names, field_names)
                 recs = list(iter_records(raw))
                 if not recs:
                     continue
@@ -599,11 +604,17 @@ def avro_schema_of(spark_type_obj, name: str = "Row"):
         return {"type": "bytes", "logicalType": "decimal",
                 "precision": t.precision, "scale": t.scale}
     if isinstance(t, T.ArrayType):
-        return {"type": "array", "items": avro_schema_of(t.elementType)}
+        item = avro_schema_of(t.elementType)
+        if t.containsNull:  # Spark containers are nullable by default
+            item = ["null", item]
+        return {"type": "array", "items": item}
     if isinstance(t, T.MapType):
         if not isinstance(t.keyType, T.StringType):
             raise ValueError("avro maps require string keys")
-        return {"type": "map", "values": avro_schema_of(t.valueType)}
+        val = avro_schema_of(t.valueType)
+        if t.valueContainsNull:
+            val = ["null", val]
+        return {"type": "map", "values": val}
     if isinstance(t, T.StructType):
         return {
             "type": "record", "name": name,
@@ -627,22 +638,43 @@ def write_avro(df, path: str, codec: str = "deflate") -> int:
     round-trips end-to-end."""
     import os
 
+    from pyspark.sql import types as T
+
     os.makedirs(path, exist_ok=True)
     schema = avro_schema_of(df.schema, "SparkRow")
     fields = [f["name"] for f in schema["fields"]]
+    # per-field normalizers, derived from the SPARK schema: Arrow's
+    # pandas conversion float-coerces nullable int columns (1 -> 1.0)
+    # and uses NaT for null timestamps — undo both, and map every
+    # scalar null-ish (None/NaN/NaT) to None so the [null,T] union
+    # encodes the null branch (r6 review fixes #3/#4)
+    int_fields = {
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType,
+                      (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+    }
 
     def write_part(batches):
         import pandas as pd
         from pyspark import TaskContext
+
+        def norm(name, v):
+            if isinstance(v, (list, dict)) or type(v).__name__ == "ndarray":
+                return list(v) if not isinstance(v, dict) else v
+            if v is None or pd.isna(v):
+                return None
+            if name in int_fields:
+                return int(v)  # undo float64 coercion of nullable ints
+            if isinstance(v, bytearray):
+                return bytes(v)
+            return v
 
         pid = TaskContext.get().partitionId()
         rows = []
         for batch in batches:
             for tup in batch[fields].itertuples(index=False, name=None):
                 rows.append(tuple(
-                    None if v is None or (isinstance(v, float) and v != v)
-                    else (bytes(v) if isinstance(v, bytearray) else v)
-                    for v in tup
+                    norm(nm, v) for nm, v in zip(fields, tup)
                 ))
         if rows:
             write_container(
@@ -657,6 +689,18 @@ def write_avro(df, path: str, codec: str = "deflate") -> int:
         .collect()[0][0]
     )
     return int(n or 0)
+
+
+def _check_schema_drift(path, f_names, expected):
+    """Shared guard for BOTH read paths: every file decodes under its
+    own embedded schema, but the output frame is pinned to the first
+    file's field list, so drift must fail with the file named."""
+    if f_names != expected:
+        raise ValueError(
+            f"avro schema drift: {path} has fields {f_names}, expected "
+            f"{expected} (from the first file) — read drifted files "
+            "separately and align with the engine's schema lattice"
+        )
 
 
 # ---------------------------------------------------- ranged (split) read
@@ -684,9 +728,15 @@ def _iter_block_records(f, schema, codec, sync, end: int):
             n_bytes = c.read_long()
         except EOFError:
             return
-        body = head[c.pos:] + f.read(n_bytes - (len(head) - c.pos))
+        var_len = c.pos
+        in_head = head[var_len:var_len + n_bytes]
+        if n_bytes <= len(in_head):
+            body = in_head  # whole (small) block already in the head read
+        else:
+            body = in_head + f.read(n_bytes - len(in_head))
         if len(body) < n_bytes:
             return  # truncated tail
+        f.seek(block_start + var_len + n_bytes)  # head may have over-read
         if f.read(16) != sync:
             raise ValueError("avro_py: sync marker mismatch (corrupt file)")
         bc = _Cursor(_decompress(body, codec))
@@ -733,10 +783,16 @@ def read_avro_ranged(spark, files: list[str], split_bytes: int = 32 << 20):
 
     import pandas as pd  # noqa: F401
 
-    first = sorted(files)[0]
-    if "://" in first.replace("file://", ""):
-        raise ValueError("read_avro_ranged needs executor-reachable local paths")
-    paths = [p[len("file://"):] if p.startswith("file://") else p for p in files]
+    paths = sorted(
+        p[len("file://"):] if p.startswith("file://") else p for p in files
+    )
+    remote = [p for p in paths if "://" in p]
+    if remote:
+        raise ValueError(
+            f"read_avro_ranged needs executor-reachable local paths; "
+            f"{remote[0]!r} is a remote URI — install the spark-avro "
+            "datasource for remote storage, or stage the files locally"
+        )
     with open(paths[0], "rb") as f:
         head = f.read(1 << 20)
     schema, _codec, _sync, _pos = parse_header(head)
@@ -766,11 +822,7 @@ def read_avro_ranged(spark, files: list[str], split_bytes: int = 32 << 20):
                         f.read(1 << 20)
                     )
                     f_names = [x["name"] for x in _named(f_schema)[1]["fields"]]
-                    if f_names != field_names:
-                        raise ValueError(
-                            f"avro schema drift: {path} has fields "
-                            f"{f_names}, expected {field_names}"
-                        )
+                    _check_schema_drift(path, f_names, field_names)
                     if start == 0:
                         f.seek(data_pos)  # first block follows the header
                     else:

@@ -685,3 +685,61 @@ def test_avro_ranged_split_read(spark, tmp_path):
     assert df.select("id").distinct().count() == 60_000  # nothing doubled
     got = df.filter("id = 31337").collect()[0]["payload"]
     assert got == hashlib.md5(b"31337").hexdigest() * 3
+
+
+def test_avro_review2_hardening(spark, tmp_path):
+    """Second review pass fixes: tiny trailing blocks parse in the
+    ranged reader, sync markers are random (no zero-byte collision),
+    nullable int / null timestamp / struct / null-array-element
+    columns survive the distributed sink."""
+    import datetime
+    import glob
+
+    from pyspark.sql import Row
+
+    from biosets_spark.sources import avro_py as A
+
+    # tiny blocks (records_per_block=1): negative-read regression
+    s1 = {"type": "record", "name": "T", "fields": [
+        {"name": "x", "type": "long"}]}
+    p1 = str(tmp_path / "tiny.avro")
+    A.write_container(p1, s1, [(i,) for i in range(50)], records_per_block=1)
+    got = A.read_avro_ranged(spark, [p1], split_bytes=1 << 20).count()
+    assert got == 50
+
+    # random sync: zero-heavy binary payloads can't fake a marker
+    s2 = {"type": "record", "name": "Z", "fields": [
+        {"name": "id", "type": "long"}, {"name": "blob", "type": "bytes"}]}
+    p2 = str(tmp_path / "zeros.avro")
+    A.write_container(p2, s2, [(i, b"\x00" * 64) for i in range(2000)],
+                      records_per_block=64)
+    hdr = open(p2, "rb").read(1 << 16)
+    _, _, sync, _ = A.parse_header(hdr)
+    assert sync != b"\x00" * 16
+    assert A.read_avro_ranged(spark, [p2], split_bytes=1 << 20).count() == 2000
+
+    # sink: nullable longs with actual nulls, null timestamps, structs,
+    # null array elements
+    rows = [
+        Row(id=i,
+            maybe=(None if i % 2 else i * 10),
+            ts=(None if i == 3 else datetime.datetime(2022, 1, 1 + i)),
+            nested=Row(a=i, b=(None if i % 3 == 0 else f"s{i}")),
+            tags=(["x", None, "y"] if i == 1 else [f"t{i}"]))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, maybe long, ts timestamp, "
+        "nested struct<a: int, b: string>, tags array<string>",
+    ).coalesce(1)
+    out = str(tmp_path / "sink2")
+    A.write_avro(df, out)
+    back = {r["id"]: r for r in A.read_avro_py(
+        spark, sorted(glob.glob(out + "/part-*.avro"))).collect()}
+    assert back[2]["maybe"] == 20 and back[1]["maybe"] is None
+    assert back[3]["ts"] is None and back[2]["ts"].day == 3
+    assert back[4]["nested"]["a"] == 4 and back[3]["nested"]["b"] is None
+    assert back[1]["tags"] == ["x", None, "y"]
+    # struct VALUES (not dict keys) round-tripped
+    assert back[5]["nested"]["b"] == "s5"
