@@ -385,6 +385,27 @@ class BioDataset:
         save_to_disk(self.df, path, fingerprint=self.fingerprint,
                      mode=mode, partition_by=partition_by)
 
+    def to_avro(self, path: str, codec: str = "deflate") -> int:
+        """Distributed Avro write (one container file per partition).
+        Uses the JVM spark-avro datasource when registered, else the
+        dependency-free sink (sources/avro_py.py — local/shared FS).
+        Returns the number of part files written by the fallback (0
+        means the JVM datasource handled it)."""
+        try:
+            self.df.write.mode("overwrite").format("avro").save(path)
+            return 0
+        except Exception as e:
+            msg = str(e)
+            if not (
+                "DATA_SOURCE_NOT_FOUND" in msg
+                or "Failed to find data source" in msg
+                or "Failed to find the data source" in msg
+            ):
+                raise
+            from .sources.avro_py import write_avro
+
+            return write_avro(self.df, path, codec=codec)
+
     def materialize(self, cache_dir: str) -> "BioDataset":
         """Force the transform chain into the fingerprint cache — the
         analogue of the reference's ``flatten_indices`` + cache file

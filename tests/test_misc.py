@@ -561,3 +561,23 @@ def test_multimodal_compressed_still_gated(spark):
         MM.extract_image_features(df, fake_decode=False).collect()
     with pytest.raises(Exception, match="PIL|compressed"):
         MM.extract_image_stats(df).collect()
+
+
+def test_dataset_to_avro_roundtrip(spark, tmp_path):
+    """BioDataset.to_avro: distributed sink (JVM datasource preferred,
+    stdlib fallback here) reads back identically through read_files."""
+    import glob
+
+    from biosets_spark import BioDataset
+    from biosets_spark.sources.readers import read_files
+
+    ds = BioDataset(spark.createDataFrame(
+        [(i, f"n{i}", i * 0.5) for i in range(100)],
+        "id long, name string, score double").repartition(3))
+    out = str(tmp_path / "av")
+    n = ds.to_avro(out)
+    files = sorted(glob.glob(out + "/*.avro"))
+    assert (n == 0 and not files) or (n == len(files) > 0)
+    back = read_files(spark, files or [out])
+    assert back.count() == 100
+    assert back.filter("id = 42").collect()[0]["name"] == "n42"
