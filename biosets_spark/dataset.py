@@ -385,6 +385,21 @@ class BioDataset:
         save_to_disk(self.df, path, fingerprint=self.fingerprint,
                      mode=mode, partition_by=partition_by)
 
+    def to_orc(self, path: str, mode: str = "overwrite",
+               partition_by: list[str] | str | None = None,
+               compression: str = "zlib") -> None:
+        """Distributed ORC write (Spark-native datasource, built in —
+        unlike Avro there is no artifact gap). Completes the read/write
+        roundtrip for every format ``load_dataset`` discovers
+        (parquet/csv/json/arrow/avro/orc). ``partition_by`` writes the
+        hive layout so ORC scans get partition pruning like the parquet
+        sink's."""
+        w = self.df.write.mode(mode).option("compression", compression)
+        if partition_by:
+            cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+            w = w.partitionBy(*cols)
+        w.orc(path)
+
     def to_avro(self, path: str, codec: str = "deflate") -> int:
         """Distributed Avro write (one container file per partition).
         Uses the JVM spark-avro datasource when registered, else the

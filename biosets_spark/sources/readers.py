@@ -33,6 +33,18 @@ def _strip_compression(path: str) -> str:
 
 def detect_format(path: str) -> str:
     ext = os.path.splitext(_strip_compression(path))[1].lower()
+    if not ext and os.path.isdir(path):
+        # a datasource output directory (part files inside carry the
+        # extension): sniff the first data file so sink outputs round-
+        # trip through read_files without the caller globbing parts
+        for entry in sorted(os.listdir(path)):
+            if entry.startswith((".", "_")):
+                continue
+            try:
+                return detect_format(os.path.join(path, entry))
+            except ValueError:
+                continue
+        raise ValueError(f"No recognizable data files in directory {path!r}")
     if ext in (".csv",):
         return "csv"
     if ext in (".tsv", ".txt"):

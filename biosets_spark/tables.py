@@ -9,6 +9,14 @@ yields a session-timezone TimestampType column.
 
 All loads are plain ``spark.read.parquet`` scans: predicate pushdown,
 column pruning and row-group skipping apply untouched.
+
+Analyzed relations are memoized per (session, sf_dir, table): a
+``spark.read.parquet`` call eagerly lists files and reads a footer to
+resolve the schema, and re-paying that driver-side cost on every one
+of the ~500 load sites in the query inventory is exactly what a
+catalog/metastore avoids on a real cluster. The cache holds lazy
+DataFrames only (no data is pinned); the test corpora are immutable,
+and ``refresh()`` drops the cache for callers that rewrite inputs.
 """
 
 from __future__ import annotations
@@ -24,8 +32,42 @@ ALL_TABLES = TPCH_TABLES + ("events", "documents", "embeddings")
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# (session JVM id, sf_dir, table) -> analyzed DataFrame. Keyed by the
+# session's sessionUUID so a stopped-and-recreated SparkSession never
+# serves stale plans from a dead JVM context.
+_RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def refresh() -> None:
+    """Drop all memoized relations (next load re-lists and re-reads
+    footers). Call after rewriting a table path in place."""
+    _RELATION_CACHE.clear()
+
+
+def _session_key(spark: SparkSession) -> str:
+    try:
+        return spark._jsparkSession.sessionUUID()
+    except Exception:  # non-JVM session (connect) — fall back to id()
+        return str(id(spark))
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (_session_key(spark), sf_dir, name)
+    cached = _RELATION_CACHE.get(key)
+    if cached is not None:
+        if name == "events":
+            # scan + rendering confs must hold even when memoized: the
+            # nanosAsLong legacy conf is consulted at execution time by
+            # the parquet reader, not only at analysis
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return cached
+    df = _load_uncached(spark, sf_dir, name)
+    _RELATION_CACHE[key] = df
+    return df
+
+
+def _load_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

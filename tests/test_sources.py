@@ -743,3 +743,24 @@ def test_avro_review2_hardening(spark, tmp_path):
     assert back[1]["tags"] == ["x", None, "y"]
     # struct VALUES (not dict keys) round-tripped
     assert back[5]["nested"]["b"] == "s5"
+
+
+def test_relation_cache_memoizes_per_session(spark, tmp_path):
+    """tables.load memoizes the analyzed relation per (session, dir,
+    name) — the catalog pattern: footer/list cost paid once, lazy plan
+    reused, refresh() drops it (for callers that rewrite inputs)."""
+    from biosets_spark import tables
+
+    a = tables.load(spark, "/root/testdata/sf0.001", "nation")
+    b = tables.load(spark, "/root/testdata/sf0.001", "nation")
+    assert a is b  # same analyzed DataFrame object, no re-list/re-read
+    # events cache hits must still pin the scan/render confs
+    e1 = tables.load(spark, "/root/testdata/sf0.001", "events")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    e2 = tables.load(spark, "/root/testdata/sf0.001", "events")
+    assert e1 is e2
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert e2.schema["ts"].dataType.typeName() == "timestamp"
+    tables.refresh()
+    c = tables.load(spark, "/root/testdata/sf0.001", "nation")
+    assert c is not a and c.schema == a.schema
