@@ -54,14 +54,16 @@ def clean_corpus(
         .select(*orig_cols)
     )
     # The survivor set feeds three consumers (both sides of the
-    # near-dup self-join and the final anti-join) whose aliased
-    # subtrees Catalyst does NOT unify into a ReusedExchange, so the
-    # quality gate + fingerprint shuffle would execute 3x. Truncate
-    # the lineage once: measured 9.2 s -> 3.8 s on the sf0.1 corpus
-    # (same lever graph.py uses per iteration). At cluster scale the
-    # equivalent is materializing the survivor set to the parquet
-    # cache between stages.
-    exact_kept = exact_kept.localCheckpoint(eager=False)
+    # near-dup self-join and the final anti-join). An earlier revision
+    # truncated the lineage here with localCheckpoint, but AQE's
+    # runtime stage reuse already materializes each identical shuffle
+    # subtree once, and the checkpoint's block serialization of the
+    # full text column cost more than it saved: measured warm at
+    # sf0.1, lazy-ckpt 3.6 s / eager-ckpt 3.5 s / plain declarative
+    # 1.7-1.8 s for the full pipeline. At cluster scale, materializing
+    # the survivor set to the parquet cache between stages remains the
+    # fault-isolation option (plans/fingerprint.py), but is a caller
+    # choice, not a default tax.
 
     if use_lsh:
         from .dedup import minhash_lsh_pairs

@@ -246,45 +246,48 @@ def q_bloom_audit(spark, sf_dir):
       SELECT 'o_orderpriority', CAST(n - c5 AS BIGINT), CAST(d5 AS BIGINT), mn5, mx5 FROM s
     ) ORDER BY col_name
     """,
-    desc="One-pass column-quality profile of the orders table: null "
-         "count, exact distinct count, and canonical min/max strings "
-         "per column (typed aggregation first, canonical cast after — "
+    desc="Column-quality profile of the orders table: null count, "
+         "exact distinct count, and canonical min/max strings per "
+         "column (typed aggregation first, canonical cast after — "
          "DECIMAL for money, ISO for dates — so both engines print "
-         "identical strings). All 20 aggregates compute in a single "
-         "scan (one combinable agg, then a 5-row unpivot); at 100 TB "
-         "swap COUNT(DISTINCT) for approx_count_distinct per "
+         "identical strings). One aggregate branch PER COLUMN, "
+         "unioned: a single countDistinct plans as a two-level "
+         "partial-distinct aggregate (only distinct values shuffle), "
+         "whereas packing five distincts into one agg forces an "
+         "Expand that multiplies every row 6x before the exchange — "
+         "measured 2.3 s vs 0.1 s warm at sf0.1. On columnar storage "
+         "the five pruned scans read each column exactly once, the "
+         "same total IO as one five-column scan. At 100 TB swap "
+         "COUNT(DISTINCT) for approx_count_distinct per "
          "q_approx_distinct's audited error bound. The query twin of "
          "the BioDataset.profile() observe() API.",
     tags=["agg", "profile"],
 )
 def q_column_profile(spark, sf_dir):
     o = tables.load(spark, sf_dir, "orders")
-    s = o.agg(
-        F.count("*").alias("n"),
-        F.count("o_orderkey").alias("c1"), F.countDistinct("o_orderkey").alias("d1"),
-        F.min("o_orderkey").cast("string").alias("mn1"),
-        F.max("o_orderkey").cast("string").alias("mx1"),
-        F.count("o_custkey").alias("c2"), F.countDistinct("o_custkey").alias("d2"),
-        F.min("o_custkey").cast("string").alias("mn2"),
-        F.max("o_custkey").cast("string").alias("mx2"),
-        F.count("o_totalprice").alias("c3"), F.countDistinct("o_totalprice").alias("d3"),
-        F.min("o_totalprice").cast("decimal(18,2)").cast("string").alias("mn3"),
-        F.max("o_totalprice").cast("decimal(18,2)").cast("string").alias("mx3"),
-        F.count("o_orderdate").alias("c4"), F.countDistinct("o_orderdate").alias("d4"),
-        F.min(col("o_orderdate").cast("date")).cast("string").alias("mn4"),
-        F.max(col("o_orderdate").cast("date")).cast("string").alias("mx4"),
-        F.count("o_orderpriority").alias("c5"), F.countDistinct("o_orderpriority").alias("d5"),
-        F.min("o_orderpriority").alias("mn5"), F.max("o_orderpriority").alias("mx5"),
-    )
-    stacked = s.select(
-        F.expr(
-            "stack(5, "
-            "'o_orderkey', n - c1, d1, mn1, mx1, "
-            "'o_custkey', n - c2, d2, mn2, mx2, "
-            "'o_totalprice', n - c3, d3, mn3, mx3, "
-            "'o_orderdate', n - c4, d4, mn4, mx4, "
-            "'o_orderpriority', n - c5, d5, mn5, mx5"
-            ") AS (col_name, n_null, n_distinct, min_s, max_s)"
+
+    def branch(cname, mn, mx):
+        return o.agg(
+            F.lit(cname).alias("col_name"),
+            (F.count("*") - F.count(cname)).cast("bigint").alias("n_null"),
+            F.countDistinct(cname).cast("bigint").alias("n_distinct"),
+            mn.alias("min_s"),
+            mx.alias("max_s"),
         )
-    )
-    return stacked.orderBy("col_name")
+
+    specs = [
+        ("o_custkey", F.min("o_custkey").cast("string"),
+         F.max("o_custkey").cast("string")),
+        ("o_orderdate", F.min(col("o_orderdate").cast("date")).cast("string"),
+         F.max(col("o_orderdate").cast("date")).cast("string")),
+        ("o_orderkey", F.min("o_orderkey").cast("string"),
+         F.max("o_orderkey").cast("string")),
+        ("o_orderpriority", F.min("o_orderpriority"), F.max("o_orderpriority")),
+        ("o_totalprice", F.min("o_totalprice").cast("decimal(18,2)").cast("string"),
+         F.max("o_totalprice").cast("decimal(18,2)").cast("string")),
+    ]
+    out = None
+    for cname, mn, mx in specs:
+        b = branch(cname, mn, mx)
+        out = b if out is None else out.unionAll(b)
+    return out.orderBy("col_name")

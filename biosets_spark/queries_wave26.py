@@ -244,11 +244,26 @@ def q_pca_power(spark, sf_dir):
                 {"i": iu + 1, "j": ju + 1, "p": P[iu, ju]}
             )
 
+    # The scatter matrix is 64x64 REGARDLESS of corpus size, so the
+    # sweep stages run on ONE partition: spreading 4096 cells over 32
+    # shuffle partitions bought nothing but task-scheduling overhead
+    # (measured warm at sf0.1: 3.15 s -> 1.64 s for the three sweeps;
+    # full query 2.4 s -> 1.7 s). v broadcasts into each matvec join
+    # (64 rows). The L-inf normalizer stays the declared 1-row
+    # broadcast (tag "cross") rather than a global window — the plan
+    # audit rejects empty-partition window specs wholesale, and a
+    # carve-out for "constant-size inputs" would blunt that gate.
+    # Each sweep's iterate is localCheckpointed (64 rows): u feeds
+    # both the normalizer aggregate and the crossJoin left side, and
+    # without the truncation each sweep re-derives the whole prior
+    # chain twice — a 2^sweeps subtree blowup (the graph.py
+    # per-iteration lever).
     upper = (
         ints.select("xi")
         .mapInPandas(_partials, schema="i int, j int, p long")
         .groupBy("i", "j")
         .agg((F.sum("p").cast("double") / F.lit(1e12)).alias("c"))
+        .repartition(1)
     ).localCheckpoint(eager=False)
     cov = upper.unionAll(
         upper.filter(col("i") != col("j")).select(
@@ -258,13 +273,13 @@ def q_pca_power(spark, sf_dir):
     v = cov.select("i").distinct().select(col("i").alias("pos"), lit(0.125).alias("v"))
     for _ in range(3):
         u = (
-            cov.join(v.select(col("pos").alias("j"), "v"), "j")
+            cov.join(broadcast(v.select(col("pos").alias("j"), "v")), "j")
             .groupBy("i")
             .agg(
                 F.sum(F.round(col("c") * col("v"), 12).cast("decimal(38,12)"))
                 .cast("double").alias("u")
             )
-        )
+        ).localCheckpoint(eager=False)
         linf = u.agg(F.max(F.abs(col("u"))).alias("linf"))
         v = u.crossJoin(broadcast(linf)).select(
             col("i").alias("pos"), F.round(col("u") / col("linf"), 10).alias("v")

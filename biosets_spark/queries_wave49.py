@@ -37,13 +37,19 @@ def _edges(spark, sf_dir):
     items = li.select("l_orderkey", "l_partkey").distinct()
     a = items.select(col("l_orderkey").alias("k"), col("l_partkey").alias("x"))
     b = items.select(col("l_orderkey").alias("k2"), col("l_partkey").alias("y"))
-    return (
+    edge = (
         a.join(b, (col("k") == col("k2")) & (col("x") < col("y")))
         .groupBy("x", "y")
         .agg(F.count("*").alias("w"))
         .filter(col("w") >= 2)
         .select("x", "y")
     )
+    # Both consumers below fan out over this subtree (the degree union
+    # reads it twice, assortativity's moment join a third time) and
+    # Catalyst does not unify the aliased branches into a
+    # ReusedExchange — truncate the lineage once, the same lever as
+    # q_triangle_count (queries_wave21.py:87).
+    return edge.localCheckpoint(eager=False)
 
 
 @q(
