@@ -261,6 +261,33 @@ def portable_hash60(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+_MASK60 = (1 << 60) - 1
+
+
+def mix60_salt(salt: int) -> int:
+    """The Python-precomputed 60-bit xor constant for permutation
+    ``salt`` (odd multiples of the splitmix64 increment, masked)."""
+    return (0x9E3779B97F4A7C15 * (2 * salt + 1)) & _MASK60
+
+
+def portable_mix60(h: Column, salt: int) -> Column:
+    """Derive the ``salt``-th permutation hash from ONE existing
+    60-bit hash with pure positive-integer xor/shift steps — the
+    derive-k-from-1 pattern (minhash_signatures) made engine-portable.
+
+    No multiplication (BIGINT overflow semantics differ between
+    engines; Spark ANSI would raise) and every intermediate stays in
+    [0, 2^60): the left shift masks its operand to 39 bits first, so
+    ``(x & (2^39-1)) << 21 < 2^60`` in any engine, and right shifts
+    of non-negative values are logical everywhere. DuckDB twin:
+    ``queries_wave13._mix60_sql``.
+    """
+    x = h.bitwiseXOR(lit(mix60_salt(salt)))
+    x = x.bitwiseXOR(F.shiftrightunsigned(x, 29))
+    x = x.bitwiseXOR(F.shiftleft(x.bitwiseAND(lit((1 << 39) - 1)), 21))
+    return x.bitwiseXOR(F.shiftrightunsigned(x, 17))
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             shingle_n: int = 2, portable: bool = False) -> DataFrame:
     """64-bit SimHash per document.

@@ -56,14 +56,26 @@ def q_activity_streaks(spark, sf_dir):
     return streaks.groupBy("streak_len").agg(F.count("*").alias("n_streaks"))
 
 
+def _mix60_sql(expr: str, salt: int) -> str:
+    """DuckDB twin of operators/dedup.py:portable_mix60 — derive the
+    salt-th permutation hash from one 60-bit base hash with the
+    identical xor/shift steps (all intermediates non-negative and
+    < 2^60, so shift semantics agree between engines)."""
+    from .operators.dedup import mix60_salt
+
+    x1 = f"xor({expr}, {mix60_salt(salt)})"
+    x2 = f"xor({x1}, ({x1} >> 29))"
+    x3 = f"xor({x2}, (({x2} & {(1 << 39) - 1}) << 21))"
+    return f"xor({x3}, ({x3} >> 17))"
+
+
 def _minhash_est_oracle(num_perm: int = 8) -> str:
-    # portable minhash: per permutation i, min over shingles of the
-    # 60-bit md5-derived hash of (i || ':' || shingle) — identical
-    # integers in Spark and DuckDB
+    # portable minhash, derive-k-from-1: ONE md5-derived 60-bit hash
+    # per shingle, then k xor/shift permutation derivations
+    # (_mix60_sql) — identical integers in Spark and DuckDB at 1/k-th
+    # the string-hashing cost of the former per-permutation md5
     mins = ",\n             ".join(
-        f"MIN(('0x' || substr(md5(concat('{i}', ':', s)), 1, 15))::BIGINT) "
-        f"AS mh_{i}"
-        for i in range(num_perm)
+        f"MIN({_mix60_sql('h0', i)}) AS mh_{i}" for i in range(num_perm)
     )
     agree = " + ".join(
         f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)"
@@ -80,10 +92,13 @@ def _minhash_est_oracle(num_perm: int = 8) -> str:
                                    i -> array_to_string(list_slice(t, i, i + 3), ' '))) AS s
       FROM toks
     ),
+    hs AS (
+      SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h0 FROM sh
+    ),
     sig AS (
       SELECT doc_id,
              {mins}
-      FROM sh GROUP BY doc_id
+      FROM hs GROUP BY doc_id
     ),
     cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
     exact AS (
@@ -113,23 +128,27 @@ def _minhash_est_oracle(num_perm: int = 8) -> str:
     oracle=_minhash_est_oracle(),
     desc="differential audit of the MinHash sketch itself: for every "
          "exact-Jaccard >= 0.5 pair, the 8-permutation signature "
-         "agreement fraction (the sketch's Jaccard estimator) computed "
-         "from md5-derived 60-bit hashes that BOTH engines "
-         "reconstruct bit-identically — the estimator's error "
-         "distribution is what an operator would monitor before "
-         "trusting a cheaper sketch config at 100 TB (production runs "
-         "use xxhash64; md5 here makes the sketch oracle-checkable).",
+         "agreement fraction (the sketch's Jaccard estimator). ONE "
+         "md5-derived 60-bit hash per shingle, then 8 xor/shift "
+         "permutation derivations (portable_mix60) that BOTH engines "
+         "reconstruct bit-identically — the derive-k-from-1 lever "
+         "minhash_signatures uses at production scale, kept portable "
+         "(the former per-permutation md5 hashed every shingle k "
+         "times). The estimator's error distribution is what an "
+         "operator would monitor before trusting a cheaper sketch "
+         "config at 100 TB.",
     tags=["dedup", "minhash", "agg"],
 )
 def q_minhash_estimate_quality(spark, sf_dir):
-    from .operators.dedup import ngram_jaccard_pairs, portable_hash60, shingle_table
+    from .operators.dedup import (
+        ngram_jaccard_pairs, portable_hash60, portable_mix60, shingle_table,
+    )
 
     num_perm = 8
     docs = tables.load(spark, sf_dir, "documents")
-    sh = shingle_table(docs, n=4)
+    sh = shingle_table(docs, n=4).withColumn("_h0", portable_hash60(col("_sh")))
     mins = [
-        F.min(portable_hash60(F.concat(lit(str(i)), lit(":"), col("_sh"))))
-        .alias(f"mh_{i}")
+        F.min(portable_mix60(col("_h0"), i)).alias(f"mh_{i}")
         for i in range(num_perm)
     ]
     sig = sh.groupBy(col("_id").alias("doc_id")).agg(*mins)

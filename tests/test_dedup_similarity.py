@@ -233,3 +233,35 @@ def test_grid_kernels_reject_non_integral_ids(spark):
     for fn in (S.all_pairs_topk, S.knn_all, S.embedding_dup_pairs):
         with pytest.raises(TypeError, match="integral id column"):
             fn(df)
+
+
+def test_portable_mix60_cross_engine(spark):
+    """portable_mix60 (Spark) and the DuckDB twin produce identical
+    integers, stay inside [0, 2^60), and separate salts decorrelate:
+    the derive-k-from-1 minhash derivation is engine-portable."""
+    import duckdb
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    from biosets_spark.operators.dedup import portable_hash60, portable_mix60
+    from biosets_spark.queries_wave13 import _mix60_sql
+
+    words = [f"shingle {i} text" for i in range(50)]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    out = (
+        df.withColumn("h0", portable_hash60(col("s")))
+        .select("s", "h0", *[portable_mix60(col("h0"), i).alias(f"m{i}") for i in range(4)])
+        .collect()
+    )
+    con = duckdb.connect()
+    for r in out:
+        for i in range(4):
+            v = con.execute(
+                f"SELECT {_mix60_sql('h0', i)} FROM (SELECT CAST(? AS BIGINT) AS h0)",
+                [r["h0"]],
+            ).fetchone()[0]
+            assert v == r[f"m{i}"], (r["s"], i)
+            assert 0 <= v < (1 << 60)
+    # distinct salts must not collide on the same base hash
+    for r in out:
+        assert len({r[f"m{i}"] for i in range(4)}) == 4
