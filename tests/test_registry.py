@@ -142,3 +142,21 @@ def test_no_wave_redeclares_oracle_fragments():
         ):
             offenders.append((base, "inline tokenizer"))
     assert offenders == [], f"re-declared shared fragments: {offenders}"
+
+
+def test_query_inventory_doc_current():
+    """docs/QUERY_INVENTORY.md is a build artifact of the live
+    registry — regenerate with `python tools/gen_inventory.py` when a
+    wave changes. This pins the committed doc to the code."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gen_inventory", os.path.join(root, "tools", "gen_inventory.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    committed = open(os.path.join(root, "docs", "QUERY_INVENTORY.md")).read()
+    assert committed == mod.build(), (
+        "docs/QUERY_INVENTORY.md is stale — run python tools/gen_inventory.py"
+    )
