@@ -385,6 +385,25 @@ class BioDataset:
         save_to_disk(self.df, path, fingerprint=self.fingerprint,
                      mode=mode, partition_by=partition_by)
 
+    def to_sql(self, table: str, url: str, mode: str = "overwrite",
+               batchsize: int = 10000, num_partitions: int | None = None,
+               **options) -> None:
+        """Dataset.to_sql analogue — distributed JDBC write (each
+        Spark partition opens one connection and batches inserts;
+        ``num_partitions`` caps the concurrent connections, the lever
+        that matters when the target DB melts under one connection
+        per core at cluster scale). Mirrors read_sql
+        (sources/readers.py:203) for the roundtrip."""
+        df = self.df
+        if num_partitions is not None and df.rdd.getNumPartitions() > num_partitions:
+            df = df.coalesce(num_partitions)
+        w = (df.write.format("jdbc").mode(mode)
+             .option("url", url).option("dbtable", table)
+             .option("batchsize", str(batchsize)))
+        for k, v in options.items():
+            w = w.option(k, v)
+        w.save()
+
     def to_orc(self, path: str, mode: str = "overwrite",
                partition_by: list[str] | str | None = None,
                compression: str = "zlib") -> None:

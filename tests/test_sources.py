@@ -764,3 +764,20 @@ def test_relation_cache_memoizes_per_session(spark, tmp_path):
     tables.refresh()
     c = tables.load(spark, "/root/testdata/sf0.001", "nation")
     assert c is not a and c.schema == a.schema
+
+
+def test_dataset_to_sql_jdbc_roundtrip(spark, tmp_path):
+    """BioDataset.to_sql: distributed JDBC sink against embedded
+    Derby, read back via read_sql; num_partitions caps connections."""
+    from biosets_spark import BioDataset
+    from biosets_spark.sources.readers import read_sql
+
+    url = f"jdbc:derby:{tmp_path}/sinkdb;create=true"
+    ds = BioDataset(spark.createDataFrame(
+        [(i, f"g{i % 2}", i * 0.5) for i in range(20)],
+        "id int, grp string, val double").repartition(8))
+    ds.to_sql("t_sink", url, num_partitions=2,
+              createTableColumnTypes="grp VARCHAR(16)")
+    back = read_sql(spark, "t_sink", url)
+    assert back.count() == 20
+    assert {r.grp for r in back.select("grp").distinct().collect()} == {"g0", "g1"}
