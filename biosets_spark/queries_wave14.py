@@ -236,13 +236,20 @@ def q_group_sample(spark, sf_dir):
     # p90..p99) band" is a deterministic boolean at accuracy=10000 on
     # this data — so emit exact percentiles plus the flags, and the
     # oracle asserts the flags (q_approx_distinct pattern).
+    # the flags carry a support gate (n >= 100): on a handful of rows
+    # the exact band is an INTERPOLATED interval between two data
+    # points while the (then-exact) sketch returns an actual data
+    # value, so "inside the band" is vacuously undecidable — the gate
+    # makes the audit NULL there on both engines instead of flaky
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
            ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p95_exact,
-           CAST(1 AS INT) AS p50_within_band,
-           CAST(1 AS INT) AS p95_within_band
+           CASE WHEN COUNT(*) >= 100 THEN CAST(1 AS INT) END
+             AS p50_within_band,
+           CASE WHEN COUNT(*) >= 100 THEN CAST(1 AS INT) END
+             AS p95_within_band
     FROM orders GROUP BY o_orderpriority
     ORDER BY o_orderpriority
     """,
@@ -263,18 +270,18 @@ def q_approx_quantile_audit(spark, sf_dir):
             F.count("*").alias("n"),
             F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50_exact"),
             F.round(F.expr("percentile(o_totalprice, 0.95)"), 2).alias("p95_exact"),
-            (
+            F.when(F.count("*") >= 100, (
                 (F.expr("approx_percentile(o_totalprice, 0.5, 10000)")
                  >= F.expr("percentile(o_totalprice, 0.40)"))
                 & (F.expr("approx_percentile(o_totalprice, 0.5, 10000)")
                    <= F.expr("percentile(o_totalprice, 0.60)"))
-            ).cast("int").alias("p50_within_band"),
-            (
+            ).cast("int")).alias("p50_within_band"),
+            F.when(F.count("*") >= 100, (
                 (F.expr("approx_percentile(o_totalprice, 0.95, 10000)")
                  >= F.expr("percentile(o_totalprice, 0.90)"))
                 & (F.expr("approx_percentile(o_totalprice, 0.95, 10000)")
                    <= F.expr("percentile(o_totalprice, 0.99)"))
-            ).cast("int").alias("p95_within_band"),
+            ).cast("int")).alias("p95_within_band"),
         )
         .orderBy("o_orderpriority")
     )

@@ -93,7 +93,10 @@ def q_ks_drift(spark, sf_dir):
         F.sum("n1").over(wtot).alias("t1"),
         F.sum("n2").over(wtot).alias("t2"),
     )
-    gap = F.abs(col("c1").cast("double") / col("t1") - col("c2").cast("double") / col("t2"))
+    # try_divide: a type entirely inside one half has an empty other
+    # ECDF; its KS gap is NULL, matching the oracle's x/0 = NULL
+    gap = F.abs(F.try_divide(col("c1").cast("double"), col("t1"))
+                - F.try_divide(col("c2").cast("double"), col("t2")))
     return (
         c.groupBy("event_type")
         .agg(

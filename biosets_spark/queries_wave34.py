@@ -128,18 +128,23 @@ def q_mann_whitney(spark, sf_dir):
     n2d = col("n2").cast("double")
     u = (col("r2a") - col("n1") * (col("n1") + 1)).cast("double") / 2
     nn = col("n1") + col("n2")
+    # try_divide twice: a single-row status zeroes the tie-correction
+    # denominator, and a status missing one arm (n1*n2 = 0) has no
+    # defined z / effect size — NULL in both engines (the oracle's
+    # x/0 is NULL)
     sigma = F.sqrt(
         n1d * n2d / 12
         * ((nn + 1).cast("double")
-           - col("tsum").cast("double") / (nn.cast("double") * (n1d + n2d - 1)))
+           - F.try_divide(col("tsum").cast("double"),
+                          nn.cast("double") * (n1d + n2d - 1)))
     )
     return agg.select(
         col("ls").alias("l_linestatus"),
         col("n1").cast("long").alias("n_a"),
         col("n2").cast("long").alias("n_r"),
         F.round(u, 1).alias("u_stat"),
-        F.round((u - n1d * n2d / 2) / sigma, 6).alias("z_score"),
-        F.round(1 - 2 * u / (n1d * n2d), 6).alias("rank_biserial"),
+        F.round(F.try_divide(u - n1d * n2d / 2, sigma), 6).alias("z_score"),
+        F.round(1 - F.try_divide(2 * u, n1d * n2d), 6).alias("rank_biserial"),
     ).orderBy("l_linestatus")
 
 

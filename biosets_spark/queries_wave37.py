@@ -91,8 +91,11 @@ def q_skew_kurtosis(spark, sf_dir):
         col("n").cast("long").alias("n_events"),
         F.round(m1 / 100, 6).alias("mean_value"),
         F.round(F.sqrt(var) / 100, 6).alias("stddev_pop"),
-        F.round(m3 / F.pow(var, 1.5), 6).alias("skewness"),
-        F.round(m4 / (var * var) - 3, 6).alias("excess_kurtosis"),
+        # try_divide: a single-row or constant-valued group has zero
+        # variance; the moment ratios are then NULL (matching the
+        # oracle, where x/0 is NULL) instead of an ANSI crash
+        F.round(F.try_divide(m3, F.pow(var, 1.5)), 6).alias("skewness"),
+        F.round(F.try_divide(m4, var * var) - 3, 6).alias("excess_kurtosis"),
     ).orderBy("event_type")
 
 

@@ -99,7 +99,9 @@ def q_auc_roc(spark, sf_dir):
         col("st").alias("o_orderstatus"),
         col("n_pos").cast("long").alias("n_pos"),
         col("n_neg").cast("long").alias("n_neg"),
-        F.round(u / (col("n_pos").cast("double") * col("n_neg")), 6)
+        # try_divide: a status with no positives (or no negatives) has
+        # an undefined AUC -> NULL, matching the oracle's x/0 = NULL
+        F.round(F.try_divide(u, col("n_pos").cast("double") * col("n_neg")), 6)
         .alias("auc"),
     ).orderBy("o_orderstatus")
 

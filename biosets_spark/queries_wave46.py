@@ -100,9 +100,14 @@ def q_partial_correlation(spark, sf_dir):
     n = col("n").cast("double")
 
     def corr(sab, sa, sb, saa, sbb):
-        return (n * col(sab) - col(sa) * col(sb)) / F.sqrt(
-            (n * col(saa) - col(sa) * col(sa))
-            * (n * col(sbb) - col(sb) * col(sb))
+        # try_divide: a constant column in a group zeroes its variance
+        # -> NULL correlation, matching the oracle's x/0 = NULL
+        return F.try_divide(
+            n * col(sab) - col(sa) * col(sb),
+            F.sqrt(
+                (n * col(saa) - col(sa) * col(sa))
+                * (n * col(sbb) - col(sb) * col(sb))
+            ),
         )
 
     r = mom.select(
@@ -116,9 +121,10 @@ def q_partial_correlation(spark, sf_dir):
         col("n").cast("long").alias("n_rows"),
         F.round(col("rxy"), 6).alias("r_qty_price"),
         F.round(
-            (col("rxy") - col("rxz") * col("ryz"))
-            / F.sqrt((1 - col("rxz") * col("rxz"))
-                     * (1 - col("ryz") * col("ryz"))), 6,
+            F.try_divide(
+                col("rxy") - col("rxz") * col("ryz"),
+                F.sqrt((1 - col("rxz") * col("rxz"))
+                       * (1 - col("ryz") * col("ryz")))), 6,
         ).alias("r_partial_given_discount"),
     ).orderBy("l_returnflag")
 

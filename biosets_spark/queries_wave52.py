@@ -111,13 +111,17 @@ def q_price_index(spark, sf_dir):
     d28 = "decimal(28,6)"
     p1q0 = F.round(col("c1").cast("double") * col("q0") / col("q1"), 6)
     p0q1 = F.round(col("c0").cast("double") * col("q1") / col("q0"), 6)
-    agg = basket.groupBy("y0", "y1").agg(
+    # GLOBAL aggregate + re-attached years, not groupBy(y0, y1): the
+    # oracle's ungrouped agg yields one row of NULL indices even when
+    # the common basket is EMPTY (single-year corpora); grouping by
+    # the carried year columns silently returned zero rows there
+    agg = basket.groupBy().agg(
         F.count("*").alias("n_parts"),
         F.sum(p1q0.cast(d28)).cast("double").alias("l_num"),
         F.sum("c0").cast("double").alias("l_den"),
         F.sum("c1").cast("double").alias("p_num"),
         F.sum(p0q1.cast(d28)).cast("double").alias("p_den"),
-    )
+    ).crossJoin(broadcast(years))
     lasp = col("l_num") / col("l_den")
     paas = col("p_num") / col("p_den")
     return agg.select(
@@ -181,11 +185,14 @@ def q_power_analysis(spark, sf_dir):
     p1 = col("k").cast("double") / col("n")
     p2 = F.least(p1 * 1.10, F.lit(0.999999))
     pbar = (p1 + p2) / 2
+    # try_divide: a 0% base rate has p2 = p1 (no detectable lift) ->
+    # NULL plan size, matching the oracle's x/0 = NULL
     n_arm = F.ceil(
-        F.pow(
-            _Z_ALPHA * F.sqrt(2 * pbar * (1 - pbar))
-            + _Z_BETA * F.sqrt(p1 * (1 - p1) + p2 * (1 - p2)), 2,
-        ) / F.pow(p2 - p1, 2)
+        F.try_divide(
+            F.pow(
+                _Z_ALPHA * F.sqrt(2 * pbar * (1 - pbar))
+                + _Z_BETA * F.sqrt(p1 * (1 - p1) + p2 * (1 - p2)), 2,
+            ), F.pow(p2 - p1, 2))
     )
     return base.select(
         col("st").alias("o_orderstatus"),

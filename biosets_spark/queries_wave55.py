@@ -204,10 +204,14 @@ def q_anova_oneway(spark, sf_dir):
         .agg(
             F.max("k").cast("long").alias("n_groups"),
             F.max("n_tot").cast("long").alias("n_rows"),
-            F.round(ssb / (ssb + ssw), 6).alias("eta_squared"),
+            # try_divide: constant values (ssb+ssw = 0), a single dow
+            # group (k-1 = 0), or saturated groups (n_tot = k) all
+            # degrade to NULL, matching the oracle's x/0 = NULL
+            F.round(F.try_divide(ssb, ssb + ssw), 6).alias("eta_squared"),
             F.round(
-                (ssb / (F.max("k") - 1))
-                / (ssw / (F.max("n_tot") - F.max("k"))), 6,
+                F.try_divide(
+                    F.try_divide(ssb, F.max("k") - 1),
+                    F.try_divide(ssw, F.max("n_tot") - F.max("k"))), 6,
             ).alias("f_stat"),
         )
         .orderBy("event_type")

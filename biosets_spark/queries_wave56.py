@@ -112,8 +112,12 @@ def q_diff_in_diff(spark, sf_dir):
         F.round(col("cp"), 6).alias("control_post"),
         F.round((col("tp") - col("tb")) - (col("cp") - col("cb")), 6)
         .alias("did_estimate"),
+        # try_divide: with n_all <= 4 rows the pooled-variance df is
+        # zero or negative-degenerate; the SE is NULL, matching the
+        # oracle's x/0 = NULL
         F.round(
-            F.sqrt(col("ssw") / (col("n_all") - 4) * col("inv_n")), 6
+            F.sqrt(F.try_divide(col("ssw"), col("n_all") - 4)
+                   * col("inv_n")), 6
         ).alias("did_se"),
     )
 

@@ -41,10 +41,11 @@ _DAILY_SQL = """
       SELECT event_type, COUNT(*) AS n,
              CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
                AS center,
-             SQRT(CAST(SUM(CAST(m AS DECIMAL(18,6))
+             SQRT(GREATEST(
+                  CAST(SUM(CAST(m AS DECIMAL(18,6))
                            * CAST(m AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
                   - POWER(CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE)
-                          / COUNT(*), 2)) AS sigma
+                          / COUNT(*), 2), 0)) AS sigma
       FROM daily GROUP BY event_type
     )
     SELECT d.event_type,
@@ -91,10 +92,16 @@ def q_control_chart(spark, sf_dir):
     lim = daily.groupBy(col("event_type").alias("et")).agg(
         F.count("*").alias("n"),
         (F.sum(md).cast("double") / F.count("*")).alias("center"),
-        F.sqrt(
+        # GREATEST(var, 0) on BOTH engines before the sqrt: a 1-day
+        # (or constant) type's population variance cancels to an
+        # epsilon-negative double, where Spark yields NaN but DuckDB
+        # raises — the clamp makes the degenerate sigma an exact 0.0
+        # in both
+        F.sqrt(F.greatest(
             F.sum(md * md).cast("double") / F.count("*")
-            - F.pow(F.sum(md).cast("double") / F.count("*"), 2)
-        ).alias("sigma"),
+            - F.pow(F.sum(md).cast("double") / F.count("*"), 2),
+            F.lit(0.0),
+        )).alias("sigma"),
     )
     joined = daily.join(broadcast(lim), col("event_type") == col("et"))
     hi3 = col("center") + 3 * col("sigma")
@@ -199,10 +206,13 @@ def q_seasonal_strength(spark, sf_dir):
         terms.groupBy("event_type")
         .agg(
             F.count("*").cast("long").alias("n_days"),
+            # try_divide: a constant series has zero total variance;
+            # the NULL ratio then clamps to 0.0 via greatest, which
+            # skips NULLs identically in both engines
             F.round(
                 F.greatest(
-                    1 - F.sum("rem").cast("double")
-                    / F.sum("tot").cast("double"),
+                    1 - F.try_divide(F.sum("rem").cast("double"),
+                                     F.sum("tot").cast("double")),
                     F.lit(0.0),
                 ), 6,
             ).alias("seasonal_strength"),

@@ -160,7 +160,8 @@ def q_mann_kendall(spark, sf_dir):
     ), fit AS (
       SELECT event_type, n,
              s1 / n AS mean,
-             SQRT(6 * (s2 / n - POWER(s1 / n, 2))) / {_PI} AS beta
+             SQRT(GREATEST(6 * (s2 / n - POWER(s1 / n, 2)), 0)) / {_PI}
+               AS beta
       FROM mom
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_blocks,
@@ -199,7 +200,12 @@ def q_gumbel_maxima(spark, sf_dir):
     )
     nd = col("n").cast("double")
     mean = col("s1") / nd
-    beta = F.sqrt(6 * (col("s2") / nd - F.pow(mean, 2))) / lit(_PI)
+    # GREATEST(.,0) on BOTH engines: the population variance of a
+    # 1-block (or constant) series cancels to an epsilon-negative
+    # double, where Spark yields NaN but DuckDB raises on sqrt — the
+    # clamp pins the degenerate scale to exactly 0.0 in both
+    beta = F.sqrt(F.greatest(
+        6 * (col("s2") / nd - F.pow(mean, 2)), lit(0.0))) / lit(_PI)
     mu = mean - lit(_EULER) * beta
     return mom.select(
         "event_type",

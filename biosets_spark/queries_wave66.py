@@ -112,7 +112,9 @@ def q_embedding_anisotropy(spark, sf_dir):
     return agg.select(
         "label",
         col("n").cast("long").alias("n_vectors"),
-        F.round((col("norm2") - col("n")) / (nd * (col("n") - 1)), 6)
+        # try_divide: a single-vector label has no pairs -> NULL,
+        # matching the oracle's x/0 = NULL
+        F.round(F.try_divide(col("norm2") - col("n"), nd * (col("n") - 1)), 6)
         .alias("mean_pairwise_cosine"),
         F.round(F.sqrt(col("norm2")) / col("n"), 6).alias("centroid_norm"),
     ).orderBy("label")

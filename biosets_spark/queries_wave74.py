@@ -182,8 +182,10 @@ def q_jarque_bera(spark, sf_dir):
     )
     nd = col("n").cast("double")
     m2, m3, m4 = col("m2"), col("m3"), col("m4")
-    skew = m3 / F.pow(m2, 1.5)
-    kurt = m4 / F.pow(m2, 2) - 3
+    # try_divide: a constant daily series has m2 = 0; skew/kurt/JB are
+    # then NULL, matching the oracle's x/0 = NULL
+    skew = F.try_divide(m3, F.pow(m2, 1.5))
+    kurt = F.try_divide(m4, F.pow(m2, 2)) - 3
     jb = nd / 6 * (F.pow(skew, 2) + F.pow(kurt, 2) / 4)
     return cm.select(
         "event_type",

@@ -73,8 +73,11 @@ def q_mde_planner(spark, sf_dir):
     )
     p = col("k").cast("double") / col("n")
     n_arm = F.floor(col("n") / 2).cast("long")
+    # try_divide twice: a 1-row group has n_per_arm = 0 (no feasible
+    # test -> NULL MDE), and a 0% base rate has no relative lift;
+    # the oracle's x/0 = NULL matches both
     mde_abs = (_Z_ALPHA + _Z_BETA) * F.sqrt(
-        2 * p * (1 - p) / n_arm
+        F.try_divide(2 * p * (1 - p), n_arm)
     )
     return base.select(
         col("st").alias("o_orderstatus"),
@@ -82,7 +85,7 @@ def q_mde_planner(spark, sf_dir):
         n_arm.alias("n_per_arm"),
         F.round(p, 6).alias("base_rate"),
         F.round(mde_abs, 6).alias("mde_absolute"),
-        F.round(mde_abs / p, 6).alias("mde_relative"),
+        F.round(F.try_divide(mde_abs, p), 6).alias("mde_relative"),
     ).orderBy("o_orderstatus")
 
 

@@ -149,15 +149,20 @@ def q_overdispersion(spark, sf_dir):
         F.count("*").alias("d"),
     )
     p = col("kt").cast("double") / col("nt")
+    # try_divide: a pooled rate of exactly 0 or 1 makes the binomial
+    # variance zero; those terms (and phi for a 1-day type below) are
+    # NULL, matching the oracle's x/0 = NULL (SUM skips NULLs in both
+    # engines)
     term = F.round(
-        F.pow(col("k") - col("n") * p, 2) / (col("n") * p * (1 - p)), 8
+        F.try_divide(F.pow(col("k") - col("n") * p, 2),
+                     col("n") * p * (1 - p)), 8
     ).cast("decimal(28,8)")
     terms = daily.join(broadcast(pooled), col("event_type") == col("et_p"))
     agg = terms.groupBy("event_type").agg(
         F.max("d").alias("d"),
         F.sum(term).cast("double").alias("chi2"),
     )
-    phi = col("chi2") / (col("d") - 1)
+    phi = F.try_divide(col("chi2"), col("d") - 1)
     return agg.select(
         "event_type",
         col("d").cast("long").alias("n_days"),

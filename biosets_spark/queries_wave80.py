@@ -92,20 +92,24 @@ def q_cpk_capability(spark, sf_dir):
         daily.join(broadcast(means), col("event_type") == col("et_m"))
         .groupBy("event_type", "n", "mu")
         .agg(
+            # try_divide chain: a 1-day type has no sample variance
+            # (n-1 = 0) and a constant series has sd = 0 — sd/cp/cpk
+            # are NULL, matching the oracle's x/0 = NULL
             F.sqrt(
-                F.sum(F.round(F.pow(dev, 2), 6).cast("decimal(38,6)"))
-                .cast("double") / (col("n") - 1)
+                F.try_divide(
+                    F.sum(F.round(F.pow(dev, 2), 6).cast("decimal(38,6)"))
+                    .cast("double"), col("n") - 1)
             ).alias("sd")
         )
     )
     mu, sd = col("mu"), col("sd")
     usl, lsl = 1.2 * mu, 0.8 * mu
-    cpk = F.least(usl - mu, mu - lsl) / (3 * sd)
+    cpk = F.try_divide(F.least(usl - mu, mu - lsl), 3 * sd)
     return sig.select(
         "event_type",
         F.round(mu / 100, 2).alias("center"),
         F.round(sd / 100, 4).alias("stddev"),
-        F.round((usl - lsl) / (6 * sd), 6).alias("cp"),
+        F.round(F.try_divide(usl - lsl, 6 * sd), 6).alias("cp"),
         F.round(cpk, 6).alias("cpk"),
         (cpk >= 1.33).alias("capable_4sigma"),
     ).orderBy("event_type")

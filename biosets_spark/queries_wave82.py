@@ -138,15 +138,19 @@ def q_levene_bf(spark, sf_dir):
             ).cast("double").alias("ssw"),
         )
     )
-    msb = col("ssb") / (col("k") - 1)
-    msw = col("ssw") / (col("nt") - col("k"))
+    # try_divide: one group (k-1 = 0), saturated groups (nt = k), or
+    # zero within-deviation all make the F pieces NULL, matching the
+    # oracle's x/0 = NULL
+    msb = F.try_divide(col("ssb"), col("k") - 1)
+    msw = F.try_divide(col("ssw"), col("nt") - col("k"))
+    f_stat = F.try_divide(msb, msw)
     return parts.select(
         col("k").cast("long").alias("n_groups"),
         col("nt").cast("long").alias("n_days_total"),
         F.round(msb, 6).alias("ms_between"),
         F.round(msw, 6).alias("ms_within"),
-        F.round(msb / msw, 6).alias("f_stat"),
-        (msb / msw > 2.45).alias("reject_equal_var_5pct"),
+        F.round(f_stat, 6).alias("f_stat"),
+        (f_stat > 2.45).alias("reject_equal_var_5pct"),
     )
 
 
@@ -216,9 +220,12 @@ def q_grubbs_test(spark, sf_dir):
         daily.join(broadcast(means), col("event_type") == col("et_m"))
         .groupBy("event_type", "n", "mu")
         .agg(
+            # try_divide: a 1-day type (n-1 = 0) or constant series
+            # (sd = 0) yields NULL G scores, matching the oracle
             F.sqrt(
-                F.sum(F.round(F.pow(dev, 2), 6).cast("decimal(38,6)"))
-                .cast("double") / (col("n") - 1)
+                F.try_divide(
+                    F.sum(F.round(F.pow(dev, 2), 6).cast("decimal(38,6)"))
+                    .cast("double"), col("n") - 1)
             ).alias("sd")
         )
     )
@@ -227,7 +234,7 @@ def q_grubbs_test(spark, sf_dir):
         col("event_type") == col("et_s"),
     ).select(
         "event_type", "day", "n",
-        (F.abs(col("mc") - col("mu")) / col("sd")).alias("g"),
+        F.try_divide(F.abs(col("mc") - col("mu")), col("sd")).alias("g"),
     )
     w = Window.partitionBy("event_type").orderBy(col("g").desc(), "day")
     return (

@@ -199,36 +199,43 @@ def q_welch_anova(spark, sf_dir):
         F.sum(yd * col("y")).cast("double").alias("s2"),
     )
     nd = col("n").cast("double")
+    # try_divide throughout: 1-day groups (n-1 = 0), zero-variance
+    # groups (w = n/v undefined), and a single surviving group
+    # (k^2-1 = 0) all degrade to NULL, matching the oracle's
+    # x/0 = NULL at every one of the same sites
     m = col("s1") / nd
-    v = (col("s2") - col("s1") * col("s1") / nd) / (nd - 1)
+    v = F.try_divide(col("s2") - col("s1") * col("s1") / nd, nd - 1)
     stats = grp.select(
-        "event_type", "n", m.alias("m"), v.alias("v"), (nd / v).alias("w")
-    )
+        "event_type", "n", m.alias("m"), v.alias("v"),
+    ).withColumn("w", F.try_divide(col("n").cast("double"), col("v")))
     tot = stats.agg(
         F.count("*").alias("k"),
         F.sum("w").alias("sw"),
-        (F.sum(col("w") * col("m")) / F.sum("w")).alias("mbar"),
+        F.try_divide(F.sum(col("w") * col("m")), F.sum("w")).alias("mbar"),
     )
     parts = stats.crossJoin(broadcast(tot)).groupBy("k", "sw").agg(
-        (
+        F.try_divide(
             F.sum(
                 F.round(col("w") * F.pow(col("m") - col("mbar"), 2), 8)
                 .cast("decimal(38,8)")
-            ).cast("double") / (F.max("k") - 1)
+            ).cast("double"), F.max("k") - 1
         ).alias("num"),
         F.sum(
             F.round(
-                F.pow(1 - col("w") / col("sw"), 2) / (col("n") - 1), 10
+                F.try_divide(
+                    F.pow(1 - F.try_divide(col("w"), col("sw")), 2),
+                    col("n") - 1), 10
             ).cast("decimal(28,10)")
         ).cast("double").alias("hsum"),
     )
     kd = col("k").cast("double")
-    f_star = col("num") / (
-        1 + 2 * (kd - 2) / (kd * kd - 1) * col("hsum")
+    f_star = F.try_divide(
+        col("num"),
+        1 + 2 * F.try_divide(kd - 2, kd * kd - 1) * col("hsum"),
     )
     return parts.select(
         col("k").cast("long").alias("n_groups"),
         F.round(f_star, 6).alias("welch_f"),
-        F.round((kd * kd - 1) / (3 * col("hsum")), 6).alias("df2"),
+        F.round(F.try_divide(kd * kd - 1, 3 * col("hsum")), 6).alias("df2"),
         (f_star > 2.65).alias("reject_equal_means_5pct"),
     )

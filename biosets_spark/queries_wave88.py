@@ -95,8 +95,12 @@ def q_capm_beta(spark, sf_dir):
         F.sum(md * col("m")).cast("double").alias("smm"),
     )
     nd = col("n").cast("double")
-    beta = (nd * col("sym") - col("sy") * col("sm")) / (
-        nd * col("smm") - col("sm") * col("sm")
+    # try_divide: with a single matched day (or a constant market
+    # series) the market variance is zero; beta and alpha are NULL,
+    # matching the oracle's x/0 = NULL
+    beta = F.try_divide(
+        nd * col("sym") - col("sy") * col("sm"),
+        nd * col("smm") - col("sm") * col("sm"),
     )
     alpha = (col("sy") - beta * col("sm")) / nd / 100
     return mom.select(

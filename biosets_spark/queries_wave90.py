@@ -92,7 +92,10 @@ def q_neyman_allocation(spark, sf_dir):
         F.sum(cd * col("cents")).cast("double").alias("s2"),
     )
     nd = col("n").cast("double")
-    sd = F.sqrt((col("s2") - col("s1") * col("s1") / nd) / (nd - 1))
+    # try_divide: a 1-order stratum has no sample sd (n-1 = 0) and
+    # drops out of the Neyman shares as NULL (SUM skips NULLs in both
+    # engines), matching the oracle's x/0 = NULL
+    sd = F.sqrt(F.try_divide(col("s2") - col("s1") * col("s1") / nd, nd - 1))
     strata = mom.select("seg", "n", sd.alias("sd"))
     tot = strata.agg(
         F.sum("n").alias("nt"),
@@ -104,12 +107,12 @@ def q_neyman_allocation(spark, sf_dir):
         col("seg").alias("c_mktsegment"),
         col("n").cast("long").alias("stratum_size"),
         F.round(col("sd") / 100, 2).alias("stratum_sd"),
-        F.round(_BUDGET * col("n") * col("sd") / col("sns")).cast("long")
-        .alias("neyman_n"),
+        F.round(F.try_divide(_BUDGET * col("n") * col("sd"), col("sns")))
+        .cast("long").alias("neyman_n"),
         F.round(_BUDGET * col("n").cast("double") / col("nt")).cast("long")
         .alias("proportional_n"),
         F.round(
-            col("n") * col("sd") / col("sns")
+            F.try_divide(col("n") * col("sd"), col("sns"))
             - col("n").cast("double") / col("nt"), 6
         ).alias("share_shift"),
     ).orderBy("c_mktsegment")

@@ -211,8 +211,11 @@ def q_winsor_variance_gain(spark, sf_dir):
         col("n").cast("long").alias("n_orders"),
         F.round(raw_v / 10000, 2).alias("raw_variance"),
         F.round(win_v / 10000, 2).alias("winsorized_variance"),
-        F.round(win_v / raw_v, 6).alias("variance_ratio"),
+        # try_divide: a constant segment has zero raw variance and a
+        # zero-mean one no shift denominator -> NULL, matching the
+        # oracle's x/0 = NULL
+        F.round(F.try_divide(win_v, raw_v), 6).alias("variance_ratio"),
         F.round(
-            (col("s1") / nd - col("w1") / nd) / (col("s1") / nd), 6
+            F.try_divide(col("s1") / nd - col("w1") / nd, col("s1") / nd), 6
         ).alias("mean_shift_frac"),
     ).orderBy("c_mktsegment")

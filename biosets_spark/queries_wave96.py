@@ -101,7 +101,11 @@ def q_eb_shrinkage(spark, sf_dir):
     )
     nd = col("n").cast("double")
     m = col("s1") / nd
-    se2 = (col("s2") - col("s1") * col("s1") / nd) / (nd - 1) / nd
+    # try_divide: a 1-order segment has no sample variance (n-1 = 0);
+    # its se2, weight, and shrunk mean degrade to NULL, matching the
+    # oracle's x/0 = NULL (both engines' greatest() skips NULLs, so
+    # tau2 still clamps at 0)
+    se2 = F.try_divide(col("s2") - col("s1") * col("s1") / nd, nd - 1) / nd
     stats = grp.select("seg", "n", m.alias("m"), se2.alias("se2"))
     tot = stats.agg(
         F.count("*").alias("k"),
@@ -114,15 +118,16 @@ def q_eb_shrinkage(spark, sf_dir):
         "k", "grand", "mean_se2"
     ).agg(
         F.greatest(
-            F.sum(
-                F.round(F.pow(col("m") - col("grand"), 2), 6)
-                .cast("decimal(38,6)")
-            ).cast("double") / (F.max("k") - 1) - F.max("mean_se2"),
+            F.try_divide(
+                F.sum(
+                    F.round(F.pow(col("m") - col("grand"), 2), 6)
+                    .cast("decimal(38,6)")
+                ).cast("double"), F.max("k") - 1) - F.max("mean_se2"),
             F.lit(0.0),
         ).alias("tau2")
     )
     j = stats.crossJoin(broadcast(tau))
-    w = col("tau2") / (col("tau2") + col("se2"))
+    w = F.try_divide(col("tau2"), col("tau2") + col("se2"))
     return j.select(
         col("seg").alias("c_mktsegment"),
         col("n").cast("long").alias("n_orders"),

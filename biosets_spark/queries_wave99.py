@@ -181,12 +181,16 @@ def q_doubling_time(spark, sf_dir):
         .alias("syy"),
     )
     nd = col("n").cast("double")
-    slope = (nd * col("sxy") - col("sx") * col("sy")) / (
-        nd * col("sxx") - col("sx") * col("sx")
+    # try_divide: a segment with one active day has zero x-variance;
+    # slope/r2 are NULL, matching the oracle's x/0 = NULL
+    slope = F.try_divide(
+        nd * col("sxy") - col("sx") * col("sy"),
+        nd * col("sxx") - col("sx") * col("sx"),
     )
-    r2 = F.pow(nd * col("sxy") - col("sx") * col("sy"), 2) / (
+    r2 = F.try_divide(
+        F.pow(nd * col("sxy") - col("sx") * col("sy"), 2),
         (nd * col("sxx") - col("sx") * col("sx"))
-        * (nd * col("syy") - col("sy") * col("sy"))
+        * (nd * col("syy") - col("sy") * col("sy")),
     )
     return mom.select(
         col("seg").alias("c_mktsegment"),
