@@ -35,7 +35,7 @@ from .queries import q
     oracle="""
     WITH hist AS (
       SELECT l_linestatus AS ls,
-             CAST(ROUND(l_extendedprice, 2) AS DECIMAL(18,2)) AS v,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
              CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS bkt,
              COUNT(*) FILTER (WHERE l_returnflag = 'A') AS na,
              COUNT(*) FILTER (WHERE l_returnflag = 'R') AS nr,
@@ -104,7 +104,7 @@ def q_mann_whitney(spark, sf_dir):
         li.where(col("l_returnflag").isin("A", "R"))
         .groupBy(
             col("l_linestatus").alias("ls"),
-            F.round("l_extendedprice", 2).cast("decimal(18,2)").alias("v"),
+            F.round(col("l_extendedprice") * 100).cast("long").alias("v"),
             F.floor(col("l_extendedprice") / 5000).cast("long").alias("bkt"),
         )
         .agg(
