@@ -30,26 +30,30 @@ from .queries import dsum, q
     ORDER BY support DESC, part_a, part_b LIMIT 20
     """,
     desc="Market-basket pair mining: top-20 part pairs by co-"
-         "occurrence support across orders. The self-join is keyed on "
-         "the order id AFTER (order, part) dedup, so its fan-out per "
-         "order is C(items,2) with items bounded by basket size (<= 7 "
-         "in this schema) — linear in orders at any scale, never "
-         "quadratic in parts; the pair aggregation is map-side "
-         "combinable and the top-20 is a TakeOrdered with a full "
-         "tie-break.",
+         "occurrence support across orders. ONE shuffle on the order "
+         "id collects each basket's sorted distinct item set "
+         "(collect_set dedups (order, part) in the same agg), then "
+         "C(items,2) ordered pairs are generated JVM-side per basket "
+         "— no fact-fact self-join, so the fact table is exchanged "
+         "once instead of twice. Fan-out per order is C(items,2) "
+         "with items bounded by basket size (<= 7 in this schema) — "
+         "linear in orders at any scale, never quadratic in parts; "
+         "the pair aggregation is map-side combinable and the top-20 "
+         "is a TakeOrdered with a full tie-break.",
     tags=["join", "agg"],
 )
 def q_basket_pairs(spark, sf_dir):
     li = tables.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    items = li.distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = a.join(
-        b,
-        (col("a.l_orderkey") == col("b.l_orderkey"))
-        & (col("a.l_partkey") < col("b.l_partkey")),
-    ).select(
-        col("a.l_partkey").alias("part_a"), col("b.l_partkey").alias("part_b")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("items")
+    )
+    pairs_expr = F.expr(
+        "flatten(transform(items, (x, i) -> transform("
+        "slice(items, i + 2, size(items)), "
+        "y -> struct(x AS part_a, y AS part_b))))"
+    )
+    pairs = baskets.select(F.explode(pairs_expr).alias("p")).select(
+        "p.part_a", "p.part_b"
     )
     return (
         pairs.groupBy("part_a", "part_b")
