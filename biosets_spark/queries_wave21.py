@@ -71,15 +71,20 @@ _EDGE_SQL = """
 )
 def q_triangle_count(spark, sf_dir):
     li = tables.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    items = li.distinct()
-    a, b = items.alias("a"), items.alias("b")
+    # basket-local edge generation (the q_basket_pairs plan): one
+    # shuffle collects each order's sorted distinct item set, C(k,2)
+    # ordered pairs explode JVM-side — no fact-fact self-join
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("items")
+    )
+    pairs_expr = F.expr(
+        "flatten(transform(items, (x, i) -> transform("
+        "slice(items, i + 2, size(items)), y -> struct(x AS x, y AS y))))"
+    )
     edge = (
-        a.join(
-            b,
-            (col("a.l_orderkey") == col("b.l_orderkey"))
-            & (col("a.l_partkey") < col("b.l_partkey")),
-        )
-        .groupBy(col("a.l_partkey").alias("x"), col("b.l_partkey").alias("y"))
+        baskets.select(F.explode(pairs_expr).alias("p"))
+        .select("p.x", "p.y")
+        .groupBy("x", "y")
         .agg(F.count("*").alias("w"))
         .filter(col("w") >= 2)
         .select("x", "y")

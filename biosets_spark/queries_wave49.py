@@ -34,11 +34,19 @@ _EDGE_SQL = """
 
 def _edges(spark, sf_dir):
     li = tables.load(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.select(col("l_orderkey").alias("k"), col("l_partkey").alias("x"))
-    b = items.select(col("l_orderkey").alias("k2"), col("l_partkey").alias("y"))
+    # basket-local edge generation (the q_basket_pairs plan): one
+    # shuffle collects each order's sorted distinct item set, C(k,2)
+    # ordered pairs explode JVM-side — no fact-fact self-join
+    baskets = li.select("l_orderkey", "l_partkey").groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("items")
+    )
+    pairs_expr = F.expr(
+        "flatten(transform(items, (x, i) -> transform("
+        "slice(items, i + 2, size(items)), y -> struct(x AS x, y AS y))))"
+    )
     edge = (
-        a.join(b, (col("k") == col("k2")) & (col("x") < col("y")))
+        baskets.select(F.explode(pairs_expr).alias("p"))
+        .select("p.x", "p.y")
         .groupBy("x", "y")
         .agg(F.count("*").alias("w"))
         .filter(col("w") >= 2)
