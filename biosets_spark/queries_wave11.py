@@ -208,42 +208,56 @@ def q_zipf_slope(spark, sf_dir):
     tags=["similarity", "projection", "agg", "cross"],
 )
 def q_random_projection(spark, sf_dir):
+    import hashlib
+
     emb = tables.load(spark, sf_dir, "embeddings")
-    # (vec_id, d, x): posexplode of the embedding array
-    comps = emb.select(
-        "vec_id", F.posexplode(col("embedding")).alias("d", "xf")
-    ).select("vec_id", "d", col("xf").cast("double").alias("x"))
-    # sign table: 8 x 64, md5-derived, built as a literal-free Spark
-    # frame so the derivation is the same SQL as the oracle
-    spark_signs = (
-        spark.range(0, 8).toDF("k")
-        .crossJoin(spark.range(0, 64).toDF("d"))
-        .select(
-            "k", "d",
-            F.when(
-                F.substring(
-                    F.md5(F.concat_ws(":", col("k").cast("string"),
-                                      col("d").cast("string"))), 1, 1) < "8",
-                lit(1.0),
-            ).otherwise(lit(-1.0)).alias("s"),
+    # The 8x64 sign matrix is METADATA, not data: derive it driver-side
+    # with the same md5 formula the oracle evaluates in SQL (hashlib
+    # md5 == Spark md5 == DuckDB md5 on the same bytes) and inline it
+    # as array literals. The whole projection then runs as per-row
+    # higher-order array expressions — no posexplode (64x fan-out), no
+    # sign join, no (vec, k) shuffle agg: the former explode plan
+    # pushed 8x64 rows per vector through three hash aggregates and
+    # measured 1.9 s warm at sf0.1; this one is 0.05 s warm (plan =
+    # scan + project + one global agg). Per-element quantization is
+    # identical (ROUND(,6) -> DECIMAL before every sum; the aggregate
+    # accumulator re-casts to DECIMAL(28,6) each step, exact for 64
+    # O(1) terms, matching DuckDB's exact DECIMAL SUM).
+    signs = [
+        [
+            1.0
+            if hashlib.md5(f"{k}:{d}".encode()).hexdigest()[0] < "8"
+            else -1.0
+            for d in range(64)
+        ]
+        for k in range(8)
+    ]
+    x = F.transform(col("embedding"), lambda v: v.cast("double"))
+
+    def dsum(arr):
+        return F.aggregate(
+            arr,
+            lit(0).cast("decimal(28,6)"),
+            lambda acc, v: (acc + v.cast("decimal(18,6)")).cast("decimal(28,6)"),
+        ).cast("double")
+
+    ys = [
+        dsum(
+            F.zip_with(
+                x,
+                F.array(*[lit(s) for s in signs[k]]),
+                lambda xv, sv: F.round(xv * sv, 6),
+            )
         )
-    )
-    proj = (
-        comps.join(broadcast(spark_signs), "d")
-        .groupBy("vec_id", "k")
-        .agg(F.sum(F.round(col("x") * col("s"), 6).cast("decimal(18,6)"))
-             .cast("double").alias("y"))
-    )
-    norms = comps.groupBy("vec_id").agg(
-        F.sum(F.round(col("x") * col("x"), 6).cast("decimal(18,6)"))
-        .cast("double").alias("orig_sq"))
-    ratios = (
-        proj.groupBy("vec_id")
-        .agg(F.sum(F.round(col("y") * col("y"), 6).cast("decimal(18,6)"))
-             .cast("double").alias("proj_sq"))
-        .join(norms, "vec_id")
-        .select("vec_id",
-                ((col("proj_sq") / lit(8.0)) / col("orig_sq")).alias("ratio"))
+        for k in range(8)
+    ]
+    norm = dsum(F.transform(x, lambda xv: F.round(xv * xv, 6)))
+    terms = [F.round(y * y, 6).cast("decimal(18,6)") for y in ys]
+    proj_sq = terms[0].cast("decimal(28,6)")
+    for t in terms[1:]:
+        proj_sq = (proj_sq + t).cast("decimal(28,6)")
+    ratios = emb.select(
+        ((proj_sq.cast("double") / lit(8.0)) / norm).alias("ratio")
     )
     return ratios.agg(
         F.count("*").alias("n_vecs"),
