@@ -55,6 +55,35 @@ def dsum(c: Column | str, alias: str, prec: str = "decimal(18,2)") -> Column:
     return F.sum(c.cast(prec)).cast("double").alias(alias)
 
 
+def pair_expand(baskets, items_col: str, a_name: str, b_name: str):
+    """C(k,2) ordered-pair expansion of a SORTED array column: every
+    (a, b) with a earlier in the array than b, one output row each.
+
+    Shape: posexplode picks each element as ``a`` with its position,
+    then explode(slice(items, pos + 2, size)) emits every later
+    element as ``b``. Both steps are Generate operators, so the whole
+    expansion stays inside whole-stage codegen. The equivalent
+    ``flatten(transform(items, (x, i) -> transform(slice(...), ...)))``
+    single-explode form is a HigherOrderFunction, which Spark always
+    evaluates INTERPRETED — measured on the 20x probe corpus (12M fact
+    rows) the interpreted form costs ~1260 executor-CPU-seconds on
+    first execution vs ~180 once C2 has compiled the interpreter hot
+    paths, while this form runs compiled from the first task (cold
+    20x: 74 s -> 40 s; sf0.1 first-run: 1.87 s -> 1.29 s, identical
+    results). Fan-out per input row is C(k,2) with k = array length —
+    the same skew bound as the fact-fact self-join it replaces, minus
+    one full exchange+sort of the fact table.
+    """
+    pos = "_pair_pos"
+    a = baskets.select(items_col, F.posexplode(items_col).alias(pos, a_name))
+    return a.select(
+        a_name,
+        F.explode(
+            F.slice(col(items_col), col(pos) + F.lit(2), F.size(items_col))
+        ).alias(b_name),
+    )
+
+
 # =====================================================================
 # §2.1/§2.2 scans, filters, projections
 # =====================================================================

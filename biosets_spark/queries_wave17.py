@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
 from . import tables
-from .queries import dsum, q
+from .queries import dsum, pair_expand, q
 
 
 @q(
@@ -47,14 +47,7 @@ def q_basket_pairs(spark, sf_dir):
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("items")
     )
-    pairs_expr = F.expr(
-        "flatten(transform(items, (x, i) -> transform("
-        "slice(items, i + 2, size(items)), "
-        "y -> struct(x AS part_a, y AS part_b))))"
-    )
-    pairs = baskets.select(F.explode(pairs_expr).alias("p")).select(
-        "p.part_a", "p.part_b"
-    )
+    pairs = pair_expand(baskets, "items", "part_a", "part_b")
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count("*").alias("support"))

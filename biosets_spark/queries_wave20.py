@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
 from . import tables
-from .queries import q
+from .queries import pair_expand, q
 
 
 @q(
@@ -224,14 +224,8 @@ def q_lift_rules(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(F.count("*").alias("n"))
     )
-    pairs_expr = F.expr(
-        "flatten(transform(items, (x, i) -> transform("
-        "slice(items, i + 2, size(items)), "
-        "y -> struct(x AS part_a, y AS part_b))))"
-    )
     pair = (
-        baskets.select(F.explode(pairs_expr).alias("p"))
-        .select("p.part_a", "p.part_b")
+        pair_expand(baskets, "items", "part_a", "part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_ab"))
         .filter(col("n_ab") >= 2)

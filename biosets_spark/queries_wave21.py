@@ -18,7 +18,7 @@ from pyspark.sql.functions import broadcast, col, lit
 
 from . import tables
 from .operators.dedup import portable_hash60
-from .queries import q
+from .queries import pair_expand, q
 
 # Part co-occurrence graph (edges oriented low-id -> high-id, support
 # >= 2): shared by q_triangle_count; the same basket self-join as
@@ -77,13 +77,8 @@ def q_triangle_count(spark, sf_dir):
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("items")
     )
-    pairs_expr = F.expr(
-        "flatten(transform(items, (x, i) -> transform("
-        "slice(items, i + 2, size(items)), y -> struct(x AS x, y AS y))))"
-    )
     edge = (
-        baskets.select(F.explode(pairs_expr).alias("p"))
-        .select("p.x", "p.y")
+        pair_expand(baskets, "items", "x", "y")
         .groupBy("x", "y")
         .agg(F.count("*").alias("w"))
         .filter(col("w") >= 2)

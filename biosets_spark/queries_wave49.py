@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import pair_expand, q
 
 _EDGE_SQL = """
       WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -40,13 +40,8 @@ def _edges(spark, sf_dir):
     baskets = li.select("l_orderkey", "l_partkey").groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("items")
     )
-    pairs_expr = F.expr(
-        "flatten(transform(items, (x, i) -> transform("
-        "slice(items, i + 2, size(items)), y -> struct(x AS x, y AS y))))"
-    )
     edge = (
-        baskets.select(F.explode(pairs_expr).alias("p"))
-        .select("p.x", "p.y")
+        pair_expand(baskets, "items", "x", "y")
         .groupBy("x", "y")
         .agg(F.count("*").alias("w"))
         .filter(col("w") >= 2)
