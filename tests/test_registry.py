@@ -160,3 +160,57 @@ def test_query_inventory_doc_current():
     assert committed == mod.build(), (
         "docs/QUERY_INVENTORY.md is stale — run python tools/gen_inventory.py"
     )
+
+
+def test_pair_expand_matches_combinations():
+    """pair_expand must emit exactly itertools.combinations(items, 2)
+    of the sorted array — including the k<2 edge (no rows) and
+    duplicate-free ordering. Pinned against the pure-Python truth on
+    ragged baskets."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from biosets_spark.queries import pair_expand
+    from biosets_spark.session import get_spark
+
+    spark = get_spark("test-pair-expand", master="local[4]")
+    baskets = [
+        [], [7], [1, 2], [3, 5, 9], [1, 2, 3, 4, 5, 6, 7],
+    ]
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(baskets)], "bid long, items array<int>"
+    )
+    got = sorted(
+        tuple(r)
+        for r in pair_expand(df.select("items"), "items", "a", "b").collect()
+    )
+    want = sorted(
+        pair for b in baskets for pair in itertools.combinations(b, 2)
+    )
+    assert got == [tuple(p) for p in want]
+
+
+def test_no_explode_of_higher_order_function():
+    """Design rule (PERFORMANCE.md 'HOF codegen cliff'): a higher-order
+    function whose output is immediately exploded runs INTERPRETED and
+    pays a 7-9x first-execution CPU penalty — the Generate formulation
+    (queries.pair_expand) is strictly better there. This ratchet keeps
+    the pattern from reappearing: no source file may explode a
+    flatten(transform(...)) expression."""
+    import glob
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..", "biosets_spark")
+    # the code form only (F.expr over the flatten/transform string) —
+    # prose mentions of the pattern (pair_expand's docstring) are fine
+    pat = re.compile(r"F\.expr\(\s*['\"]flatten\(transform")
+    offenders = []
+    for path in sorted(glob.glob(os.path.join(root, "**", "*.py"), recursive=True)):
+        if pat.search(open(path).read()):
+            offenders.append(os.path.basename(path))
+    assert not offenders, (
+        f"explode-of-HOF pattern reintroduced in {offenders}; use "
+        "queries.pair_expand (codegen Generate) instead"
+    )
