@@ -491,6 +491,70 @@ class BioDataset:
             out["columns"].setdefault(name, {})[stat] = v
         return out
 
+    # ----- corpus / training-data pipeline surface (extension ops) -----
+    # Thin, role-preserving entry points to the operator modules so a
+    # pipeline user discovers the dedup/quality family on the dataset
+    # object itself; all heavy lifting (and the scale documentation)
+    # lives in operators/dedup.py, operators/text.py,
+    # operators/pipeline.py.
+
+    def dedup_exact(self, text_col: str = "text",
+                    id_col: str = "doc_id") -> "BioDataset":
+        """Survivor rows after exact dedup: min-id representative per
+        distinct normalized text. ONE shuffle on the content
+        fingerprint (window min, no groupBy + join-back)."""
+        from pyspark.sql import Window
+
+        from .operators.dedup import fingerprint_md5
+
+        w = Window.partitionBy(fingerprint_md5(F.col(text_col)))
+        out = (
+            self.df.withColumn("_keep_id", F.min(id_col).over(w))
+            .filter(F.col(id_col) == F.col("_keep_id"))
+            .drop("_keep_id")
+        )
+        return self._wrap(out)
+
+    def near_dup_pairs(self, text_col: str = "text", id_col: str = "doc_id",
+                       method: str = "minhash", threshold: float = 0.5,
+                       **kwargs) -> DataFrame:
+        """Near-duplicate id pairs by the named detector. Returns a
+        plain DataFrame of pairs (id_a, id_b, ...) — an edge list, not
+        a dataset. method: 'minhash' (banded LSH, the scale path),
+        'ngram' (exact bounded Jaccard), 'simhash' (hamming blocking;
+        ignores ``threshold``, takes ``max_hamming``)."""
+        from .operators import dedup as D
+
+        if method == "minhash":
+            return D.minhash_lsh_pairs(self.df, text_col, id_col,
+                                       threshold=threshold, **kwargs)
+        if method == "ngram":
+            return D.ngram_jaccard_pairs(self.df, text_col, id_col,
+                                         threshold=threshold, **kwargs)
+        if method == "simhash":
+            return D.simhash_pairs(self.df, text_col, id_col, **kwargs)
+        raise ValueError(
+            f"unknown near-dup method {method!r}; "
+            "expected 'minhash' | 'ngram' | 'simhash'"
+        )
+
+    def clean_corpus(self, text_col: str = "text", id_col: str = "doc_id",
+                     **kwargs) -> "BioDataset":
+        """The composed cleaning pipeline: quality gate -> exact dedup
+        -> greedy near-dup removal (operators/pipeline.py). Keyword
+        args pass through (jaccard_threshold, shingle_n, use_lsh)."""
+        from .operators.pipeline import clean_corpus
+
+        return self._wrap(clean_corpus(self.df, text_col, id_col, **kwargs))
+
+    def quality_scores(self, text_col: str = "text", **kwargs) -> "BioDataset":
+        """Per-row quality heuristics + a boolean ``keep`` gate
+        (operators/text.py:quality_score) — pure expressions, no
+        shuffle."""
+        from .operators.text import quality_score
+
+        return self._wrap(quality_score(self.df, text_col, **kwargs))
+
     def with_observation(self, name: str, *exprs) -> "BioDataset":
         """Attach zero-cost pipeline metrics via ``DataFrame.observe``:
         the named aggregate expressions (counts, sums, null tallies)

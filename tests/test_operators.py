@@ -413,3 +413,37 @@ def test_doubled_midranks_worked_example(spark):
     got = {(r["grp"], r["v"]): r["mr2"]
            for r in ranking.doubled_midranks(hist, ["grp"]).collect()}
     assert got == {("g", 1): 3, ("g", 2): 6, ("g", 3): 10, ("h", 9): 2}
+
+
+def test_dataset_corpus_surface(spark):
+    """The BioDataset convenience entry points delegate to the operator
+    modules with identical semantics (dedup survivors = min id per
+    normalized text; near-dup pairs find the planted duplicate; the
+    composed pipeline keeps originals and drops the near-copy)."""
+    from biosets_spark.dataset import BioDataset
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again today"),
+        (1, "the quick brown fox jumps over the lazy dog again today"),
+        (2, "an entirely different document about spark aggregation plans"),
+        (3, "the quick brown fox jumps over the lazy dog again tomorrow"),
+    ]
+    ds = BioDataset(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+
+    kept = sorted(r["doc_id"] for r in ds.dedup_exact().df.collect())
+    assert kept == [0, 2, 3]  # 1 is an exact copy of 0
+
+    pairs = ds.near_dup_pairs(method="ngram", threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} >= {(0, 1)}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ds.near_dup_pairs(method="nope")
+
+    cleaned = sorted(r["doc_id"] for r in ds.clean_corpus().df.collect())
+    assert 2 in cleaned and 1 not in cleaned
+
+    q = ds.quality_scores().df
+    assert "keep" in q.columns and q.count() == 4
