@@ -538,6 +538,20 @@ class BioDataset:
             "expected 'minhash' | 'ngram' | 'simhash'"
         )
 
+    def near_dup_clusters(self, text_col: str = "text",
+                          id_col: str = "doc_id", method: str = "minhash",
+                          threshold: float = 0.5, **kwargs) -> "BioDataset":
+        """Every row labeled with its near-duplicate cluster id (min id
+        of its similarity component; singletons represent themselves)
+        plus a boolean ``keep`` flag — the full dedup decision,
+        composing the named pair detector with connected components
+        (operators/graph.py). ``kwargs`` pass to the detector."""
+        from .operators.graph import dedup_clusters
+
+        pairs = self.near_dup_pairs(text_col, id_col, method=method,
+                                    threshold=threshold, **kwargs)
+        return self._wrap(dedup_clusters(self.df, pairs, id_col))
+
     def clean_corpus(self, text_col: str = "text", id_col: str = "doc_id",
                      **kwargs) -> "BioDataset":
         """The composed cleaning pipeline: quality gate -> exact dedup

@@ -447,3 +447,12 @@ def test_dataset_corpus_surface(spark):
 
     q = ds.quality_scores().df
     assert "keep" in q.columns and q.count() == 4
+
+    decided = ds.near_dup_clusters(method="ngram", threshold=0.5).df
+    rows = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in decided.collect()}
+    # 0 and 1 are exact copies (also near-dups); 3 is a near-dup of both;
+    # all three land in cluster 0 with only doc 0 kept. 2 is a singleton.
+    assert rows[0] == (0, True)
+    assert rows[1][0] == 0 and rows[1][1] is False
+    assert rows[3][0] == 0 and rows[3][1] is False
+    assert rows[2] == (2, True)
