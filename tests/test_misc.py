@@ -488,9 +488,10 @@ def test_quickstart_example_runs(spark):
     import re
 
     doc = os.path.join(os.path.dirname(__file__), "..", "docs", "QUICKSTART.md")
-    block = re.search(r"```python\n(.*?)```", open(doc).read(), re.S)
-    assert block, "QUICKSTART.md lost its runnable example"
-    exec(compile(block.group(1), "quickstart.py", "exec"), {})
+    blocks = re.findall(r"```python\n(.*?)```", open(doc).read(), re.S)
+    assert blocks, "QUICKSTART.md lost its runnable examples"
+    for i, block in enumerate(blocks):
+        exec(compile(block, f"quickstart_block{i}.py", "exec"), {})
 
 
 def _make_bmp(width, height, rgb):
