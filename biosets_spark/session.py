@@ -53,7 +53,16 @@ def get_spark(
         # managed-table scratch (bucketed layouts); keep metastore files
         # out of the repo/cwd
         .config("spark.sql.warehouse.dir", "/tmp/biosets_spark_warehouse")
-        .config("spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/biosets_spark_derby")
+        # -Xms pinned to the -Xmx that spark.driver.memory sets: first
+        # executions of allocation-heavy plans otherwise pay heap-growth
+        # full-GC stalls (measured on the 20x probe corpus: cold
+        # basket-pair run 74 s -> 43 s with the heap pre-sized); the
+        # cluster convention is Xms=Xmx for exactly this reason.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Dderby.system.home=/tmp/biosets_spark_derby -Xms"
+            + os.environ.get("BIOSETS_SPARK_DRIVER_MEM", "12g"),
+        )
         # wide aggregates (128-permutation minhash signatures, packed
         # simhash vote lanes) exceed the 100-field default and fall out
         # of whole-stage codegen into interpreted mode (measured 2x on
