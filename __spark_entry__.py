@@ -156,7 +156,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Current build round (bump each round; drives the defer-age invariant
 # in tests/test_registry.py).
-_ROUND = 6
+_ROUND = 7
 
 # Queries that already have GREEN driver CORRECTNESS rows (r1..r4
 # windows — the union of CORRECTNESS_r0{1..4}.json). The driver records
@@ -234,110 +234,86 @@ _DRIVER_CHECKED = frozenset({
     "q_rfm_segments", "q_event_transitions", "q_revenue_share", "q_yoy_growth",
     "q_weekly_percentiles", "q_ship_latency_histogram", "q_ks_drift",
     "q_psi_drift", "q_chi2_assoc", "q_ewma_daily", "q_weighted_sample",
+    # --- r6 window (50/50 green, CORRECTNESS_r06.json) ---
+    "q_scd2_pit_join", "q_pagerank_nations", "q_centroid_confusion",
+    "q_dup_graph_degree", "q_lift_rules", "q_interval_overlap",
+    "q_triangle_count", "q_simjoin_names", "q_bloom_audit",
+    "q_column_profile", "q_ngram_novelty", "q_funnel_latency",
+    "q_referential_audit", "q_crosslingual_dup", "q_quantile_normalize",
+    "q_clr_transform", "q_alpha_diversity", "q_bray_curtis",
+    "q_feature_correlation", "q_pca_power", "q_cusum_changepoint",
+    "q_sax_symbolize", "q_ab_test_z", "q_survival_km", "q_bootstrap_ci",
+    "q_welch_ttest", "q_ols_normal_eq", "q_interval_union",
+    "q_weighted_median", "q_gini_revenue", "q_decile_lift",
+    "q_autocorrelation", "q_theil_sen", "q_spearman_corr", "q_benford_digits",
+    "q_mutual_information", "q_skew_kurtosis", "q_rolling_median",
+    "q_zorder_layout", "q_readability", "q_rarefaction", "q_core_prevalence",
+    "q_auc_roc", "q_good_turing", "q_session_paths", "q_log2_histogram",
+    "q_jackknife_variance", "q_entropy_rate", "q_seasonal_index",
+    "q_burstiness",
 })
 
 
 # Never-driver-checked queries that do NOT fit in this round's ~50-row
 # window. The backlog (judge-verified green in the full local oracle
 # re-run every round) rotates through the driver window at ~50/round:
-# the 50 oldest backlog names (r5 defer-list head) are the r6 window;
-# the 84 entries below are scheduled for r7/r8. Each entry is (name,
+# round 7's front block is the 50 oldest backlog names (the r6
+# defer-list head); the 34 entries below are the tail, scheduled as
+# the FIRST 34 rows of the r8 window. Each entry is (name,
 # round_re-deferred); the test_registry invariant asserts no entry
-# ages more than 2 rounds, so deferral stays a scheduling device,
-# never a permanent exclusion. Round 6 adds NO new q_* names (r5
-# verdict task #2) so the backlog drains 134 -> 84.
+# ages more than 2 rounds. Round 7 adds NO new q_* names (wave freeze
+# holds until the backlog fully drains) so the backlog goes 84 -> 34.
 #
-# R7 HANDOFF: after recording CORRECTNESS_r06, (1) add its 50 green
-# names to _DRIVER_CHECKED, (2) bump _ROUND to 7, (3) shrink this list
-# so exactly 50 never-checked names sit in front (keep list order —
-# the oldest backlog is first in line), re-tagging any re-deferred
-# entry with the new round number. The age invariant will fail the
-# build if the rotation stalls.
+# R8 HANDOFF: after recording CORRECTNESS_r07, (1) add its 50 green
+# names to _DRIVER_CHECKED, (2) bump _ROUND to 8, (3) EMPTY this list
+# — all 34 remaining names go in front, draining the backlog to zero.
+#
+# POST-DRAIN RE-VERIFICATION POLICY (pre-committed per the r6
+# verdict): r8's window has ~16 spare rows after the 34 never-checked
+# names, and every window from r9 on is entirely spare. Spare rows
+# re-sample OLDEST-GREEN-FIRST: convert _DRIVER_CHECKED to a
+# round-tagged mapping {name: round_last_green} and order spare
+# slots by ascending tag (r1/r2 greens first — those rows are six
+# rounds of code drift old), re-tagging each name with the round its
+# fresh green row lands. A re-sampled name that goes RED is removed
+# from _DRIVER_CHECKED until fixed and re-verified. This keeps every
+# driver row at most ~6 rounds stale in steady state while never
+# displacing a never-checked name, which always outranks re-sampling.
 _DEFER_NEXT_WINDOW_TAGGED = (
-    ("q_heldout_perplexity", 6),
-    ("q_forecast_backtest", 6),
-    ("q_dispersion_index", 6),
-    ("q_price_index", 6),
-    ("q_mann_kendall", 6),
-    ("q_gumbel_maxima", 6),
-    ("q_kendall_tau", 6),
-    ("q_hodges_lehmann", 6),
-    ("q_simpson_paradox", 6),
-    ("q_recency_value", 6),
-    ("q_burrows_delta", 6),
-    ("q_renyi_spectrum", 6),
-    ("q_vocab_overlap", 6),
-    ("q_interarrival_fit", 6),
-    ("q_dedup_truncation", 6),
-    ("q_embedding_norms", 6),
-    ("q_embedding_anisotropy", 6),
-    ("q_session_conversion", 6),
-    ("q_label_separation", 6),
-    ("q_knn_loo_eval", 6),
-    ("q_stump_split", 6),
-    ("q_eta2_scan", 6),
-    ("q_skipgram_pmi", 6),
-    ("q_char_trigram_profile", 6),
-    ("q_cross_entropy_sources", 6),
-    ("q_runs_test", 6),
-    ("q_js_divergence", 6),
-    ("q_sprt_monitor", 6),
-    ("q_hill_tail", 6),
-    ("q_wilcoxon_signed_rank", 6),
-    ("q_cochran_q", 6),
-    ("q_friedman_test", 6),
-    ("q_theil_decomposition", 6),
-    ("q_jarque_bera", 6),
-    ("q_theils_u", 6),
-    ("q_unit_root_ar1", 6),
-    ("q_mde_planner", 6),
-    ("q_vocab_turnover", 6),
-    ("q_rank_churn", 6),
-    ("q_kendall_rankings", 6),
-    ("q_atkinson_index", 6),
-    ("q_overdispersion", 6),
-    ("q_collocation_llr", 6),
-    ("q_tost_equivalence", 6),
-    ("q_cpk_capability", 6),
-    ("q_trimmed_mean", 6),
-    ("q_matthews_mcc", 6),
-    ("q_brier_decomposition", 6),
-    ("q_levene_bf", 6),
-    ("q_grubbs_test", 6),
-    ("q_page_trend", 6),
-    ("q_cvar_shortfall", 6),
-    ("q_fleiss_kappa", 6),
-    ("q_icc_reliability", 6),
-    ("q_average_precision", 6),
-    ("q_ndcg_at_100", 6),
-    ("q_cochran_armitage", 6),
-    ("q_moods_median", 6),
-    ("q_fisher_z_diff", 6),
-    ("q_welch_anova", 6),
-    ("q_capm_beta", 6),
-    ("q_max_drawdown", 6),
-    ("q_hurst_exponent", 6),
-    ("q_jain_fairness", 6),
-    ("q_neyman_allocation", 6),
-    ("q_mixture_gap", 6),
-    ("q_youden_cutpoint", 6),
-    ("q_hosmer_lemeshow", 6),
-    ("q_mantel_haenszel", 6),
-    ("q_meta_heterogeneity", 6),
-    ("q_bonferroni_family", 6),
-    ("q_bh_fdr", 6),
-    ("q_log_rank_test", 6),
-    ("q_rmst", 6),
-    ("q_cuped_adjustment", 6),
-    ("q_winsor_variance_gain", 6),
-    ("q_eb_shrinkage", 6),
-    ("q_kish_ess", 6),
-    ("q_covariate_balance", 6),
-    ("q_e_value", 6),
-    ("q_sharpe_revenue", 6),
-    ("q_price_dispersion", 6),
-    ("q_chao1_richness", 6),
-    ("q_doubling_time", 6),
+    ("q_page_trend", 7),
+    ("q_cvar_shortfall", 7),
+    ("q_fleiss_kappa", 7),
+    ("q_icc_reliability", 7),
+    ("q_average_precision", 7),
+    ("q_ndcg_at_100", 7),
+    ("q_cochran_armitage", 7),
+    ("q_moods_median", 7),
+    ("q_fisher_z_diff", 7),
+    ("q_welch_anova", 7),
+    ("q_capm_beta", 7),
+    ("q_max_drawdown", 7),
+    ("q_hurst_exponent", 7),
+    ("q_jain_fairness", 7),
+    ("q_neyman_allocation", 7),
+    ("q_mixture_gap", 7),
+    ("q_youden_cutpoint", 7),
+    ("q_hosmer_lemeshow", 7),
+    ("q_mantel_haenszel", 7),
+    ("q_meta_heterogeneity", 7),
+    ("q_bonferroni_family", 7),
+    ("q_bh_fdr", 7),
+    ("q_log_rank_test", 7),
+    ("q_rmst", 7),
+    ("q_cuped_adjustment", 7),
+    ("q_winsor_variance_gain", 7),
+    ("q_eb_shrinkage", 7),
+    ("q_kish_ess", 7),
+    ("q_covariate_balance", 7),
+    ("q_e_value", 7),
+    ("q_sharpe_revenue", 7),
+    ("q_price_dispersion", 7),
+    ("q_chao1_richness", 7),
+    ("q_doubling_time", 7),
 )
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)

@@ -516,22 +516,32 @@ class BioDataset:
         return self._wrap(out)
 
     def near_dup_pairs(self, text_col: str = "text", id_col: str = "doc_id",
-                       method: str = "minhash", threshold: float = 0.5,
+                       method: str = "minhash", threshold: float | None = None,
                        **kwargs) -> DataFrame:
         """Near-duplicate id pairs by the named detector. Returns a
         plain DataFrame of pairs (id_a, id_b, ...) — an edge list, not
         a dataset. method: 'minhash' (banded LSH, the scale path),
         'ngram' (exact bounded Jaccard), 'simhash' (hamming blocking;
-        ignores ``threshold``, takes ``max_hamming``)."""
+        its similarity bound is ``max_hamming``, NOT ``threshold`` —
+        passing threshold with simhash is a TypeError, never silently
+        ignored). threshold defaults to 0.5 for minhash/ngram."""
         from .operators import dedup as D
 
         if method == "minhash":
             return D.minhash_lsh_pairs(self.df, text_col, id_col,
-                                       threshold=threshold, **kwargs)
+                                       threshold=0.5 if threshold is None else threshold,
+                                       **kwargs)
         if method == "ngram":
             return D.ngram_jaccard_pairs(self.df, text_col, id_col,
-                                         threshold=threshold, **kwargs)
+                                         threshold=0.5 if threshold is None else threshold,
+                                         **kwargs)
         if method == "simhash":
+            if threshold is not None:
+                raise TypeError(
+                    "method='simhash' bounds similarity by max_hamming, not "
+                    f"threshold; got threshold={threshold!r}. Pass "
+                    "max_hamming=<int> (bits) instead."
+                )
             return D.simhash_pairs(self.df, text_col, id_col, **kwargs)
         raise ValueError(
             f"unknown near-dup method {method!r}; "
@@ -540,7 +550,7 @@ class BioDataset:
 
     def near_dup_clusters(self, text_col: str = "text",
                           id_col: str = "doc_id", method: str = "minhash",
-                          threshold: float = 0.5, **kwargs) -> "BioDataset":
+                          threshold: float | None = None, **kwargs) -> "BioDataset":
         """Every row labeled with its near-duplicate cluster id (min id
         of its similarity component; singletons represent themselves)
         plus a boolean ``keep`` flag — the full dedup decision,

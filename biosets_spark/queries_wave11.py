@@ -159,7 +159,11 @@ def q_zipf_slope(spark, sf_dir):
     # engine reconstruct the IDENTICAL projection; per-cell products
     # quantize to DECIMAL before every sum
     oracle="""
-    WITH dims AS (SELECT unnest(range(0, 8)) AS k),
+    WITH emb64 AS (
+      SELECT * FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    dims AS (SELECT unnest(range(0, 8)) AS k),
     comps AS (
       SELECT e.vec_id, d.d AS d, k.k AS k,
              CAST(e.embedding[d.d + 1] AS DOUBLE) AS x,
@@ -167,7 +171,7 @@ def q_zipf_slope(spark, sf_dir):
                                             CAST(d.d AS VARCHAR))), 1, 1)
                        < '8'
                   THEN 1.0 ELSE -1.0 END AS s
-      FROM embeddings e, (SELECT unnest(range(0, 64)) AS d) d, dims k
+      FROM emb64 e, (SELECT unnest(range(0, 64)) AS d) d, dims k
     ),
     proj AS (
       SELECT vec_id, k,
@@ -179,7 +183,7 @@ def q_zipf_slope(spark, sf_dir):
              CAST(SUM(CAST(ROUND(CAST(e.embedding[d.d + 1] AS DOUBLE)
                                  * CAST(e.embedding[d.d + 1] AS DOUBLE), 6)
                            AS DECIMAL(18,6))) AS DOUBLE) AS orig_sq
-      FROM embeddings e, (SELECT unnest(range(0, 64)) AS d) d
+      FROM emb64 e, (SELECT unnest(range(0, 64)) AS d) d
       GROUP BY e.vec_id
     ),
     ratios AS (
@@ -210,7 +214,13 @@ def q_zipf_slope(spark, sf_dir):
 def q_random_projection(spark, sf_dir):
     import hashlib
 
-    emb = tables.load(spark, sf_dir, "embeddings")
+    # guard the per-row array expressions against degenerate rows: a
+    # null or short embedding null-poisons F.aggregate (zip_with pads
+    # with nulls; acc + null = null) while still counting in n_vecs —
+    # both engines drop non-64-dim vectors up front instead.
+    emb = tables.load(spark, sf_dir, "embeddings").where(
+        col("embedding").isNotNull() & (F.size(col("embedding")) == 64)
+    )
     # The 8x64 sign matrix is METADATA, not data: derive it driver-side
     # with the same md5 formula the oracle evaluates in SQL (hashlib
     # md5 == Spark md5 == DuckDB md5 on the same bytes) and inline it

@@ -24,6 +24,22 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def _resolve_driver_memory(extra_conf: dict | None) -> tuple[str, str, dict]:
+    """Resolve driver memory once: extra_conf wins over the env default,
+    and -Xms is derived from the SAME value as spark.driver.memory so
+    they can never contradict (e.g. -Xms12g with -Xmx4g fails JVM
+    launch). Returns (driver_mem, extraJavaOptions, remaining_conf)."""
+    extra_conf = dict(extra_conf or {})
+    driver_mem = extra_conf.pop(
+        "spark.driver.memory", os.environ.get("BIOSETS_SPARK_DRIVER_MEM", "12g")
+    )
+    extra_java = extra_conf.pop(
+        "spark.driver.extraJavaOptions",
+        "-Dderby.system.home=/tmp/biosets_spark_derby -Xms" + driver_mem,
+    )
+    return driver_mem, extra_java, extra_conf
+
+
 def get_spark(
     app_name: str = "biosets-spark",
     master: str | None = None,
@@ -36,6 +52,7 @@ def get_spark(
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("BIOSETS_SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
     )
+    driver_mem, extra_java, extra_conf = _resolve_driver_memory(extra_conf)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -49,7 +66,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("BIOSETS_SPARK_DRIVER_MEM", "12g"))
+        .config("spark.driver.memory", driver_mem)
         # managed-table scratch (bucketed layouts); keep metastore files
         # out of the repo/cwd
         .config("spark.sql.warehouse.dir", "/tmp/biosets_spark_warehouse")
@@ -57,12 +74,10 @@ def get_spark(
         # executions of allocation-heavy plans otherwise pay heap-growth
         # full-GC stalls (measured on the 20x probe corpus: cold
         # basket-pair run 74 s -> 43 s with the heap pre-sized); the
-        # cluster convention is Xms=Xmx for exactly this reason.
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-Dderby.system.home=/tmp/biosets_spark_derby -Xms"
-            + os.environ.get("BIOSETS_SPARK_DRIVER_MEM", "12g"),
-        )
+        # cluster convention is Xms=Xmx for exactly this reason. A
+        # caller's extra_conf extraJavaOptions replaces this wholesale
+        # (popped above) so no stale -Xms can contradict their -Xmx.
+        .config("spark.driver.extraJavaOptions", extra_java)
         # wide aggregates (128-permutation minhash signatures, packed
         # simhash vote lanes) exceed the 100-field default and fall out
         # of whole-stage codegen into interpreted mode (measured 2x on

@@ -265,3 +265,20 @@ def test_portable_mix60_cross_engine(spark):
     # distinct salts must not collide on the same base hash
     for r in out:
         assert len({r[f"m{i}"] for i in range(4)}) == 4
+
+
+def test_near_dup_pairs_simhash_rejects_threshold(docs):
+    """r6 ADVICE: method='simhash' bounds similarity by max_hamming;
+    an explicitly passed threshold must raise, never be silently
+    dropped (near_dup_clusters would otherwise ignore the caller's
+    similarity bound)."""
+    from biosets_spark.dataset import BioDataset
+
+    ds = BioDataset(docs)
+    with pytest.raises(TypeError, match="max_hamming"):
+        ds.near_dup_pairs(method="simhash", threshold=0.9)
+    with pytest.raises(TypeError, match="max_hamming"):
+        ds.near_dup_clusters(method="simhash", threshold=0.9)
+    # the supported spellings still work
+    assert ds.near_dup_pairs(method="simhash", max_hamming=6).count() >= 0
+    assert ds.near_dup_pairs(method="minhash", threshold=0.5).count() >= 0

@@ -608,3 +608,27 @@ def test_dataset_to_orc_roundtrip(spark, tmp_path):
     assert back2.count() == 90
     assert set(back2.columns) == {"id", "name", "grp"}
     assert back2.filter("grp = 1").count() == 30
+
+
+def test_driver_memory_resolved_once():
+    """extra_conf's spark.driver.memory must drive -Xms too: deriving
+    -Xms from the env default alone makes -Xms12g > -Xmx4g, a fatal
+    JVM launch error (r6 ADVICE)."""
+    from biosets_spark.session import _resolve_driver_memory
+
+    mem, java, rest = _resolve_driver_memory({"spark.driver.memory": "4g"})
+    assert mem == "4g"
+    assert "-Xms4g" in java and "12g" not in java
+    assert "spark.driver.memory" not in rest
+
+    # caller's extraJavaOptions replaces the derived string wholesale
+    mem, java, rest = _resolve_driver_memory(
+        {"spark.driver.memory": "4g", "spark.driver.extraJavaOptions": "-Xss2m"}
+    )
+    assert java == "-Xss2m"
+    assert "spark.driver.extraJavaOptions" not in rest
+
+    # default path: env (or 12g) sets both
+    mem, java, rest = _resolve_driver_memory(None)
+    assert ("-Xms" + mem) in java
+    assert rest == {}

@@ -198,17 +198,46 @@ def test_no_explode_of_higher_order_function():
     (queries.pair_expand) is strictly better there. This ratchet keeps
     the pattern from reappearing: no source file may explode a
     flatten(transform(...)) expression."""
+    import ast
     import glob
     import os
     import re
 
     root = os.path.join(os.path.dirname(__file__), "..", "biosets_spark")
-    # the code form only (F.expr over the flatten/transform string) —
-    # prose mentions of the pattern (pair_expand's docstring) are fine
-    pat = re.compile(r"F\.expr\(\s*['\"]flatten\(transform")
+    # code forms only — prose mentions (pair_expand's docstring) are
+    # fine. Catches the SQL-string spelling ("flatten(transform(" in
+    # any non-docstring string constant, covering F.expr/selectExpr/
+    # expr/spark.sql) AND the native DSL spelling
+    # F.flatten(F.transform(...)), which is equally interpreted and
+    # previously escaped the ratchet.
+    sql_pat = re.compile(r"flatten\s*\(\s*transform\s*\(")
+    dsl_pat = re.compile(r"F\.flatten\(\s*F\.transform\(")
+
+    def _docstrings(tree):
+        out = set()
+        for node in ast.walk(tree):
+            if isinstance(node, (ast.Module, ast.FunctionDef,
+                                 ast.AsyncFunctionDef, ast.ClassDef)):
+                if (node.body and isinstance(node.body[0], ast.Expr)
+                        and isinstance(node.body[0].value, ast.Constant)
+                        and isinstance(node.body[0].value.value, str)):
+                    out.add(id(node.body[0].value))
+        return out
+
     offenders = []
     for path in sorted(glob.glob(os.path.join(root, "**", "*.py"), recursive=True)):
-        if pat.search(open(path).read()):
+        src = open(path).read()
+        hit = bool(dsl_pat.search(src))
+        if not hit:
+            tree = ast.parse(src)
+            doc_ids = _docstrings(tree)
+            for node in ast.walk(tree):
+                if (isinstance(node, ast.Constant) and isinstance(node.value, str)
+                        and id(node) not in doc_ids
+                        and sql_pat.search(node.value)):
+                    hit = True
+                    break
+        if hit:
             offenders.append(os.path.basename(path))
     assert not offenders, (
         f"explode-of-HOF pattern reintroduced in {offenders}; use "
