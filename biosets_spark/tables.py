@@ -10,13 +10,16 @@ yields a session-timezone TimestampType column.
 All loads are plain ``spark.read.parquet`` scans: predicate pushdown,
 column pruning and row-group skipping apply untouched.
 
-Analyzed relations are memoized per (session, sf_dir, table): a
-``spark.read.parquet`` call eagerly lists files and reads a footer to
-resolve the schema, and re-paying that driver-side cost on every one
-of the ~500 load sites in the query inventory is exactly what a
-catalog/metastore avoids on a real cluster. The cache holds lazy
-DataFrames only (no data is pinned); the test corpora are immutable,
-and ``refresh()`` drops the cache for callers that rewrite inputs.
+Analyzed relations are memoized per (session, sf_dir, table, input
+snapshot): a ``spark.read.parquet`` call eagerly lists files and reads
+a footer to resolve the schema, and re-paying that driver-side cost on
+every one of the ~500 load sites in the query inventory is exactly
+what a catalog/metastore avoids on a real cluster. The cache holds
+lazy DataFrames only (no data is pinned). The snapshot component —
+(path, size, mtime) over the table path, the same identity
+plans/fingerprint.py keys its Parquet cache on — means rewriting a
+table file in place invalidates the memo automatically; ``refresh()``
+remains as a belt-and-braces full drop.
 """
 
 from __future__ import annotations
@@ -32,10 +35,36 @@ ALL_TABLES = TPCH_TABLES + ("events", "documents", "embeddings")
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# (session JVM id, sf_dir, table) -> analyzed DataFrame. Keyed by the
-# session's sessionUUID so a stopped-and-recreated SparkSession never
-# serves stale plans from a dead JVM context.
-_RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# (session JVM id, sf_dir, table, input snapshot) -> analyzed
+# DataFrame. Keyed by the session's sessionUUID so a stopped-and-
+# recreated SparkSession never serves stale plans from a dead JVM
+# context, and by an input snapshot so an in-place rewrite of the
+# table path is observed without a manual refresh().
+_RELATION_CACHE: dict[tuple[str, str, str, tuple], DataFrame] = {}
+
+
+def _path_snapshot(path: str) -> tuple:
+    """(name, size, mtime) identity of a table path — one stat per
+    file, no footer reads. Covers both single-file tables and
+    directory-of-part-files layouts; a missing path snapshots empty
+    (the subsequent read raises the real error)."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return ()
+    if not os.path.isdir(path):
+        return ((path, st.st_size, int(st.st_mtime)),)
+    out = []
+    try:
+        for entry in os.scandir(path):
+            try:
+                est = entry.stat()
+                out.append((entry.name, est.st_size, int(est.st_mtime)))
+            except OSError:
+                out.append((entry.name, -1, -1))
+    except OSError:
+        pass
+    return tuple(sorted(out))
 
 
 def refresh() -> None:
@@ -52,7 +81,8 @@ def _session_key(spark: SparkSession) -> str:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (_session_key(spark), sf_dir, name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (_session_key(spark), sf_dir, name, _path_snapshot(path))
     cached = _RELATION_CACHE.get(key)
     if cached is not None:
         if name == "events":
@@ -63,6 +93,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
         return cached
     df = _load_uncached(spark, sf_dir, name)
+    # evict superseded snapshots of the same relation so a rewrite
+    # loop can't grow the cache unboundedly
+    for stale in [k for k in _RELATION_CACHE if k[:3] == key[:3]]:
+        del _RELATION_CACHE[stale]
     _RELATION_CACHE[key] = df
     return df
 

@@ -632,3 +632,60 @@ def test_driver_memory_resolved_once():
     mem, java, rest = _resolve_driver_memory(None)
     assert ("-Xms" + mem) in java
     assert rest == {}
+
+
+def test_relation_cache_invalidates_on_rewrite(spark, tmp_path):
+    """r6 verdict task #4: the tables.py relation memo is keyed on an
+    input snapshot (path, size, mtime) — rewriting a table file in
+    place must be observed WITHOUT a manual refresh()."""
+    import time
+
+    from biosets_spark import tables
+
+    sf_dir = str(tmp_path)
+    p = str(tmp_path / "orders.parquet")
+    spark.range(5).selectExpr("id AS o_orderkey").write.mode("overwrite").parquet(p)
+    first = tables.load(spark, sf_dir, "orders")
+    assert first.count() == 5
+    # memo hit while the file is unchanged: same analyzed relation back
+    assert tables.load(spark, sf_dir, "orders") is first
+
+    time.sleep(1.1)  # ensure a distinct mtime even on coarse filesystems
+    spark.range(9).selectExpr("id AS o_orderkey").write.mode("overwrite").parquet(p)
+    fresh = tables.load(spark, sf_dir, "orders")
+    assert fresh is not first
+    assert fresh.count() == 9
+
+
+def test_to_dict_columnar_equals_row_path(spark):
+    """r6 verdict task #5: to_dict now marshals through Arrow; the
+    output must be value-identical to the per-row asDict path across
+    nested structs, arrays, timestamps, decimals, binary — and map
+    columns (the Arrow-vs-Row representation difference) must keep the
+    dict shape via the row fallback."""
+    from biosets_spark.dataset import BioDataset
+
+    df = spark.sql("""
+        SELECT id,
+               named_struct('a', id, 'b', named_struct('c', id * 2)) AS s,
+               array(id, id + 1) AS arr,
+               timestamp'2024-03-01 12:34:56.789' + make_interval(0,0,0,0,0,0,id) AS ts,
+               CAST(id AS DECIMAL(10,2)) / 3 AS dec,
+               CAST(concat('b', id) AS BINARY) AS bin,
+               CAST(NULL AS STRING) AS always_null
+        FROM range(50)
+    """)
+    got = BioDataset(df).to_dict()
+    want: dict[str, list] = {c: [] for c in df.columns}
+    for r in df.collect():
+        d = r.asDict(recursive=True)
+        for c in want:
+            want[c].append(d[c])
+    assert set(got) == set(want)
+    for c in want:
+        assert got[c] == want[c], c
+
+    # map column -> row fallback keeps {k: v} dicts
+    mdf = spark.sql("SELECT id, map('k', id) AS m FROM range(3)")
+    md = BioDataset(mdf).to_dict()
+    assert md["m"] == [{"k": 0}, {"k": 1}, {"k": 2}]
