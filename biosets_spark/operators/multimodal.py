@@ -140,6 +140,122 @@ def decode_pnm(raw: bytes):
             float(px[..., 1].mean()), float(px[..., 2].mean()))
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list:
+    """GIF-variant LZW -> list of palette indices. Codes are packed
+    LSB-first at variable width (min+1 .. 12 bits); the clear code
+    resets the dictionary, and width grows when the next free code
+    would not fit the current width. Pure stdlib."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    def reset():
+        return [bytes([i]) for i in range(clear)] + [b"", b""], min_code_size + 1
+
+    table, width = reset()
+    out: list = []
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table, width = reset()
+                prev = None
+                continue
+            if code == end:
+                return out[:n_pixels]
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= n_pixels:
+                return out[:n_pixels]
+    return out[:n_pixels]
+
+
+def decode_gif(raw: bytes):
+    """First frame of a GIF87a/89a -> (width, height, mean_r, mean_g,
+    mean_b). Full LZW (variable code width, clear/KwKwK cases) and
+    interlace handling in stdlib-only Python — the same
+    no-external-deps posture as sources/avro_py.py. Means are over the
+    frame's palette-mapped RGB pixels."""
+    import struct as _s
+
+    import numpy as np
+
+    if raw[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _aspect = _s.unpack_from("<HHBBB", raw, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(raw, dtype=np.uint8, count=3 * n,
+                            offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(raw):
+        block = raw[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while raw[pos]:
+                pos += 1 + raw[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        _left, _top, w, h, iflags = _s.unpack_from("<HHHHB", raw, pos)
+        pos += 9
+        table = gct
+        if iflags & 0x80:  # local color table overrides
+            n = 2 << (iflags & 0x07)
+            table = np.frombuffer(raw, dtype=np.uint8, count=3 * n,
+                                  offset=pos).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF frame has no color table")
+        min_code = raw[pos]
+        pos += 1
+        chunks = []
+        while raw[pos]:
+            sz = raw[pos]
+            chunks.append(raw[pos + 1:pos + 1 + sz])
+            pos += 1 + sz
+        pos += 1
+        idx = np.array(
+            _gif_lzw_decode(b"".join(chunks), min_code, w * h),
+            dtype=np.int64,
+        )
+        if len(idx) < w * h:
+            raise ValueError("truncated GIF pixel data")
+        px = table[idx].reshape(h, w, 3)
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                                    np.arange(2, h, 4), np.arange(1, h, 2)])
+            deinterlaced = np.empty_like(px)
+            deinterlaced[order] = px
+            px = deinterlaced
+        return (int(w), int(h), float(px[..., 0].mean()),
+                float(px[..., 1].mean()), float(px[..., 2].mean()))
+    raise ValueError("GIF contains no image frame")
+
+
 def decode_wav(raw: bytes):
     """PCM WAV -> (sample_rate, n_channels, duration_ms, rms).
     Stdlib-only (RIFF walk + int16/uint8 sample math)."""
@@ -186,10 +302,13 @@ def _decode_image(payload: bytes, fake: bool):
     if payload[:2] in (b"P5", b"P6"):
         w, h, *_ = decode_pnm(payload)
         return (w, h)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, *_ = decode_gif(payload)
+        return (w, h)
     raise NotImplementedError(
         "compressed image decode (PNG/JPEG/...) requires PIL/opencv, "
-        "not installed in this environment; uncompressed BMP and "
-        "binary PPM/PGM decode natively, or pass fake_decode=True "
+        "not installed in this environment; BMP, binary PPM/PGM and "
+        "GIF decode natively, or pass fake_decode=True "
         "for the deterministic stub"
     )
 
@@ -316,9 +435,9 @@ def extract_image_stats(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Full real-decode image statistics for natively decodable
-    payloads (BMP / binary PPM / PGM): (id, width, height, mean_r,
-    mean_g, mean_b, n_bytes). Compressed payloads raise the gated
-    error — filter on the metadata struct's mime first at scale;
+    payloads (BMP / binary PPM / PGM / GIF): (id, width, height,
+    mean_r, mean_g, mean_b, n_bytes). Compressed payloads raise the
+    gated error — filter on the metadata struct's mime first at scale;
     NULL/empty payloads are skipped (no output row)."""
     out_schema = T.StructType([
         T.StructField(id_col, T.LongType()),
@@ -343,6 +462,8 @@ def extract_image_stats(
                     w, h, mr, mg, mb = decode_bmp(raw)
                 elif raw[:2] in (b"P5", b"P6"):
                     w, h, mr, mg, mb = decode_pnm(raw)
+                elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                    w, h, mr, mg, mb = decode_gif(raw)
                 else:
                     raise NotImplementedError(
                         "compressed image decode requires PIL/opencv"
