@@ -699,6 +699,44 @@ class BioDataset:
         if batch:
             yield batch
 
+    def iter_arrow(self, max_batch_rows: int = 10_000) -> Iterator:
+        """Stream the dataset to the driver as ``pyarrow.RecordBatch``es
+        with bounded memory — the columnar twin of ``iter_batches``.
+
+        Spark exposes no public Arrow-batched local iterator, so this
+        builds one from public pieces: each partition serializes itself
+        to Arrow IPC streams of <= ``max_batch_rows`` rows inside
+        ``mapInArrow`` (executor-side, zero Python-object marshaling),
+        yielding one (ipc_bytes) row per slice; ``toLocalIterator``
+        then pulls those rows ONE PARTITION AT A TIME and the driver
+        deserializes each. Driver memory = one partition's IPC bytes +
+        one decoded batch; per-value Python cost is zero until the
+        caller touches the data (feed ``pa.RecordBatch`` straight into
+        Arrow-native consumers)."""
+        import pyarrow as pa
+
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType([T.StructField("ipc", T.BinaryType())])
+
+        def to_ipc(batches):
+            for rb in batches:
+                tbl = pa.Table.from_batches([rb])
+                for off in range(0, tbl.num_rows, max_batch_rows):
+                    piece = tbl.slice(off, max_batch_rows)
+                    sink = pa.BufferOutputStream()
+                    with pa.ipc.new_stream(sink, piece.schema) as wr:
+                        wr.write_table(piece)
+                    yield pa.RecordBatch.from_pydict(
+                        {"ipc": [sink.getvalue().to_pybytes()]}
+                    )
+
+        for row in self.df.mapInArrow(to_ipc, schema=out_schema).toLocalIterator():
+            with pa.ipc.open_stream(row.ipc) as rd:
+                for rb in rd:
+                    if rb.num_rows:
+                        yield rb
+
     def add_column(self, name: str, values: list, dtype: str | None = None,
                    order_by: list[str] | None = None) -> "BioDataset":
         """Append a driver-side value list by position (reference

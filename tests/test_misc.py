@@ -791,3 +791,29 @@ def test_extract_image_stats_gif(spark):
     assert (row.width, row.height) == (10, 10)
     assert abs(row.mean_r - px[:, 0].mean()) < 1e-9
     assert row.n_bytes == len(gif)
+
+
+def test_iter_arrow_streams_record_batches(spark):
+    """iter_arrow: columnar driver streaming with bounded batches —
+    values must equal a plain collect, batches must respect the row
+    bound, and types must come through Arrow-native."""
+    import pyarrow as pa
+
+    from biosets_spark.dataset import BioDataset
+
+    df = spark.sql("""
+        SELECT id, concat('d', id) AS name, id * 0.5 AS score,
+               array(id, id + 1) AS arr
+        FROM range(2500)
+    """).repartition(4)
+    ds = BioDataset(df)
+    batches = list(ds.iter_arrow(max_batch_rows=300))
+    assert all(isinstance(b, pa.RecordBatch) for b in batches)
+    assert max(b.num_rows for b in batches) <= 300
+    tbl = pa.Table.from_batches(batches)
+    assert tbl.num_rows == 2500
+    got = sorted(zip(tbl.column("id").to_pylist(), tbl.column("name").to_pylist(),
+                     tbl.column("score").to_pylist()))
+    want = sorted((r.id, r.name, r.score) for r in df.collect())
+    assert got == want
+    assert sorted(tbl.column("arr").to_pylist())[0] == [0, 1]
