@@ -140,6 +140,66 @@ def decode_pnm(raw: bytes):
             float(px[..., 1].mean()), float(px[..., 2].mean()))
 
 
+def decode_tiff(raw: bytes):
+    """Uncompressed strip-layout baseline TIFF (8-bit grayscale or
+    RGB, either endianness) -> (width, height, mean_r, mean_g,
+    mean_b). Stdlib+numpy only; compressed TIFF (LZW/deflate/JPEG-in-
+    TIFF) raises the gated error like every other compressed codec."""
+    import struct as _s
+
+    import numpy as np
+
+    if raw[:4] == b"II*\x00":
+        bo = "<"
+    elif raw[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    ifd_off = _s.unpack_from(bo + "I", raw, 4)[0]
+    n_entries = _s.unpack_from(bo + "H", raw, ifd_off)[0]
+    _TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+
+    def values(pos):
+        typ, count = _s.unpack_from(bo + "HI", raw, pos + 2)
+        if typ not in _TYPE_SIZE:
+            raise ValueError(f"unsupported TIFF field type {typ}")
+        size = _TYPE_SIZE[typ] * count
+        off = pos + 8 if size <= 4 else _s.unpack_from(bo + "I", raw, pos + 8)[0]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        return list(_s.unpack_from(bo + str(count) + fmt, raw, off))
+
+    tags = {}
+    for i in range(n_entries):
+        pos = ifd_off + 2 + 12 * i
+        tag = _s.unpack_from(bo + "H", raw, pos)[0]
+        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279):
+            tags[tag] = values(pos)
+    w, h = tags[256][0], tags[257][0]
+    compression = tags.get(259, [1])[0]
+    if compression != 1:
+        raise ValueError(
+            f"only uncompressed TIFF (compression={compression}); "
+            "LZW/deflate/JPEG strips need PIL"
+        )
+    nch = tags.get(277, [1])[0]
+    bits = tags.get(258, [8] * nch)
+    if any(b != 8 for b in bits) or nch not in (1, 3):
+        raise ValueError("only 8-bit grayscale/RGB TIFF supported")
+    offsets = tags[273]
+    counts = tags.get(279, [w * h * nch])
+    data = b"".join(raw[o:o + c] for o, c in zip(offsets, counts))
+    px = np.frombuffer(data, dtype=np.uint8,
+                       count=w * h * nch).reshape(h, w, nch)
+    photometric = tags.get(262, [1])[0]
+    if photometric == 0:  # WhiteIsZero: invert
+        px = 255 - px
+    if nch == 1:
+        m = float(px.mean())
+        return w, h, m, m, m
+    return (w, h, float(px[..., 0].mean()),
+            float(px[..., 1].mean()), float(px[..., 2].mean()))
+
+
 def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list:
     """GIF-variant LZW -> list of palette indices. Codes are packed
     LSB-first at variable width (min+1 .. 12 bits); the clear code
@@ -305,11 +365,14 @@ def _decode_image(payload: bytes, fake: bool):
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h, *_ = decode_gif(payload)
         return (w, h)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        w, h, *_ = decode_tiff(payload)
+        return (w, h)
     raise NotImplementedError(
         "compressed image decode (PNG/JPEG/...) requires PIL/opencv, "
-        "not installed in this environment; BMP, binary PPM/PGM and "
-        "GIF decode natively, or pass fake_decode=True "
-        "for the deterministic stub"
+        "not installed in this environment; BMP, binary PPM/PGM, GIF "
+        "and uncompressed TIFF decode natively, or pass "
+        "fake_decode=True for the deterministic stub"
     )
 
 
@@ -464,6 +527,8 @@ def extract_image_stats(
                     w, h, mr, mg, mb = decode_pnm(raw)
                 elif raw[:6] in (b"GIF87a", b"GIF89a"):
                     w, h, mr, mg, mb = decode_gif(raw)
+                elif raw[:4] in (b"II*\x00", b"MM\x00*"):
+                    w, h, mr, mg, mb = decode_tiff(raw)
                 else:
                     raise NotImplementedError(
                         "compressed image decode requires PIL/opencv"

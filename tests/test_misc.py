@@ -817,3 +817,106 @@ def test_iter_arrow_streams_record_batches(spark):
     want = sorted((r.id, r.name, r.score) for r in df.collect())
     assert got == want
     assert sorted(tbl.column("arr").to_pylist())[0] == [0, 1]
+
+
+def _tiff_bytes(px, bo="<", photometric=None, rows_per_strip=None):
+    """Minimal baseline TIFF writer (test-only): uncompressed strips,
+    8-bit gray or RGB, either endianness."""
+    import struct
+
+    import numpy as np
+
+    h, w = px.shape[:2]
+    nch = 1 if px.ndim == 2 else px.shape[2]
+    data = px.astype(np.uint8).tobytes()
+    rps = rows_per_strip or h
+    strips = [data[r * w * nch * rps:(r + 1) * w * nch * rps]
+              for r in range((h + rps - 1) // rps)]
+    if photometric is None:
+        photometric = 1 if nch == 1 else 2
+
+    entries = []  # (tag, type, count, value_or_values)
+    entries.append((256, 3, 1, [w]))
+    entries.append((257, 3, 1, [h]))
+    entries.append((258, 3, nch, [8] * nch))
+    entries.append((259, 3, 1, [1]))
+    entries.append((262, 3, 1, [photometric]))
+    entries.append((277, 3, 1, [nch]))
+    entries.append((278, 3, 1, [rps]))
+    # strip offsets/counts patched after layout
+    entries.append((273, 4, len(strips), None))
+    entries.append((279, 4, len(strips), [len(s) for s in strips]))
+    entries.sort()
+
+    hdr = (b"II*\x00" if bo == "<" else b"MM\x00*") + struct.pack(bo + "I", 8)
+    ifd_size = 2 + 12 * len(entries) + 4
+    extra_pos = 8 + ifd_size
+    extra = b""
+
+    def field_bytes(typ, count, vals):
+        nonlocal extra
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        sz = {1: 1, 3: 2, 4: 4}[typ] * count
+        packed = struct.pack(bo + str(count) + fmt, *vals)
+        if sz <= 4:
+            return packed + b"\x00" * (4 - sz)
+        off = extra_pos + len(extra)
+        extra += packed
+        return struct.pack(bo + "I", off)
+
+    # two-pass: place strip data after IFD + extra values
+    tentative = sum({1: 1, 3: 2, 4: 4}[t] * c for _, t, c, _ in entries
+                    if {1: 1, 3: 2, 4: 4}[t] * c > 4)
+    data_pos = extra_pos + tentative
+    strip_offs, acc = [], data_pos
+    for s in strips:
+        strip_offs.append(acc)
+        acc += len(s)
+
+    body = struct.pack(bo + "H", len(entries))
+    for tag, typ, count, vals in entries:
+        if tag == 273:
+            vals = strip_offs
+        body += struct.pack(bo + "HHI", tag, typ, count)
+        body += field_bytes(typ, count, vals)
+    body += struct.pack(bo + "I", 0)  # no next IFD
+    assert len(extra) == tentative
+    return hdr + body + extra + b"".join(strips)
+
+
+def test_decode_tiff_roundtrip():
+    """Uncompressed TIFF decode: RGB + grayscale, both endians,
+    multi-strip, WhiteIsZero inversion."""
+    import numpy as np
+
+    from biosets_spark.operators.multimodal import decode_tiff
+
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(0, 256, size=(12, 17, 3))
+    for bo in ("<", ">"):
+        w, h, mr, mg, mb = decode_tiff(_tiff_bytes(rgb, bo=bo))
+        assert (w, h) == (17, 12)
+        assert abs(mr - rgb[..., 0].mean()) < 1e-9
+        assert abs(mb - rgb[..., 2].mean()) < 1e-9
+
+    gray = rng.randint(0, 256, size=(9, 9))
+    w, h, mr, mg, mb = decode_tiff(_tiff_bytes(gray, rows_per_strip=4))
+    assert (w, h) == (9, 9) and mr == mg == mb
+    assert abs(mr - gray.mean()) < 1e-9
+
+    # WhiteIsZero photometric inverts
+    w, h, mr, _, _ = decode_tiff(_tiff_bytes(gray, photometric=0))
+    assert abs(mr - (255 - gray).mean()) < 1e-9
+
+    # compressed stays gated
+    import pytest as _pt
+    blob = bytearray(_tiff_bytes(gray))
+    # patch compression tag value to 5 (LZW): find tag 259
+    import struct
+    n = struct.unpack_from("<H", blob, 8)[0]
+    for i in range(n):
+        pos = 10 + 12 * i
+        if struct.unpack_from("<H", blob, pos)[0] == 259:
+            struct.pack_into("<H", blob, pos + 8, 5)
+    with _pt.raises(ValueError, match="compression=5"):
+        decode_tiff(bytes(blob))
