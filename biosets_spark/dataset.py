@@ -604,6 +604,20 @@ class BioDataset:
     def to_pandas(self):
         return self.df.toPandas()
 
+    def audit_plan(self, allow_nested_loop: bool = False,
+                   wide_scan_cols: int = 10) -> list[dict]:
+        """Run the engine's 100 TB anti-pattern checks against this
+        dataset's physical plan BEFORE submitting it to a cluster:
+        cartesian products, unexpected nested-loop joins, row-at-a-time
+        Python UDFs, single-task global windows, unpruned wide scans.
+        Returns findings as ``[{"code", "detail"}, ...]`` (empty =
+        clean) — the same checks the repo's own 332-query inventory is
+        held to every round (tools/audit_plans.py)."""
+        from .plans.audit import audit_plan
+
+        return audit_plan(self.df, allow_nested_loop=allow_nested_loop,
+                          wide_scan_cols=wide_scan_cols)
+
     def to_dict(self) -> dict[str, list]:
         """Columnar dict (reference Dataset.to_dict shape:
         {column: [values...]}). Collects — caller bounds the size;

@@ -1,0 +1,141 @@
+"""Physical-plan scale audit, as a library surface.
+
+The per-round tool ``tools/audit_plans.py`` sweeps the whole query
+inventory; this module holds the single-plan logic so users can run
+the same 100 TB anti-pattern checks on THEIR pipelines before
+submitting them to a cluster:
+
+    findings = BioDataset(df).audit_plan()
+
+Checks (each finding is ``{"code", "detail"}``):
+
+- ``cartesian-product`` — a CartesianProduct node: O(N*M) row blowup.
+- ``nested-loop-join`` — BroadcastNestedLoopJoin: fine for tiny
+  broadcast sides / declared range joins, a scale-killer otherwise
+  (pass ``allow_nested_loop=True`` when the plan is a deliberate
+  cross/range join).
+- ``python-udf`` — BatchEvalPython: a row-at-a-time Python UDF in the
+  hot path; the sanctioned Python paths are Arrow-batched
+  (ArrowEvalPython / mapInPandas / mapInArrow).
+- ``global-window`` — a Window node with an empty partition spec and a
+  real sort order: the entire input moves through ONE task.
+- ``wide-scan`` — a parquet scan whose ReadSchema carries 10+ columns:
+  usually a missing projection (column pruning defeated).
+
+The exchange count is reported via ``count_exchanges`` for eyeballing
+rather than flagged: the right number is plan-specific.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def _bracket_groups(s: str) -> int:
+    """Count top-level ``[...]`` groups in a plan-node argument string."""
+    depth = groups = 0
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                groups += 1
+            depth += 1
+        elif ch == "]":
+            depth = max(depth - 1, 0)
+    return groups
+
+
+def _is_global_window(line: str) -> bool:
+    """A Window physical node with an EMPTY partition spec renders as
+    ``Window [exprs], [order]`` (2 bracket groups); a partitioned one
+    as ``Window [exprs], [parts], [order]`` (3). An empty partition
+    spec moves the entire input through ONE task — the textbook window
+    scale-killer.
+
+    Disambiguation: a PARTITIONED window with no ORDER BY (e.g. a
+    share-of-total SUM over the whole partition) also renders 2
+    groups — ``Window [exprs], [parts]`` — but its second group is a
+    partition list, not an order spec, so it carries no ASC/DESC
+    keyword. Only flag 2-group nodes whose trailing group is an
+    actual sort order."""
+    m = re.search(r"\bWindow (\[.*)$", line)
+    if not m:
+        return False
+    groups = _bracket_groups(m.group(1))
+    if groups >= 3:
+        return False
+    if groups == 2:
+        last = m.group(1).rsplit("[", 1)[-1]
+        return (" ASC" in last) or (" DESC" in last)
+    return True
+
+
+def executed_plan_string(df: DataFrame) -> str:
+    """The physical plan text the audit reads (AQE initial plan)."""
+    spark = df.sparkSession
+    # keep plan strings untruncated: an elided ReadSchema ("...", no
+    # closing '>') makes the wide-scan regex run across lines and
+    # report phantom column counts
+    try:
+        spark.conf.set("spark.sql.debug.maxToStringFields", "200")
+    except Exception:
+        pass
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def count_exchanges(plan: str) -> int:
+    return len(re.findall(r"\bExchange\b", plan))
+
+
+def audit_plan_text(plan: str, allow_nested_loop: bool = False,
+                    wide_scan_cols: int = 10) -> list[dict]:
+    """Audit a physical-plan string; see module docstring for codes."""
+    findings: list[dict] = []
+    if "CartesianProduct" in plan:
+        findings.append({
+            "code": "cartesian-product",
+            "detail": "CartesianProduct node: O(N*M) row blowup; add a "
+                      "join condition or broadcast a provably tiny side",
+        })
+    if "BroadcastNestedLoopJoin" in plan and not allow_nested_loop:
+        findings.append({
+            "code": "nested-loop-join",
+            "detail": "BroadcastNestedLoopJoin: every probe row scans the "
+                      "whole broadcast side; pass allow_nested_loop=True "
+                      "only for deliberate cross/range joins over tiny sides",
+        })
+    if "BatchEvalPython" in plan:
+        findings.append({
+            "code": "python-udf",
+            "detail": "row-at-a-time Python UDF (BatchEvalPython); use "
+                      "built-in expressions or Arrow-batched pandas UDFs",
+        })
+    if any(_is_global_window(line) for line in plan.splitlines()):
+        findings.append({
+            "code": "global-window",
+            "detail": "Window with empty partition spec and a sort order: "
+                      "the whole input flows through ONE task; partition "
+                      "the window or use the two-level prefix-sum pattern",
+        })
+    for s in re.findall(r"ReadSchema: struct<([^>\n]*)>", plan):
+        ncols = s.count(",") + 1 if s else 0
+        if ncols >= wide_scan_cols:
+            findings.append({
+                "code": "wide-scan",
+                "detail": f"parquet scan reads {ncols} columns; project the "
+                          "needed columns so pruning reaches the scan",
+            })
+            break
+    return findings
+
+
+def audit_plan(df: DataFrame, allow_nested_loop: bool = False,
+               wide_scan_cols: int = 10) -> list[dict]:
+    """Run the 100 TB anti-pattern checks against a DataFrame's
+    physical plan. Returns a list of findings (empty = clean)."""
+    return audit_plan_text(
+        executed_plan_string(df),
+        allow_nested_loop=allow_nested_loop,
+        wide_scan_cols=wide_scan_cols,
+    )

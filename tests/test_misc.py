@@ -920,3 +920,56 @@ def test_decode_tiff_roundtrip():
             struct.pack_into("<H", blob, pos + 8, 5)
     with _pt.raises(ValueError, match="compression=5"):
         decode_tiff(bytes(blob))
+
+
+def test_audit_plan_flags_antipatterns(spark):
+    """BioDataset.audit_plan surfaces the 100 TB anti-pattern checks:
+    each probe plan trips exactly the expected code, and the clean
+    plan returns no findings."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from biosets_spark.dataset import BioDataset
+
+    a = spark.range(100).toDF("x")
+    b = spark.range(100).toDF("y")
+
+    # cartesian product
+    codes = {f["code"] for f in BioDataset(a.crossJoin(b)).audit_plan()}
+    assert "cartesian-product" in codes or "nested-loop-join" in codes
+
+    # nested loop allowed when declared
+    rng = a.join(b, (F.col("x") < F.col("y")))
+    assert any(f["code"] == "nested-loop-join" for f in BioDataset(rng).audit_plan())
+    assert not any(f["code"] == "nested-loop-join"
+                   for f in BioDataset(rng).audit_plan(allow_nested_loop=True))
+
+    # row-at-a-time python UDF
+    from pyspark.sql.functions import udf
+    slow = udf(lambda v: v + 1, "long")
+    codes = {f["code"] for f in BioDataset(a.select(slow("x"))).audit_plan()}
+    assert "python-udf" in codes
+
+    # global window (empty partition spec + order)
+    gw = a.withColumn("rn", F.row_number().over(Window.orderBy("x")))
+    assert any(f["code"] == "global-window" for f in BioDataset(gw).audit_plan())
+    # partitioned window is fine
+    pw = a.withColumn("rn", F.row_number().over(
+        Window.partitionBy(F.col("x") % 10).orderBy("x")))
+    assert not any(f["code"] == "global-window" for f in BioDataset(pw).audit_plan())
+
+    # wide scan threshold
+    wide = spark.createDataFrame(
+        [tuple(range(12))], ", ".join(f"c{i} int" for i in range(12)))
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "w.parquet")
+    wide.write.mode("overwrite").parquet(p)
+    scan = spark.read.parquet(p)
+    assert any(f["code"] == "wide-scan" for f in BioDataset(scan).audit_plan())
+    assert not any(f["code"] == "wide-scan"
+                   for f in BioDataset(scan.select("c0", "c1")).audit_plan())
+
+    # clean plan: broadcast-joined agg
+    clean = (a.groupBy((F.col("x") % 10).alias("g")).agg(F.sum("x").alias("s")))
+    assert BioDataset(clean).audit_plan() == []

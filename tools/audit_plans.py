@@ -1,13 +1,17 @@
 """Plan-quality audit: explain every registered query and flag
 physical-plan anti-patterns that would hurt at 100 TB.
 
-Checks per query:
+The single-plan checks live in ``biosets_spark/plans/audit.py`` (also
+exposed to users as ``BioDataset.audit_plan()``); this tool sweeps the
+full query inventory with them:
+
 - CartesianProduct / BroadcastNestedLoopJoin where not expected
   (cross/range joins declare themselves via tags)
 - parquet scans with no pushed filters *and* full-width ReadSchema
   (a scan reading every column usually means a missing projection)
 - row-at-a-time PythonUDF (BatchEvalPython) — only ArrowEvalPython /
   mapInPandas are sanctioned Python paths
+- Window with an empty partition spec (single-task global window)
 - Exchange count (shuffles) per query, reported for eyeballing
 
 Usage: python tools/audit_plans.py [sf_dir]
@@ -15,7 +19,6 @@ Usage: python tools/audit_plans.py [sf_dir]
 
 from __future__ import annotations
 
-import re
 import sys
 from pathlib import Path
 
@@ -23,47 +26,20 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import __spark_entry__  # noqa: E402,F401  (registers every query wave)
 from biosets_spark import queries as _q  # noqa: E402
+from biosets_spark.plans.audit import (  # noqa: E402
+    audit_plan_text,
+    count_exchanges,
+)
 from biosets_spark.session import get_spark  # noqa: E402
 
 EXPECTED_NESTED_LOOP = {"cross", "range"}  # tags that legitimately nested-loop
 
-
-def _bracket_groups(s: str) -> int:
-    """Count top-level ``[...]`` groups in a plan-node argument string."""
-    depth = groups = 0
-    for ch in s:
-        if ch == "[":
-            if depth == 0:
-                groups += 1
-            depth += 1
-        elif ch == "]":
-            depth = max(depth - 1, 0)
-    return groups
-
-
-def _is_global_window(line: str) -> bool:
-    """A Window physical node with an EMPTY partition spec renders as
-    ``Window [exprs], [order]`` (2 bracket groups); a partitioned one
-    as ``Window [exprs], [parts], [order]`` (3). An empty partition
-    spec moves the entire input through ONE task — the textbook window
-    scale-killer (VERDICT r1 #2).
-
-    Disambiguation: a PARTITIONED window with no ORDER BY (e.g. a
-    share-of-total SUM over the whole partition) also renders 2
-    groups — ``Window [exprs], [parts]`` — but its second group is a
-    partition list, not an order spec, so it carries no ASC/DESC
-    keyword. Only flag 2-group nodes whose trailing group is an
-    actual sort order."""
-    m = re.search(r"\bWindow (\[.*)$", line)
-    if not m:
-        return False
-    groups = _bracket_groups(m.group(1))
-    if groups >= 3:
-        return False
-    if groups == 2:
-        last = m.group(1).rsplit("[", 1)[-1]
-        return (" ASC" in last) or (" DESC" in last)
-    return True
+_CODE_LABEL = {
+    "cartesian-product": "CartesianProduct",
+    "nested-loop-join": "BroadcastNestedLoopJoin(unexpected)",
+    "python-udf": "row-at-a-time PythonUDF",
+    "global-window": "global-window(empty partition spec)",
+}
 
 
 def main() -> None:
@@ -82,20 +58,15 @@ def main() -> None:
             print(f"ERROR {name}: {type(e).__name__}: {e}")
             problems += 1
             continue
-        flags = []
-        if "CartesianProduct" in plan:
-            flags.append("CartesianProduct")
-        if "BroadcastNestedLoopJoin" in plan and not (set(query.tags) & EXPECTED_NESTED_LOOP):
-            flags.append("BroadcastNestedLoopJoin(unexpected)")
-        if "BatchEvalPython" in plan:
-            flags.append("row-at-a-time PythonUDF")
-        if any(_is_global_window(line) for line in plan.splitlines()):
-            flags.append("global-window(empty partition spec)")
-        n_exchange = len(re.findall(r"\bExchange\b", plan))
-        scans = re.findall(r"ReadSchema: struct<([^>\n]*)>", plan)
-        wide = [s for s in scans if s.count(",") >= 9]
-        if wide:
-            flags.append(f"wide-scan({wide[0].count(',') + 1} cols)")
+        allow_nl = bool(set(query.tags) & EXPECTED_NESTED_LOOP)
+        findings = audit_plan_text(plan, allow_nested_loop=allow_nl)
+        flags = [
+            _CODE_LABEL.get(f["code"], f["code"])
+            if f["code"] != "wide-scan"
+            else "wide-scan(" + f["detail"].split()[3] + " cols)"
+            for f in findings
+        ]
+        n_exchange = count_exchanges(plan)
         status = "FLAG" if flags else "ok"
         if flags:
             problems += 1
