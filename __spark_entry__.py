@@ -158,100 +158,114 @@ def entry(spark: SparkSession) -> DataFrame:
 # in tests/test_registry.py).
 _ROUND = 7
 
-# Queries that already have GREEN driver CORRECTNESS rows (r1..r4
-# windows — the union of CORRECTNESS_r0{1..4}.json). The driver records
-# the first ~50 entries of queries(); registration order below puts
-# everything NOT in this set first, so queries that have never had a
-# green driver row land inside the recorded window. All queries keep
-# their oracles either way.
-_DRIVER_CHECKED = frozenset({
-    # --- r1/r2 windows ---
-    "q_scan_filter_project", "q_cast_project", "q_pricing_summary",
-    "q_forecast_revenue", "q_distinct_agg", "q_rollup", "q_cube", "q_quantiles",
-    "q_join_agg", "q_top_orders", "q_left_join_histogram", "q_semi_join",
-    "q_anti_join", "q_full_outer", "q_meta_left_join", "q_set_intersect",
-    "q_set_except", "q_union_promote", "q_window_topk_per_group",
-    "q_window_running_sum", "q_window_lag_gap", "q_ntile_kfold",
-    "q_string_funcs", "q_date_funcs", "q_math_funcs", "q_json_funcs",
-    "q_array_funcs", "q_label_encode", "q_label_binary",
-    "q_label_decode_roundtrip", "q_dedup_exact", "q_dedup_fingerprint",
-    "q_dedup_ngram_jaccard", "q_dedup_minhash_lsh", "q_dedup_simhash",
-    "q_knn_bruteforce", "q_knn_pairs", "q_knn_lsh", "q_text_tokens",
-    "q_text_quality", "q_lang_distribution", "q_events_hourly",
-    "q_events_sessions", "q_events_dedup_stateful", "q_multimodal_binary",
-    "q_knn_ivf", "q_asof_join", "q_cross_join", "q_range_join",
-    "q_flatten_struct",
-    # --- r3 window (48 green; q_collect_list / q_quantize_embeddings
-    # ERR'd on array hashing, now string-serialized — kept OUT so the
-    # r4 window records them green) ---
-    "q_dedup_ngram_jaccard_bounded", "q_slice_offset", "q_pivot", "q_having",
-    "q_grouping_sets", "q_join_renamed_keys", "q_join_multi_key",
-    "q_sort_nulls", "q_union_type_promotion", "q_join_salted",
-    "q_events_funnel", "q_events_retention", "q_text_langid",
-    "q_text_quality_score", "q_text_bpe_tokens", "q_window_first_last",
-    "q_events_sliding", "q_grouped_map_normalize", "q_approx_distinct",
-    "q_term_doc_freq", "q_dedup_clusters", "q_window_range_frame",
-    "q_pipeline_clean_corpus", "q_dedup_embedding", "q_exists_subquery",
-    "q_scalar_subquery", "q_not_exists_customers", "q_knn_quantized",
-    "q_events_multires", "q_events_gapfill", "q_stratified_sample",
-    "q_mix_resample", "q_pack_sequences", "q_top_ngrams", "q_contamination",
-    "q_chunk_stats", "q_quality_gopher", "q_text_repetition", "q_text_entropy",
-    "q_pii_redact", "q_bm25_topk", "q_volume_shipping", "q_market_share",
-    "q_returned_items", "q_promo_effect", "q_large_orders",
-    "q_order_priority_check", "q_product_profit",
+# Queries that already have GREEN driver CORRECTNESS rows, tagged with
+# the round their (latest) green row landed. The tag drives the
+# POST-DRAIN RE-VERIFICATION POLICY documented below the defer list:
+# from r8 on, spare window rows re-sample OLDEST tag first, and a
+# re-sampled name is re-tagged with the round its fresh green lands.
+# The driver records the first ~50 entries of queries(); registration
+# order puts everything NOT in this mapping first, so queries that
+# have never had a green driver row land inside the recorded window.
+# All queries keep their oracles either way.
+_DRIVER_CHECKED_TAGGED: dict[str, int] = {
+    # --- r1/r2 windows (tag 2 = last green in CORRECTNESS_r01/r02) ---
+    "q_scan_filter_project": 2, "q_cast_project": 2, "q_pricing_summary": 2,
+    "q_forecast_revenue": 2, "q_distinct_agg": 2, "q_rollup": 2, "q_cube": 2,
+    "q_quantiles": 2, "q_join_agg": 2, "q_top_orders": 2,
+    "q_left_join_histogram": 2, "q_semi_join": 2, "q_anti_join": 2,
+    "q_full_outer": 2, "q_meta_left_join": 2, "q_set_intersect": 2,
+    "q_set_except": 2, "q_union_promote": 2, "q_window_topk_per_group": 2,
+    "q_window_running_sum": 2, "q_window_lag_gap": 2, "q_ntile_kfold": 2,
+    "q_string_funcs": 2, "q_date_funcs": 2, "q_math_funcs": 2,
+    "q_json_funcs": 2, "q_array_funcs": 2, "q_label_encode": 2,
+    "q_label_binary": 2, "q_label_decode_roundtrip": 2, "q_dedup_exact": 2,
+    "q_dedup_fingerprint": 2, "q_dedup_ngram_jaccard": 2,
+    "q_dedup_minhash_lsh": 2, "q_dedup_simhash": 2, "q_knn_bruteforce": 2,
+    "q_knn_pairs": 2, "q_knn_lsh": 2, "q_text_tokens": 2, "q_text_quality": 2,
+    "q_lang_distribution": 2, "q_events_hourly": 2, "q_events_sessions": 2,
+    "q_events_dedup_stateful": 2, "q_multimodal_binary": 2, "q_knn_ivf": 2,
+    "q_asof_join": 2, "q_cross_join": 2, "q_range_join": 2,
+    "q_flatten_struct": 2,
+    # --- r3 window (48 green, CORRECTNESS_r03.json) ---
+    "q_dedup_ngram_jaccard_bounded": 3, "q_slice_offset": 3, "q_pivot": 3,
+    "q_having": 3, "q_grouping_sets": 3, "q_join_renamed_keys": 3,
+    "q_join_multi_key": 3, "q_sort_nulls": 3, "q_union_type_promotion": 3,
+    "q_join_salted": 3, "q_events_funnel": 3, "q_events_retention": 3,
+    "q_text_langid": 3, "q_text_quality_score": 3, "q_text_bpe_tokens": 3,
+    "q_window_first_last": 3, "q_events_sliding": 3,
+    "q_grouped_map_normalize": 3, "q_approx_distinct": 3,
+    "q_term_doc_freq": 3, "q_dedup_clusters": 3, "q_window_range_frame": 3,
+    "q_pipeline_clean_corpus": 3, "q_dedup_embedding": 3,
+    "q_exists_subquery": 3, "q_scalar_subquery": 3,
+    "q_not_exists_customers": 3, "q_knn_quantized": 3, "q_events_multires": 3,
+    "q_events_gapfill": 3, "q_stratified_sample": 3, "q_mix_resample": 3,
+    "q_pack_sequences": 3, "q_top_ngrams": 3, "q_contamination": 3,
+    "q_chunk_stats": 3, "q_quality_gopher": 3, "q_text_repetition": 3,
+    "q_text_entropy": 3, "q_pii_redact": 3, "q_bm25_topk": 3,
+    "q_volume_shipping": 3, "q_market_share": 3, "q_returned_items": 3,
+    "q_promo_effect": 3, "q_large_orders": 3, "q_order_priority_check": 3,
+    "q_product_profit": 3,
     # --- r4 window (50/50 green, CORRECTNESS_r04.json) ---
-    "q_collect_list", "q_quantize_embeddings", "q_important_suppliers",
-    "q_ship_delay_priority", "q_top_supplier", "q_supplier_part_variety",
-    "q_disjunctive_filter", "q_excess_parts_suppliers", "q_waiting_suppliers",
-    "q_min_cost_supplier", "q_vocab_stats", "q_token_pmi", "q_mix_temperature",
-    "q_order_count_distribution", "q_small_quantity_revenue",
-    "q_idle_rich_customers", "q_unigram_surprise", "q_script_ratio",
-    "q_head_coverage", "q_mann_whitney", "q_shard_assignment",
-    "q_cohens_kappa", "q_k_anonymity", "q_l_diversity",
-    "q_feature_hash_collisions", "q_partial_correlation",
-    "q_hhi_concentration", "q_cohort_ltv", "q_abc_xyz",
-    "q_graph_assortativity", "q_powerlaw_alpha", "q_heaps_law",
-    "q_word_adaptation", "q_retention_half_life", "q_peak_concurrency",
-    "q_power_analysis", "q_odds_ratio", "q_mcnemar_paired",
-    "q_threshold_sweep", "q_calibration_bins", "q_stratified_effect",
-    "q_anova_oneway", "q_diff_in_diff", "q_capture_recapture", "q_cramers_v",
-    "q_round_price_bias", "q_skyline_orders", "q_knee_point",
-    "q_control_chart", "q_seasonal_strength",
+    "q_collect_list": 4, "q_quantize_embeddings": 4,
+    "q_important_suppliers": 4, "q_ship_delay_priority": 4,
+    "q_top_supplier": 4, "q_supplier_part_variety": 4,
+    "q_disjunctive_filter": 4, "q_excess_parts_suppliers": 4,
+    "q_waiting_suppliers": 4, "q_min_cost_supplier": 4, "q_vocab_stats": 4,
+    "q_token_pmi": 4, "q_mix_temperature": 4, "q_order_count_distribution": 4,
+    "q_small_quantity_revenue": 4, "q_idle_rich_customers": 4,
+    "q_unigram_surprise": 4, "q_script_ratio": 4, "q_head_coverage": 4,
+    "q_mann_whitney": 4, "q_shard_assignment": 4, "q_cohens_kappa": 4,
+    "q_k_anonymity": 4, "q_l_diversity": 4, "q_feature_hash_collisions": 4,
+    "q_partial_correlation": 4, "q_hhi_concentration": 4, "q_cohort_ltv": 4,
+    "q_abc_xyz": 4, "q_graph_assortativity": 4, "q_powerlaw_alpha": 4,
+    "q_heaps_law": 4, "q_word_adaptation": 4, "q_retention_half_life": 4,
+    "q_peak_concurrency": 4, "q_power_analysis": 4, "q_odds_ratio": 4,
+    "q_mcnemar_paired": 4, "q_threshold_sweep": 4, "q_calibration_bins": 4,
+    "q_stratified_effect": 4, "q_anova_oneway": 4, "q_diff_in_diff": 4,
+    "q_capture_recapture": 4, "q_cramers_v": 4, "q_round_price_bias": 4,
+    "q_skyline_orders": 4, "q_knee_point": 4, "q_control_chart": 4,
+    "q_seasonal_strength": 4,
     # --- r5 window (50/50 green, CORRECTNESS_r05.json) ---
-    "q_span_dedup", "q_containment", "q_keep_latest_event",
-    "q_sessionize_batch", "q_unpivot_measures", "q_percent_rank",
-    "q_corr_exact", "q_length_histogram", "q_levenshtein_brands",
-    "q_events_anomaly", "q_winsorize", "q_tfidf_keywords", "q_zipf_slope",
-    "q_random_projection", "q_cohort_retention", "q_quick_succession",
-    "q_grouping_id", "q_token_fertility", "q_source_quality_matrix",
-    "q_dup_rate_by_source", "q_langid_confusion", "q_activity_streaks",
-    "q_minhash_estimate_quality", "q_span_dedup_applied",
-    "q_incremental_dedup", "q_ann_recall_audit", "q_bigram_surprise",
-    "q_cogroup_reconcile", "q_mad_outliers", "q_group_sample",
-    "q_approx_quantile_audit", "q_countmin_audit", "q_label_centroids",
-    "q_equal_freq_bins", "q_time_weighted_avg", "q_hll_portable_audit",
-    "q_rolling_active_users", "q_first_touch_attribution", "q_basket_pairs",
-    "q_rfm_segments", "q_event_transitions", "q_revenue_share", "q_yoy_growth",
-    "q_weekly_percentiles", "q_ship_latency_histogram", "q_ks_drift",
-    "q_psi_drift", "q_chi2_assoc", "q_ewma_daily", "q_weighted_sample",
+    "q_span_dedup": 5, "q_containment": 5, "q_keep_latest_event": 5,
+    "q_sessionize_batch": 5, "q_unpivot_measures": 5, "q_percent_rank": 5,
+    "q_corr_exact": 5, "q_length_histogram": 5, "q_levenshtein_brands": 5,
+    "q_events_anomaly": 5, "q_winsorize": 5, "q_tfidf_keywords": 5,
+    "q_zipf_slope": 5, "q_random_projection": 5, "q_cohort_retention": 5,
+    "q_quick_succession": 5, "q_grouping_id": 5, "q_token_fertility": 5,
+    "q_source_quality_matrix": 5, "q_dup_rate_by_source": 5,
+    "q_langid_confusion": 5, "q_activity_streaks": 5,
+    "q_minhash_estimate_quality": 5, "q_span_dedup_applied": 5,
+    "q_incremental_dedup": 5, "q_ann_recall_audit": 5, "q_bigram_surprise": 5,
+    "q_cogroup_reconcile": 5, "q_mad_outliers": 5, "q_group_sample": 5,
+    "q_approx_quantile_audit": 5, "q_countmin_audit": 5,
+    "q_label_centroids": 5, "q_equal_freq_bins": 5, "q_time_weighted_avg": 5,
+    "q_hll_portable_audit": 5, "q_rolling_active_users": 5,
+    "q_first_touch_attribution": 5, "q_basket_pairs": 5, "q_rfm_segments": 5,
+    "q_event_transitions": 5, "q_revenue_share": 5, "q_yoy_growth": 5,
+    "q_weekly_percentiles": 5, "q_ship_latency_histogram": 5, "q_ks_drift": 5,
+    "q_psi_drift": 5, "q_chi2_assoc": 5, "q_ewma_daily": 5,
+    "q_weighted_sample": 5,
     # --- r6 window (50/50 green, CORRECTNESS_r06.json) ---
-    "q_scd2_pit_join", "q_pagerank_nations", "q_centroid_confusion",
-    "q_dup_graph_degree", "q_lift_rules", "q_interval_overlap",
-    "q_triangle_count", "q_simjoin_names", "q_bloom_audit",
-    "q_column_profile", "q_ngram_novelty", "q_funnel_latency",
-    "q_referential_audit", "q_crosslingual_dup", "q_quantile_normalize",
-    "q_clr_transform", "q_alpha_diversity", "q_bray_curtis",
-    "q_feature_correlation", "q_pca_power", "q_cusum_changepoint",
-    "q_sax_symbolize", "q_ab_test_z", "q_survival_km", "q_bootstrap_ci",
-    "q_welch_ttest", "q_ols_normal_eq", "q_interval_union",
-    "q_weighted_median", "q_gini_revenue", "q_decile_lift",
-    "q_autocorrelation", "q_theil_sen", "q_spearman_corr", "q_benford_digits",
-    "q_mutual_information", "q_skew_kurtosis", "q_rolling_median",
-    "q_zorder_layout", "q_readability", "q_rarefaction", "q_core_prevalence",
-    "q_auc_roc", "q_good_turing", "q_session_paths", "q_log2_histogram",
-    "q_jackknife_variance", "q_entropy_rate", "q_seasonal_index",
-    "q_burstiness",
-})
+    "q_scd2_pit_join": 6, "q_pagerank_nations": 6, "q_centroid_confusion": 6,
+    "q_dup_graph_degree": 6, "q_lift_rules": 6, "q_interval_overlap": 6,
+    "q_triangle_count": 6, "q_simjoin_names": 6, "q_bloom_audit": 6,
+    "q_column_profile": 6, "q_ngram_novelty": 6, "q_funnel_latency": 6,
+    "q_referential_audit": 6, "q_crosslingual_dup": 6,
+    "q_quantile_normalize": 6, "q_clr_transform": 6, "q_alpha_diversity": 6,
+    "q_bray_curtis": 6, "q_feature_correlation": 6, "q_pca_power": 6,
+    "q_cusum_changepoint": 6, "q_sax_symbolize": 6, "q_ab_test_z": 6,
+    "q_survival_km": 6, "q_bootstrap_ci": 6, "q_welch_ttest": 6,
+    "q_ols_normal_eq": 6, "q_interval_union": 6, "q_weighted_median": 6,
+    "q_gini_revenue": 6, "q_decile_lift": 6, "q_autocorrelation": 6,
+    "q_theil_sen": 6, "q_spearman_corr": 6, "q_benford_digits": 6,
+    "q_mutual_information": 6, "q_skew_kurtosis": 6, "q_rolling_median": 6,
+    "q_zorder_layout": 6, "q_readability": 6, "q_rarefaction": 6,
+    "q_core_prevalence": 6, "q_auc_roc": 6, "q_good_turing": 6,
+    "q_session_paths": 6, "q_log2_histogram": 6, "q_jackknife_variance": 6,
+    "q_entropy_rate": 6, "q_seasonal_index": 6, "q_burstiness": 6,
+}
+
+_DRIVER_CHECKED = frozenset(_DRIVER_CHECKED_TAGGED)
 
 
 # Never-driver-checked queries that do NOT fit in this round's ~50-row
@@ -269,15 +283,17 @@ _DRIVER_CHECKED = frozenset({
 # — all 34 remaining names go in front, draining the backlog to zero.
 #
 # POST-DRAIN RE-VERIFICATION POLICY (pre-committed per the r6
-# verdict): r8's window has ~16 spare rows after the 34 never-checked
-# names, and every window from r9 on is entirely spare. Spare rows
-# re-sample OLDEST-GREEN-FIRST: convert _DRIVER_CHECKED to a
-# round-tagged mapping {name: round_last_green} and order spare
-# slots by ascending tag (r1/r2 greens first — those rows are six
-# rounds of code drift old), re-tagging each name with the round its
-# fresh green row lands. A re-sampled name that goes RED is removed
-# from _DRIVER_CHECKED until fixed and re-verified. This keeps every
-# driver row at most ~6 rounds stale in steady state while never
+# verdict, MACHINERY ALREADY LIVE): r8's window has ~16 spare rows
+# after the 34 never-checked names, and every window from r9 on is
+# entirely spare. Spare rows re-sample OLDEST-GREEN-FIRST:
+# _DRIVER_CHECKED_TAGGED records {name: round_last_green} and
+# _ordered_names() already sorts the checked tail by ascending tag
+# (r1/r2 greens first — those rows are six rounds of code drift old),
+# so spare slots consume the stalest rows with no further code change.
+# Per-round upkeep from r8 on: re-tag each re-sampled name with the
+# round its fresh green row lands. A re-sampled name that goes RED is
+# removed from the mapping until fixed and re-verified. This keeps
+# every driver row at most ~6 rounds stale in steady state while never
 # displacing a never-checked name, which always outranks re-sampling.
 _DEFER_NEXT_WINDOW_TAGGED = (
     ("q_page_trend", 7),
@@ -323,11 +339,16 @@ def _ordered_names() -> list[str]:
     names = list(_q.QUERIES)
     defer = [n for n in names if n in _DEFER_NEXT_WINDOW]
     front = [n for n in names if n not in _DRIVER_CHECKED and n not in _DEFER_NEXT_WINDOW]
-    return (
-        front
-        + defer
-        + [n for n in names if n in _DRIVER_CHECKED]
+    # checked tail ordered OLDEST green first (ascending round tag,
+    # registration order within a tag): once the never-checked backlog
+    # drains (r8), spare window rows automatically re-sample the
+    # stalest driver rows — the post-drain policy is already live in
+    # the ordering, it just has no spare rows to consume before then.
+    checked = sorted(
+        (n for n in names if n in _DRIVER_CHECKED),
+        key=lambda n: (_DRIVER_CHECKED_TAGGED[n], names.index(n)),
     )
+    return front + defer + checked
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -524,7 +524,10 @@ class BioDataset:
         'ngram' (exact bounded Jaccard), 'simhash' (hamming blocking;
         its similarity bound is ``max_hamming``, NOT ``threshold`` —
         passing threshold with simhash is a TypeError, never silently
-        ignored). threshold defaults to 0.5 for minhash/ngram."""
+        ignored), or 'embedding' (exact cosine over a vector column —
+        pass ``vec_col``; ``text_col`` is ignored; threshold defaults
+        to 0.9, the block-bounded O(N^2) verifier behind SRP/IVF).
+        threshold defaults to 0.5 for minhash/ngram."""
         from .operators import dedup as D
 
         if method == "minhash":
@@ -543,9 +546,15 @@ class BioDataset:
                     "max_hamming=<int> (bits) instead."
                 )
             return D.simhash_pairs(self.df, text_col, id_col, **kwargs)
+        if method == "embedding":
+            from .operators.similarity import embedding_dup_pairs
+
+            return embedding_dup_pairs(
+                self.df, threshold=0.9 if threshold is None else threshold,
+                id_col=id_col, **kwargs)
         raise ValueError(
             f"unknown near-dup method {method!r}; "
-            "expected 'minhash' | 'ngram' | 'simhash'"
+            "expected 'minhash' | 'ngram' | 'simhash' | 'embedding'"
         )
 
     def near_dup_clusters(self, text_col: str = "text",

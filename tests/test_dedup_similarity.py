@@ -282,3 +282,27 @@ def test_near_dup_pairs_simhash_rejects_threshold(docs):
     # the supported spellings still work
     assert ds.near_dup_pairs(method="simhash", max_hamming=6).count() >= 0
     assert ds.near_dup_pairs(method="minhash", threshold=0.5).count() >= 0
+
+
+def test_near_dup_pairs_embedding_method(spark):
+    """method='embedding' on the dataset surface: exact cosine pairs
+    over a vector column, composing into near_dup_clusters."""
+    from biosets_spark.dataset import BioDataset
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    ds = BioDataset(spark.createDataFrame(
+        rows, "doc_id long, embedding array<double>"))
+    pairs = {(r.id_a, r.id_b)
+             for r in ds.near_dup_pairs(method="embedding", id_col="doc_id",
+                                        threshold=0.99).collect()}
+    assert pairs == {(0, 1)}
+    clustered = ds.near_dup_clusters(method="embedding", id_col="doc_id",
+                                     threshold=0.99)
+    got = {r.doc_id: (r.cluster_id, r.keep) for r in clustered.df.collect()}
+    assert got[0] == (0, True) and got[1] == (0, False)
+    assert got[2][1] and got[3][1]

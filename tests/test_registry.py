@@ -243,3 +243,21 @@ def test_no_explode_of_higher_order_function():
         f"explode-of-HOF pattern reintroduced in {offenders}; use "
         "queries.pair_expand (codegen Generate) instead"
     )
+
+
+def test_driver_checked_tail_ordered_oldest_green_first():
+    """Post-drain re-verification machinery (r6 verdict task #2, built
+    in r7): the checked tail of the driver ordering is sorted by
+    ascending green-round tag, so once the never-checked backlog
+    drains, spare window rows automatically re-sample the stalest
+    driver rows first."""
+    import __spark_entry__ as e
+
+    assert set(e._DRIVER_CHECKED) == set(e._DRIVER_CHECKED_TAGGED)
+    assert all(2 <= r <= e._ROUND for r in e._DRIVER_CHECKED_TAGGED.values())
+    ordered = e._ordered_names()
+    tail = [n for n in ordered if n in e._DRIVER_CHECKED]
+    tags = [e._DRIVER_CHECKED_TAGGED[n] for n in tail]
+    assert tags == sorted(tags), "checked tail must be oldest-green-first"
+    # the head of the tail is the stalest cohort (r1/r2 greens)
+    assert e._DRIVER_CHECKED_TAGGED[tail[0]] == min(tags)
