@@ -200,3 +200,43 @@ def test_avro_py_roundtrip_property(leaf_types, data, codec):
     for row, dec in zip(rows, back):
         for i, t in enumerate(leaf_types):
             assert dec[f"f{i}"] == row[i], (t, i)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=30),
+    n_colors=st.integers(min_value=2, max_value=16),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    interlaced=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_lzw_roundtrip_property(w, h, n_colors, seed, interlaced):
+    """Property: any palette-indexed image survives the test encoder ->
+    decode_gif roundtrip with exact dimensions and channel means
+    (exercises LZW width growth, clear resets, KwKwK, interlace
+    reassembly across the parameter space)."""
+    import numpy as np
+
+    from biosets_spark.operators.multimodal import decode_gif
+    from tests.test_misc import _gif_bytes
+
+    rng = np.random.RandomState(seed)
+    palette = [tuple(int(v) for v in rng.randint(0, 256, 3))
+               for _ in range(n_colors)]
+    min_code = max(2, (n_colors - 1).bit_length())
+    idx = rng.randint(0, n_colors, size=w * h)
+    if interlaced:
+        rows = idx.reshape(h, w)
+        order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                                np.arange(2, h, 4), np.arange(1, h, 2)])
+        payload = rows[order].ravel()
+    else:
+        payload = idx
+    gif = _gif_bytes(payload, palette, w, h, min_code_size=min_code,
+                     interlaced=interlaced)
+    gw, gh, mr, mg, mb = decode_gif(gif)
+    px = np.array(palette)[idx]
+    assert (gw, gh) == (w, h)
+    assert abs(mr - px[:, 0].mean()) < 1e-9
+    assert abs(mg - px[:, 1].mean()) < 1e-9
+    assert abs(mb - px[:, 2].mean()) < 1e-9
