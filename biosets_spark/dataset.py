@@ -641,7 +641,11 @@ class BioDataset:
         TimestampType columns are converted tz-aware -> naive local
         (what Row collection returns); MapType anywhere (Arrow yields
         (key, value) tuple lists, not dicts) and timestamps NESTED in
-        structs/arrays fall back to the row path."""
+        structs/arrays fall back to the row path. Two documented
+        deviations from the old row path: binary values come back as
+        immutable ``bytes`` (was ``bytearray``; == comparisons are
+        unaffected), and duplicate column names raise (the row path
+        silently kept one column)."""
         from pyspark.sql.types import MapType, TimestampType
 
         def _needs_row_path(dt, top: bool = True) -> bool:

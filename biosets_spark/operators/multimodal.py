@@ -174,6 +174,11 @@ def decode_tiff(raw: bytes):
         tag = _s.unpack_from(bo + "H", raw, pos)[0]
         if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279):
             tags[tag] = values(pos)
+    # required baseline tags raise the decoder's documented error
+    # surface (ValueError), never a bare KeyError from executor depths
+    missing = [t for t in (256, 257, 273) if t not in tags]
+    if missing:
+        raise ValueError(f"TIFF missing required IFD tag(s) {missing}")
     w, h = tags[256][0], tags[257][0]
     compression = tags.get(259, [1])[0]
     if compression != 1:
@@ -498,10 +503,11 @@ def extract_image_stats(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Full real-decode image statistics for natively decodable
-    payloads (BMP / binary PPM / PGM / GIF): (id, width, height,
-    mean_r, mean_g, mean_b, n_bytes). Compressed payloads raise the
-    gated error — filter on the metadata struct's mime first at scale;
-    NULL/empty payloads are skipped (no output row)."""
+    payloads (BMP / binary PPM / PGM / GIF / uncompressed TIFF):
+    (id, width, height, mean_r, mean_g, mean_b, n_bytes). Compressed
+    payloads raise the gated error — filter on the metadata struct's
+    mime first at scale; NULL/empty payloads are skipped (no output
+    row)."""
     out_schema = T.StructType([
         T.StructField(id_col, T.LongType()),
         T.StructField("width", T.IntegerType()),

@@ -71,17 +71,39 @@ def _is_global_window(line: str) -> bool:
     return True
 
 
+# ReadSchema truncation is governed by spark.sql.maxMetadataStringLength
+# (default 100 CHARS — a 13-column scan with realistic names already
+# truncates to "struct<..." with no closing '>', which the wide-scan
+# regex then never matches); maxToStringFields governs expression
+# lists. Both must be raised for a faithful plan string.
+_PLAN_CONFS = {
+    "spark.sql.debug.maxToStringFields": "200",
+    "spark.sql.maxMetadataStringLength": "8192",
+}
+
+
 def executed_plan_string(df: DataFrame) -> str:
-    """The physical plan text the audit reads (AQE initial plan)."""
+    """The physical plan text the audit reads (AQE initial plan).
+    Session conf is saved and restored — the audit is read-only."""
     spark = df.sparkSession
-    # keep plan strings untruncated: an elided ReadSchema ("...", no
-    # closing '>') makes the wide-scan regex run across lines and
-    # report phantom column counts
+    saved = {}
+    for k, v in _PLAN_CONFS.items():
+        try:
+            saved[k] = spark.conf.get(k, None)
+            spark.conf.set(k, v)
+        except Exception:
+            pass
     try:
-        spark.conf.set("spark.sql.debug.maxToStringFields", "200")
-    except Exception:
-        pass
-    return df._jdf.queryExecution().executedPlan().toString()
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, old in saved.items():
+            try:
+                if old is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, old)
+            except Exception:
+                pass
 
 
 def count_exchanges(plan: str) -> int:
@@ -123,10 +145,26 @@ def audit_plan_text(plan: str, allow_nested_loop: bool = False,
         if ncols >= wide_scan_cols:
             findings.append({
                 "code": "wide-scan",
+                "ncols": ncols,
                 "detail": f"parquet scan reads {ncols} columns; project the "
                           "needed columns so pruning reaches the scan",
             })
             break
+    else:
+        # a truncated ReadSchema ("struct<..." with no closing '>')
+        # means the scan is so wide its schema string overflowed even
+        # the raised maxMetadataStringLength — flag it rather than
+        # silently passing the widest scans
+        m = re.search(r"ReadSchema: struct<([^>\n]*)$", plan, re.MULTILINE)
+        if m:
+            ncols = m.group(1).count(",") + 1
+            findings.append({
+                "code": "wide-scan",
+                "ncols": ncols,
+                "detail": f"parquet scan reads {ncols}+ columns (schema "
+                          "string truncated); project the needed columns "
+                          "so pruning reaches the scan",
+            })
     return findings
 
 

@@ -52,14 +52,17 @@ def _path_snapshot(path: str) -> tuple:
         st = os.stat(path)
     except OSError:
         return ()
+    # nanosecond mtime: a same-size rewrite within the same SECOND must
+    # still invalidate (whole-second truncation misses exactly the
+    # tight rewrite loop this snapshot exists to catch)
     if not os.path.isdir(path):
-        return ((path, st.st_size, int(st.st_mtime)),)
+        return ((path, st.st_size, st.st_mtime_ns),)
     out = []
     try:
         for entry in os.scandir(path):
             try:
                 est = entry.stat()
-                out.append((entry.name, est.st_size, int(est.st_mtime)))
+                out.append((entry.name, est.st_size, est.st_mtime_ns))
             except OSError:
                 out.append((entry.name, -1, -1))
     except OSError:

@@ -636,10 +636,8 @@ def test_driver_memory_resolved_once():
 
 def test_relation_cache_invalidates_on_rewrite(spark, tmp_path):
     """r6 verdict task #4: the tables.py relation memo is keyed on an
-    input snapshot (path, size, mtime) — rewriting a table file in
+    input snapshot (path, size, mtime_ns) — rewriting a table file in
     place must be observed WITHOUT a manual refresh()."""
-    import time
-
     from biosets_spark import tables
 
     sf_dir = str(tmp_path)
@@ -650,7 +648,8 @@ def test_relation_cache_invalidates_on_rewrite(spark, tmp_path):
     # memo hit while the file is unchanged: same analyzed relation back
     assert tables.load(spark, sf_dir, "orders") is first
 
-    time.sleep(1.1)  # ensure a distinct mtime even on coarse filesystems
+    # no sleep: the snapshot keys on st_mtime_ns, so even a same-second
+    # same-size rewrite must be observed
     spark.range(9).selectExpr("id AS o_orderkey").write.mode("overwrite").parquet(p)
     fresh = tables.load(spark, sf_dir, "orders")
     assert fresh is not first
@@ -973,3 +972,44 @@ def test_audit_plan_flags_antipatterns(spark):
     # clean plan: broadcast-joined agg
     clean = (a.groupBy((F.col("x") % 10).alias("g")).agg(F.sum("x").alias("s")))
     assert BioDataset(clean).audit_plan() == []
+
+
+def test_audit_plan_wide_scan_with_long_column_names(spark, tmp_path):
+    """Regression (r7 self-review, verified live): ReadSchema
+    truncation is governed by spark.sql.maxMetadataStringLength
+    (default 100 chars), so a 30-column scan with realistic names
+    previously rendered 'struct<...' with no closing '>' and evaded
+    the wide-scan check entirely. Also pins that audit_plan restores
+    the caller's session conf."""
+    from biosets_spark.dataset import BioDataset
+
+    before_meta = spark.conf.get("spark.sql.maxMetadataStringLength", None)
+    wide = spark.createDataFrame(
+        [tuple(range(30))],
+        ", ".join(f"customer_field_{i} int" for i in range(30)))
+    p = str(tmp_path / "wide.parquet")
+    wide.write.mode("overwrite").parquet(p)
+    ds = BioDataset(spark.read.parquet(p))
+    findings = [f for f in ds.audit_plan() if f["code"] == "wide-scan"]
+    assert findings, "wide scan with long names must be flagged"
+    assert findings[0]["ncols"] >= 10  # structured field, not prose parsing
+    after_meta = spark.conf.get("spark.sql.maxMetadataStringLength", None)
+    assert after_meta == before_meta, "audit_plan must restore session conf"
+
+
+def test_decode_tiff_missing_tags_raise_valueerror():
+    """Malformed TIFFs missing required IFD tags must raise the
+    decoder's documented ValueError surface, not a bare KeyError."""
+    import struct
+
+    import pytest as _pt
+
+    from biosets_spark.operators.multimodal import decode_tiff
+
+    # valid header, one-entry IFD carrying only Compression=1
+    hdr = b"II*\x00" + struct.pack("<I", 8)
+    ifd = struct.pack("<H", 1)
+    ifd += struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 1, 0)
+    ifd += struct.pack("<I", 0)
+    with _pt.raises(ValueError, match="required IFD tag"):
+        decode_tiff(hdr + ifd)

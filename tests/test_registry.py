@@ -224,12 +224,26 @@ def test_no_explode_of_higher_order_function():
                     out.add(id(node.body[0].value))
         return out
 
+    def _strip_strings(src, tree):
+        """Blank every string constant so the DSL regex only sees CODE
+        (a docstring mentioning F.flatten(F.transform(...)) as prose
+        must not trip the ratchet, mirroring the SQL-side exemption)."""
+        out = src.splitlines(keepends=True)
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Constant) and isinstance(node.value, str):
+                for ln in range(node.lineno - 1, node.end_lineno):
+                    a = node.col_offset if ln == node.lineno - 1 else 0
+                    b = (node.end_col_offset if ln == node.end_lineno - 1
+                         else len(out[ln]))
+                    out[ln] = out[ln][:a] + " " * (b - a) + out[ln][b:]
+        return "".join(out)
+
     offenders = []
     for path in sorted(glob.glob(os.path.join(root, "**", "*.py"), recursive=True)):
         src = open(path).read()
-        hit = bool(dsl_pat.search(src))
+        tree = ast.parse(src)
+        hit = bool(dsl_pat.search(_strip_strings(src, tree)))
         if not hit:
-            tree = ast.parse(src)
             doc_ids = _docstrings(tree)
             for node in ast.walk(tree):
                 if (isinstance(node, ast.Constant) and isinstance(node.value, str)

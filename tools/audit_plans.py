@@ -45,10 +45,12 @@ _CODE_LABEL = {
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan-audit")
-    # keep plan strings untruncated: an elided ReadSchema ("...", no
-    # closing '>') makes the wide-scan regex run across lines and
-    # report phantom column counts
+    # keep plan strings untruncated: maxToStringFields governs
+    # expression lists, maxMetadataStringLength governs ReadSchema
+    # (default 100 CHARS — wide scans truncate to "struct<..." with no
+    # closing '>' and would silently evade the wide-scan regex)
     spark.conf.set("spark.sql.debug.maxToStringFields", "200")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "8192")
     problems = 0
     for name, query in _q.QUERIES.items():
         try:
@@ -63,7 +65,7 @@ def main() -> None:
         flags = [
             _CODE_LABEL.get(f["code"], f["code"])
             if f["code"] != "wide-scan"
-            else "wide-scan(" + f["detail"].split()[3] + " cols)"
+            else f"wide-scan({f['ncols']} cols)"
             for f in findings
         ]
         n_exchange = count_exchanges(plan)
