@@ -240,3 +240,34 @@ def test_gif_lzw_roundtrip_property(w, h, n_colors, seed, interlaced):
     assert abs(mr - px[:, 0].mean()) < 1e-9
     assert abs(mg - px[:, 1].mean()) < 1e-9
     assert abs(mb - px[:, 2].mean()) < 1e-9
+
+
+@given(
+    w=st.integers(min_value=1, max_value=32),
+    h=st.integers(min_value=1, max_value=24),
+    gray=st.booleans(),
+    bo=st.sampled_from(["<", ">"]),
+    rps=st.integers(min_value=1, max_value=25),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_tiff_roundtrip_property(w, h, gray, bo, rps, seed):
+    """Property: any 8-bit gray/RGB image survives the test TIFF
+    writer -> decode_tiff roundtrip across endianness and strip
+    heights (multi-strip reassembly, value-offset vs inline fields)."""
+    import numpy as np
+
+    from biosets_spark.operators.multimodal import decode_tiff
+    from tests.test_misc import _tiff_bytes
+
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    px = rng.randint(0, 256, size=shape)
+    gw, gh, mr, mg, mb = decode_tiff(
+        _tiff_bytes(px, bo=bo, rows_per_strip=min(rps, h)))
+    assert (gw, gh) == (w, h)
+    if gray:
+        assert mr == mg == mb and abs(mr - px.mean()) < 1e-9
+    else:
+        assert abs(mr - px[..., 0].mean()) < 1e-9
+        assert abs(mb - px[..., 2].mean()) < 1e-9
