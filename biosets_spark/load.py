@@ -144,13 +144,39 @@ def _feature_meta_from_rows(rows: list[dict], key: str) -> tuple[dict[str, dict]
     return meta, order
 
 
+# reader options each format understands; a HETEROGENEOUS load passes
+# the user's options to every format group, so each group takes its own
+# subset (read_files itself is strict and raises on leftovers — the
+# filter lives here, at the one call site that legitimately mixes)
+_FMT_OPTIONS = {
+    "csv": {"sep", "header", "schema", "null_values", "skip_rows",
+            "encoding", "quote_char", "infer_schema", "column_names"},
+    "tsv": {"sep", "header", "schema", "null_values", "skip_rows",
+            "encoding", "quote_char", "infer_schema", "column_names"},
+    "json": {"field"},
+    "parquet": {"merge_schema", "schema"},
+    "orc": {"schema"},
+    "arrow": set(),
+    "avro": set(),
+    "npz": {"column_names", "batch_size", "with_row_index"},
+}
+
+
 def _read_shards(spark: SparkSession, files: list[str], **options) -> DataFrame:
     from .sources.archives import expand_paths
 
     by_fmt: dict[str, list[str]] = {}
     for f in expand_paths(files):  # S9: unpack zip/tar containers
         by_fmt.setdefault(readers.detect_format(f), []).append(f)
-    dfs = [readers.read_files(spark, fs, fmt=fmt, **options) for fmt, fs in by_fmt.items()]
+    unknown = set(options) - set().union(*_FMT_OPTIONS.values())
+    if unknown:
+        raise TypeError(f"load_dataset: unknown reader option(s) {sorted(unknown)}")
+    dfs = [
+        readers.read_files(
+            spark, fs, fmt=fmt,
+            **{k: v for k, v in options.items() if k in _FMT_OPTIONS[fmt]})
+        for fmt, fs in by_fmt.items()
+    ]
     return union_promote(dfs)
 
 

@@ -130,7 +130,18 @@ def expand_paths(paths: list[str]) -> list[str]:
     for p in paths:
         if is_archive(p):
             try:
-                out.extend(extract(p))
+                # keep only data files: a README.md / LICENSE inside an
+                # archive would either fail detect_format or — worse —
+                # parse as TSV prose and union into the dataset
+                from .discovery import _is_data_file
+
+                members = extract(p)
+                data = [m for m in members if _is_data_file(m)]
+                skipped = len(members) - len(data)
+                if skipped:
+                    warnings.warn(
+                        f"{p!r}: ignoring {skipped} non-data member(s)")
+                out.extend(data)
             # ImportError: missing optional codec; ValueError: unknown
             # scheme/format; tarfile.ReadError / zipfile.BadZipFile /
             # OSError: corrupt or unreadable archive bytes — all are

@@ -322,6 +322,11 @@ def record_ddl(schema) -> str:
 # ---------------------------------------------------------------- encode
 
 def _zigzag(n: int) -> bytes:
+    # coerce to an arbitrary-precision python int FIRST: a numpy int64
+    # (array elements skip norm()'s int() coercion) with |n| >= 2^62
+    # wraps on the zigzag shift, the arithmetic >>= 7 then pins at -1,
+    # and the loop below never terminates (verified hang)
+    n = int(n)
     n = (n << 1) ^ (n >> 63)
     out = bytearray()
     while True:

@@ -156,6 +156,13 @@ def parse_split_spec(
         if a is None and b is None:
             parts.append((name, None, None, False, rounding))
         else:
+            # mixed units are a user error, not "all percent": treating
+            # 'train[5:50%]' as 5%..50% silently returns the wrong rows
+            if a and b and bool(ap) != bool(bp):
+                raise ValueError(
+                    f"Mixed absolute/percent bounds in split spec {piece!r}; "
+                    "use 'train[5:500]' or 'train[5%:50%]'"
+                )
             pct = bool(ap or bp)
             parts.append(
                 (name, int(a) if a else None, int(b) if b else None, pct, rounding))

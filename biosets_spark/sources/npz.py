@@ -109,6 +109,15 @@ def read_npz(
         for pdf in batches:
             for path in pdf["path"]:
                 m = _load_sparse(path)
+                # schema is pinned to the FIRST file; a later shard of
+                # a different width must fail with the filename, not a
+                # raw pandas shape error (or a silent misalignment)
+                if m.shape[1] != len(names):
+                    raise ValueError(
+                        f"read_npz: {path!r} has {m.shape[1]} columns "
+                        f"but the schema (from the first file) has "
+                        f"{len(names)}"
+                    )
                 for start in range(0, m.shape[0], batch_size):
                     block = m[start : start + batch_size].toarray()
                     out = pd.DataFrame(block, columns=names)

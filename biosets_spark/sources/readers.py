@@ -79,6 +79,14 @@ def read_csv(
 ) -> DataFrame:
     """S1/S2: CSV/TSV scan with the reference's reader options
     (csv/csv.py:26-92 CsvConfig)."""
+    # Spark's CSVOptions accepts only canonical charset names; map the
+    # common python-style aliases so encoding='latin-1' works
+    _CHARSET_ALIASES = {
+        "latin-1": "iso-8859-1", "latin1": "iso-8859-1",
+        "utf8": "utf-8", "utf16": "utf-16", "utf32": "utf-32",
+    }
+    encoding = _CHARSET_ALIASES.get(
+        (encoding or "utf-8").lower().replace("_", "-"), encoding)
     reader = (
         spark.read.option("header", header)
         .option("sep", sep)
@@ -92,7 +100,9 @@ def read_csv(
         # Spark CSV has no skip-rows option; strip leading lines into
         # scratch copies (driver-side — junk-prefixed CSVs are small
         # config-style inputs; the 100 TB path is headerless Parquet)
-        paths = _strip_leading_rows(paths if isinstance(paths, list) else [paths], skip_rows)
+        paths = _strip_leading_rows(
+            paths if isinstance(paths, list) else [paths], skip_rows,
+            encoding=encoding)
     if schema is not None:
         reader = reader.schema(schema)
     elif infer_schema:
@@ -117,17 +127,45 @@ def read_csv(
     return df
 
 
-def _strip_leading_rows(paths: list[str], n: int) -> list[str]:
+def _strip_leading_rows(paths: list[str], n: int,
+                        encoding: str = "utf-8") -> list[str]:
+    """Copy each file minus its first ``n`` lines into scratch,
+    BYTE-faithfully: lines are split on b'\\n' with no decode/re-encode
+    (a latin-1 file must not be round-tripped through UTF-8), and
+    compressed inputs are decompressed first — Spark would otherwise
+    be handed a scratch file whose bytes were a text-mode mangling of
+    the gzip stream. The scratch copy is plain uncompressed bytes in
+    the ORIGINAL encoding, so the caller's encoding option still
+    applies."""
+    import bz2
+    import gzip
+    import lzma
     import tempfile
 
+    openers = {".gz": gzip.open, ".bz2": bz2.open, ".xz": lzma.open}
     out = []
     scratch = tempfile.mkdtemp(prefix="biosets_skiprows_")
     for i, p in enumerate(paths):
-        dest = os.path.join(scratch, f"{i}_{os.path.basename(p)}")
-        with open(p, errors="replace") as src, open(dest, "w") as dst:
-            for j, line in enumerate(src):
-                if j >= n:
-                    dst.write(line)
+        ext = os.path.splitext(p)[1].lower()
+        op = openers.get(ext, open)
+        base = os.path.basename(p)
+        if ext in openers:
+            base = os.path.splitext(base)[0]
+        dest = os.path.join(scratch, f"{i}_{base}")
+        enc = (encoding or "utf-8").lower().replace("_", "-")
+        if enc.startswith(("utf-16", "utf-32")):
+            # multi-byte newlines: binary b'\n' splitting would cut
+            # mid-code-unit; decode/re-encode with the DECLARED encoding
+            with op(p, "rt", encoding=encoding) as src, \
+                    open(dest, "w", encoding=encoding) as dst:
+                for j, line in enumerate(src):
+                    if j >= n:
+                        dst.write(line)
+        else:
+            with op(p, "rb") as src, open(dest, "wb") as dst:
+                for j, line in enumerate(src):
+                    if j >= n:
+                        dst.write(line)
         out.append(dest)
     return out
 
@@ -136,13 +174,22 @@ def read_json(spark: SparkSession, paths: list[str] | str, field: str | None = N
     """S3: JSON/JSONL scan; ``field=`` selects a nested record list
     (docs/DATA_LOADING.md:55-93)."""
     paths = paths if isinstance(paths, list) else [paths]
-    multiline = False
-    for p in paths:
-        ext = os.path.splitext(_strip_compression(p))[1].lower()
-        if ext == ".json":
-            # plain .json may be a single document; probe cheaply
-            multiline = _looks_multiline_json(p)
-            break
+    # plain .json may be a single pretty-printed document; probe each
+    # one cheaply (capped — the mode is global to the read anyway) and
+    # refuse a mixed batch instead of silently mis-parsing half of it
+    verdicts = {
+        p: v for p in paths[:16]
+        if os.path.splitext(_strip_compression(p))[1].lower() == ".json"
+        and (v := _looks_multiline_json(p, spark)) is not None
+    }
+    modes = set(verdicts.values())
+    if len(modes) > 1:
+        raise ValueError(
+            "read_json got a mix of JSONL and multiLine .json files — "
+            "Spark reads one mode per scan; split the load: "
+            f"{ {p: ('multiLine' if v else 'jsonl') for p, v in verdicts.items()} }"
+        )
+    multiline = modes.pop() if modes else False
     df = spark.read.option("multiLine", multiline).json(paths)
     if field:
         from pyspark.sql import functions as F
@@ -151,26 +198,37 @@ def read_json(spark: SparkSession, paths: list[str] | str, field: str | None = N
     return df
 
 
-def _looks_multiline_json(path: str) -> bool:
+def _looks_multiline_json(path: str, spark: SparkSession | None = None):
     """A .json file is multiLine (one pretty-printed document) iff its
     first line is NOT itself valid JSON; a JSONL file's first line is a
-    complete record."""
-    try:
-        import gzip
-        import json
+    complete record. Returns True/False, or None when the file can't
+    be probed at all. Local open is tried first; on failure (remote
+    URI — s3a://, hdfs://) the first line is probed through Spark's
+    text reader instead of silently defaulting to JSONL."""
+    import gzip
+    import json
 
+    first = None
+    try:
         op = gzip.open if path.endswith(".gz") else open
         with op(path, "rt", errors="ignore") as f:
             first = f.readline().strip()
-        if not first:
-            return True
-        try:
-            json.loads(first)
-            return False  # first line parses alone -> JSONL / single-line JSON
-        except ValueError:
-            return True
     except Exception:
-        return False
+        if spark is not None:
+            try:
+                row = spark.read.text(path).limit(1).collect()
+                first = row[0][0].strip() if row else ""
+            except Exception:
+                return None
+        else:
+            return None
+    if not first:
+        return True
+    try:
+        json.loads(first)
+        return False  # first line parses alone -> JSONL / single-line JSON
+    except ValueError:
+        return True
 
 
 def read_arrow(spark: SparkSession, paths: list[str] | str) -> DataFrame:
@@ -193,11 +251,19 @@ def read_arrow(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     return spark.createDataFrame(table)
 
 
-def read_parquet(spark: SparkSession, paths: list[str] | str, merge_schema: bool = True) -> DataFrame:
+def read_parquet(spark: SparkSession, paths: list[str] | str,
+                 merge_schema: bool = True,
+                 schema: T.StructType | None = None) -> DataFrame:
     """S4: Parquet scan; mergeSchema covers the reference's cross-shard
-    schema unification for the common case."""
+    schema unification for the common case; an explicit ``schema``
+    pins types and skips footer merging entirely."""
     paths = paths if isinstance(paths, list) else [paths]
-    return spark.read.option("mergeSchema", merge_schema).parquet(*paths)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("mergeSchema", merge_schema)
+    return reader.parquet(*paths)
 
 
 def read_sql(spark: SparkSession, table_or_query: str, url: str, **options) -> DataFrame:
@@ -231,11 +297,28 @@ def read_files(
     if fmt == "tsv":
         options.setdefault("sep", "\t")
         return read_csv(spark, files, **options)
+    # formats below accept a bounded option set; anything left over is
+    # an ERROR, not a silent drop — an ignored schema= or skip_rows=
+    # produces a differently-typed DataFrame with no warning (r7 review)
+    def _reject_unused(opts: dict, which: str) -> None:
+        if opts:
+            raise TypeError(
+                f"read_files: options {sorted(opts)} are not supported "
+                f"for format {which!r}"
+            )
+
     if fmt == "json":
-        return read_json(spark, files, **{k: v for k, v in options.items() if k == "field"})
+        field = options.pop("field", None)
+        _reject_unused(options, fmt)
+        return read_json(spark, files, field=field)
     if fmt == "parquet":
-        return read_parquet(spark, files)
+        merge_schema = options.pop("merge_schema", True)
+        schema = options.pop("schema", None)
+        _reject_unused(options, fmt)
+        return read_parquet(spark, files, merge_schema=merge_schema,
+                            schema=schema)
     if fmt == "arrow":
+        _reject_unused(options, fmt)
         return read_arrow(spark, files)
     if fmt == "npz":
         from .npz import read_npz
@@ -244,8 +327,14 @@ def read_files(
     if fmt == "orc":
         # built into Spark (no extra jar); columnar with predicate
         # pushdown like parquet
-        return spark.read.orc(*files)
+        schema = options.pop("schema", None)
+        _reject_unused(options, fmt)
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.orc(*files)
     if fmt == "avro":
+        _reject_unused(options, fmt)
         # spark-avro is a SEPARATE artifact; prefer it when registered
         # (JVM-side, splits large files on sync markers), else fall
         # back to the dependency-free pure-Python container reader

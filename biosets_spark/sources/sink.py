@@ -21,6 +21,53 @@ from ..schema import roles
 STATE_FILE = "_biosets_state.json"
 
 
+def _has_scheme(path: str) -> bool:
+    return "://" in path
+
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jpath, jvm
+
+
+def _write_text(spark, path: str, text: str) -> None:
+    """Write a small sidecar file; remote URIs (s3a://, hdfs://) go
+    through the Hadoop FileSystem so the sidecar lands NEXT TO the
+    parquet it describes — a local open() would raise after the
+    (possibly hours-long) data write already succeeded."""
+    if not _has_scheme(path):
+        with open(path, "w") as f:
+            f.write(text)
+        return
+    fs, jpath, _jvm = _hadoop_fs(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text(spark, path: str) -> str | None:
+    """Read a small sidecar file (None if absent); remote URIs go
+    through the Hadoop FileSystem."""
+    if not _has_scheme(path):
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return f.read()
+    fs, jpath, jvm = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+
+
 def save_to_disk(
     df: DataFrame,
     path: str,
@@ -71,8 +118,8 @@ def save_to_disk(
             c: df.schema[c].dataType.simpleString() for c in (partition_by or [])
         },
     }
-    with open(os.path.join(path, STATE_FILE), "w") as f:
-        json.dump(state, f, indent=2)
+    _write_text(df.sparkSession, os.path.join(path, STATE_FILE),
+                json.dumps(state, indent=2))
 
 
 def load_from_disk(spark: SparkSession, path: str):
@@ -83,7 +130,11 @@ def load_from_disk(spark: SparkSession, path: str):
     dataset directory comes back as a DataFrame."""
     from pyspark.sql.functions import col
 
-    if not os.path.exists(os.path.join(path, STATE_FILE)) and os.path.isdir(path):
+    state_path = os.path.join(path, STATE_FILE)
+    state_text = _read_text(spark, state_path)
+    # split-dict dispatch needs a directory listing; remote URIs with a
+    # top-level sidecar short-circuit it, local paths list as before
+    if state_text is None and not _has_scheme(path) and os.path.isdir(path):
         splits = [
             d for d in sorted(os.listdir(path))
             if os.path.exists(os.path.join(path, d, STATE_FILE))
@@ -94,10 +145,8 @@ def load_from_disk(spark: SparkSession, path: str):
             return BioDatasetDict.load_from_disk(path, spark=spark)
 
     df = spark.read.parquet(path)
-    state_path = os.path.join(path, STATE_FILE)
-    if os.path.exists(state_path):
-        with open(state_path) as f:
-            state = json.load(f)
+    if state_text is not None:
+        state = json.loads(state_text)
         for c, dt in (state.get("partition_schema") or {}).items():
             if c in df.columns and df.schema[c].dataType.simpleString() != dt:
                 df = df.withColumn(c, col(c).cast(dt))
@@ -150,18 +199,33 @@ def upsert_parquet(
         n = spark.read.parquet(path).count()
         return {"inserted": n, "updated": 0, "total": n}
 
-    upd_keys = updates.select(*keys).distinct()
+    # the stats would naively cost FOUR extra actions, each re-reading
+    # the base and re-evaluating updates' distinct keys; instead the
+    # two key-only relations are cached (keys are a tiny projection of
+    # the data) so every count and the anti-join probe reuse them, and
+    # n_base is derived from one key-grouped aggregate rather than a
+    # second full-table scan
+    from pyspark.sql import functions as F
+
+    upd_keys = updates.select(*keys).distinct().cache()
+    base_key_counts = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n")).cache()
+    row = base_key_counts.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("rows"),
+        F.count(F.lit(1)).alias("nkeys")).collect()[0]
+    n_base = row["rows"]
+    n_replaced_row = base_key_counts.join(upd_keys, keys, "left_semi").agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("n")).collect()[0]
+    n_kept = n_base - n_replaced_row["n"]
+    n_new_keys = upd_keys.join(base_key_counts, keys, "left_anti").count()
     kept = base.join(upd_keys, keys, "left_anti")
-    n_base = base.count()
-    n_kept = kept.count()
-    n_new_keys = upd_keys.join(
-        base.select(*keys).distinct(), keys, "left_anti"
-    ).count()
     merged = kept.unionByName(updates)
 
     tmp = path.rstrip("/") + "__upsert_tmp__"
     merged.write.mode("overwrite").parquet(tmp)
     n_total = spark.read.parquet(tmp).count()
+    upd_keys.unpersist()
+    base_key_counts.unpersist()
     old = path.rstrip("/") + "__upsert_old__"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
@@ -193,20 +257,42 @@ def compact_parquet(
     """
     import shutil
 
+    def _hive_partition_cols(p: str) -> list[str]:
+        # walk one representative branch of col=value directories; a
+        # hive-partitioned dataset compacted WITHOUT partitionBy would
+        # silently lose the pruning layout it was written for
+        cols = []
+        cur = p
+        while True:
+            sub = [d for d in sorted(os.listdir(cur))
+                   if "=" in d and os.path.isdir(os.path.join(cur, d))]
+            if not sub:
+                return cols
+            cols.append(sub[0].split("=", 1)[0])
+            cur = os.path.join(cur, sub[0])
+
+    def _count_files(p: str) -> int:
+        return sum(
+            1 for root, _d, names in os.walk(p)
+            for f in names if f.endswith(".parquet")
+        )
+
     df = spark.read.parquet(path)
     n = df.count()
-    files_before = sum(
-        1 for f in os.listdir(path) if f.endswith(".parquet")
-    )
+    part_cols = _hive_partition_cols(path)
+    files_before = _count_files(path)
     n_files = max(1, -(-n // target_rows_per_file))
     tmp = path.rstrip("/") + "__compact_tmp__"
-    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    writer = df.repartition(n_files, *part_cols) if part_cols \
+        else df.repartition(n_files)
+    w = writer.write.mode("overwrite")
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.parquet(tmp)
     old = path.rstrip("/") + "__compact_old__"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
-    files_after = sum(
-        1 for f in os.listdir(path) if f.endswith(".parquet")
-    )
+    files_after = _count_files(path)
     return {"files_before": files_before, "files_after": files_after, "rows": n}

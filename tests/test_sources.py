@@ -781,3 +781,129 @@ def test_dataset_to_sql_jdbc_roundtrip(spark, tmp_path):
     back = read_sql(spark, "t_sink", url)
     assert back.count() == 20
     assert {r.grp for r in back.select("grp").distinct().collect()} == {"g0", "g1"}
+
+
+def test_zigzag_numpy_int64_terminates():
+    """r7 review: np.int64 inputs whose zigzag fold overflows previously
+    hung _zigzag forever (arithmetic shift pins at -1); the coercion to
+    python int must make every int64 encode/decode cleanly."""
+    import numpy as np
+
+    from biosets_spark.sources.avro_py import _zigzag
+
+    for v in (np.int64(2**62), np.int64(-(2**63)), np.int64(2**63 - 1),
+              np.int64(-1), np.int64(0)):
+        b = _zigzag(v)
+        assert 1 <= len(b) <= 10  # varint for 64-bit zigzag is <= 10 bytes
+
+
+def test_skip_rows_preserves_bytes(spark, tmp_path):
+    """r7 review: skip_rows must not round-trip file bytes through the
+    wrong text codec — gzip inputs decompress, latin-1 stays latin-1."""
+    import gzip
+
+    latin = tmp_path / "l.csv"
+    latin.write_bytes("junk\nname,x\ncafé,1\n".encode("latin-1"))
+    from biosets_spark.sources.readers import read_csv
+
+    df = read_csv(spark, str(latin), skip_rows=1, encoding="latin-1",
+                  infer_schema=False)
+    assert [r.name for r in df.collect()] == ["café"]
+
+    gz = tmp_path / "g.csv.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write("junk\nname,x\nalpha,1\nbeta,2\n")
+    df2 = read_csv(spark, str(gz), skip_rows=1, infer_schema=False)
+    assert sorted(r.name for r in df2.collect()) == ["alpha", "beta"]
+
+
+def test_archive_nondata_members_skipped(spark, tmp_path):
+    """r7 review: a README inside an archive must be ignored, not
+    parsed as TSV prose or crash detect_format."""
+    import zipfile
+
+    z = tmp_path / "bundle.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.writestr("data.csv", "a,b\n1,2\n3,4\n")
+        zf.writestr("README.md", "# not data\njust prose here\n")
+        zf.writestr("LICENSE", "MIT\n")
+    from biosets_spark.sources.archives import expand_paths
+
+    with pytest.warns(UserWarning, match="non-data member"):
+        out = expand_paths([str(z)])
+    assert len(out) == 1 and out[0].endswith("data.csv")
+
+
+def test_parse_split_spec_rejects_mixed_units():
+    from biosets_spark.sources.discovery import parse_split_spec
+
+    with pytest.raises(ValueError, match="Mixed absolute/percent"):
+        parse_split_spec("train[5:50%]")
+    with pytest.raises(ValueError, match="Mixed absolute/percent"):
+        parse_split_spec("train[5%:50]")
+    # one-sided specs keep working
+    assert parse_split_spec("train[:10%]")[0][3] is True
+    assert parse_split_spec("train[-80%:]")[0][3] is True
+    assert parse_split_spec("train[10:20]")[0][3] is False
+
+
+def test_compact_parquet_preserves_hive_partitions(spark, tmp_path):
+    """r7 review: compacting a hive-partitioned dataset must keep the
+    col=value layout (the pruning lever) and count files recursively."""
+    import os
+
+    from biosets_spark.sources.sink import compact_parquet
+
+    p = str(tmp_path / "part_ds")
+    df = spark.range(100).selectExpr("id", "id % 3 AS g")
+    df.repartition(8).write.partitionBy("g").parquet(p)
+    stats = compact_parquet(spark, p, target_rows_per_file=1000)
+    assert stats["files_before"] > 3
+    assert stats["rows"] == 100
+    subdirs = sorted(d for d in os.listdir(p) if d.startswith("g="))
+    assert subdirs == ["g=0", "g=1", "g=2"], "partition layout lost"
+    back = spark.read.parquet(p)
+    assert back.count() == 100 and set(back.columns) == {"id", "g"}
+
+
+def test_read_files_honors_parquet_schema_and_rejects_junk(spark, tmp_path):
+    """r7 review: explicit schema/merge_schema must reach the parquet
+    reader, and a csv-only option must raise, not vanish."""
+    from pyspark.sql import types as T
+
+    from biosets_spark.sources.readers import read_files
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(5).selectExpr("CAST(id AS INT) AS id").write.parquet(p)
+    pinned = T.StructType([T.StructField("id", T.LongType())])
+    df = read_files(spark, p, schema=pinned)
+    assert df.schema["id"].dataType.simpleString() == "bigint"
+    with pytest.raises(TypeError, match="not supported"):
+        read_files(spark, p, skip_rows=2)
+
+
+def test_read_npz_width_drift_named_error(spark, tmp_path):
+    """r7 review: a shard whose width differs from the first file's
+    pinned schema must fail with the FILENAME, not a raw pandas shape
+    error or a silent column misalignment."""
+    import numpy as np
+
+    a = str(tmp_path / "a.npz")
+    b = str(tmp_path / "b.npz")
+    _write_csr_npz(a, np.ones((4, 3)))
+    _write_csr_npz(b, np.ones((4, 2)))
+    with pytest.raises(Exception, match="b.npz.*2 columns|columns"):
+        read_npz(spark, [a, b]).collect()
+
+
+def test_read_json_rejects_mixed_modes(spark, tmp_path):
+    jl = tmp_path / "a.json"
+    jl.write_text('{"x": 1}\n{"x": 2}\n')
+    ml = tmp_path / "b.json"
+    ml.write_text('{\n  "x": 3\n}\n')
+    from biosets_spark.sources.readers import read_json
+
+    assert read_json(spark, str(jl)).count() == 2
+    assert read_json(spark, str(ml)).count() == 1
+    with pytest.raises(ValueError, match="mix of JSONL and multiLine"):
+        read_json(spark, [str(jl), str(ml)])
