@@ -1,6 +1,23 @@
-from . import asof, concat, dedup, graph, joins, labels, multimodal, similarity, skew, split, text
+from . import (
+    asof,
+    concat,
+    dedup,
+    events,
+    graph,
+    joins,
+    labels,
+    multimodal,
+    pii,
+    pipeline,
+    ranking,
+    similarity,
+    skew,
+    split,
+    text,
+)
 
 __all__ = [
-    "asof", "concat", "dedup", "graph", "joins", "labels", "multimodal",
-    "similarity", "skew", "split", "text",
+    "asof", "concat", "dedup", "events", "graph", "joins", "labels",
+    "multimodal", "pii", "pipeline", "ranking", "similarity", "skew",
+    "split", "text",
 ]

@@ -70,11 +70,28 @@ def asof_join(
     )
     unioned = lhs.select(*left.columns, "_src", "_p").unionByName(rhs.select(*left.columns, "_src", "_p"))
 
+    # tie-break among same-instant right rows: the payload struct when
+    # it is orderable; a payload containing a MAP column cannot be
+    # sorted (INVALID_ORDERING_TYPE), so fall back to its JSON
+    # rendering — still deterministic, just a different (documented)
+    # tie order for that case
+    def _orderable(dt) -> bool:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            return False
+        fields = getattr(dt, "fields", None)
+        if fields is not None:
+            return all(_orderable(f.dataType) for f in fields)
+        elem = getattr(dt, "elementType", None)
+        return elem is None or _orderable(elem)
+
+    tie = col("_p") if _orderable(rhs.schema["_p"].dataType) else F.to_json(col("_p"))
     if direction == "backward":
-        w = Window.partitionBy(*by).orderBy(col(on).asc(), col("_src").desc(), col("_p").asc()) \
+        w = Window.partitionBy(*by).orderBy(col(on).asc(), col("_src").desc(), tie.asc()) \
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     else:
-        w = Window.partitionBy(*by).orderBy(col(on).desc(), col("_src").desc(), col("_p").desc()) \
+        w = Window.partitionBy(*by).orderBy(col(on).desc(), col("_src").desc(), tie.desc()) \
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     carried = unioned.withColumn("_match", F.last("_p", ignorenulls=True).over(w))

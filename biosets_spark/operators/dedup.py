@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
+from .joins import pin_intermediate
+
 
 def normalize_text(c: Column) -> Column:
     """Lowercase, collapse whitespace — the canonical form for exact /
@@ -123,7 +125,7 @@ def ngram_jaccard_pairs(
         )
         # hot set is small by construction — broadcast anti-join
         sh = sh.join(F.broadcast(hot), "_sh", "left_anti")
-    sh = sh.cache()
+    sh = pin_intermediate(sh.cache())
     counts = sh.groupBy("_id").agg(F.count("*").alias("_n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -171,7 +173,7 @@ def containment_pairs(
             .select("_sh")
         )
         sh = sh.join(F.broadcast(hot), "_sh", "left_anti")
-    sh = sh.cache()
+    sh = pin_intermediate(sh.cache())
     counts = sh.groupBy("_id").agg(F.count("*").alias("_n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -221,7 +223,7 @@ def minhash_lsh_pairs(
     r = num_perm // bands
     # one shingle pass feeds both the signature aggregate and the
     # verification join
-    sh = shingle_table(df, text_col, id_col, shingle_n).cache()
+    sh = pin_intermediate(shingle_table(df, text_col, id_col, shingle_n).cache())
     # single string hash, then k cheap long re-hashes (see minhash_signatures)
     mins = [F.min(F.xxhash64(col("_h0"), lit(i))).alias(f"mh_{i}") for i in range(num_perm)]
     sig = sh.withColumn("_h0", F.xxhash64(col("_sh"))).groupBy("_id").agg(*mins)
@@ -300,7 +302,24 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     table; one aggregate, 64 sums wide.
     """
     hash_expr = portable_hash60(col("_sh")) if portable else F.xxhash64(col("_sh"))
-    sh = shingle_table(df, text_col, id_col, shingle_n).withColumn("_h", hash_expr)
+    # guard BEFORE the explode: the packed 16-bit vote lanes are only
+    # safe while n_shingles * (2^48 + 2^32 + 2^16 + 1) fits a signed
+    # long, i.e. n < 2^15 — past that the ANSI sum overflows (loud but
+    # cryptic), and with ANSI off a 16-bit counter would carry into
+    # the adjacent lane SILENTLY at n >= 2^16. The shingle array is in
+    # hand pre-explode, so the check is one per-row expression.
+    arr = shingles(col(text_col), shingle_n)
+    guarded = F.when(F.size(arr) < lit(1 << 15), arr).otherwise(
+        F.raise_error(F.concat(
+            lit("simhash: document "), col(id_col).cast("string"),
+            lit(" has >= 32768 shingles; the packed 16-bit vote lanes "
+                "would overflow — split the document or reduce "
+                "shingle count"),
+        )).cast("array<string>")
+    )
+    sh = df.select(
+        col(id_col).alias("_id"), F.explode(guarded).alias("_sh")
+    ).withColumn("_h", hash_expr)
     # branch-free votes, 4 counters packed per aggregate: lane j sums
     # bits {j, j+16, j+32, j+48} of the hash into 16-bit segments of one
     # long (no cross-lane carry while a doc has < 65536 shingles) —
@@ -342,7 +361,8 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     if n_chunks > 32:
         raise ValueError("max_hamming > 31 leaves chunks under 2 bits; use a different blocker")
     width = 64 // n_chunks
-    sig = simhash(df, text_col, id_col, shingle_n, portable=portable).cache()
+    sig = pin_intermediate(
+        simhash(df, text_col, id_col, shingle_n, portable=portable).cache())
 
     def chunk_expr(i: int):
         # last chunk absorbs the remainder bits

@@ -241,14 +241,26 @@ _PINNED_INDEX_FRAMES: list[DataFrame] = []
 _PINNED_MAX = 64
 
 
+def pin_intermediate(df: DataFrame) -> DataFrame:
+    """Register an already-cached intermediate in the shared lifecycle
+    registry so ``release_pinned_indexes()`` frees it — the one
+    unpersist point for every operator-internal ``.cache()`` (zip
+    indexes here, shingle/signature tables in operators.dedup)."""
+    _PINNED_INDEX_FRAMES.append(df)
+    if len(_PINNED_INDEX_FRAMES) > _PINNED_MAX:
+        del _PINNED_INDEX_FRAMES[0]  # oldest falls back to GC cleanup
+    return df
+
+
 def release_pinned_indexes() -> int:
-    """Unpersist every partition-layout intermediate pinned by
-    ``zip_with_index`` / ``zip_with_index_counted`` since the last
-    release. Safe to call any time AFTER the derived results have been
-    materialized (collect/write); a later re-materialization of a
-    still-lazy derived frame would recompute the layout, which is only
-    guaranteed identical for deterministic sources. Returns the number
-    of frames released.
+    """Unpersist every operator-internal cached intermediate pinned
+    since the last release (``zip_with_index`` partition layouts, and
+    the dedup detectors' shingle/signature tables via
+    ``pin_intermediate``). Safe to call any time AFTER the derived
+    results have been materialized (collect/write); a later
+    re-materialization of a still-lazy derived frame would recompute,
+    which is only guaranteed identical for deterministic sources.
+    Returns the number of frames released.
     """
     n = 0
     while _PINNED_INDEX_FRAMES:
@@ -271,9 +283,7 @@ def _zip_with_index_impl(
         .withColumn("_pos", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)))
         .cache()  # pin the partition layout: both passes must see the same ids
     )
-    _PINNED_INDEX_FRAMES.append(tmp)
-    if len(_PINNED_INDEX_FRAMES) > _PINNED_MAX:
-        del _PINNED_INDEX_FRAMES[0]  # oldest falls back to GC cleanup
+    pin_intermediate(tmp)
     counts = sorted(
         (r["_pid"], r["n"]) for r in tmp.groupBy("_pid").agg(F.count("*").alias("n")).collect()
     )
@@ -295,15 +305,16 @@ def _zip_with_index_impl(
 def align_horizontal(data: DataFrame, metadata: DataFrame, order_by_left: list[str] | None = None,
                      order_by_right: list[str] | None = None) -> DataFrame:
     """J2: positional horizontal alignment (metadata row i <-> data row
-    i). Row-count equality enforced as in biodata.py:935-937."""
-    n1, n2 = data.count(), metadata.count()
+    i). Row-count equality enforced as in biodata.py:935-937 — via the
+    counts the index pass computes anyway (zip_with_index_counted), not
+    two extra standalone count() scans of both tables."""
+    meta_cols = [c for c in metadata.columns if c not in data.columns]
+    lhs, n1 = zip_with_index_counted(data, order_by_left)
+    rhs, n2 = zip_with_index_counted(metadata.select(*meta_cols), order_by_right)
     if n1 != n2:
         raise ValueError(
             f"Positional metadata alignment requires equal row counts: data has {n1} rows, "
             f"metadata has {n2} rows."
         )
-    meta_cols = [c for c in metadata.columns if c not in data.columns]
-    lhs = zip_with_index(data, order_by_left)
-    rhs = zip_with_index(metadata.select(*meta_cols), order_by_right)
     out = lhs.join(rhs, on="_row_id", how="inner").drop("_row_id")
     return out.select(*meta_cols, *data.columns)

@@ -410,6 +410,12 @@ def extract_image_features(
             ids, ws, hs, nb, ph = [], [], [], [], []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload) if payload is not None else b""
+                # real-decode: a NULL/empty payload carries nothing to
+                # decode — skip it (extract_image_stats contract)
+                # rather than aborting the stage on the format gate;
+                # fake mode keeps emitting its deterministic stub row
+                if not raw and not fake_decode:
+                    continue
                 w, h = _decode_image(raw, fake_decode)
                 ids.append(i)
                 ws.append(w)

@@ -337,8 +337,13 @@ def bm25_scores(df: DataFrame, query_terms: list[str], text_col: str = "text",
     tf = toks.groupBy("_id", "_dl", "_t").agg(F.count("*").alias("_tf"))
     dfreq = tf.groupBy("_t").agg(F.count("*").alias("_df"))
     avgdl = df.select(F.avg(F.size(tokens(col(text_col)))).alias("a")).first()["a"]
+    # degenerate corpora: avg() over zero rows is None, and an
+    # all-empty corpus has avgdl == 0 — both would crash or div/0 the
+    # length normalization; any positive value is equivalent there
+    # because no doc can match a query term anyway (tf is empty)
+    avgdl = float(avgdl) if avgdl else 1.0
     idf = F.log((lit(float(n_docs)) - col("_df") + 0.5) / (col("_df") + 0.5) + 1.0)
-    contrib = idf * (col("_tf") * (k1 + 1)) / (col("_tf") + k1 * (1 - b + b * col("_dl") / lit(float(avgdl))))
+    contrib = idf * (col("_tf") * (k1 + 1)) / (col("_tf") + k1 * (1 - b + b * col("_dl") / lit(avgdl)))
     return (
         tf.join(F.broadcast(dfreq), "_t")
         .groupBy("_id")

@@ -1,3 +1,3 @@
-from . import fingerprint
+from . import audit, fingerprint
 
-__all__ = ["fingerprint"]
+__all__ = ["audit", "fingerprint"]

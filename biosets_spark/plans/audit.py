@@ -140,8 +140,19 @@ def audit_plan_text(plan: str, allow_nested_loop: bool = False,
                       "the whole input flows through ONE task; partition "
                       "the window or use the two-level prefix-sum pattern",
         })
-    for s in re.findall(r"ReadSchema: struct<([^>\n]*)>", plan):
-        ncols = s.count(",") + 1 if s else 0
+    for s, closed in _read_schemas(plan):
+        ncols = _top_level_fields(s)
+        if not closed:
+            # schema string truncated even at the raised conf: flag it
+            # rather than silently passing the widest scans
+            findings.append({
+                "code": "wide-scan",
+                "ncols": ncols,
+                "detail": f"parquet scan reads {ncols}+ columns (schema "
+                          "string truncated); project the needed columns "
+                          "so pruning reaches the scan",
+            })
+            break
         if ncols >= wide_scan_cols:
             findings.append({
                 "code": "wide-scan",
@@ -150,22 +161,47 @@ def audit_plan_text(plan: str, allow_nested_loop: bool = False,
                           "needed columns so pruning reaches the scan",
             })
             break
-    else:
-        # a truncated ReadSchema ("struct<..." with no closing '>')
-        # means the scan is so wide its schema string overflowed even
-        # the raised maxMetadataStringLength — flag it rather than
-        # silently passing the widest scans
-        m = re.search(r"ReadSchema: struct<([^>\n]*)$", plan, re.MULTILINE)
-        if m:
-            ncols = m.group(1).count(",") + 1
-            findings.append({
-                "code": "wide-scan",
-                "ncols": ncols,
-                "detail": f"parquet scan reads {ncols}+ columns (schema "
-                          "string truncated); project the needed columns "
-                          "so pruning reaches the scan",
-            })
     return findings
+
+
+def _read_schemas(plan: str) -> list[tuple[str, bool]]:
+    """Extract each ReadSchema body as (text, fully_closed): the body
+    runs from 'struct<' to its MATCHING '>' (nested struct/array/map
+    types carry their own angle brackets, so a naive [^>]* capture
+    stops at the first nested close and undercounts)."""
+    out = []
+    for m in re.finditer(r"ReadSchema: struct<", plan):
+        depth = 1
+        i = m.end()
+        start = i
+        while i < len(plan) and plan[i] != "\n":
+            if plan[i] == "<":
+                depth += 1
+            elif plan[i] == ">":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        out.append((plan[start:i], depth == 0))
+    return out
+
+
+def _top_level_fields(s: str) -> int:
+    """Count top-level fields in a struct body: commas inside nested
+    <...> (struct/array/map) or (...) (decimal precision/scale) do not
+    separate fields."""
+    if not s.strip():
+        return 0
+    depth = 0
+    n = 1
+    for ch in s:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            n += 1
+    return n
 
 
 def audit_plan(df: DataFrame, allow_nested_loop: bool = False,

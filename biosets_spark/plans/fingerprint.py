@@ -33,7 +33,10 @@ def _input_files_snapshot(df: DataFrame) -> list[tuple[str, int, int]]:
             p = f.replace("file:", "")
             try:
                 st = os.stat(p)
-                out.append((f, st.st_size, int(st.st_mtime)))
+                # nanosecond mtime: a same-size rewrite within the same
+                # second must change the fingerprint (same bug class as
+                # tables.py's snapshot, fixed there with st_mtime_ns)
+                out.append((f, st.st_size, st.st_mtime_ns))
             except OSError:
                 out.append((f, -1, -1))
     except Exception:
@@ -53,7 +56,31 @@ def plan_fingerprint(df: DataFrame, params: dict | None = None) -> str:
     comment-insensitive function hashing
     (packaged_modules/__init__.py:29-69).
     """
-    plan = df._jdf.queryExecution().analyzed().toString()
+    # plan strings truncate output lists at spark.sql.debug.
+    # maxToStringFields (default 25): two plans differing only in a
+    # column past the cut rendered IDENTICALLY and collided (verified:
+    # 31-column plans differing in c29 shared a fingerprint, so the
+    # cache returned the wrong materialization). Raise the conf for
+    # the rendering and restore it after — same discipline as
+    # plans/audit.executed_plan_string.
+    spark = df.sparkSession
+    key = "spark.sql.debug.maxToStringFields"
+    saved = None
+    try:
+        saved = spark.conf.get(key, None)
+        spark.conf.set(key, "100000")
+    except Exception:
+        pass
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    finally:
+        try:
+            if saved is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, saved)
+        except Exception:
+            pass
     canon = _EPHEMERAL.sub("#", plan)
     payload = json.dumps(
         {"plan": canon, "inputs": _input_files_snapshot(df), "params": params or {}},

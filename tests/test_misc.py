@@ -1013,3 +1013,98 @@ def test_decode_tiff_missing_tags_raise_valueerror():
     ifd += struct.pack("<I", 0)
     with _pt.raises(ValueError, match="required IFD tag"):
         decode_tiff(hdr + ifd)
+
+
+def test_plan_fingerprint_wide_plan_no_collision(spark):
+    """r7 review (verified): plans with >25 output columns truncated in
+    the fingerprint rendering, so two plans differing only past the cut
+    collided and the cache served the WRONG materialization."""
+    from biosets_spark.plans.fingerprint import plan_fingerprint
+
+    cols = [F.lit(i).alias(f"c{i}") for i in range(29)]
+    df1 = spark.range(3).select("id", *cols, F.lit(999).alias("c29"))
+    df2 = spark.range(3).select("id", *cols, F.lit(-1).alias("c29"))
+    assert plan_fingerprint(df1) != plan_fingerprint(df2)
+    # and the conf is restored
+    assert spark.conf.get("spark.sql.debug.maxToStringFields", None) != "100000"
+
+
+def test_audit_wide_scan_counts_top_level_fields():
+    """r7 review: decimal(10,2) parameters must not inflate the column
+    count, and nested struct '>'s must not truncate it."""
+    from biosets_spark.plans.audit import audit_plan_text
+
+    dec = ("ReadSchema: struct<" + ",".join(
+        f"d{i}:decimal(10,2)" for i in range(6)) + ">")
+    assert audit_plan_text(dec) == []  # 6 cols, not 12
+
+    nested = ("ReadSchema: struct<a:struct<x:int,y:int>," + ",".join(
+        f"c{i}:int" for i in range(11)) + ">")
+    hits = [f for f in audit_plan_text(nested) if f["code"] == "wide-scan"]
+    assert hits and hits[0]["ncols"] == 12  # nested fields don't hide width
+
+
+def test_asof_join_right_map_payload(spark):
+    """r7 review (verified crash): a map column in the right payload
+    made the tie-break window unorderable (INVALID_ORDERING_TYPE)."""
+    from biosets_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10), (1, 20)], "k int, ts int")
+    right = spark.sql(
+        "SELECT 1 AS k, 5 AS ts, map('a', 1) AS attrs "
+        "UNION ALL SELECT 1, 15, map('b', 2)")
+    out = {r.ts: r.right_attrs for r in
+           asof_join(left, right, on="ts", by="k").collect()}
+    assert out[10] == {"a": 1} and out[20] == {"b": 2}
+
+
+def test_simhash_lane_overflow_raises(spark):
+    """r7 review: oversized docs would overflow the packed vote lanes
+    (ANSI: cryptic ARITHMETIC_OVERFLOW mid-sum; ANSI off: SILENT
+    adjacent-lane carry); the pre-explode guard fails loudly with the
+    doc id, and normal-size docs pass."""
+    from biosets_spark.operators import dedup as D
+
+    big = " ".join(f"w{i}" for i in range(33000))
+    df = spark.createDataFrame([(1, big)], "doc_id long, text string")
+    with pytest.raises(Exception, match="32768 shingles"):
+        D.simhash(df, shingle_n=1).collect()
+    ok = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(1000)))],
+        "doc_id long, text string")
+    assert D.simhash(ok, shingle_n=1).count() == 1
+
+
+def test_bm25_empty_corpus(spark):
+    from biosets_spark.operators.text import bm25_scores
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25_scores(empty, ["spark"]).collect() == []
+    blank = spark.createDataFrame([(1, "  ")], "doc_id long, text string")
+    assert bm25_scores(blank, ["spark"]).collect() == []
+
+
+def test_release_pinned_frees_dedup_caches(spark, docs_corpus=None):
+    from biosets_spark.operators import dedup as D
+    from biosets_spark.operators.joins import release_pinned_indexes
+
+    release_pinned_indexes()  # start clean
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(20)],
+        "doc_id long, text string")
+    D.minhash_lsh_pairs(df, threshold=0.5).count()
+    D.simhash_pairs(df, max_hamming=3).count()
+    assert release_pinned_indexes() >= 2  # shingle + signature caches freed
+
+
+def test_operator_package_surface():
+    """r7 review: every operator module is reachable as a package
+    attribute (events/pii/pipeline/ranking were missing; plans.audit
+    too)."""
+    from biosets_spark import operators, plans
+
+    for mod in ("asof", "concat", "dedup", "events", "graph", "joins",
+                "labels", "multimodal", "pii", "pipeline", "ranking",
+                "similarity", "skew", "split", "text"):
+        assert hasattr(operators, mod), mod
+    assert hasattr(plans, "audit") and hasattr(plans, "fingerprint")
