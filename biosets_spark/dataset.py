@@ -42,6 +42,13 @@ class BioDataset:
         """{column: [values]} -> dataset (Dataset.from_dict analogue)."""
         spark = spark or _default_spark()
         cols = list(data.keys())
+        lengths = {c: len(data[c]) for c in cols}
+        if len(set(lengths.values())) > 1:
+            # zip() would silently truncate every column to the
+            # shortest list — refuse, like the reference Dataset
+            raise ValueError(
+                f"from_dict: unequal column lengths {lengths}"
+            )
         rows = list(zip(*[data[c] for c in cols])) if cols else []
         return cls(spark.createDataFrame(rows, schema=cols), split=split)
 
@@ -131,7 +138,14 @@ class BioDataset:
         return self.df.schema
 
     def _wrap(self, df: DataFrame) -> "BioDataset":
-        return BioDataset(df, split=self.split, fingerprint=None)
+        out = BioDataset(df, split=self.split, fingerprint=None)
+        # observations are recorded on the PLAN (DataFrame.observe
+        # survives transforms), so the handle map must survive too —
+        # otherwise get_observation() after any transform returns {}
+        obs = getattr(self, "_observations", None)
+        if obs:
+            out._observations = dict(obs)
+        return out
 
     # ---- projections / renames (P1-P4, arrow_dataset.py:93-121) -----
     def select_columns(self, cols: list[str]) -> "BioDataset":
@@ -211,7 +225,9 @@ class BioDataset:
     def select(self, indices, order_by: list[str] | None = None) -> "BioDataset":
         if isinstance(indices, str):
             return self.slice(indices, order_by)
-        if isinstance(indices, range):
+        if isinstance(indices, range) and indices.step == 1:
+            # the contiguous fast path; stepped/reversed ranges carry
+            # real index semantics and go through select_indices
             return self._wrap(_split.slice_rows(self.df, indices.start, indices.stop, order_by))
         return self._wrap(_split.select_indices(self.df, list(indices), order_by))
 
@@ -231,6 +247,13 @@ class BioDataset:
         a, ap, b, bp, rounding = m.groups()
         start = int(a) if a else None
         stop = int(b) if b else None
+        if a and b and bool(ap) != bool(bp):
+            # same contract as discovery.parse_split_spec: treating
+            # '5:50%' as all-percent silently returns the wrong rows
+            raise ValueError(
+                f"Mixed absolute/percent bounds in slice {spec!r}; "
+                "use '5:500' or '5%:50%'"
+            )
         if ap or bp:
             return self._wrap(_split.slice_percent(
                 self.df, start if start is not None else 0,
@@ -255,8 +278,11 @@ class BioDataset:
         meta = dict(self.df.schema[col].metadata or {})
         if feature_type:
             meta[roles.FEATURE_TYPE_KEY] = feature_type
-        out = self.df.withColumn(col, F.col(col).cast(dtype))
-        out = out.select(*[F.col(c).alias(c, metadata=meta) if c == col else F.col(c) for c in out.columns])
+        out = self.df.withColumn(col, roles.qcol(col).cast(dtype))
+        out = out.select(*[
+            roles.qcol(c).alias(c, metadata=meta) if c == col else roles.qcol(c)
+            for c in out.columns
+        ])
         return self._wrap(out)
 
     def flatten(self) -> "BioDataset":

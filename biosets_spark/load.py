@@ -327,7 +327,11 @@ def load_dataset(
         for c in df.columns:
             if c in (s_col, b_col, t_col):
                 continue
-            if _match_col([c], METADATA_PATTERNS):
+            # columns the sample-metadata join brought in ARE metadata
+            # regardless of their names (age/sex/... match no pattern;
+            # they must not land in the feature matrix), plus anything
+            # matching the metadata name patterns
+            if c not in pre_enrich_cols or _match_col([c], METADATA_PATTERNS):
                 df = roles.with_role(df, c, roles.ROLE_METADATA)
 
         # J5: set-containment feature-key detection (biodata.py:681-686)
@@ -385,11 +389,20 @@ def load_dataset(
                     positive_labels=positive_labels, negative_labels=negative_labels,
                 )
 
-        # add_missing_columns: fill declared-but-absent features
+        # add_missing_columns: fill declared-but-absent features, typed
+        # like the experiment's registered feature dtype — a string (or
+        # int-literal-0) column inside an otherwise-numeric feature
+        # matrix breaks downstream assembly silently
         if add_missing_columns and feature_meta:
+            fill_type = roles.FEATURE_TYPES.get(feature_type or "")
             for name in feature_names_ordered:
                 if name not in df.columns:
-                    fill = F.lit(0) if zero_as_missing else F.lit(None).cast(T.StringType())
+                    if fill_type is not None:
+                        fill = (F.lit(0).cast(fill_type) if zero_as_missing
+                                else F.lit(None).cast(fill_type))
+                    else:  # no registered dtype: legacy untyped fills
+                        fill = (F.lit(0) if zero_as_missing
+                                else F.lit(None).cast(T.StringType()))
                     df = df.withColumn(name, fill)
                     df = roles.with_role(df, name, roles.ROLE_FEATURE,
                                          feature_type=feature_type or "value_with_metadata",
@@ -461,10 +474,55 @@ def _load_stream(spark, path, data_files, reader_options):
         )
     schema = read_files(spark, data_files, **reader_options).schema
     ext = os.path.splitext(data_files[0])[1]
-    src = os.path.join(path, f"*{ext}") if path else data_files[0]
-    options = dict(reader_options)
-    if fmt == "tsv":
-        options.setdefault("sep", "\t")
+    # source resolution: a directory streams recursively with an
+    # extension filter (a flat '*{ext}' glob missed files discovery
+    # found in subdirectories); explicit data_files stream only as ONE
+    # file — Spark's file source takes a single path/glob, and quietly
+    # streaming data_files[0] while dropping the rest was silent data
+    # loss (r7 review)
+    extra = {}
+    if path:
+        src = path
+        extra["pathGlobFilter"] = f"*{ext}"
+        extra["recursiveFileLookup"] = "true"
+    elif len(data_files) == 1:
+        src = data_files[0]
+    else:
+        raise ValueError(
+            "load_dataset(streaming=True) streams a directory (path=) or "
+            f"a single file; got {len(data_files)} explicit data_files — "
+            "point path= at their directory instead"
+        )
+    # translate biosets reader options to Spark stream options; batch
+    # and stream reads of the same files must not silently diverge, so
+    # anything untranslatable raises
+    opts = dict(reader_options)
+    field = opts.pop("field", None) if fmt == "json" else None
+    options = dict(extra)
     if stream_fmt == "csv":
-        options.setdefault("header", "true")
-    return read_stream(spark, src, fmt=stream_fmt, schema=schema, **options)
+        options["header"] = str(opts.pop("header", True)).lower()
+        options["sep"] = opts.pop("sep", "\t" if fmt == "tsv" else ",")
+        if "encoding" in opts:
+            options["encoding"] = opts.pop("encoding")
+        if "quote_char" in opts:
+            options["quote"] = opts.pop("quote_char")
+        nulls = opts.pop("null_values", None)
+        if nulls:
+            options["nullValue"] = nulls[0]
+            if len(nulls) > 1:
+                raise ValueError(
+                    "streaming CSV supports a single nullValue; got "
+                    f"{nulls} — normalize extra sentinels downstream"
+                )
+        opts.pop("infer_schema", None)  # schema is pinned by the pre-scan
+    opts.pop("schema", None)
+    opts.pop("merge_schema", None)
+    if opts:
+        raise ValueError(
+            f"load_dataset(streaming=True): reader option(s) "
+            f"{sorted(opts)} have no streaming translation"
+        )
+    stream = read_stream(spark, src, fmt=stream_fmt, schema=schema, **options)
+    if field:
+        stream = stream.select(F.explode(F.col(field)).alias("_rec")).select("_rec.*")
+    return stream

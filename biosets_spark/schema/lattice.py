@@ -59,6 +59,13 @@ def upcast(a: T.DataType, b: T.DataType) -> T.DataType:
         return a
 
     if a in _RANK and b in _RANK:
+        # int32/int64 ⊔ float32 -> float64, not float32: a float32 has
+        # a 24-bit mantissa, so promoting a long/int column into it
+        # silently corrupts ids/counts above 16,777,216 (numpy/Arrow
+        # promote the same way). byte/short fit float32 exactly.
+        pair = {a, b}
+        if T.FloatType() in pair and pair & {T.IntegerType(), T.LongType()}:
+            return T.DoubleType()
         return a if _RANK[a] >= _RANK[b] else b
 
     # decimal vs integer/decimal
@@ -163,7 +170,9 @@ def align_to_schema(
     for f in schema.fields:
         if f.name in have:
             src = have[f.name]
-            c = F.col(f.name)
+            from .roles import qcol
+
+            c = qcol(f.name)
             if src.dataType != f.dataType:
                 c = c.cast(f.dataType)
             cols.append(c.alias(f.name, metadata=dict(f.metadata or {})))

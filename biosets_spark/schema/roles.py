@@ -85,6 +85,13 @@ def register_feature_type(name: str, dtype: T.DataType) -> None:
     FEATURE_TYPES[name] = dtype
 
 
+def qcol(name: str):
+    """Backtick-escaped column reference: a bare F.col('OTU.1') parses
+    as struct access OTU -> 1 and fails UNRESOLVED_COLUMN — dotted
+    names are pervasive in omics exports and in flatten() outputs."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def _set_field_metadata(df: DataFrame, col: str, updates: dict) -> DataFrame:
     field = df.schema[col]
     meta = dict(field.metadata or {})
@@ -94,7 +101,7 @@ def _set_field_metadata(df: DataFrame, col: str, updates: dict) -> DataFrame:
         else:
             meta[k] = v
     cols = [
-        F.col(f.name).alias(f.name, metadata=meta) if f.name == col else F.col(f.name)
+        qcol(f.name).alias(f.name, metadata=meta) if f.name == col else qcol(f.name)
         for f in df.schema.fields
     ]
     return df.select(*cols)

@@ -361,3 +361,93 @@ def test_cleanup_cache_files(spark, tmp_path):
     fc.materialize(df)
     assert B.cleanup_cache_files(cache_dir) == 1
     assert B.cleanup_cache_files(cache_dir) == 0
+
+
+def test_from_dict_rejects_unequal_lengths(spark):
+    """r7 review: zip() silently truncated every column to the
+    shortest list — a core constructor must refuse instead."""
+    from biosets_spark.dataset import BioDataset
+
+    with pytest.raises(ValueError, match="unequal column lengths"):
+        BioDataset.from_dict({"a": [1, 2, 3], "b": [10]}, spark=spark)
+    ok = BioDataset.from_dict({"a": [1, 2], "b": [10, 20]}, spark=spark)
+    assert ok.num_rows == 2
+
+
+def test_select_range_step_and_slice_mixed_units(spark):
+    """r7 review: range.step was ignored (every row in [start, stop)
+    came back) and mixed-unit slices were treated as all-percent."""
+    from biosets_spark.dataset import BioDataset
+
+    ds = BioDataset(spark.range(100).toDF("i"))
+    stepped = ds.select(range(0, 100, 2), order_by=["i"])
+    assert stepped.num_rows == 50
+    assert sorted(r.i for r in stepped.df.collect())[:3] == [0, 2, 4]
+    with pytest.raises(ValueError, match="Mixed absolute/percent"):
+        ds.slice("5:50%", order_by=["i"])
+
+
+def test_joined_metadata_columns_tagged_metadata(spark, tmp_path):
+    """r7 review: covariates joined in from sample_metadata_files
+    (age/sex — names matching no metadata pattern) were tagged
+    ROLE_FEATURE and landed in the training matrix."""
+    (tmp_path / "data.csv").write_text(
+        "sample,f1,f2\ns1,1.0,2.0\ns2,3.0,4.0\n")
+    (tmp_path / "meta.csv").write_text(
+        "sample,age,sex\ns1,34,F\ns2,55,M\n")
+    from biosets_spark import load_dataset
+
+    ds = load_dataset(
+        data_files=[str(tmp_path / "data.csv")],
+        sample_metadata_files=[str(tmp_path / "meta.csv")],
+        spark=spark)
+    meta_cols = set(ds.get_sample_metadata().columns)
+    data_cols = set(ds.get_data().columns)
+    assert {"age", "sex"} <= meta_cols
+    assert not {"age", "sex"} & data_cols
+
+
+def test_observations_survive_transforms(spark):
+    """r7 review: _wrap dropped the _observations map, so
+    get_observation returned {} after any transform."""
+    from biosets_spark.dataset import BioDataset
+
+    from pyspark.sql import functions as F
+
+    ds = BioDataset(spark.range(10).toDF("x"))
+    observed = ds.with_observation("m", F.count(F.lit(1)).alias("n"))
+    filtered = observed.filter("x >= 0")
+    filtered.df.collect()
+    assert filtered.get_observation("m") == {"n": 10}
+
+
+def test_streaming_rejects_multiple_explicit_files(spark, tmp_path):
+    (tmp_path / "a.csv").write_text("x\n1\n")
+    (tmp_path / "b.csv").write_text("x\n2\n")
+    from biosets_spark import load_dataset
+
+    with pytest.raises(ValueError, match="single file"):
+        load_dataset(
+            data_files=[str(tmp_path / "a.csv"), str(tmp_path / "b.csv")],
+            streaming=True, spark=spark)
+
+
+def test_streaming_dir_includes_subdirs_and_skips_preamble_opts(spark, tmp_path):
+    """r7 review: the flat glob missed subdirectory files, and
+    untranslatable batch options (skip_rows) silently diverged the
+    stream from the batch read — now recursive + loud."""
+    sub = tmp_path / "part1"
+    sub.mkdir()
+    (tmp_path / "a.csv").write_text("x,y\n1,2\n")
+    (sub / "b.csv").write_text("x,y\n3,4\n")
+    from biosets_spark import load_dataset
+
+    stream = load_dataset(path=str(tmp_path), streaming=True, spark=spark)
+    q = (stream.df if hasattr(stream, "df") else stream).writeStream \
+        .format("memory").queryName("r7_stream_subdir").trigger(availableNow=True).start()
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM r7_stream_subdir").count()
+    assert rows == 2  # both the top-level and the subdirectory file
+
+    with pytest.raises(ValueError, match="no streaming translation"):
+        load_dataset(path=str(tmp_path), streaming=True, skip_rows=1, spark=spark)

@@ -8,7 +8,12 @@ from biosets_spark.schema.lattice import align_to_schema, unify_schemas, union_p
 
 def test_upcast_numeric_chain():
     assert upcast(T.ByteType(), T.LongType()) == T.LongType()
-    assert upcast(T.IntegerType(), T.FloatType()) == T.FloatType()
+    # r7 review: float32's 24-bit mantissa cannot hold int32/int64
+    # exactly — promote to double like numpy/Arrow (ids/counts above
+    # 16,777,216 would silently lose digits in float32)
+    assert upcast(T.IntegerType(), T.FloatType()) == T.DoubleType()
+    assert upcast(T.LongType(), T.FloatType()) == T.DoubleType()
+    assert upcast(T.ShortType(), T.FloatType()) == T.FloatType()  # fits exactly
     assert upcast(T.LongType(), T.DoubleType()) == T.DoubleType()
     assert upcast(T.BooleanType(), T.ByteType()) == T.ByteType()
 
