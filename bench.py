@@ -32,9 +32,20 @@ from biosets_spark.session import get_spark  # noqa: E402
 SKIP: set[str] = set()
 
 
+def parse_sf(sf_dir: str) -> float | None:
+    """Tolerant scale-factor label: the old
+    float(basename.replace('sf','')) crashed on any dir not named
+    exactly 'sf<number>' (e.g. 'mydata', 'tpch-sf10'); the label is
+    informational, never fatal."""
+    import re
+
+    m = re.search(r"sf(\d+(?:\.\d+)?)", os.path.basename(sf_dir.rstrip("/")))
+    return float(m.group(1)) if m else None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    sf = parse_sf(sf_dir)
     spark = get_spark("biosets-spark-bench")
 
     # warm-up: JVM, codegen, parquet footer caches, and the Python
@@ -55,13 +66,20 @@ def main() -> None:
             print(f"# ERROR {name}: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    line = json.dumps({
+    failed = sorted(n for n, t in timings.items() if t < 0)
+    payload = {
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    })
+    }
+    if failed:
+        # a crashing query SHRINKS the headline total (its runtime
+        # drops out), which would read as a speedup — surface failures
+        # at the top level so round-over-round comparisons see them
+        payload["failed"] = failed
+    line = json.dumps(payload)
     print(line)
     # Also persist to a file: the driver captures stdout by tail, which
     # truncated the r2 artifact (BENCH_r02.json parsed:null). The file

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
 from . import tables
+from .oracle_fragments import REV_SQL
 from .operators import labels as L
 
 
@@ -43,6 +44,11 @@ QUERIES: dict[str, Query] = {}
 
 def q(name: str, oracle: str | None = None, desc: str = "", tags: list[str] | None = None):
     def deco(fn):
+        if name in QUERIES:
+            # ~330 names over ~100 wave files: a reused name would
+            # silently REPLACE the earlier query and its oracle,
+            # removing it from bench and the correctness gate
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = Query(fn=fn, oracle=oracle, desc=desc, tags=tags or [])
         return fn
 
@@ -108,8 +114,13 @@ def q_scan_filter_project(spark, sf_dir):
 
 @q(
     "q_cast_project",
+    # double->bigint semantics DIVERGE between engines (Spark truncates
+    # toward zero, DuckDB rounds half-away); trunc() first pins ONE
+    # semantic so parity doesn't silently depend on the test data
+    # keeping l_quantity integral. Spark's plain cast IS truncation, so
+    # the Spark side needs no change and values are identical today.
     oracle="""
-    SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qty_int,
+    SELECT l_orderkey, CAST(trunc(l_quantity) AS BIGINT) AS qty_int,
            CAST(l_linenumber AS VARCHAR) AS line_str
     FROM lineitem WHERE l_orderkey < 100
     """,
@@ -131,11 +142,11 @@ def q_cast_project(spark, sf_dir):
 
 @q(
     "q_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({REV_SQL}) AS DOUBLE) AS sum_disc_price,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -284,9 +295,9 @@ def q_quantiles(spark, sf_dir):
 
 @q(
     "q_join_agg",
-    oracle="""
+    oracle=f"""
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue,
            COUNT(*) AS n_lines
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -323,9 +334,9 @@ def q_join_agg(spark, sf_dir):
 
 @q(
     "q_top_orders",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date
     FROM customer JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey

@@ -275,3 +275,51 @@ def test_driver_checked_tail_ordered_oldest_green_first():
     assert tags == sorted(tags), "checked tail must be oldest-green-first"
     # the head of the tail is the stalest cohort (r1/r2 greens)
     assert e._DRIVER_CHECKED_TAGGED[tail[0]] == min(tags)
+
+
+def test_duplicate_query_registration_raises():
+    """r7 review: the q() decorator silently REPLACED an existing
+    query (and its oracle) on name reuse, removing it from bench and
+    the correctness gate undetected."""
+    import pytest
+
+    from biosets_spark.queries import QUERIES, q
+
+    existing = next(iter(QUERIES))
+    with pytest.raises(ValueError, match="duplicate query registration"):
+        q(existing)(lambda spark, sf_dir: None)
+
+
+def test_bench_sf_parse_tolerant():
+    """r7 review: bench crashed before the session even started on any
+    dataset dir not named exactly 'sf<number>'."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(root, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    assert bench.parse_sf("/root/testdata/sf0.1") == 0.1
+    assert bench.parse_sf("/data/tpch-sf10/") == 10.0
+    assert bench.parse_sf("/data/mydata") is None
+
+
+def test_check_oracle_canon_recurses_containers():
+    """r7 review: array/struct cells fell through to raw str()
+    comparison without float/decimal canonicalization."""
+    import decimal
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle", os.path.join(root, "tools", "check_oracle.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.canon([decimal.Decimal("1.00"), 2.0]) == mod.canon([1.0, 2.0])
+    assert mod.canon({"a": decimal.Decimal("3.50")}) == mod.canon({"a": 3.5})
+
+    from pyspark.sql import Row
+    assert mod.canon(Row(a=1, b=2.0)) == mod.canon({"a": 1, "b": 2.0})

@@ -36,6 +36,16 @@ def canon(v):
         # type-sensitive (the r1 HUGEINT bug slipped through because this
         # used to fold ints into floats).
         return v
+    # containers recurse so floats/decimals INSIDE arrays and structs
+    # get the same canonicalization as scalars (a raw str() of
+    # [Decimal('1.00')] vs [1.0] would false-FAIL equal values)
+    if hasattr(v, "asDict"):  # pyspark Row (struct cell) — BEFORE the
+        # tuple branch: Row subclasses tuple and would lose its keys
+        return tuple(sorted((k, canon(x)) for k, x in v.asDict().items()))
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, canon(x)) for k, x in v.items()))
     if hasattr(v, "isoformat"):
         return v.isoformat()
     try:
@@ -122,6 +132,12 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name silently matching nothing would exit 0 and read
+        # as a green gate
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     passed = failed = skipped = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -143,10 +159,11 @@ def main():
             atbl = con.execute(oracles[name]).arrow()
             ocols = atbl.column_names
             otypes = {c: arrow_type_class(atbl.schema.field(c).type) for c in ocols}
-            orows = [
-                tuple(atbl.column(c)[i].as_py() for c in ocols)
-                for i in range(atbl.num_rows)
-            ]
+            # columnar conversion: per-cell column(c)[i].as_py() builds
+            # an Arrow scalar per cell and dominated wall time on large
+            # results
+            orows = list(zip(*(atbl.column(c).to_pylist() for c in ocols))) \
+                if ocols else [()] * atbl.num_rows
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
             failed += 1
