@@ -156,7 +156,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Current build round (bump each round; drives the defer-age invariant
 # in tests/test_registry.py).
-_ROUND = 7
+_ROUND = 8
 
 # Queries that already have GREEN driver CORRECTNESS rows, tagged with
 # the round their (latest) green row landed. The tag drives the
@@ -263,6 +263,24 @@ _DRIVER_CHECKED_TAGGED: dict[str, int] = {
     "q_core_prevalence": 6, "q_auc_roc": 6, "q_good_turing": 6,
     "q_session_paths": 6, "q_log2_histogram": 6, "q_jackknife_variance": 6,
     "q_entropy_rate": 6, "q_seasonal_index": 6, "q_burstiness": 6,
+    # --- r7 window (50/50 green, CORRECTNESS_r07.json) ---
+    "q_heldout_perplexity": 7, "q_forecast_backtest": 7, "q_dispersion_index": 7,
+    "q_price_index": 7, "q_mann_kendall": 7, "q_gumbel_maxima": 7,
+    "q_kendall_tau": 7, "q_hodges_lehmann": 7, "q_simpson_paradox": 7,
+    "q_recency_value": 7, "q_burrows_delta": 7, "q_renyi_spectrum": 7,
+    "q_vocab_overlap": 7, "q_interarrival_fit": 7, "q_dedup_truncation": 7,
+    "q_embedding_norms": 7, "q_embedding_anisotropy": 7, "q_session_conversion": 7,
+    "q_label_separation": 7, "q_knn_loo_eval": 7, "q_stump_split": 7,
+    "q_eta2_scan": 7, "q_skipgram_pmi": 7, "q_char_trigram_profile": 7,
+    "q_cross_entropy_sources": 7, "q_runs_test": 7, "q_js_divergence": 7,
+    "q_sprt_monitor": 7, "q_hill_tail": 7, "q_wilcoxon_signed_rank": 7,
+    "q_cochran_q": 7, "q_friedman_test": 7, "q_theil_decomposition": 7,
+    "q_jarque_bera": 7, "q_theils_u": 7, "q_unit_root_ar1": 7,
+    "q_mde_planner": 7, "q_vocab_turnover": 7, "q_rank_churn": 7,
+    "q_kendall_rankings": 7, "q_atkinson_index": 7, "q_overdispersion": 7,
+    "q_collocation_llr": 7, "q_tost_equivalence": 7, "q_cpk_capability": 7,
+    "q_trimmed_mean": 7, "q_matthews_mcc": 7, "q_brier_decomposition": 7,
+    "q_levene_bf": 7, "q_grubbs_test": 7,
 }
 
 _DRIVER_CHECKED = frozenset(_DRIVER_CHECKED_TAGGED)
@@ -295,42 +313,14 @@ _DRIVER_CHECKED = frozenset(_DRIVER_CHECKED_TAGGED)
 # removed from the mapping until fixed and re-verified. This keeps
 # every driver row at most ~6 rounds stale in steady state while never
 # displacing a never-checked name, which always outranks re-sampling.
-_DEFER_NEXT_WINDOW_TAGGED = (
-    ("q_page_trend", 7),
-    ("q_cvar_shortfall", 7),
-    ("q_fleiss_kappa", 7),
-    ("q_icc_reliability", 7),
-    ("q_average_precision", 7),
-    ("q_ndcg_at_100", 7),
-    ("q_cochran_armitage", 7),
-    ("q_moods_median", 7),
-    ("q_fisher_z_diff", 7),
-    ("q_welch_anova", 7),
-    ("q_capm_beta", 7),
-    ("q_max_drawdown", 7),
-    ("q_hurst_exponent", 7),
-    ("q_jain_fairness", 7),
-    ("q_neyman_allocation", 7),
-    ("q_mixture_gap", 7),
-    ("q_youden_cutpoint", 7),
-    ("q_hosmer_lemeshow", 7),
-    ("q_mantel_haenszel", 7),
-    ("q_meta_heterogeneity", 7),
-    ("q_bonferroni_family", 7),
-    ("q_bh_fdr", 7),
-    ("q_log_rank_test", 7),
-    ("q_rmst", 7),
-    ("q_cuped_adjustment", 7),
-    ("q_winsor_variance_gain", 7),
-    ("q_eb_shrinkage", 7),
-    ("q_kish_ess", 7),
-    ("q_covariate_balance", 7),
-    ("q_e_value", 7),
-    ("q_sharpe_revenue", 7),
-    ("q_price_dispersion", 7),
-    ("q_chao1_richness", 7),
-    ("q_doubling_time", 7),
-)
+_DEFER_NEXT_WINDOW_TAGGED: tuple = ()
+# R8: defer list EMPTIED per the pre-committed handoff — the 34
+# remaining never-checked names (q_page_trend ... q_doubling_time,
+# all judge-green in the r7 full-oracle re-run) now sort into the
+# front block via the `front` rule in _ordered_names(), so the r8
+# driver window = 34 backlog names + ~16 oldest-green (tag-2)
+# re-verification rows. Done = CORRECTNESS_r08 50/50 green →
+# driver-checked union 332/332, backlog zero, rotation started.
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)
 

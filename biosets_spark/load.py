@@ -171,6 +171,17 @@ def _read_shards(spark: SparkSession, files: list[str], **options) -> DataFrame:
     unknown = set(options) - set().union(*_FMT_OPTIONS.values())
     if unknown:
         raise TypeError(f"load_dataset: unknown reader option(s) {sorted(unknown)}")
+    if len(by_fmt) == 1:
+        # homogeneous load: pass options through UNFILTERED so
+        # read_files' strict leftover check raises on an option that
+        # only another format understands (e.g. skip_rows= with
+        # parquet files) instead of silently dropping it — the same
+        # silent-ignore class the unknown-option check above exists
+        # to eliminate. Only a genuinely mixed batch takes per-format
+        # subsets (each format group legitimately ignores the
+        # others' options there).
+        fmt, fs = next(iter(by_fmt.items()))
+        return readers.read_files(spark, fs, fmt=fmt, **options)
     dfs = [
         readers.read_files(
             spark, fs, fmt=fmt,

@@ -234,6 +234,9 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list:
             if code == end:
                 return out[:n_pixels]
             if prev is None:
+                if code >= len(table):
+                    raise ValueError(
+                        "corrupt GIF LZW stream (first code out of range)")
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]
@@ -257,7 +260,19 @@ def decode_gif(raw: bytes):
     mean_b). Full LZW (variable code width, clear/KwKwK cases) and
     interlace handling in stdlib-only Python — the same
     no-external-deps posture as sources/avro_py.py. Means are over the
-    frame's palette-mapped RGB pixels."""
+    frame's palette-mapped RGB pixels. Raises ValueError (never
+    IndexError/struct.error) on any truncated or corrupt payload."""
+    import struct as _s
+
+    try:
+        return _decode_gif_impl(raw)
+    except (IndexError, _s.error) as exc:
+        # block-walk past EOF / short header on a truncated payload:
+        # keep the decoder's single documented error surface
+        raise ValueError(f"truncated or corrupt GIF: {exc}") from exc
+
+
+def _decode_gif_impl(raw: bytes):
     import struct as _s
 
     import numpy as np
@@ -309,6 +324,10 @@ def decode_gif(raw: bytes):
         )
         if len(idx) < w * h:
             raise ValueError("truncated GIF pixel data")
+        if len(idx) and int(idx.max()) >= len(table):
+            raise ValueError(
+                f"GIF palette index {int(idx.max())} out of range "
+                f"(color table has {len(table)} entries)")
         px = table[idx].reshape(h, w, 3)
         if iflags & 0x40:  # interlaced: rows arrive in 4 passes
             order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),

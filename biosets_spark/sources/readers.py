@@ -174,20 +174,24 @@ def read_json(spark: SparkSession, paths: list[str] | str, field: str | None = N
     """S3: JSON/JSONL scan; ``field=`` selects a nested record list
     (docs/DATA_LOADING.md:55-93)."""
     paths = paths if isinstance(paths, list) else [paths]
-    # plain .json may be a single pretty-printed document; probe each
-    # one cheaply (capped — the mode is global to the read anyway) and
-    # refuse a mixed batch instead of silently mis-parsing half of it
+    # plain .json may be a single pretty-printed document; probe EVERY
+    # .json path (one readline per file — a capped sample would let a
+    # pretty-printed file past the cap be silently mis-parsed, the
+    # exact failure this check exists to prevent) and refuse a mixed
+    # batch instead of mis-parsing half of it
     verdicts = {
-        p: v for p in paths[:16]
+        p: v for p in paths
         if os.path.splitext(_strip_compression(p))[1].lower() == ".json"
         and (v := _looks_multiline_json(p, spark)) is not None
     }
     modes = set(verdicts.values())
     if len(modes) > 1:
+        ml = [p for p, v in verdicts.items() if v][:8]
+        jl = [p for p, v in verdicts.items() if not v][:8]
         raise ValueError(
             "read_json got a mix of JSONL and multiLine .json files — "
-            "Spark reads one mode per scan; split the load: "
-            f"{ {p: ('multiLine' if v else 'jsonl') for p, v in verdicts.items()} }"
+            "Spark reads one mode per scan; split the load. "
+            f"multiLine examples: {ml}; jsonl examples: {jl}"
         )
     multiline = modes.pop() if modes else False
     df = spark.read.option("multiLine", multiline).json(paths)

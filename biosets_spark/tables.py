@@ -44,10 +44,13 @@ _RELATION_CACHE: dict[tuple[str, str, str, tuple], DataFrame] = {}
 
 
 def _path_snapshot(path: str) -> tuple:
-    """(name, size, mtime) identity of a table path — one stat per
-    file, no footer reads. Covers both single-file tables and
-    directory-of-part-files layouts; a missing path snapshots empty
-    (the subsequent read raises the real error)."""
+    """(relpath, size, mtime) identity of a table path — one stat per
+    file, no footer reads. Recurses into subdirectories so partitioned
+    layouts (``table/part=x/part-*.parquet``) are covered: an in-place
+    rewrite of a nested part-file changes neither the subdir entry nor
+    the top level, so a flat scandir would serve a stale plan. A
+    missing path snapshots empty (the subsequent read raises the real
+    error)."""
     try:
         st = os.stat(path)
     except OSError:
@@ -58,15 +61,24 @@ def _path_snapshot(path: str) -> tuple:
     if not os.path.isdir(path):
         return ((path, st.st_size, st.st_mtime_ns),)
     out = []
-    try:
-        for entry in os.scandir(path):
+
+    def _walk(d: str, prefix: str) -> None:
+        try:
+            entries = list(os.scandir(d))
+        except OSError:
+            return
+        for entry in entries:
+            rel = prefix + entry.name
             try:
-                est = entry.stat()
-                out.append((entry.name, est.st_size, est.st_mtime_ns))
+                if entry.is_dir(follow_symlinks=False):
+                    _walk(entry.path, rel + "/")
+                else:
+                    est = entry.stat()
+                    out.append((rel, est.st_size, est.st_mtime_ns))
             except OSError:
-                out.append((entry.name, -1, -1))
-    except OSError:
-        pass
+                out.append((rel, -1, -1))
+
+    _walk(path, "")
     return tuple(sorted(out))
 
 

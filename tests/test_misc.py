@@ -1108,3 +1108,117 @@ def test_operator_package_surface():
                 "similarity", "skew", "split", "text"):
         assert hasattr(operators, mod), mod
     assert hasattr(plans, "audit") and hasattr(plans, "fingerprint")
+
+
+def test_relation_cache_invalidates_nested_rewrite(spark, tmp_path):
+    """r7 ADVICE: _path_snapshot must recurse — an in-place rewrite of
+    a part-file INSIDE a partition subdirectory changes neither the
+    subdir entry nor the top level, so a flat scandir served a stale
+    plan on partitioned layouts."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biosets_spark import tables
+
+    sf_dir = str(tmp_path)
+    p = str(tmp_path / "orders.parquet")
+    spark.createDataFrame(
+        [(i, i % 2) for i in range(6)], "o_orderkey long, bucket int"
+    ).write.partitionBy("bucket").mode("overwrite").parquet(p)
+    first = tables.load(spark, sf_dir, "orders")
+    assert first.count() == 6
+    assert tables.load(spark, sf_dir, "orders") is first  # memo hit
+
+    # rewrite ONE nested part-file in place (same filename, same dir):
+    # only file-level recursion can observe this
+    part = sorted(glob.glob(os.path.join(p, "bucket=0", "part-*.parquet")))[0]
+    pq.write_table(pa.table({"o_orderkey": pa.array([100, 101, 102, 103],
+                                                    type=pa.int64())}), part)
+    # drop Hadoop LocalFS checksum sidecars made stale by the rewrite
+    # (an external rewriter wouldn't produce them either)
+    for crc in glob.glob(os.path.join(p, "bucket=0", ".*.crc")):
+        os.remove(crc)
+    fresh = tables.load(spark, sf_dir, "orders")
+    assert fresh is not first
+    # the rewritten rows (keys >= 100) are visible through the reload
+    assert fresh.where("o_orderkey >= 100").count() == 4
+
+
+def test_read_json_mixed_mode_detected_beyond_probe_cap(spark, tmp_path):
+    """r7 ADVICE: the JSONL/multiLine probe must cover EVERY .json path
+    — a pretty-printed file at index >= 16 used to slip past the
+    16-path sample and get silently mis-parsed."""
+    import pytest
+
+    from biosets_spark.sources.readers import read_json
+
+    paths = []
+    for i in range(20):
+        f = tmp_path / f"part{i:02d}.json"
+        f.write_text('{"a": %d}\n' % i)  # JSONL: one record per line
+        paths.append(str(f))
+    bad = tmp_path / "part20.json"
+    bad.write_text('{\n  "a": 99\n}\n')  # pretty-printed multiLine doc
+    paths.append(str(bad))
+    with pytest.raises(ValueError, match="mix of JSONL and multiLine"):
+        read_json(spark, paths)
+
+
+def test_decode_gif_corrupt_raises_valueerror():
+    """r7 ADVICE: decode_gif's documented error surface is ValueError —
+    truncation mid-block-walk, palette index >= color-table size, and
+    a first LZW code out of range must never escape as IndexError."""
+    import numpy as np
+    import pytest
+
+    from biosets_spark.operators.multimodal import decode_gif
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    idx = np.arange(48) % 4
+    good = _gif_bytes(idx, palette, 8, 6)
+
+    # truncated payload: block walk hits EOF
+    for cut in (10, len(good) // 2, len(good) - 2):
+        with pytest.raises(ValueError):
+            decode_gif(good[:cut])
+
+    # palette index out of range: declare a 2-entry color table but
+    # emit indices up to 3 (min_code_size=2 keeps the LZW alphabet 4)
+    small = _gif_bytes(idx, palette[:2], 8, 6)
+    with pytest.raises(ValueError, match="palette index|color table"):
+        decode_gif(small)
+
+    # first LZW code out of table range right after a clear
+    import struct as _s
+    hdr = b"GIF89a" + _s.pack("<HHBBB", 2, 2, 0x80, 0, 0)
+    gct = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9))
+    img = b"\x2c" + _s.pack("<HHHHB", 0, 0, 2, 2, 0) + b"\x02"
+    # width 3 after clear: emit clear(100) then code 7 (> end=5, empty)
+    payload = bytes([0b00_111_100])  # LSB-first: 100 then 111
+    bad_lzw = hdr + gct + img + bytes([len(payload)]) + payload + b"\x00\x3b"
+    with pytest.raises(ValueError):
+        decode_gif(bad_lzw)
+
+
+def test_load_dataset_homogeneous_foreign_option_raises(spark, tmp_path):
+    """r7 ADVICE: a homogeneous load must NOT silently drop an option
+    that only another format understands — skip_rows= with parquet-only
+    files now reaches read_files' strict leftover check."""
+    import pytest
+
+    from biosets_spark.load import load_dataset
+
+    p = str(tmp_path / "data.parquet")
+    spark.range(4).selectExpr("id AS x").write.mode("overwrite").parquet(p)
+    with pytest.raises(TypeError, match="not supported for format 'parquet'"):
+        load_dataset(data_files=[p], spark=spark, skip_rows=2)
+    # the mixed-batch path still takes per-format subsets (no raise):
+    # skip_rows applies to the csv group only, parquet ignores it
+    csv = tmp_path / "extra.csv"
+    csv.write_text("junk line\nx\n7\n8\n9\n")
+    ds = load_dataset(data_files=[p, str(csv)], spark=spark, skip_rows=1,
+                      header=True)
+    assert ds.df.count() == 4 + 3
