@@ -12,7 +12,8 @@ No reference counterpart (BASELINE.json extension surface). Design:
   Arrow-batched ``mapInPandas`` generators. Since r6, UNCOMPRESSED
   container formats decode for real with stdlib-only parsers (BMP and
   binary PPM/PGM images -> dims + channel means; PCM WAV audio ->
-  sample rate / duration / RMS). Compressed codecs (JPEG/PNG, MP3,
+  sample rate / duration / RMS; PNG via stdlib zlib since r8).
+  Compressed codecs (JPEG/WebP, MP3,
   H.264) genuinely require PIL/soundfile/pyav — absent from this
   container — and stay behind an import-gated NotImplementedError
   (or the deterministic fake in test mode). The Spark-side plumbing —
@@ -69,7 +70,7 @@ def attach_media_metadata(
 
 # ---------------------------------------------------------------------
 # stdlib decoders for UNCOMPRESSED container formats (r6). The original
-# decode stub covered every format; compressed codecs (JPEG/PNG/WebP,
+# decode stub covered every format; compressed codecs (JPEG/WebP,
 # MP3/FLAC, H.264) genuinely need PIL/soundfile/pyav — absent from this
 # container, still import-gated below. But BMP, PPM/PGM, and WAV-PCM
 # are struct-packed headers + raw samples: decodable with stdlib only,
@@ -340,6 +341,218 @@ def _decode_gif_impl(raw: bytes):
     raise ValueError("GIF contains no image frame")
 
 
+def _png_paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_unfilter(data: bytes, pos: int, n_rows: int, rowbytes: int,
+                  bpp: int) -> tuple[bytes, int]:
+    """Reverse PNG row filters (None/Sub/Up/Average/Paeth) over
+    ``n_rows`` scanlines starting at ``data[pos]``; each scanline is a
+    1-byte filter type + ``rowbytes`` of filtered bytes. Returns the
+    reconstructed bytes and the stream position after the last row.
+    Sub/Up are numpy-vectorized (per-lane cumsum / row add); Average
+    and Paeth carry a left+up dependency and run per byte."""
+    import numpy as np
+
+    # validate BEFORE allocating: a corrupt IHDR can declare absurd
+    # dimensions the actual (bounded) IDAT stream can never satisfy
+    need = n_rows * (1 + rowbytes)
+    if len(data) - pos < need:
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((n_rows, rowbytes), dtype=np.uint8)
+    for r in range(n_rows):
+        ftype = data[pos]
+        pos += 1
+        row = np.frombuffer(data, dtype=np.uint8, count=rowbytes,
+                            offset=pos).copy()
+        pos += rowbytes
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub: per-lane cumulative sum (mod 256)
+            lanes = row[: rowbytes - rowbytes % bpp].reshape(-1, bpp)
+            row[: lanes.size] = np.cumsum(
+                lanes, axis=0, dtype=np.uint64).astype(np.uint8).ravel()
+            for i in range(lanes.size, rowbytes):  # ragged tail (none in practice)
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            if r:
+                row += out[r - 1]
+        elif ftype == 3:  # Average
+            prev = out[r - 1] if r else np.zeros(rowbytes, dtype=np.uint8)
+            rl = row.tolist()
+            pl = prev.tolist()
+            for i in range(rowbytes):
+                a = rl[i - bpp] if i >= bpp else 0
+                rl[i] = (rl[i] + ((a + pl[i]) >> 1)) & 0xFF
+            row = np.asarray(rl, dtype=np.uint8)
+        elif ftype == 4:  # Paeth
+            prev = out[r - 1] if r else np.zeros(rowbytes, dtype=np.uint8)
+            rl = row.tolist()
+            pl = prev.tolist()
+            for i in range(rowbytes):
+                a = rl[i - bpp] if i >= bpp else 0
+                c = pl[i - bpp] if i >= bpp else 0
+                rl[i] = (rl[i] + _png_paeth(a, pl[i], c)) & 0xFF
+            row = np.asarray(rl, dtype=np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[r] = row
+    return out.tobytes(), pos
+
+
+def _png_samples(rows: bytes, w: int, h: int, depth: int, channels: int,
+                 rowbytes: int):
+    """Reconstructed scanline bytes -> (h, w, channels) uint8 samples.
+    16-bit samples are downscaled to their high byte; 1/2/4-bit
+    samples (gray or palette index, always single-channel) are
+    unpacked MSB-first. Palette indices are NOT scaled here."""
+    import numpy as np
+
+    b = np.frombuffer(rows, dtype=np.uint8).reshape(h, rowbytes)
+    if depth == 8:
+        return b[:, : w * channels].reshape(h, w, channels)
+    if depth == 16:
+        # big-endian sample pairs; high byte ~ value/257 rounding-free
+        return b[:, : 2 * w * channels].reshape(h, w, channels, 2)[..., 0]
+    per_byte = 8 // depth
+    shifts = np.arange(per_byte - 1, -1, -1, dtype=np.uint8) * depth
+    vals = (b[:, :, None] >> shifts) & ((1 << depth) - 1)
+    return vals.reshape(h, -1)[:, :w].reshape(h, w, 1)
+
+
+# Adam7 interlace pass layout: (x_start, y_start, x_step, y_step)
+_PNG_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def decode_png(raw: bytes):
+    """PNG -> (width, height, mean_r, mean_g, mean_b), stdlib-only
+    (``zlib`` inflate + per-row unfilter), the same no-external-deps
+    posture as decode_gif/sources/avro_py.py. Supports all five color
+    types (gray, RGB, palette, gray+alpha, RGBA), bit depths
+    1/2/4/8/16 (16-bit downscaled to 8), and Adam7 interlace. Alpha
+    channels are ignored in the means (straight RGB over all pixels).
+    Raises ValueError (never IndexError/struct.error/zlib.error) on
+    truncated or corrupt payloads."""
+    import struct as _s
+    import zlib
+
+    try:
+        return _decode_png_impl(raw)
+    except (IndexError, _s.error, zlib.error) as exc:
+        raise ValueError(f"truncated or corrupt PNG: {exc}") from exc
+
+
+def _decode_png_impl(raw: bytes):
+    import struct as _s
+    import zlib
+
+    import numpy as np
+
+    if raw[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte = 8, None, None
+    idat: list[bytes] = []
+    while pos + 8 <= len(raw):
+        length, ctype = _s.unpack_from(">I4s", raw, pos)
+        body = raw[pos + 8: pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length  # length + type + body + crc (crc unchecked)
+        if ctype == b"IHDR":
+            ihdr = _s.unpack_from(">IIBBBBB", body, 0)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8,
+                                 count=len(body) - len(body) % 3).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR chunk")
+    if not idat:
+        raise ValueError("PNG missing IDAT chunk")
+    w, h, depth, ct, comp, filt, interlace = ihdr
+    if w == 0 or h == 0:
+        raise ValueError("PNG has zero dimensions")
+    if comp != 0 or filt != 0:
+        raise ValueError(f"unknown PNG compression/filter method ({comp}/{filt})")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ct)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {ct}")
+    valid_depths = (1, 2, 4, 8, 16) if ct in (0, 3) else (8, 16)
+    if depth not in valid_depths or (ct == 3 and depth == 16):
+        raise ValueError(f"invalid PNG bit depth {depth} for color type {ct}")
+    if ct == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    if w * h > (1 << 26):
+        raise ValueError(
+            f"PNG dimensions {w}x{h} exceed the 67M-pixel decode cap "
+            "(decompression-bomb guard)")
+    bpp = max(1, channels * depth // 8)
+
+    def rb(width: int) -> int:
+        return (width * channels * depth + 7) // 8
+
+    if interlace == 0:
+        expected = h * (1 + rb(w))
+    elif interlace == 1:
+        expected = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                expected += ph * (1 + rb(pw))
+    else:
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    # bounded inflate: never materialize more than the declared image
+    # needs, whatever the compressed stream claims (zip-bomb guard)
+    dco = zlib.decompressobj()
+    data = dco.decompress(b"".join(idat), expected)
+    if len(data) < expected:
+        raise ValueError("truncated PNG pixel data")
+
+    if interlace == 0:
+        rows, end = _png_unfilter(data, 0, h, rb(w), bpp)
+        px = _png_samples(rows, w, h, depth, channels, rb(w))
+    else:
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, off = _png_unfilter(data, off, ph, rb(pw), bpp)
+            px[y0::dy, x0::dx] = _png_samples(rows, pw, ph, depth,
+                                              channels, rb(pw))
+
+    if ct == 3:
+        idx = px[..., 0]
+        if int(idx.max()) >= len(plte):
+            raise ValueError(
+                f"PNG palette index {int(idx.max())} out of range "
+                f"(PLTE has {len(plte)} entries)")
+        rgb = plte[idx]
+    elif ct in (0, 4):
+        gray = px[..., 0]
+        if depth < 8:
+            gray = (gray.astype(np.uint16) * 255 //
+                    ((1 << depth) - 1)).astype(np.uint8)
+        rgb = np.repeat(gray[..., None], 3, axis=2)
+    else:  # RGB / RGBA: drop alpha if present
+        rgb = px[..., :3]
+    return (int(w), int(h), float(rgb[..., 0].mean()),
+            float(rgb[..., 1].mean()), float(rgb[..., 2].mean()))
+
+
 def decode_wav(raw: bytes):
     """PCM WAV -> (sample_rate, n_channels, duration_ms, rms).
     Stdlib-only (RIFF walk + int16/uint8 sample math)."""
@@ -392,10 +605,13 @@ def _decode_image(payload: bytes, fake: bool):
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         w, h, *_ = decode_tiff(payload)
         return (w, h)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, *_ = decode_png(payload)
+        return (w, h)
     raise NotImplementedError(
-        "compressed image decode (PNG/JPEG/...) requires PIL/opencv, "
-        "not installed in this environment; BMP, binary PPM/PGM, GIF "
-        "and uncompressed TIFF decode natively, or pass "
+        "compressed image decode (JPEG/WebP/...) requires PIL/opencv, "
+        "not installed in this environment; BMP, binary PPM/PGM, GIF, "
+        "PNG and uncompressed TIFF decode natively, or pass "
         "fake_decode=True for the deterministic stub"
     )
 
@@ -528,7 +744,7 @@ def extract_image_stats(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Full real-decode image statistics for natively decodable
-    payloads (BMP / binary PPM / PGM / GIF / uncompressed TIFF):
+    payloads (BMP / binary PPM / PGM / GIF / PNG / uncompressed TIFF):
     (id, width, height, mean_r, mean_g, mean_b, n_bytes). Compressed
     payloads raise the gated error — filter on the metadata struct's
     mime first at scale; NULL/empty payloads are skipped (no output
@@ -560,6 +776,8 @@ def extract_image_stats(
                     w, h, mr, mg, mb = decode_gif(raw)
                 elif raw[:4] in (b"II*\x00", b"MM\x00*"):
                     w, h, mr, mg, mb = decode_tiff(raw)
+                elif raw[:8] == b"\x89PNG\r\n\x1a\n":
+                    w, h, mr, mg, mb = decode_png(raw)
                 else:
                     raise NotImplementedError(
                         "compressed image decode requires PIL/opencv"

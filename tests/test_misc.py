@@ -554,14 +554,19 @@ def test_multimodal_real_decode_uncompressed(spark):
 
 
 def test_multimodal_compressed_still_gated(spark):
-    """Compressed payloads (PNG magic) still raise the actionable
-    import-gated error in real mode."""
-    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 20
-    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
+    """Compressed payloads (JPEG magic) still raise the actionable
+    import-gated error in real mode; PNG (natively decodable since r8)
+    instead surfaces the decoder's own ValueError on a corrupt body."""
+    jpg = b"\xff\xd8\xff\xe0" + b"\x00" * 20
+    df = spark.createDataFrame([(1, bytearray(jpg))], "doc_id long, payload binary")
     with pytest.raises(Exception, match="PIL|compressed"):
         MM.extract_image_features(df, fake_decode=False).collect()
     with pytest.raises(Exception, match="PIL|compressed"):
         MM.extract_image_stats(df).collect()
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 20
+    df2 = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="corrupt PNG|missing IHDR"):
+        MM.extract_image_stats(df2).collect()
 
 
 def test_dataset_to_avro_roundtrip(spark, tmp_path):
@@ -1222,3 +1227,232 @@ def test_load_dataset_homogeneous_foreign_option_raises(spark, tmp_path):
     ds = load_dataset(data_files=[p, str(csv)], spark=spark, skip_rows=1,
                       header=True)
     assert ds.df.count() == 4 + 3
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body)))
+
+
+def _png_filter_rows(px_rows, bpp, filters):
+    """Apply PNG row filters (test-only encoder side): px_rows is a
+    list of bytes (reconstructed scanlines), filters a per-row list of
+    filter type ints."""
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    out = bytearray()
+    prev = bytes(len(px_rows[0]))
+    for row, f in zip(px_rows, filters):
+        out.append(f)
+        for i, v in enumerate(row):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                out.append(v)
+            elif f == 1:
+                out.append((v - a) & 0xFF)
+            elif f == 2:
+                out.append((v - b) & 0xFF)
+            elif f == 3:
+                out.append((v - ((a + b) >> 1)) & 0xFF)
+            elif f == 4:
+                out.append((v - paeth(a, b, c)) & 0xFF)
+        prev = row
+    return bytes(out)
+
+
+def _png_bytes(w, h, depth, ct, scanlines, plte=None, filters=None,
+               interlace=0):
+    """Minimal PNG writer (test-only). scanlines: list of
+    reconstructed scanline BYTES (already packed for sub-byte depths);
+    for interlace=1 pass the concatenated per-pass scanline lists as a
+    list of (scanline_list, bpp) tuples."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
+    bpp = max(1, channels * depth // 8)
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = _png_chunk(b"IHDR", struct.pack(
+        ">IIBBBBB", w, h, depth, ct, 0, 0, interlace))
+    if interlace:
+        raw = b"".join(
+            _png_filter_rows(rows, bpp, [0] * len(rows))
+            for rows in scanlines if rows)
+    else:
+        filters = filters or [0] * h
+        raw = _png_filter_rows(scanlines, bpp, filters)
+    out = sig + ihdr
+    if plte is not None:
+        out += _png_chunk(b"PLTE", bytes(v for rgb in plte for v in rgb))
+    # split the compressed stream over two IDAT chunks (concat path)
+    comp = zlib.compress(raw)
+    mid = max(1, len(comp) // 2)
+    out += _png_chunk(b"IDAT", comp[:mid]) + _png_chunk(b"IDAT", comp[mid:])
+    return out + _png_chunk(b"IEND", b"")
+
+
+def test_decode_png_rgb_all_filters():
+    """r7 verdict task #3: native PNG decode. RGB rows encoded with
+    every filter type (None/Sub/Up/Average/Paeth) must reconstruct
+    exactly."""
+    import numpy as np
+
+    from biosets_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(11)
+    w, h = 13, 10
+    px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    rows = [px[r].tobytes() for r in range(h)]
+    filters = [0, 1, 2, 3, 4, 4, 3, 2, 1, 0]
+    png = _png_bytes(w, h, 8, 2, rows, filters=filters)
+    gw, gh, mr, mg, mb = decode_png(png)
+    assert (gw, gh) == (w, h)
+    assert abs(mr - px[..., 0].mean()) < 1e-9
+    assert abs(mg - px[..., 1].mean()) < 1e-9
+    assert abs(mb - px[..., 2].mean()) < 1e-9
+
+
+def test_decode_png_color_types_and_depths():
+    """Palette-4bit, gray-1bit, gray+alpha, RGBA, gray-16bit."""
+    import numpy as np
+
+    from biosets_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(3)
+
+    # palette, 4-bit (two indices per byte, MSB first)
+    plte = [(250, 10, 0), (0, 200, 30), (5, 5, 250), (7, 8, 9)]
+    w, h = 5, 4  # odd width: last nibble of each row is padding
+    idx = rng.randint(0, 4, size=(h, w))
+    rows = []
+    for r in range(h):
+        packed = bytearray()
+        for i in range(0, w, 2):
+            hi = idx[r, i] << 4
+            lo = idx[r, i + 1] if i + 1 < w else 0
+            packed.append(hi | lo)
+        rows.append(bytes(packed))
+    png = _png_bytes(w, h, 4, 3, rows, plte=plte, filters=[0, 1, 2, 4])
+    gw, gh, mr, mg, mb = decode_png(png)
+    exp = np.array(plte)[idx]
+    assert (gw, gh) == (w, h)
+    assert abs(mr - exp[..., 0].mean()) < 1e-9
+    assert abs(mg - exp[..., 1].mean()) < 1e-9
+    assert abs(mb - exp[..., 2].mean()) < 1e-9
+
+    # gray 1-bit: 0 -> 0, 1 -> 255
+    w, h = 10, 3
+    bits = rng.randint(0, 2, size=(h, w))
+    rows = [np.packbits(bits[r]).tobytes() for r in range(h)]
+    png = _png_bytes(w, h, 1, 0, rows)
+    gw, gh, mr, mg, mb = decode_png(png)
+    assert (gw, gh) == (w, h) and mr == mg == mb
+    assert abs(mr - bits.mean() * 255) < 1e-9
+
+    # gray+alpha 8-bit: alpha ignored in means
+    w, h = 6, 6
+    ga = rng.randint(0, 256, size=(h, w, 2), dtype=np.uint8)
+    rows = [ga[r].tobytes() for r in range(h)]
+    png = _png_bytes(w, h, 8, 4, rows, filters=[4] * h)
+    _, _, mr, mg, mb = decode_png(png)
+    assert mr == mg == mb and abs(mr - ga[..., 0].mean()) < 1e-9
+
+    # RGBA: alpha dropped
+    rgba = rng.randint(0, 256, size=(h, w, 4), dtype=np.uint8)
+    rows = [rgba[r].tobytes() for r in range(h)]
+    png = _png_bytes(w, h, 8, 6, rows, filters=[3] * h)
+    _, _, mr, mg, mb = decode_png(png)
+    assert abs(mr - rgba[..., 0].mean()) < 1e-9
+    assert abs(mb - rgba[..., 2].mean()) < 1e-9
+
+    # gray 16-bit, samples v*257 so the high byte equals v exactly
+    g8 = rng.randint(0, 256, size=(h, w), dtype=np.uint16)
+    rows = [(g8[r] * 257).astype(">u2").tobytes() for r in range(h)]
+    png = _png_bytes(w, h, 16, 0, rows, filters=[1] * h)
+    _, _, mr, _, _ = decode_png(png)
+    assert abs(mr - g8.mean()) < 1e-9
+
+
+def test_decode_png_adam7_interlaced():
+    """Adam7: pass-scattered scanlines must reassemble to the same
+    image (same means, exact)."""
+    import numpy as np
+
+    from biosets_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(5)
+    w, h = 11, 9  # non-multiples of 8 exercise ragged pass dims
+    px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    passes = []
+    for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                           (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                           (0, 1, 1, 2)):
+        sub = px[y0::dy, x0::dx]
+        passes.append([sub[r].tobytes() for r in range(sub.shape[0])]
+                      if sub.size else [])
+    png = _png_bytes(w, h, 8, 2, passes, interlace=1)
+    gw, gh, mr, mg, mb = decode_png(png)
+    assert (gw, gh) == (w, h)
+    assert abs(mr - px[..., 0].mean()) < 1e-9
+    assert abs(mg - px[..., 1].mean()) < 1e-9
+    assert abs(mb - px[..., 2].mean()) < 1e-9
+
+
+def test_decode_png_corrupt_raises_valueerror():
+    """decode_png error contract: ValueError on every malformed
+    payload, never IndexError/struct.error/zlib.error."""
+    import numpy as np
+    import pytest
+
+    from biosets_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(1)
+    px = rng.randint(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    good = _png_bytes(4, 4, 8, 2, [px[r].tobytes() for r in range(4)])
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JFIF....")
+    # cuts inside IHDR, inside the first IDAT body, and dropping IDAT
+    # entirely (a cut that only loses the IEND trailer is tolerated —
+    # the pixel data is complete)
+    idat_body = good.index(b"IDAT") + 6
+    for cut in (10, idat_body, good.index(b"IDAT") - 4):
+        with pytest.raises(ValueError):
+            decode_png(good[:cut])
+    # palette index beyond PLTE
+    rows = [bytes([3, 3, 3]) for _ in range(3)]
+    short_plte = _png_bytes(3, 3, 8, 3, rows, plte=[(1, 2, 3), (4, 5, 6)])
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(short_plte)
+    # corrupted zlib stream
+    bad = bytearray(good)
+    bad[len(bad) - 30] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+
+
+def test_extract_image_stats_png(spark):
+    """The mapInPandas stats path decodes PNG payloads natively."""
+    import numpy as np
+
+    from biosets_spark.operators.multimodal import extract_image_stats
+
+    rng = np.random.RandomState(9)
+    px = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    png = _png_bytes(8, 8, 8, 2, [px[r].tobytes() for r in range(8)],
+                     filters=[4] * 8)
+    df = spark.createDataFrame([(1, bytearray(png))],
+                               "doc_id long, payload binary")
+    row = extract_image_stats(df).collect()[0]
+    assert (row.width, row.height) == (8, 8)
+    assert abs(row.mean_r - px[..., 0].mean()) < 1e-9

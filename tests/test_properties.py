@@ -271,3 +271,81 @@ def test_tiff_roundtrip_property(w, h, gray, bo, rps, seed):
     else:
         assert abs(mr - px[..., 0].mean()) < 1e-9
         assert abs(mb - px[..., 2].mean()) < 1e-9
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=20),
+    ct=st.sampled_from([0, 2, 3, 4, 6]),
+    interlace=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=50, deadline=None)
+def test_png_roundtrip_property(w, h, ct, interlace, seed):
+    """Property: any 8-bit image of every PNG color type survives the
+    test encoder -> decode_png roundtrip with exact dimensions and
+    channel means, across random per-row filter types and Adam7
+    (ragged pass dims, filter reconstruction, palette mapping)."""
+    import numpy as np
+
+    from biosets_spark.operators.multimodal import decode_png
+    from tests.test_misc import _png_bytes
+
+    rng = np.random.RandomState(seed)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
+    plte = None
+    if ct == 3:
+        plte = [tuple(int(v) for v in rng.randint(0, 256, 3))
+                for _ in range(8)]
+        px = rng.randint(0, 8, size=(h, w, 1)).astype(np.uint8)
+        exp = np.array(plte)[px[..., 0]]
+    else:
+        px = rng.randint(0, 256, size=(h, w, channels), dtype=np.uint8)
+        if ct == 0:
+            exp = np.repeat(px, 3, axis=2)
+        elif ct == 4:
+            exp = np.repeat(px[..., :1], 3, axis=2)
+        else:
+            exp = px[..., :3]
+    if interlace:
+        passes = []
+        for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                               (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                               (0, 1, 1, 2)):
+            sub = px[y0::dy, x0::dx]
+            passes.append([sub[r].tobytes() for r in range(sub.shape[0])]
+                          if sub.size else [])
+        png = _png_bytes(w, h, 8, ct, passes, plte=plte, interlace=1)
+    else:
+        rows = [px[r].tobytes() for r in range(h)]
+        filters = [int(f) for f in rng.randint(0, 5, size=h)]
+        png = _png_bytes(w, h, 8, ct, rows, plte=plte, filters=filters)
+    gw, gh, mr, mg, mb = decode_png(png)
+    assert (gw, gh) == (w, h)
+    assert abs(mr - exp[..., 0].mean()) < 1e-9
+    assert abs(mg - exp[..., 1].mean()) < 1e-9
+    assert abs(mb - exp[..., 2].mean()) < 1e-9
+
+
+@given(data=st.binary(min_size=0, max_size=400),
+       seed=st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=80, deadline=None)
+def test_png_fuzz_never_escapes_valueerror(data, seed):
+    """Fuzz: random bytes after the PNG signature must either decode
+    or raise ValueError — never IndexError/struct.error/zlib.error."""
+    import numpy as np
+
+    from biosets_spark.operators.multimodal import decode_png
+    from tests.test_misc import _png_bytes
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(3, 3, 3), dtype=np.uint8)
+    good = _png_bytes(3, 3, 8, 2, [px[r].tobytes() for r in range(3)])
+    # splice random bytes into a valid payload at a random offset
+    cut = seed % len(good)
+    for payload in (b"\x89PNG\r\n\x1a\n" + data,
+                    good[:cut] + data + good[cut + len(data):]):
+        try:
+            decode_png(payload)
+        except ValueError:
+            pass
