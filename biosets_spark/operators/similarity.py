@@ -106,37 +106,51 @@ def all_pairs_topk(
 ) -> DataFrame:
     """Top-k most-similar pairs by cosine (exact), grid-blocked.
 
-    Plan: partition the corpus into index blocks of at most
-    ``max_index_rows`` vectors; for each block, broadcast only that
-    block's normalized matrix and stream the FULL table through an
-    Arrow-batched mapInPandas doing one BLAS block-multiply per batch.
-    Each row emits its local top-k among block partners with larger
-    id, so every global top-k pair survives into the candidate union;
-    a final TakeOrdered(k) finishes. ~100x faster than evaluating the
-    cosine as a per-pair Catalyst higher-order expression.
+    Plan: corpora that fit ONE index block (n <= max_index_rows)
+    broadcast the whole normalized matrix and stream the table through
+    an Arrow-batched mapInPandas doing one BLAS block-multiply per
+    batch — zero shuffle. Larger corpora run a SINGLE job over
+    block-pair buckets (r8, replacing the r7 sequential per-block
+    driver loop): rows hash into B = ceil(n/max_index_rows) blocks;
+    every unordered block pair (a, b) is one bucket; each row is
+    exploded to the B buckets its block participates in; a
+    groupBy(bucket).applyInPandas kernel evaluates the bucket's pairs
+    (cross-block in mixed buckets, within-block in diagonal ones) with
+    chunked BLAS multiplies. Each row emits its bucket-local top-k
+    among partners with larger id, so every global top-k pair survives
+    into the candidate set (a pair lives in exactly ONE bucket, and no
+    row contributes more than k global-top-k pairs); a final
+    TakeOrdered(k) finishes.
 
-    Scale story: peak driver/executor memory is ONE block
-    (max_index_rows x dim doubles, ~100 MB at 200k x 64), never the
-    whole corpus — blocks are processed SEQUENTIALLY: broadcast one
-    block, reduce its candidates to a block-local top-k (each pair
-    lives in exactly one partner-block, so per-block top-k then global
-    top-k is lossless), collect the k rows, destroy the broadcast,
-    move on. Resident broadcast data is always a single block; the
-    driver holds at most n_blocks*k candidate rows. Block count grows
-    linearly; work is the same O(N^2) dot products regardless of
-    blocking. For corpora where even the grid is too slow, prefilter
-    with lsh_signatures or go IVF.
+    Scale story: all B(B+1)/2 buckets run CONCURRENTLY in one stage —
+    no per-block job-launch serialization, no driver-side candidate
+    collection. Peak task memory is one bucket (<= 2*max_index_rows
+    vectors, ~200 MB at 200k x 64 doubles) plus a ~32 MB sims chunk;
+    shuffle volume is B copies of the (id, vector) projection —
+    replacing B full-table scans + B driver broadcasts. Work is the
+    same O(N^2) dot products regardless of blocking. For corpora where
+    even the grid is too slow, prefilter with lsh_signatures or go
+    IVF.
     """
+    import math
+
     import numpy as np
 
     spark = df.sparkSession
-    src, n_blocks = _grid_index(df, id_col, vec_col, max_index_rows)
+    _require_integral_id(df, id_col, "all_pairs_topk")
+    base = df.select(id_col, vec_col)
+    n = base.count()
+    n_blocks = max(1, math.ceil(n / max_index_rows))
     kk = k
-    best: list[tuple] = []  # ≤ n_blocks*k (id_a, id_b, sim) rows
-    for bi in range(n_blocks):
-        b = _broadcast_block(src, bi, n_blocks, id_col, vec_col)
+
+    if n_blocks == 1:
+        from .dedup import spread
+
+        src = spread(base)
+        b = _broadcast_block(src, 0, 1, id_col, vec_col)
         if b is None:
-            continue
+            return spark.createDataFrame(
+                [], schema="id_a long, id_b long, sim double")
 
         def block(batches, _b=b):
             import pandas as pd
@@ -160,21 +174,76 @@ def all_pairs_topk(
                 yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
 
         try:
-            best.extend(
-                (r.id_a, r.id_b, r.sim)
-                for r in src.select(id_col, vec_col)
-                .mapInPandas(block, schema="id_a long, id_b long, sim double")
+            best = (
+                src.mapInPandas(block, schema="id_a long, id_b long, sim double")
                 .orderBy(col("sim").desc(), "id_a", "id_b")
                 .limit(k)
                 .collect()
             )
         finally:
             b.destroy()
-    if n_blocks > 1:
-        src.unpersist()
-    cand = spark.createDataFrame(best or [(None, None, None)], schema="id_a long, id_b long, sim double")
-    if not best:
-        cand = cand.filter(col("id_a").isNotNull())
+        cand = spark.createDataFrame(
+            [(r.id_a, r.id_b, r.sim) for r in best] or [(None, None, None)],
+            schema="id_a long, id_b long, sim double")
+        if not best:
+            cand = cand.filter(col("id_a").isNotNull())
+        return cand.orderBy(col("sim").desc(), "id_a", "id_b").limit(k)
+
+    # multi-block: one job over block-pair buckets
+    B = n_blocks
+    src = base.withColumn(
+        "_blk", F.pmod(F.xxhash64(col(id_col)), lit(B)).cast("int"))
+    src = src.withColumn(
+        "_bucket",
+        F.explode(F.transform(
+            F.sequence(lit(0), lit(B - 1)),
+            lambda o: (F.least(col("_blk"), o) * B
+                       + F.greatest(col("_blk"), o)).cast("long"),
+        )),
+    )
+
+    def bucket_kernel(key, pdf):
+        import pandas as pd
+
+        a, b_ = divmod(int(key[0]), B)
+        ids = pdf[id_col].to_numpy()
+        blks = pdf["_blk"].to_numpy()
+        M = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        m = len(ids)
+        out_a: list = []
+        out_b: list = []
+        out_s: list = []
+        # cap the sims chunk at ~32 MB (4M doubles) whatever the bucket size
+        chunk = max(1, (1 << 22) // max(m, 1))
+        for s0 in range(0, m, chunk):
+            S = M[s0:s0 + chunk] @ M.T
+            for r in range(S.shape[0]):
+                i = s0 + r
+                mask = ids > ids[i]
+                if a != b_:
+                    # cross-block pairs only: the diagonal bucket
+                    # (g, g) owns this row's within-block pairs
+                    mask &= blks != blks[i]
+                part = np.nonzero(mask)[0]
+                if not len(part):
+                    continue
+                s = S[r][part]
+                if len(s) > kk:
+                    sel = np.argpartition(-s, kk - 1)[:kk]
+                else:
+                    sel = np.arange(len(s))
+                out_a.extend([ids[i]] * len(sel))
+                out_b.extend(ids[part[sel]])
+                out_s.extend(s[sel])
+        return pd.DataFrame({
+            "id_a": np.asarray(out_a, dtype=np.int64),
+            "id_b": np.asarray(out_b, dtype=np.int64),
+            "sim": np.asarray(out_s, dtype=np.float64),
+        })
+
+    cand = src.groupBy("_bucket").applyInPandas(
+        bucket_kernel, schema="id_a long, id_b long, sim double")
     return cand.orderBy(col("sim").desc(), "id_a", "id_b").limit(k)
 
 
