@@ -323,3 +323,106 @@ def test_check_oracle_canon_recurses_containers():
 
     from pyspark.sql import Row
     assert mod.canon(Row(a=1, b=2.0)) == mod.canon({"a": 1, "b": 2.0})
+
+
+def _canon():
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle_canon", os.path.join(root, "tools", "check_oracle.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.canon
+
+
+# hypothesis strategy for nested oracle cell values: scalars the two
+# engines actually return (None/bool/int/float/str/date/datetime/
+# Decimal) under arrays and string-keyed structs
+def _value_strategy():
+    import string
+
+    from hypothesis import strategies as st
+
+    leaf = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-2**62, max_value=2**62),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.text(max_size=8),
+        st.dates(),
+        st.datetimes(),
+        st.decimals(min_value=-10**9, max_value=10**9, places=4,
+                    allow_nan=False, allow_infinity=False),
+    )
+    keys = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=5)
+    return st.recursive(
+        leaf,
+        lambda c: st.one_of(st.lists(c, max_size=4),
+                            st.dictionaries(keys, c, max_size=4)),
+        max_leaves=12,
+    )
+
+
+def test_canon_properties():
+    """r7 verdict task #8: property-pin the oracle canonicalizer the
+    way the GIF/Avro codecs are pinned. For any nested value tree:
+    (1) the Spark rendering (Row structs, lists, Decimals) and the
+    DuckDB rendering (dicts in any key order, tuples, floats for
+    decimals) canonicalize EQUAL, and (2) canon is idempotent
+    (canon(canon(v)) == canon(v)), so hash comparison is stable."""
+    import decimal
+    import random
+
+    from hypothesis import given, settings
+
+    from pyspark.sql import Row
+
+    canon = _canon()
+
+    def spark_side(v):
+        if isinstance(v, dict):
+            if not v:
+                return {}
+            return Row(**{k: spark_side(x) for k, x in v.items()})
+        if isinstance(v, list):
+            return [spark_side(x) for x in v]
+        return v  # Decimals stay Decimal on the Spark side
+
+    def duck_side(v, rnd):
+        if isinstance(v, dict):
+            items = list(v.items())
+            rnd.shuffle(items)  # struct key order must not matter
+            return {k: duck_side(x, rnd) for k, x in items}
+        if isinstance(v, list):
+            return tuple(duck_side(x, rnd) for x in v)
+        if isinstance(v, decimal.Decimal):
+            return float(v)  # DECIMAL-vs-DOUBLE engine pair
+        return v
+
+    @given(v=_value_strategy())
+    @settings(max_examples=150, deadline=None)
+    def check(v):
+        rnd = random.Random(0)
+        a = canon(spark_side(v))
+        b = canon(duck_side(v, rnd))
+        assert a == b
+        assert canon(a) == a  # idempotence
+
+    check()
+
+
+def test_canon_decimal_float_parity_beyond_10_sig_digits():
+    """Regression (r8): Decimal must route through the float
+    canonicalization — a raw float() false-FAILed DECIMAL-vs-DOUBLE
+    pairs on values with more than 10 significant digits."""
+    import decimal
+
+    canon = _canon()
+    for s in ("1000000.0001", "123456789.012", "-99999999.999"):
+        assert canon(decimal.Decimal(s)) == canon(float(s)), s
+    # distinctness is preserved where it matters
+    assert canon(1) != canon("1")
+    assert canon(None) != canon("None")
+    assert canon(float("nan")) == canon(float("nan")) == "NaN"

@@ -52,7 +52,12 @@ def canon(v):
         import decimal
 
         if isinstance(v, decimal.Decimal):
-            return float(v)
+            # route through the FLOAT canonicalization (10 sig digits):
+            # a raw float(v) here would false-FAIL a DECIMAL-vs-DOUBLE
+            # engine pair on values with >10 significant digits
+            # (canon(Decimal('1000000.0001')) was 1000000.0001 while
+            # canon(1000000.0001) rounds to 1000000.0)
+            return canon(float(v))
     except Exception:
         pass
     return str(v)
