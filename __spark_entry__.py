@@ -119,6 +119,7 @@ from biosets_spark import queries_wave96  # noqa: E402,F401
 from biosets_spark import queries_wave97  # noqa: E402,F401
 from biosets_spark import queries_wave98  # noqa: E402,F401
 from biosets_spark import queries_wave99  # noqa: E402,F401
+from biosets_spark import queries_wave100  # noqa: E402,F401
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 

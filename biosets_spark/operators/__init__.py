@@ -6,6 +6,7 @@ from . import (
     graph,
     joins,
     labels,
+    merge,
     multimodal,
     pii,
     pipeline,
@@ -18,6 +19,6 @@ from . import (
 
 __all__ = [
     "asof", "concat", "dedup", "events", "graph", "joins", "labels",
-    "multimodal", "pii", "pipeline", "ranking", "similarity", "skew",
+    "merge", "multimodal", "pii", "pipeline", "ranking", "similarity", "skew",
     "split", "text",
 ]

@@ -296,3 +296,161 @@ def compact_parquet(
     shutil.rmtree(old, ignore_errors=True)
     files_after = _count_files(path)
     return {"files_before": files_before, "files_after": files_after, "rows": n}
+
+
+# ---------------------------------------------------------------------
+# Versioned table surface (r8): MERGE INTO + time travel over parquet
+# snapshots — a Delta/Iceberg-lite commit log. Each commit writes a
+# NEW immutable snapshot directory and appends a log entry with an
+# atomic tmp-write + rename, so readers always see a complete version
+# and time travel is a directory pick. Copy-on-write at snapshot
+# granularity: the honest simple variant of what table formats do at
+# file granularity (they rewrite only touched files and commit a
+# manifest; the commit-protocol shape — immutable data + atomic
+# pointer swap — is identical, and this surface swaps in file-level
+# tracking without changing its API).
+# ---------------------------------------------------------------------
+
+TABLE_LOG = "_table_log.json"
+SNAPSHOT_DIR = "_snapshots"
+
+
+def _table_log_read(path: str) -> dict:
+    log_path = os.path.join(path, TABLE_LOG)
+    if not os.path.exists(log_path):
+        raise FileNotFoundError(
+            f"no versioned table at {path!r} — create one with "
+            "create_table(spark, path, df)")
+    with open(log_path) as f:
+        return json.load(f)
+
+
+def _table_log_append(path: str, log: dict, entry: dict) -> None:
+    log["versions"].append(entry)
+    log["current"] = entry["version"]
+    tmp = os.path.join(path, TABLE_LOG + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(log, f, indent=2)
+    os.replace(tmp, os.path.join(path, TABLE_LOG))  # atomic commit
+
+
+def _snapshot_path(path: str, version: int) -> str:
+    return os.path.join(path, SNAPSHOT_DIR, f"v{version:06d}")
+
+
+def create_table(spark: SparkSession, path: str, df: DataFrame) -> dict:
+    """Create a versioned table at ``path`` with ``df`` as version 0."""
+    import datetime
+
+    os.makedirs(os.path.join(path, SNAPSHOT_DIR), exist_ok=True)
+    if os.path.exists(os.path.join(path, TABLE_LOG)):
+        raise FileExistsError(f"versioned table already exists at {path!r}")
+    df.write.mode("errorifexists").parquet(_snapshot_path(path, 0))
+    entry = {
+        "version": 0,
+        "timestamp": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+        "operation": "create",
+        "rows": spark.read.parquet(_snapshot_path(path, 0)).count(),
+    }
+    _table_log_append(path, {"versions": [], "current": -1}, entry)
+    return entry
+
+
+def read_snapshot(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    as_of: str | None = None,
+) -> DataFrame:
+    """Time-travel read: latest version by default, or a specific
+    ``version``, or the newest version committed at or before the
+    ``as_of`` ISO timestamp."""
+    log = _table_log_read(path)
+    if version is not None and as_of is not None:
+        raise ValueError("pass version OR as_of, not both")
+    if as_of is not None:
+        eligible = [v for v in log["versions"] if v["timestamp"] <= as_of]
+        if not eligible:
+            raise ValueError(
+                f"no snapshot of {path!r} exists at or before {as_of!r}")
+        version = eligible[-1]["version"]
+    if version is None:
+        version = log["current"]
+    known = {v["version"]: v for v in log["versions"]}
+    if version not in known:
+        raise ValueError(
+            f"version {version} not in table log (has {sorted(known)})")
+    if known[version].get("vacuumed"):
+        raise ValueError(
+            f"version {version} of {path!r} was vacuumed — only "
+            "retained snapshots are time-travelable")
+    return spark.read.parquet(_snapshot_path(path, version))
+
+
+def table_history(path: str) -> list[dict]:
+    """The commit log, oldest first."""
+    return list(_table_log_read(path)["versions"])
+
+
+def merge_into_parquet(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: str | list[str],
+    matched_update=None,
+    matched_delete=None,
+    not_matched_insert=None,
+    matched_condition=None,
+) -> dict:
+    """MERGE INTO the versioned table at ``path``: applies the
+    three-clause functional merge (operators.merge.merge_into) to the
+    current snapshot and commits the result as a new version. The old
+    snapshot stays readable via time travel. Clause semantics and the
+    duplicate-source-key guard are merge_into's."""
+    import datetime
+
+    from ..operators.merge import merge_into
+
+    log = _table_log_read(path)
+    cur = log["current"]
+    target = spark.read.parquet(_snapshot_path(path, cur))
+    merged = merge_into(
+        target, source, on,
+        matched_update=matched_update,
+        matched_delete=matched_delete,
+        not_matched_insert=not_matched_insert,
+        matched_condition=matched_condition,
+    )
+    new_version = cur + 1
+    merged.write.mode("errorifexists").parquet(
+        _snapshot_path(path, new_version))
+    rows = spark.read.parquet(_snapshot_path(path, new_version)).count()
+    entry = {
+        "version": new_version,
+        "timestamp": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+        "operation": "merge",
+        "rows": rows,
+    }
+    _table_log_append(path, log, entry)
+    return entry
+
+
+def vacuum_table(path: str, keep_last: int = 2) -> list[int]:
+    """Drop all but the newest ``keep_last`` snapshots (their log
+    entries are retained with ``"vacuumed": true`` so history stays
+    auditable; time-travel to a vacuumed version raises at read)."""
+    import shutil
+
+    log = _table_log_read(path)
+    live = [v for v in log["versions"] if not v.get("vacuumed")]
+    dropped = []
+    for v in live[:-keep_last] if keep_last > 0 else live:
+        shutil.rmtree(_snapshot_path(path, v["version"]), ignore_errors=True)
+        v["vacuumed"] = True
+        dropped.append(v["version"])
+    if dropped:
+        tmp = os.path.join(path, TABLE_LOG + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(log, f, indent=2)
+        os.replace(tmp, os.path.join(path, TABLE_LOG))
+    return dropped

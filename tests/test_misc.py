@@ -1109,8 +1109,8 @@ def test_operator_package_surface():
     from biosets_spark import operators, plans
 
     for mod in ("asof", "concat", "dedup", "events", "graph", "joins",
-                "labels", "multimodal", "pii", "pipeline", "ranking",
-                "similarity", "skew", "split", "text"):
+                "labels", "merge", "multimodal", "pii", "pipeline",
+                "ranking", "similarity", "skew", "split", "text"):
         assert hasattr(operators, mod), mod
     assert hasattr(plans, "audit") and hasattr(plans, "fingerprint")
 
