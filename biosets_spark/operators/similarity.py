@@ -60,25 +60,39 @@ def _require_integral_id(df: DataFrame, id_col: str, op: str) -> None:
         )
 
 
-def _grid_index(df: DataFrame, id_col: str, vec_col: str, max_index_rows: int):
-    """Shared grid-block scaffolding for the exact quadratic kernels:
-    returns (src, n_blocks) where src carries a ``_blk`` hash-assignment
-    column (and is cached) whenever more than one block is needed."""
-    import math
+def _block_pair_src(base: DataFrame, id_col: str, n_blocks: int) -> DataFrame:
+    """Explode each row to the ``n_blocks`` block-pair buckets its
+    hash-block participates in: bucket (a, b), a <= b, is encoded as
+    the long a*B + b and holds exactly the rows of blocks a and b.
+    Every unordered row pair then lives in exactly ONE bucket, so a
+    groupBy(_bucket).applyInPandas kernel sees each pair once — the
+    single-job replacement for the sequential per-block broadcast
+    loop (r8). Shuffle volume: B copies of the projected rows."""
+    B = n_blocks
+    src = base.withColumn(
+        "_blk", F.pmod(F.xxhash64(col(id_col)), lit(B)).cast("int"))
+    return src.withColumn(
+        "_bucket",
+        F.explode(F.transform(
+            F.sequence(lit(0), lit(B - 1)),
+            lambda o: (F.least(col("_blk"), o) * B
+                       + F.greatest(col("_blk"), o)).cast("long"),
+        )),
+    )
 
-    from .dedup import spread
 
-    _require_integral_id(df, id_col, "grid-block similarity kernel")
+def _bucket_matrix(pdf, id_col: str, vec_col: str):
+    """Shared kernel prologue: ids, block ids, and the L2-normalized
+    matrix of one bucket's rows, plus the sims-chunk row count that
+    caps each BLAS product at ~32 MB."""
+    import numpy as np
 
-    # spread(): the BLAS mapInPandas streams THROUGH these partitions —
-    # a compact single-task scan would serialize every block multiply
-    # on one core (the q_bootstrap_ci fan-out lesson)
-    src = spread(df.select(id_col, vec_col))
-    n = src.count()
-    n_blocks = max(1, math.ceil(n / max_index_rows))
-    if n_blocks > 1:
-        src = src.withColumn("_blk", F.pmod(F.xxhash64(col(id_col)), lit(n_blocks))).cache()
-    return src, n_blocks
+    ids = pdf[id_col].to_numpy()
+    blks = pdf["_blk"].to_numpy()
+    M = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    chunk = max(1, (1 << 22) // max(len(ids), 1))
+    return ids, blks, M, chunk
 
 
 def _broadcast_block(src: DataFrame, bi: int, n_blocks: int, id_col: str, vec_col: str):
@@ -191,31 +205,17 @@ def all_pairs_topk(
 
     # multi-block: one job over block-pair buckets
     B = n_blocks
-    src = base.withColumn(
-        "_blk", F.pmod(F.xxhash64(col(id_col)), lit(B)).cast("int"))
-    src = src.withColumn(
-        "_bucket",
-        F.explode(F.transform(
-            F.sequence(lit(0), lit(B - 1)),
-            lambda o: (F.least(col("_blk"), o) * B
-                       + F.greatest(col("_blk"), o)).cast("long"),
-        )),
-    )
+    src = _block_pair_src(base, id_col, B)
 
     def bucket_kernel(key, pdf):
         import pandas as pd
 
         a, b_ = divmod(int(key[0]), B)
-        ids = pdf[id_col].to_numpy()
-        blks = pdf["_blk"].to_numpy()
-        M = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
-        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        ids, blks, M, chunk = _bucket_matrix(pdf, id_col, vec_col)
         m = len(ids)
         out_a: list = []
         out_b: list = []
         out_s: list = []
-        # cap the sims chunk at ~32 MB (4M doubles) whatever the bucket size
-        chunk = max(1, (1 << 22) // max(m, 1))
         for s0 in range(0, m, chunk):
             S = M[s0:s0 + chunk] @ M.T
             for r in range(S.shape[0]):
@@ -259,30 +259,34 @@ def embedding_dup_pairs(
     alongside the textual ones (exact / MinHash-LSH / SimHash / n-gram
     Jaccard in operators.dedup).
 
-    Same grid-block plan as ``all_pairs_topk``: one index block is
-    broadcast at a time, the full table streams through an
-    Arrow-batched BLAS multiply, qualifying pairs are materialized
-    per block (localCheckpoint — bounded by the actual duplicate
-    count, which IS the caller's output), and the block broadcast is
-    destroyed before the next one. Peak resident broadcast = one
-    block. At very high corpus sizes compose behind SRP banding
-    (lsh_signatures) to prune the O(N^2) work; the verify step here
-    is exact either way.
-
-    The checkpointed per-block results back the RETURNED DataFrame, so
-    they stay resident until the caller is done with it; free them
-    eagerly with ``operators.graph.free_local_checkpoint`` (per
-    unioned part) or let GC reclaim them.
+    Same plan family as ``all_pairs_topk``: a single-block corpus
+    broadcasts the whole normalized index and streams the table
+    through one BLAS mapInPandas (zero shuffle); a larger corpus runs
+    ONE job over block-pair buckets (r8, replacing the sequential
+    per-block loop) — the kernel's qualifying pairs come out fully
+    vectorized (np.nonzero over each sims chunk, no per-row Python).
+    Peak task memory = one bucket + a 32 MB sims chunk. At very high
+    corpus sizes compose behind SRP banding (lsh_signatures) to prune
+    the O(N^2) work; the verify step here is exact either way.
     """
+    import math
+
     import numpy as np
 
     spark = df.sparkSession
-    src, n_blocks = _grid_index(df, id_col, vec_col, max_index_rows)
-    parts = []
-    for bi in range(n_blocks):
-        b = _broadcast_block(src, bi, n_blocks, id_col, vec_col)
+    _require_integral_id(df, id_col, "embedding_dup_pairs")
+    base = df.select(id_col, vec_col)
+    n = base.count()
+    n_blocks = max(1, math.ceil(n / max_index_rows))
+
+    if n_blocks == 1:
+        from .dedup import spread
+
+        src = spread(base)
+        b = _broadcast_block(src, 0, 1, id_col, vec_col)
         if b is None:
-            continue
+            return spark.createDataFrame(
+                [], schema="id_a long, id_b long, sim double")
 
         def block(batches, _b=b, _t=threshold):
             import pandas as pd
@@ -298,22 +302,45 @@ def embedding_dup_pairs(
                     {"id_a": rows_a[r_idx], "id_b": ids_blk[c_idx], "sim": sims[r_idx, c_idx]}
                 )
 
-        try:
-            parts.append(
-                src.select(id_col, vec_col)
-                .mapInPandas(block, schema="id_a long, id_b long, sim double")
-                .localCheckpoint(eager=True)
-            )
-        finally:
-            b.destroy()
-    if n_blocks > 1:
-        src.unpersist()
-    if not parts:
-        return spark.createDataFrame([], schema="id_a long, id_b long, sim double")
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.union(p)
-    return out
+        # materialize before destroying the broadcast the plan reads
+        out = src.mapInPandas(
+            block, schema="id_a long, id_b long, sim double"
+        ).localCheckpoint(eager=True)
+        b.destroy()
+        return out
+
+    B = n_blocks
+    src = _block_pair_src(base, id_col, B)
+
+    _t = float(threshold)
+
+    def bucket_kernel(key, pdf):
+        import pandas as pd
+
+        a, b_ = divmod(int(key[0]), B)
+        ids, blks, M, chunk = _bucket_matrix(pdf, id_col, vec_col)
+        m = len(ids)
+        frames = []
+        for s0 in range(0, m, chunk):
+            S = M[s0:s0 + chunk] @ M.T
+            ids_rows = ids[s0:s0 + chunk]
+            cond = (S >= _t) & (ids_rows[:, None] < ids[None, :])
+            if a != b_:
+                # cross-block pairs only: bucket (g, g) owns
+                # within-block pairs
+                cond &= blks[s0:s0 + chunk][:, None] != blks[None, :]
+            r_idx, c_idx = np.nonzero(cond)
+            frames.append(pd.DataFrame({
+                "id_a": ids_rows[r_idx], "id_b": ids[c_idx],
+                "sim": S[r_idx, c_idx]}))
+        if not frames:
+            return pd.DataFrame({"id_a": np.empty(0, np.int64),
+                                 "id_b": np.empty(0, np.int64),
+                                 "sim": np.empty(0, np.float64)})
+        return pd.concat(frames, ignore_index=True)
+
+    return src.groupBy("_bucket").applyInPandas(
+        bucket_kernel, schema="id_a long, id_b long, sim double")
 
 
 def knn_all(
@@ -327,32 +354,44 @@ def knn_all(
     the per-vector twin of ``all_pairs_topk``'s global top-k, used by
     leave-one-out k-NN evaluation (q_knn_loo_eval).
 
-    Same grid-block plan: broadcast one normalized index block at a
-    time, stream the full table through an Arrow-batched BLAS
-    multiply, emit each row's block-local top-k (ties broken by
-    neighbor id ascending), and finish with a per-row rank over the
-    bounded n_blocks*k candidates. Peak resident broadcast is one
-    block; the candidate table is N*n_blocks*k rows of (id, id, sim)
-    — never the N^2 pair matrix. For corpora where even the grid is
-    too slow, evaluate on a deterministic sample or prefilter with
-    lsh_signatures/ivf_build.
+    Same plan family as ``all_pairs_topk``: a single-block corpus
+    broadcasts the whole normalized index and streams the table
+    through one BLAS mapInPandas; a larger corpus runs ONE job over
+    block-pair buckets (r8, replacing the sequential per-block loop).
+    In bucket (a, b) every row's candidates are the partner block's
+    rows (the diagonal bucket covers within-block partners, self
+    excluded); each row emits its bucket-local top-k (ties broken by
+    neighbor id ascending) and a per-row rank over the bounded
+    n_blocks*k candidates finishes — never the N^2 pair matrix. For
+    corpora where even the grid is too slow, evaluate on a
+    deterministic sample or prefilter with lsh_signatures/ivf_build.
 
-    ``id_col`` must be an integral type: the mapInPandas output schema
+    ``id_col`` must be an integral type: the kernel output schema
     emits ids as ``long`` (same contract as ``all_pairs_topk``), so a
     string/decimal id would silently coerce or fail mid-job — rejected
     up front instead (r5 ADVICE fix).
     """
+    import math
+
     import numpy as np
 
     from pyspark.sql import Window
 
     spark = df.sparkSession
-    src, n_blocks = _grid_index(df, id_col, vec_col, max_index_rows)
-    parts = []
-    for bi in range(n_blocks):
-        b = _broadcast_block(src, bi, n_blocks, id_col, vec_col)
+    _require_integral_id(df, id_col, "knn_all")
+    base = df.select(id_col, vec_col)
+    n = base.count()
+    n_blocks = max(1, math.ceil(n / max_index_rows))
+    w = Window.partitionBy("qid").orderBy(col("sim").desc(), col("nid"))
+
+    if n_blocks == 1:
+        from .dedup import spread
+
+        src = spread(base)
+        b = _broadcast_block(src, 0, 1, id_col, vec_col)
         if b is None:
-            continue
+            return spark.createDataFrame(
+                [], schema="qid long, nid long, sim double, rank int")
 
         def block(batches, _b=b, _k=k):
             import pandas as pd
@@ -376,22 +415,54 @@ def knn_all(
                     out_s.extend(s[order])
                 yield pd.DataFrame({"qid": out_a, "nid": out_b, "sim": out_s})
 
-        try:
-            parts.append(
-                src.select(id_col, vec_col)
-                .mapInPandas(block, schema="qid long, nid long, sim double")
-                .localCheckpoint(eager=True)
-            )
-        finally:
-            b.destroy()
-    if n_blocks > 1:
-        src.unpersist()
-    if not parts:
-        return spark.createDataFrame([], schema="qid long, nid long, sim double, rank int")
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.union(p)
-    w = Window.partitionBy("qid").orderBy(col("sim").desc(), col("nid"))
+        cand = src.mapInPandas(
+            block, schema="qid long, nid long, sim double"
+        ).localCheckpoint(eager=True)
+        b.destroy()
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(col("rank") <= k)
+        )
+
+    B = n_blocks
+    src = _block_pair_src(base, id_col, B)
+
+    _k = int(k)
+
+    def bucket_kernel(key, pdf):
+        import pandas as pd
+
+        a, b_ = divmod(int(key[0]), B)
+        ids, blks, M, chunk = _bucket_matrix(pdf, id_col, vec_col)
+        m = len(ids)
+        out_a: list = []
+        out_b: list = []
+        out_s: list = []
+        for s0 in range(0, m, chunk):
+            S = M[s0:s0 + chunk] @ M.T
+            for r in range(S.shape[0]):
+                i = s0 + r
+                if a != b_:
+                    mask = blks != blks[i]  # partner block only
+                else:
+                    mask = ids != ids[i]  # within-block, self excluded
+                part = np.nonzero(mask)[0]
+                if not len(part):
+                    continue
+                s = S[r][part]
+                partners = ids[part]
+                order = np.lexsort((partners, -s))[:_k]
+                out_a.extend([ids[i]] * len(order))
+                out_b.extend(partners[order])
+                out_s.extend(s[order])
+        return pd.DataFrame({
+            "qid": np.asarray(out_a, dtype=np.int64),
+            "nid": np.asarray(out_b, dtype=np.int64),
+            "sim": np.asarray(out_s, dtype=np.float64),
+        })
+
+    cand = src.groupBy("_bucket").applyInPandas(
+        bucket_kernel, schema="qid long, nid long, sim double")
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(col("rank") <= k)

@@ -306,3 +306,15 @@ def test_near_dup_pairs_embedding_method(spark):
     got = {r.doc_id: (r.cluster_id, r.keep) for r in clustered.df.collect()}
     assert got[0] == (0, True) and got[1] == (0, False)
     assert got[2][1] and got[3][1]
+
+
+def test_knn_all_blocked_matches_single_block(embeddings):
+    """r8: knn_all's block-pair bucketed path (single job) must equal
+    the single-block broadcast path exactly, including tie-breaks."""
+    single = sorted(
+        (r.qid, r.rank, r.nid)
+        for r in S.knn_all(embeddings, k=3).collect())
+    blocked = sorted(
+        (r.qid, r.rank, r.nid)
+        for r in S.knn_all(embeddings, k=3, max_index_rows=10).collect())
+    assert blocked == single

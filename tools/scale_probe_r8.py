@@ -84,14 +84,21 @@ def main():
 
     print(f"{'query':34} {'t_1x':>7} {'t_Nx':>8} {'ms/doc_1x':>10} "
           f"{'ms/doc_Nx':>10} {'exponent':>9}")
+    def timed_min(fn, d, reps=2):
+        # min over warm reps: a single cold rep is dominated by
+        # plan/codegen/JIT overhead at this corpus size and distorts
+        # the growth exponent
+        best = float("inf")
+        for _ in range(reps + 1):
+            t0 = time.time()
+            fn(spark, d).collect()
+            best = min(best, time.time() - t0)
+        return best
+
     for name in HEADLINERS:
         fn = queries[name]
-        t0 = time.time()
-        fn(spark, sf_dir).collect()
-        t1x = time.time() - t0
-        t0 = time.time()
-        fn(spark, probe_dir).collect()
-        tnx = time.time() - t0
+        t1x = timed_min(fn, sf_dir)
+        tnx = timed_min(fn, probe_dir)
         expo = math.log(tnx / t1x) / math.log(n_copies)
         print(f"{name:34} {t1x:6.1f}s {tnx:7.1f}s "
               f"{1000 * t1x / n_base:9.2f} {1000 * tnx / n_big:9.2f} "
