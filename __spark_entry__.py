@@ -318,10 +318,21 @@ _DEFER_NEXT_WINDOW_TAGGED: tuple = ()
 # R8: defer list EMPTIED per the pre-committed handoff — the 34
 # remaining never-checked names (q_page_trend ... q_doubling_time,
 # all judge-green in the r7 full-oracle re-run) now sort into the
-# front block via the `front` rule in _ordered_names(), so the r8
-# driver window = 34 backlog names + ~16 oldest-green (tag-2)
-# re-verification rows. Done = CORRECTNESS_r08 50/50 green →
-# driver-checked union 332/332, backlog zero, rotation started.
+# front block via the `front` rule in _ordered_names(). Wave 100
+# adds three debut names (q_bom_explosion, q_merge_upsert,
+# q_event_interval_join — each oracle-green locally at sf0.01),
+# which also front per the debut-window rule, so the r8 driver
+# window = 3 debuts + 34 backlog + 13 oldest-green (tag-2)
+# re-verification rows (the debuts consume 3 of the ~16 spare rows
+# the r7 verdict projected). Done = CORRECTNESS_r08 50/50 green →
+# driver-checked union 335/335 minus the 13 not-yet-resampled tag-2
+# cohort remainder, backlog zero, rotation started.
+#
+# R9 HANDOFF: tag the r8 greens (tag 8; re-tag the 13 re-sampled
+# tag-2 names as 8 too), bump _ROUND to 9. The r9 window is then
+# entirely re-verification spare rows, consuming the remaining tag-2
+# names first (ascending-tag sort does this automatically), then
+# tag-3.
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)
 
