@@ -37,7 +37,8 @@ from .queries import q
     """,
     desc="embedding-cosine near-duplicate pairs (cosine >= 0.42): the "
          "embedding-space dedup detector, grid-blocked BLAS all-pairs "
-         "with one broadcast block resident at a time.",
+         "(single-block: whole-index broadcast, zero shuffle; "
+         "multi-block: one block-pair-bucket job, r8).",
     tags=["dedup", "similarity", "embedding"],
 )
 def q_dedup_embedding(spark, sf_dir):

@@ -185,10 +185,11 @@ def q_label_separation(spark, sf_dir):
          "error; per-label accuracy exposes the classes that "
          "q_centroid_confusion's single-centroid classifier "
          "misreads when a class is multi-modal. Spark side uses the "
-         "grid-blocked broadcast-BLAS kernel (operators/similarity."
-         "knn_all): one normalized block resident at a time, "
-         "block-local top-1 candidates, final per-row rank over "
-         "n_blocks candidates — never an N^2 pair shuffle; the "
+         "grid-blocked BLAS kernel (operators/similarity.knn_all): "
+         "single-block corpora broadcast the whole normalized index "
+         "(zero shuffle); larger ones run ONE block-pair-bucket job "
+         "(r8), bucket-local top-1 candidates, final per-row rank — "
+         "never an N^2 pair shuffle; the "
          "oracle IS the O(N^2) definition. Accuracies are exact "
          "integer ratios.",
     tags=["similarity", "stats", "agg"],
