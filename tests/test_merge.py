@@ -148,3 +148,20 @@ def test_versioned_table_guards(spark, tmp_path):
         sink.read_snapshot(spark, path, version=7)
     with pytest.raises(ValueError, match="at or before"):
         sink.read_snapshot(spark, path, as_of="1999-01-01")
+
+
+def test_merge_into_multi_column_key(spark):
+    """Composite merge keys: both columns participate in matching."""
+    tgt = spark.createDataFrame(
+        [(1, "x", 10.0), (1, "y", 20.0), (2, "x", 30.0)],
+        "k1 long, k2 string, price double")
+    src = spark.createDataFrame(
+        [(1, "y", 99.0), (2, "y", 5.0)],
+        "k1 long, k2 string, new_price double")
+    out = merge_into(
+        tgt, src, on=["k1", "k2"],
+        matched_update={"price": col("__s.new_price")},
+        not_matched_insert={"price": col("__s.new_price")})
+    rows = {(r.k1, r.k2): r.price for r in out.collect()}
+    assert rows == {(1, "x"): 10.0, (1, "y"): 99.0,
+                    (2, "x"): 30.0, (2, "y"): 5.0}
