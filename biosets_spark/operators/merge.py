@@ -61,9 +61,15 @@ def merge_into(
     matched_update = matched_update or {}
 
     # SQL MERGE rejects sources with duplicate keys (ambiguous row to
-    # apply); enforce cheaply with a count-distinct comparison
+    # apply); enforce cheaply with a count-distinct comparison. The
+    # aggregate is aliased (never groupBy().count()) so a source that
+    # itself carries a "count" column can't collide.
     dup = (
-        source.groupBy(*keys).count().where(col("count") > 1).limit(1).count()
+        source.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__merge_n"))
+        .where(col("__merge_n") > 1)
+        .limit(1)
+        .count()
     )
     if dup:
         raise ValueError(

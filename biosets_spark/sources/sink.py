@@ -338,6 +338,19 @@ def _snapshot_path(path: str, version: int) -> str:
     return os.path.join(path, SNAPSHOT_DIR, f"v{version:06d}")
 
 
+def _clear_aborted_snapshot(path: str, version: int) -> None:
+    """A crash between a snapshot write and its log append leaves an
+    orphan directory for a version the log never committed; without
+    this sweep every retry of that commit would fail errorifexists
+    forever. Only an UNCOMMITTED version's directory is ever removed —
+    committed snapshots are immutable."""
+    import shutil
+
+    p = _snapshot_path(path, version)
+    if os.path.exists(p):
+        shutil.rmtree(p)
+
+
 def create_table(spark: SparkSession, path: str, df: DataFrame) -> dict:
     """Create a versioned table at ``path`` with ``df`` as version 0."""
     import datetime
@@ -345,6 +358,7 @@ def create_table(spark: SparkSession, path: str, df: DataFrame) -> dict:
     os.makedirs(os.path.join(path, SNAPSHOT_DIR), exist_ok=True)
     if os.path.exists(os.path.join(path, TABLE_LOG)):
         raise FileExistsError(f"versioned table already exists at {path!r}")
+    _clear_aborted_snapshot(path, 0)  # an aborted create's orphan v0
     df.write.mode("errorifexists").parquet(_snapshot_path(path, 0))
     entry = {
         "version": 0,
@@ -422,6 +436,7 @@ def merge_into_parquet(
         matched_condition=matched_condition,
     )
     new_version = cur + 1
+    _clear_aborted_snapshot(path, new_version)  # aborted prior commit
     merged.write.mode("errorifexists").parquet(
         _snapshot_path(path, new_version))
     rows = spark.read.parquet(_snapshot_path(path, new_version)).count()

@@ -165,3 +165,40 @@ def test_merge_into_multi_column_key(spark):
     rows = {(r.k1, r.k2): r.price for r in out.collect()}
     assert rows == {(1, "x"): 10.0, (1, "y"): 99.0,
                     (2, "x"): 30.0, (2, "y"): 5.0}
+
+
+def test_merge_into_source_with_count_column(spark):
+    """Regression (r8 review): the duplicate-key guard must not
+    collide with a source column literally named 'count'."""
+    src = spark.createDataFrame([(2, 5, 99.0)],
+                                "k long, count int, new_price double")
+    out = merge_into(_target(spark), src, on="k",
+                     matched_update={"price": col("__s.new_price")})
+    assert {r.k: r.price for r in out.collect()}[2] == 99.0
+
+
+def test_versioned_table_recovers_from_aborted_commit(spark, tmp_path):
+    """Regression (r8 review): a crash between the snapshot write and
+    the log append leaves an orphan snapshot dir; the retry must
+    clear it instead of failing errorifexists forever."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "tbl")
+    sink.create_table(spark, path, _target(spark))
+    # simulate the aborted commit: v1 data written, log never updated
+    orphan = os.path.join(path, "_snapshots", "v000001")
+    _target(spark).write.parquet(orphan)
+    src = spark.createDataFrame([(1, 77.0)], "k long, new_price double")
+    v1 = sink.merge_into_parquet(
+        spark, path, src, on="k",
+        matched_update={"price": col("__s.new_price")})
+    assert v1["version"] == 1
+    rows = {r.k: r.price for r in sink.read_snapshot(spark, path).collect()}
+    assert rows[1] == 77.0
+    # aborted create: table dir removed but an orphan v0 left behind
+    path2 = str(tmp_path / "tbl2")
+    sink.create_table(spark, path2, _target(spark))
+    os.remove(os.path.join(path2, "_table_log.json"))
+    sink.create_table(spark, path2, _target(spark))  # retry succeeds
+    assert sink.read_snapshot(spark, path2).count() == 4
