@@ -112,10 +112,51 @@ def extract(path: str, dest: str | None = None) -> list[str]:
     return sorted(out)
 
 
+def _decompress_single(path: str) -> str:
+    """Decompress a LONE .xz/.zst file to scratch (original basename
+    minus the codec suffix, so extension dispatch still works). Spark
+    has no Hadoop XZ codec — reading a .json.xz 'natively' silently
+    produces null rows (r8 review), the silent-ignore failure class.
+    zstd is gated behind the optional zstandard package."""
+    import lzma
+
+    local = _to_local(path)
+    low = local.lower()
+    dest = tempfile.mkdtemp(prefix="biosets_decomp_")
+    if low.endswith(".xz"):
+        opener = lzma.open(local, "rb")
+        base = os.path.basename(local)[: -len(".xz")]
+    else:  # .zst / .zstd
+        try:
+            import zstandard
+        except ImportError as e:
+            raise ImportError(
+                f"reading {path!r} requires the 'zstandard' package "
+                "(pip install zstandard)"
+            ) from e
+        opener = zstandard.open(local, "rb")
+        base = os.path.basename(local)
+        base = base[: -len(".zstd")] if low.endswith(".zstd") \
+            else base[: -len(".zst")]
+    out = os.path.join(dest, base)
+    with opener as src, open(out, "wb") as dst:
+        while True:
+            chunk = src.read(1 << 20)
+            if not chunk:
+                break
+            dst.write(chunk)
+    return out
+
+
+_SINGLE_DECOMP_EXTS = (".xz", ".zst", ".zstd")
+
+
 def expand_paths(paths: list[str]) -> list[str]:
     """Replace archive entries in a file list with their extracted
-    members (pass-through for everything else, including gz/bz2 single
-    files which Spark reads natively).
+    members, and decompress lone .xz/.zst single files driver-side
+    (Spark has no Hadoop codec for either — a 'native' read returns
+    nulls, not an error). Pass-through for everything else, including
+    gz/bz2 single files which Spark reads natively.
 
     An archive that cannot be extracted (missing optional codec
     package, remote scheme) is skipped with a warning rather than
@@ -128,6 +169,13 @@ def expand_paths(paths: list[str]) -> list[str]:
     out: list[str] = []
     errors: list[Exception] = []
     for p in paths:
+        if not is_archive(p) and p.lower().endswith(_SINGLE_DECOMP_EXTS):
+            try:
+                out.append(_decompress_single(p))
+            except (ImportError, ValueError, OSError) as e:
+                errors.append(e)
+                warnings.warn(f"skipping unreadable compressed file {p!r}: {e}")
+            continue
         if is_archive(p):
             try:
                 # keep only data files: a README.md / LICENSE inside an

@@ -174,6 +174,17 @@ def read_json(spark: SparkSession, paths: list[str] | str, field: str | None = N
     """S3: JSON/JSONL scan; ``field=`` selects a nested record list
     (docs/DATA_LOADING.md:55-93)."""
     paths = paths if isinstance(paths, list) else [paths]
+    # Spark has no Hadoop XZ/zstd codec: a 'native' read of .json.xz
+    # returns null rows with no error (r8 review). load_dataset
+    # decompresses these driver-side via sources.archives.expand_paths;
+    # direct read_json callers get a loud error, not silent nulls.
+    bad = [p for p in paths if p.lower().endswith((".xz", ".zst", ".zstd"))]
+    if bad:
+        raise ValueError(
+            f"Spark cannot read xz/zstd-compressed JSON natively: {bad[:4]} "
+            "— load through load_dataset (which decompresses driver-side) "
+            "or decompress first"
+        )
     # plain .json may be a single pretty-printed document; probe EVERY
     # .json path (one readline per file — a capped sample would let a
     # pretty-printed file past the cap be silently mis-parsed, the
@@ -209,12 +220,19 @@ def _looks_multiline_json(path: str, spark: SparkSession | None = None):
     be probed at all. Local open is tried first; on failure (remote
     URI — s3a://, hdfs://) the first line is probed through Spark's
     text reader instead of silently defaulting to JSONL."""
+    import bz2
     import gzip
     import json
+    import lzma
 
     first = None
     try:
-        op = gzip.open if path.endswith(".gz") else open
+        # match the compression handling of the read itself: probing a
+        # .json.bz2/.xz with plain open() would read compressed bytes,
+        # fail json.loads on garbage, and mis-verdict JSONL as
+        # multiLine (r8 review)
+        openers = {".gz": gzip.open, ".bz2": bz2.open, ".xz": lzma.open}
+        op = openers.get(os.path.splitext(path)[1].lower(), open)
         with op(path, "rt", errors="ignore") as f:
             first = f.readline().strip()
     except Exception:

@@ -907,3 +907,31 @@ def test_read_json_rejects_mixed_modes(spark, tmp_path):
     assert read_json(spark, str(ml)).count() == 1
     with pytest.raises(ValueError, match="mix of JSONL and multiLine"):
         read_json(spark, [str(jl), str(ml)])
+
+
+def test_read_json_probe_handles_bz2_and_xz_is_loud(spark, tmp_path):
+    """Regression (r8 review): (1) the JSONL/multiLine probe must
+    decompress .json.bz2 before readline — plain open() read
+    compressed garbage and mis-verdicted JSONL as multiLine; (2) a
+    direct read_json of .json.xz must raise loudly (Spark has no XZ
+    codec and would return null rows), while load_dataset handles it
+    via driver-side decompression."""
+    import bz2
+    import lzma
+
+    import pytest
+
+    from biosets_spark.load import load_dataset
+    from biosets_spark.sources.readers import read_json
+
+    jb = tmp_path / "a.json.bz2"
+    jb.write_bytes(bz2.compress(b'{"a": 1}\n{"a": 2}\n'))
+    df = read_json(spark, [str(jb)])
+    assert sorted(r.a for r in df.collect()) == [1, 2]
+
+    jx = tmp_path / "b.json.xz"
+    jx.write_bytes(lzma.compress(b'{"a": 3}\n'))
+    with pytest.raises(ValueError, match="xz/zstd-compressed JSON"):
+        read_json(spark, [str(jx)])
+    ds = load_dataset(data_files=[str(jb), str(jx)], spark=spark)
+    assert sorted(r.a for r in ds.df.collect()) == [1, 2, 3]
