@@ -172,7 +172,18 @@ def expand_paths(paths: list[str]) -> list[str]:
         if not is_archive(p) and p.lower().endswith(_SINGLE_DECOMP_EXTS):
             try:
                 out.append(_decompress_single(p))
-            except (ImportError, ValueError, OSError) as e:
+            except ImportError as e:
+                # .zst without the zstandard package: pass through
+                # unchanged — a cluster whose Hadoop ships the native
+                # zstd codec can still read it; forcing a skip here
+                # would regress that. (.xz never lands here: stdlib
+                # lzma always imports.)
+                warnings.warn(
+                    f"{p!r}: zstandard package absent, passing through "
+                    f"to Spark's native codec (if the cluster lacks it "
+                    f"the read will fail or produce garbage): {e}")
+                out.append(p)
+            except (ValueError, OSError) as e:
                 errors.append(e)
                 warnings.warn(f"skipping unreadable compressed file {p!r}: {e}")
             continue

@@ -79,6 +79,20 @@ def read_csv(
 ) -> DataFrame:
     """S1/S2: CSV/TSV scan with the reference's reader options
     (csv/csv.py:26-92 CsvConfig)."""
+    # Spark has no Hadoop XZ codec: a 'native' read of .csv.xz parses
+    # the COMPRESSED BYTES as rows with no error (r8 review, verified).
+    # load_dataset decompresses driver-side via expand_paths, and
+    # skip_rows>0 decompresses into scratch copies below; the remaining
+    # direct path gets a loud error instead of garbage rows.
+    if not skip_rows:
+        _bad = [p for p in (paths if isinstance(paths, list) else [paths])
+                if str(p).lower().endswith(".xz")]
+        if _bad:
+            raise ValueError(
+                f"Spark cannot read xz-compressed text natively: {_bad[:4]} "
+                "— load through load_dataset (which decompresses "
+                "driver-side) or decompress first"
+            )
     # Spark's CSVOptions accepts only canonical charset names; map the
     # common python-style aliases so encoding='latin-1' works
     _CHARSET_ALIASES = {

@@ -935,3 +935,28 @@ def test_read_json_probe_handles_bz2_and_xz_is_loud(spark, tmp_path):
         read_json(spark, [str(jx)])
     ds = load_dataset(data_files=[str(jb), str(jx)], spark=spark)
     assert sorted(r.a for r in ds.df.collect()) == [1, 2, 3]
+
+
+def test_read_csv_xz_loud_and_load_dataset_path_works(spark, tmp_path):
+    """Regression (r8 review, verified live): Spark's native read of
+    .csv.xz parses the COMPRESSED bytes as rows with no error. Direct
+    read_csv raises loudly; load_dataset decompresses driver-side;
+    skip_rows>0 keeps its existing scratch-decompression path."""
+    import lzma
+
+    import pytest
+
+    from biosets_spark.load import load_dataset
+    from biosets_spark.sources.readers import read_csv
+
+    p = tmp_path / "x.csv.xz"
+    p.write_bytes(lzma.compress(b"a,b\n1,2\n3,4\n"))
+    with pytest.raises(ValueError, match="xz-compressed text"):
+        read_csv(spark, [str(p)])
+    ds = load_dataset(data_files=[str(p)], spark=spark)
+    assert sorted((r.a, r.b) for r in ds.df.collect()) == [(1, 2), (3, 4)]
+    # skip_rows path decompresses to scratch as before (skip the junk line)
+    j = tmp_path / "y.csv.xz"
+    j.write_bytes(lzma.compress(b"junk\na,b\n5,6\n"))
+    df = read_csv(spark, [str(j)], skip_rows=1)
+    assert [(r.a, r.b) for r in df.collect()] == [(5, 6)]
