@@ -349,3 +349,58 @@ def test_png_fuzz_never_escapes_valueerror(data, seed):
             decode_png(payload)
         except ValueError:
             pass
+
+
+@given(
+    tgt_keys=st.lists(st.integers(0, 12), min_size=0, max_size=8, unique=True),
+    src_keys=st.lists(st.integers(0, 12), min_size=0, max_size=8, unique=True),
+    ops=st.lists(st.sampled_from(["U", "D", "I"]), min_size=8, max_size=8),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_merge_into_matches_reference_semantics(tgt_keys, src_keys, ops,
+                                                seed):
+    """Property: merge_into equals a pure-Python reference MERGE for
+    any target/source key overlap and any per-row clause mix
+    (update / delete / insert-eligible)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    from biosets_spark.operators.merge import merge_into
+    from biosets_spark.session import get_spark
+
+    spark_session = get_spark("biosets-spark-tests", shuffle_partitions=8)
+    rng = np.random.RandomState(seed)
+    tgt_rows = [(k, float(rng.randint(0, 100))) for k in tgt_keys]
+    src_rows = [(k, ops[i % len(ops)], float(rng.randint(100, 200)))
+                for i, k in enumerate(src_keys)]
+    tgt = spark_session.createDataFrame(tgt_rows, "k long, price double") \
+        if tgt_rows else spark_session.createDataFrame([], "k long, price double")
+    src = spark_session.createDataFrame(src_rows, "k long, op string, new_price double") \
+        if src_rows else spark_session.createDataFrame([], "k long, op string, new_price double")
+
+    out = merge_into(
+        tgt, src, on="k",
+        matched_update={"price": col("__s.new_price")},
+        matched_delete=col("__s.op") == "D",
+        matched_condition=col("__s.op") == "U",
+        not_matched_insert={"price": col("__s.new_price")},
+    )
+    got = sorted((r.k, r.price) for r in out.collect())
+
+    # pure-Python reference MERGE
+    src_by_k = {k: (op, np_) for k, op, np_ in src_rows}
+    exp = []
+    for k, price in tgt_rows:
+        if k in src_by_k:
+            op, np_ = src_by_k[k]
+            if op == "D":
+                continue
+            exp.append((k, np_ if op == "U" else price))
+        else:
+            exp.append((k, price))
+    for k, (op, np_) in src_by_k.items():
+        if k not in dict(tgt_rows):
+            exp.append((k, np_))  # insert clause takes every unmatched source row
+    assert got == sorted(exp)
