@@ -77,6 +77,28 @@ def attach_media_metadata(
 # so for those the real path now actually decodes.
 # ---------------------------------------------------------------------
 
+def _valueerror_surface(fn):
+    """Every decoder's documented error contract is ValueError; a
+    truncated payload must never escape as struct.error/IndexError
+    from unpack_from/byte-walk depths (r8 review — decode_gif and
+    decode_png already had dedicated wrappers; this harmonizes the
+    rest)."""
+    import functools
+    import struct as _s
+
+    @functools.wraps(fn)
+    def wrapped(raw: bytes):
+        try:
+            return fn(raw)
+        except (IndexError, _s.error) as exc:
+            raise ValueError(
+                f"truncated or corrupt payload ({fn.__name__}): {exc}"
+            ) from exc
+
+    return wrapped
+
+
+@_valueerror_surface
 def decode_bmp(raw: bytes):
     """Uncompressed 24/32-bit BI_RGB Windows bitmap ->
     (width, height, mean_r, mean_g, mean_b). Stdlib-only."""
@@ -109,6 +131,7 @@ def decode_bmp(raw: bytes):
     return width, height, float(r.mean()), float(g.mean()), float(b.mean())
 
 
+@_valueerror_surface
 def decode_pnm(raw: bytes):
     """Binary PPM (P6) / PGM (P5) ->
     (width, height, mean_r, mean_g, mean_b). Stdlib-only."""
@@ -141,6 +164,7 @@ def decode_pnm(raw: bytes):
             float(px[..., 1].mean()), float(px[..., 2].mean()))
 
 
+@_valueerror_surface
 def decode_tiff(raw: bytes):
     """Uncompressed strip-layout baseline TIFF (8-bit grayscale or
     RGB, either endianness) -> (width, height, mean_r, mean_g,
@@ -553,6 +577,7 @@ def _decode_png_impl(raw: bytes):
             float(rgb[..., 1].mean()), float(rgb[..., 2].mean()))
 
 
+@_valueerror_surface
 def decode_wav(raw: bytes):
     """PCM WAV -> (sample_rate, n_channels, duration_ms, rms).
     Stdlib-only (RIFF walk + int16/uint8 sample math)."""

@@ -1456,3 +1456,36 @@ def test_extract_image_stats_png(spark):
     row = extract_image_stats(df).collect()[0]
     assert (row.width, row.height) == (8, 8)
     assert abs(row.mean_r - px[..., 0].mean()) < 1e-9
+
+
+def test_all_decoders_valueerror_surface():
+    """r8 review: every stdlib decoder raises ValueError (never
+    struct.error/IndexError) on truncated or garbage payloads."""
+    import numpy as np
+    import pytest
+
+    from biosets_spark.operators import multimodal as MM2
+
+    w, h = 6, 4
+    px = np.random.RandomState(0).randint(0, 256, (h, w, 3), np.uint8)
+    goods = {
+        MM2.decode_bmp: _make_bmp(w, h, (10, 20, 30)),
+        MM2.decode_gif: _gif_bytes(np.zeros(w * h, int),
+                                   [(1, 2, 3), (4, 5, 6), (0, 0, 0),
+                                    (9, 9, 9)], w, h),
+        MM2.decode_png: _png_bytes(w, h, 8, 2,
+                                   [px[r].tobytes() for r in range(h)]),
+        MM2.decode_pnm: b"P6\n6 4\n255\n" + px.tobytes(),
+    }
+    for fn, good in goods.items():
+        fn(good)  # sanity: decodes whole
+        for cut in range(4, len(good) - 1, max(1, len(good) // 9)):
+            try:
+                fn(good[:cut])
+            except ValueError:
+                pass  # the documented surface — anything else fails the test
+    # garbage after each magic prefix
+    for fn, magic in ((MM2.decode_bmp, b"BM"), (MM2.decode_wav, b"RIFF\x00\x00\x00\x00WAVE"),
+                      (MM2.decode_tiff, b"II*\x00"), (MM2.decode_pnm, b"P6")):
+        with pytest.raises(ValueError):
+            fn(magic + b"\x81\x82\x83")
