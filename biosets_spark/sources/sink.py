@@ -415,17 +415,28 @@ def merge_into_parquet(
     matched_delete=None,
     not_matched_insert=None,
     matched_condition=None,
+    idempotency_token: str | None = None,
 ) -> dict:
     """MERGE INTO the versioned table at ``path``: applies the
     three-clause functional merge (operators.merge.merge_into) to the
     current snapshot and commits the result as a new version. The old
     snapshot stays readable via time travel. Clause semantics and the
-    duplicate-source-key guard are merge_into's."""
+    duplicate-source-key guard are merge_into's.
+
+    ``idempotency_token``: a caller-supplied commit identity (e.g.
+    a streaming micro-batch id). A token already present in the log
+    makes the call a NO-OP returning the original entry — this is
+    what gives the foreachBatch streaming sink exactly-once MERGE
+    semantics across micro-batch replays after a crash."""
     import datetime
 
     from ..operators.merge import merge_into
 
     log = _table_log_read(path)
+    if idempotency_token is not None:
+        for v in log["versions"]:
+            if v.get("idempotency_token") == idempotency_token:
+                return dict(v, already_applied=True)
     cur = log["current"]
     target = spark.read.parquet(_snapshot_path(path, cur))
     merged = merge_into(
@@ -446,6 +457,8 @@ def merge_into_parquet(
         "operation": "merge",
         "rows": rows,
     }
+    if idempotency_token is not None:
+        entry["idempotency_token"] = idempotency_token
     _table_log_append(path, log, entry)
     return entry
 

@@ -270,3 +270,65 @@ def cdc_upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_stream_sink(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    on: list[str] | str,
+    order_col: str,
+    matched_update=None,
+    matched_delete=None,
+    not_matched_insert=None,
+    matched_condition=None,
+):
+    """foreachBatch MERGE sink into a VERSIONED table (r8): the
+    streaming twin of ``sources.sink.merge_into_parquet``, applying
+    the three-clause MERGE (matched-update / matched-delete /
+    not-matched-insert — ``operators.merge.merge_into`` semantics) to
+    each micro-batch and committing one table version per non-empty
+    batch.
+
+    Exactly-once, genuinely: each commit carries the micro-batch id
+    as an idempotency token in the table's commit log, so a batch
+    replayed after a crash between the snapshot commit and the
+    checkpoint write is detected and skipped — the gap
+    ``incremental_dedup_sink``/``cdc_upsert_sink`` document as the
+    non-transactional-parquet caveat is CLOSED here by the versioned
+    table's atomic log append. Within a batch, rows are first
+    collapsed to the latest per key by ``order_col`` (merge_into
+    rejects duplicate source keys, as SQL MERGE does).
+
+    Returns the StreamingQuery (caller awaits termination).
+    """
+    from pyspark.sql import Window
+
+    from ..sources.sink import merge_into_parquet
+
+    key_list = [on] if isinstance(on, str) else list(on)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(*key_list).orderBy(col(order_col).desc())
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(col("_rn") == 1)
+            .drop("_rn")
+        )
+        if latest.isEmpty():
+            return
+        merge_into_parquet(
+            batch_df.sparkSession, table_path, latest, key_list,
+            matched_update=matched_update,
+            matched_delete=matched_delete,
+            not_matched_insert=not_matched_insert,
+            matched_condition=matched_condition,
+            idempotency_token=f"batch-{batch_id}",
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -290,3 +290,68 @@ def test_cdc_upsert_sink(spark, tmp_path):
     assert got[2] == (base + dt.timedelta(minutes=9), 21.0)  # updated
     assert got[3] == (base + dt.timedelta(minutes=4), 30.0)  # inserted
     assert spark.read.parquet(store).count() == 3
+
+
+def test_merge_stream_sink_versions_and_idempotency(spark, tmp_path):
+    """r8: foreachBatch MERGE into a versioned table — one commit per
+    non-empty micro-batch, three-clause semantics, and exactly-once
+    across replays via the idempotency token in the commit log."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    from biosets_spark.sources import sink as SK
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "merge_src")
+    tbl = str(tmp_path / "merge_tbl")
+
+    SK.create_table(spark, tbl, spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "event_id long, value double"))
+
+    def row(key, minute, etype, value):
+        return (key, base + dt.timedelta(minutes=minute), key % 3,
+                etype, value, "{}")
+
+    # one batch: update key 2 (two versions in-batch, latest wins),
+    # delete key 1, insert key 7
+    spark.createDataFrame(
+        [row(2, 1, "update", 98.0), row(2, 6, "update", 99.0),
+         row(1, 2, "delete", 0.0), row(7, 3, "update", 70.0)],
+        SI.EVENTS_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def drain(ckpt):
+        q = SI.merge_stream_sink(
+            SI.read_stream(spark, src), tbl, str(tmp_path / ckpt),
+            on="event_id", order_col="ts",
+            matched_update={"value": col("__s.value")},
+            matched_delete=col("__s.event_type") == "delete",
+            matched_condition=col("__s.event_type") == "update",
+            not_matched_insert={"value": col("__s.value")},
+        )
+        q.awaitTermination()
+
+    drain("ckpt1")
+    got = {r.event_id: r.value
+           for r in SK.read_snapshot(spark, tbl).collect()}
+    assert got == {2: 99.0, 7: 70.0}  # 1 deleted, 2 updated, 7 inserted
+    hist = SK.table_history(tbl)
+    assert [h["operation"] for h in hist] == ["create", "merge"]
+    assert hist[-1]["idempotency_token"] == "batch-0"
+
+    # crash-replay simulation: a fresh checkpoint re-delivers batch 0;
+    # the token makes the re-application a no-op (no new version, no
+    # double-delete/re-insert)
+    drain("ckpt2")
+    assert len(SK.table_history(tbl)) == 2
+    assert {r.event_id: r.value
+            for r in SK.read_snapshot(spark, tbl).collect()} == got
+    # and the direct call reports it
+    res = SK.merge_into_parquet(
+        spark, tbl,
+        spark.createDataFrame([(2, 0.0)], "event_id long, value double"),
+        on="event_id", matched_update={"value": col("__s.value")},
+        idempotency_token="batch-0")
+    assert res.get("already_applied") is True
