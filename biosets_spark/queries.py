@@ -10,7 +10,16 @@ Determinism rules (so the value-hash matches across engines):
   key) so the selected row set is engine-independent;
 - timestamps are output as formatted strings or dates (never raw
   timestamps) to sidestep ns/us precision and timezone marshaling;
-- every computed column is aliased identically on both sides.
+- every computed column is aliased identically on both sides;
+- do NOT apply a final ROUND to a double QUOTIENT (or any derived
+  double): when the value lands on a half boundary, Spark rounds the
+  shortest decimal repr (BigDecimal.valueOf, HALF_UP) while DuckDB
+  rounds the binary value — they disagree (hit for real at sf0.1,
+  q_label_centroids r8: 0.003213 vs 0.003214). An exact-decimal sum
+  cast to double and divided is already bit-identical across engines
+  (IEEE division is deterministic), and the harness canonicalizes
+  floats to 10 significant digits — emit the raw quotient. ROUND is
+  safe only on values that are exact decimals by construction.
 
 Scale notes are per-query docstrings: each query is written the way it
 should run on a 1000-executor cluster (broadcast dims, partial aggs,

@@ -107,8 +107,8 @@ def q_countmin_audit(spark, sf_dir):
       FROM embeddings
     )
     SELECT label, CAST(pos AS INT) AS pos, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           ROUND(CAST(SUM(CAST(ROUND(CAST(comp AS DOUBLE), 6) AS DECIMAL(18,8)))
-                      AS DOUBLE) / COUNT(*), 6) AS centroid
+           CAST(SUM(CAST(ROUND(CAST(comp AS DOUBLE), 6) AS DECIMAL(18,8)))
+                AS DOUBLE) / COUNT(*) AS centroid
     FROM comps WHERE pos < 8
     GROUP BY label, pos
     ORDER BY label, pos
@@ -132,10 +132,15 @@ def q_label_centroids(spark, sf_dir):
         comps.groupBy("label", "pos")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.round(
+            # NO final ROUND: the decimal sum -> double is exact and
+            # IEEE division is bit-identical in both engines, while a
+            # ROUND(quotient, 6) can land on a half boundary where
+            # Spark (BigDecimal of the shortest repr, HALF_UP) and
+            # DuckDB (binary-value rounding) disagree — hit for real
+            # at sf0.1 (r8: 0.003213 vs 0.003214)
+            (
                 F.sum(F.round(col("comp").cast("double"), 6).cast("decimal(18,8)"))
-                .cast("double") / F.count("*"),
-                6,
+                .cast("double") / F.count("*")
             ).alias("centroid"),
         )
         .select(col("label"), col("pos").cast("int").alias("pos"), "n_vecs", "centroid")
