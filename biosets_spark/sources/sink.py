@@ -343,7 +343,10 @@ def _clear_aborted_snapshot(path: str, version: int) -> None:
     orphan directory for a version the log never committed; without
     this sweep every retry of that commit would fail errorifexists
     forever. Only an UNCOMMITTED version's directory is ever removed —
-    committed snapshots are immutable."""
+    committed snapshots are immutable. Callers hold the commit lock,
+    so the read-log/clear/write sequence cannot race another writer
+    (without the lock, writer B holding a stale log could sweep
+    writer A's just-committed snapshot)."""
     import shutil
 
     p = _snapshot_path(path, version)
@@ -351,22 +354,80 @@ def _clear_aborted_snapshot(path: str, version: int) -> None:
         shutil.rmtree(p)
 
 
+class _table_commit_lock:
+    """Advisory single-host commit lock (O_CREAT|O_EXCL lock file):
+    serializes concurrent create/merge commits against one table so
+    the read-log -> clear-orphan -> write-snapshot -> append-log
+    sequence is atomic with respect to other LOCAL writers. A stale
+    lock older than ``stale_after`` seconds (crashed writer) is broken
+    with a warning. Distributed multi-writer coordination is a
+    metastore/table-format concern — documented out of scope for the
+    local-FS surface."""
+
+    def __init__(self, path: str, timeout: float = 60.0,
+                 stale_after: float = 3600.0):
+        self.lock_path = os.path.join(path, TABLE_LOG + ".lock")
+        self.timeout = timeout
+        self.stale_after = stale_after
+
+    def __enter__(self):
+        import time
+        import warnings
+
+        deadline = time.monotonic() + self.timeout
+        while True:
+            try:
+                fd = os.open(self.lock_path,
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(self.lock_path)
+                except OSError:
+                    continue  # holder just released; retry immediately
+                if age > self.stale_after:
+                    warnings.warn(
+                        f"breaking stale table commit lock {self.lock_path!r} "
+                        f"(age {age:.0f}s — crashed writer)")
+                    try:
+                        os.unlink(self.lock_path)
+                    except OSError:
+                        pass
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"could not acquire table commit lock "
+                        f"{self.lock_path!r} within {self.timeout}s — "
+                        "another writer is committing") from None
+                time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self.lock_path)
+        except OSError:
+            pass
+        return False
+
+
 def create_table(spark: SparkSession, path: str, df: DataFrame) -> dict:
     """Create a versioned table at ``path`` with ``df`` as version 0."""
     import datetime
 
     os.makedirs(os.path.join(path, SNAPSHOT_DIR), exist_ok=True)
-    if os.path.exists(os.path.join(path, TABLE_LOG)):
-        raise FileExistsError(f"versioned table already exists at {path!r}")
-    _clear_aborted_snapshot(path, 0)  # an aborted create's orphan v0
-    df.write.mode("errorifexists").parquet(_snapshot_path(path, 0))
-    entry = {
-        "version": 0,
-        "timestamp": datetime.datetime.now(datetime.timezone.utc).isoformat(),
-        "operation": "create",
-        "rows": spark.read.parquet(_snapshot_path(path, 0)).count(),
-    }
-    _table_log_append(path, {"versions": [], "current": -1}, entry)
+    with _table_commit_lock(path):
+        if os.path.exists(os.path.join(path, TABLE_LOG)):
+            raise FileExistsError(f"versioned table already exists at {path!r}")
+        _clear_aborted_snapshot(path, 0)  # an aborted create's orphan v0
+        df.write.mode("errorifexists").parquet(_snapshot_path(path, 0))
+        entry = {
+            "version": 0,
+            "timestamp": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+            "operation": "create",
+            "rows": spark.read.parquet(_snapshot_path(path, 0)).count(),
+        }
+        _table_log_append(path, {"versions": [], "current": -1}, entry)
     return entry
 
 
@@ -432,34 +493,40 @@ def merge_into_parquet(
 
     from ..operators.merge import merge_into
 
-    log = _table_log_read(path)
-    if idempotency_token is not None:
-        for v in log["versions"]:
-            if v.get("idempotency_token") == idempotency_token:
-                return dict(v, already_applied=True)
-    cur = log["current"]
-    target = spark.read.parquet(_snapshot_path(path, cur))
-    merged = merge_into(
-        target, source, on,
-        matched_update=matched_update,
-        matched_delete=matched_delete,
-        not_matched_insert=not_matched_insert,
-        matched_condition=matched_condition,
-    )
-    new_version = cur + 1
-    _clear_aborted_snapshot(path, new_version)  # aborted prior commit
-    merged.write.mode("errorifexists").parquet(
-        _snapshot_path(path, new_version))
-    rows = spark.read.parquet(_snapshot_path(path, new_version)).count()
-    entry = {
-        "version": new_version,
-        "timestamp": datetime.datetime.now(datetime.timezone.utc).isoformat(),
-        "operation": "merge",
-        "rows": rows,
-    }
-    if idempotency_token is not None:
-        entry["idempotency_token"] = idempotency_token
-    _table_log_append(path, log, entry)
+    # the whole read-log -> clear-orphan -> write-snapshot -> append-log
+    # sequence runs under the commit lock: concurrent local writers
+    # serialize (each sees the other's committed version), and the
+    # orphan sweep can never remove a snapshot another writer just
+    # committed under a log this writer hasn't re-read
+    with _table_commit_lock(path):
+        log = _table_log_read(path)
+        if idempotency_token is not None:
+            for v in log["versions"]:
+                if v.get("idempotency_token") == idempotency_token:
+                    return dict(v, already_applied=True)
+        cur = log["current"]
+        target = spark.read.parquet(_snapshot_path(path, cur))
+        merged = merge_into(
+            target, source, on,
+            matched_update=matched_update,
+            matched_delete=matched_delete,
+            not_matched_insert=not_matched_insert,
+            matched_condition=matched_condition,
+        )
+        new_version = cur + 1
+        _clear_aborted_snapshot(path, new_version)  # aborted prior commit
+        merged.write.mode("errorifexists").parquet(
+            _snapshot_path(path, new_version))
+        rows = spark.read.parquet(_snapshot_path(path, new_version)).count()
+        entry = {
+            "version": new_version,
+            "timestamp": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+            "operation": "merge",
+            "rows": rows,
+        }
+        if idempotency_token is not None:
+            entry["idempotency_token"] = idempotency_token
+        _table_log_append(path, log, entry)
     return entry
 
 

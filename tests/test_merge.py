@@ -202,3 +202,38 @@ def test_versioned_table_recovers_from_aborted_commit(spark, tmp_path):
     os.remove(os.path.join(path2, "_table_log.json"))
     sink.create_table(spark, path2, _target(spark))  # retry succeeds
     assert sink.read_snapshot(spark, path2).count() == 4
+
+
+def test_versioned_table_commit_lock(spark, tmp_path):
+    """r8 review: concurrent local writers serialize on the commit
+    lock; a stale lock (crashed writer) is broken; a held lock times
+    out with a clear error."""
+    import os
+    import time
+
+    from biosets_spark.sources.sink import _table_commit_lock
+
+    path = str(tmp_path / "tbl")
+    sink.create_table(spark, path, _target(spark))
+    lock_path = os.path.join(path, "_table_log.json.lock")
+
+    # held lock -> a second acquirer times out with a clear error
+    import pytest
+
+    with _table_commit_lock(path):
+        with pytest.raises(TimeoutError, match="commit lock"):
+            with _table_commit_lock(path, timeout=0.3):
+                pass  # pragma: no cover
+    assert not os.path.exists(lock_path)  # released on exit
+
+    # stale lock (older than stale_after) is broken and the commit wins
+    with open(lock_path, "w") as f:
+        f.write("99999")
+    old = time.time() - 7200
+    os.utime(lock_path, (old, old))
+    v = sink.merge_into_parquet(
+        spark, path,
+        spark.createDataFrame([(1, 123.0)], "k long, new_price double"),
+        on="k", matched_update={"price": col("__s.new_price")})
+    assert v["version"] == 1
+    assert not os.path.exists(lock_path)
