@@ -533,19 +533,24 @@ def merge_into_parquet(
 def vacuum_table(path: str, keep_last: int = 2) -> list[int]:
     """Drop all but the newest ``keep_last`` snapshots (their log
     entries are retained with ``"vacuumed": true`` so history stays
-    auditable; time-travel to a vacuumed version raises at read)."""
+    auditable; time-travel to a vacuumed version raises at read).
+    Runs under the commit lock: vacuum's read-modify-write of the log
+    would otherwise race a concurrent merge and clobber its freshly
+    appended entry."""
     import shutil
 
-    log = _table_log_read(path)
-    live = [v for v in log["versions"] if not v.get("vacuumed")]
-    dropped = []
-    for v in live[:-keep_last] if keep_last > 0 else live:
-        shutil.rmtree(_snapshot_path(path, v["version"]), ignore_errors=True)
-        v["vacuumed"] = True
-        dropped.append(v["version"])
-    if dropped:
-        tmp = os.path.join(path, TABLE_LOG + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(log, f, indent=2)
-        os.replace(tmp, os.path.join(path, TABLE_LOG))
+    with _table_commit_lock(path):
+        log = _table_log_read(path)
+        live = [v for v in log["versions"] if not v.get("vacuumed")]
+        dropped = []
+        for v in live[:-keep_last] if keep_last > 0 else live:
+            shutil.rmtree(_snapshot_path(path, v["version"]),
+                          ignore_errors=True)
+            v["vacuumed"] = True
+            dropped.append(v["version"])
+        if dropped:
+            tmp = os.path.join(path, TABLE_LOG + ".tmp")
+            with open(tmp, "w") as f:
+                json.dump(log, f, indent=2)
+            os.replace(tmp, os.path.join(path, TABLE_LOG))
     return dropped
