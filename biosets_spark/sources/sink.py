@@ -554,3 +554,98 @@ def vacuum_table(path: str, keep_last: int = 2) -> list[int]:
                 json.dump(log, f, indent=2)
             os.replace(tmp, os.path.join(path, TABLE_LOG))
     return dropped
+
+
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    on: str | list[str] | None = None,
+) -> DataFrame:
+    """Change data feed between two snapshots (Delta CDF parity):
+    row-level diff of ``from_version`` -> ``to_version`` (default:
+    current), keyed on ``on`` (default: the table's first column).
+    Output = the union of target-schema columns plus ``_change_type``
+    in {'insert', 'delete', 'update_preimage', 'update_postimage'}.
+
+    Plan: ONE full outer join of the two snapshots on the key, change
+    classification as CASE over presence sentinels, update detection
+    as a null-safe inequality across all non-key columns — the same
+    single key-shuffle cost class as the MERGE that produced the
+    versions. Because snapshots are copy-on-write, the diff is
+    computed, not logged; a file-granularity table format logs it
+    instead and this surface would read that log without changing its
+    output contract."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    old = read_snapshot(spark, path, version=from_version)
+    new = read_snapshot(spark, path, version=to_version)
+    keys = [on] if isinstance(on, str) else list(on) if on else [old.columns[0]]
+    data_cols = [c for c in old.columns if c not in keys]
+
+    o = old.withColumn("__o_present", F.lit(True)).alias("__o")
+    n = new.withColumn("__n_present", F.lit(True)).alias("__n")
+    cond = None
+    for k in keys:
+        c = col(f"__o.{k}").eqNullSafe(col(f"__n.{k}"))
+        cond = c if cond is None else cond & c
+    j = o.join(n, cond, "full_outer")
+    o_present = col("__o.__o_present").isNotNull()
+    n_present = col("__n.__n_present").isNotNull()
+    changed = F.lit(False)
+    for c in data_cols:
+        changed = changed | ~col(f"__o.{c}").eqNullSafe(col(f"__n.{c}"))
+
+    def side(prefix, ctype):
+        return j.where(prefix).select(
+            *[F.coalesce(col(f"__o.{k}"), col(f"__n.{k}")).alias(k)
+              for k in keys],
+            *[col(f"__{'o' if ctype in ('delete', 'update_preimage') else 'n'}.{c}")
+              .alias(c) for c in data_cols],
+            F.lit(ctype).alias("_change_type"),
+        )
+
+    inserts = side(~o_present & n_present, "insert")
+    deletes = side(o_present & ~n_present, "delete")
+    upd_pre = side(o_present & n_present & changed, "update_preimage")
+    upd_post = side(o_present & n_present & changed, "update_postimage")
+    return inserts.unionByName(deletes).unionByName(upd_pre).unionByName(upd_post)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> dict:
+    """OPTIMIZE for the versioned table: rewrite the CURRENT snapshot
+    into ceil(rows / target_rows_per_file) files and commit the result
+    as a new version (operation 'compact'). Readers of older versions
+    are untouched; time travel still works; vacuum reclaims the
+    pre-compaction snapshots. Small files accrete from streaming MERGE
+    commits exactly like any streaming sink — same rationale as
+    ``compact_parquet``, expressed as a table commit instead of an
+    in-place swap."""
+    import datetime
+
+    with _table_commit_lock(path):
+        log = _table_log_read(path)
+        cur = log["current"]
+        df = spark.read.parquet(_snapshot_path(path, cur))
+        n = df.count()
+        n_files = max(1, -(-n // target_rows_per_file))
+        new_version = cur + 1
+        _clear_aborted_snapshot(path, new_version)
+        df.repartition(n_files).write.mode("errorifexists").parquet(
+            _snapshot_path(path, new_version))
+        entry = {
+            "version": new_version,
+            "timestamp": datetime.datetime.now(
+                datetime.timezone.utc).isoformat(),
+            "operation": "compact",
+            "rows": n,
+            "files": n_files,
+        }
+        _table_log_append(path, log, entry)
+    return entry

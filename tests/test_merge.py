@@ -237,3 +237,52 @@ def test_versioned_table_commit_lock(spark, tmp_path):
         on="k", matched_update={"price": col("__s.new_price")})
     assert v["version"] == 1
     assert not os.path.exists(lock_path)
+
+
+def test_table_changes_cdf(spark, tmp_path):
+    """r8: change data feed between snapshots — inserts, deletes, and
+    update pre/post images, keyed diff over copy-on-write versions."""
+    path = str(tmp_path / "tbl")
+    sink.create_table(spark, path, _target(spark))
+    src = spark.createDataFrame(
+        [(2, "U", 99.0), (3, "D", 0.0), (9, "I", 5.0)],
+        "k long, op string, new_price double")
+    sink.merge_into_parquet(
+        spark, path, src, on="k",
+        matched_update={"price": col("__s.new_price")},
+        matched_delete=col("__s.op") == "D",
+        matched_condition=col("__s.op") == "U",
+        not_matched_insert={"status": F.lit("N"),
+                            "price": col("__s.new_price")})
+    cdf = sink.table_changes(spark, path, 0, 1, on="k")
+    got = sorted((r.k, r._change_type, r.price) for r in cdf.collect())
+    assert got == [
+        (2, "update_postimage", 99.0),
+        (2, "update_preimage", 20.0),
+        (3, "delete", 30.0),
+        (9, "insert", 5.0),
+    ]
+    # default to_version = current; unchanged rows never appear
+    assert {r.k for r in sink.table_changes(spark, path, 0, on="k").collect()} == {2, 3, 9}
+    # identical versions -> empty feed
+    assert sink.table_changes(spark, path, 1, 1, on="k").count() == 0
+
+
+def test_compact_table_commits_new_version(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    sink.create_table(spark, path, _target(spark))
+    for i in range(3):  # accrete small commits
+        sink.merge_into_parquet(
+            spark, path,
+            spark.createDataFrame([(100 + i, 1.0 * i)],
+                                  "k long, new_price double"),
+            on="k", not_matched_insert={"price": col("__s.new_price")})
+    entry = sink.compact_table(spark, path, target_rows_per_file=100)
+    assert entry["operation"] == "compact" and entry["files"] == 1
+    cur = sink.read_snapshot(spark, path)
+    assert cur.count() == 7
+    assert cur.rdd.getNumPartitions() == 1  # one compacted file
+    # rows identical to the pre-compaction version
+    pre = {(r.k, r.price) for r in
+           sink.read_snapshot(spark, path, version=3).collect()}
+    assert {(r.k, r.price) for r in cur.collect()} == pre
