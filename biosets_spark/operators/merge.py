@@ -32,6 +32,7 @@ def merge_into(
     matched_delete: Column | None = None,
     not_matched_insert: dict[str, Column] | None = None,
     matched_condition: Column | None = None,
+    allow_schema_evolution: bool = False,
 ) -> DataFrame:
     """Return the post-MERGE state of ``target``.
 
@@ -50,6 +51,12 @@ def merge_into(
       unmatched source rows are ignored.
     - ``matched_condition``: extra predicate gating the update clause
       (WHEN MATCHED AND <cond> THEN UPDATE).
+    - ``allow_schema_evolution``: when True, ``matched_update`` /
+      ``not_matched_insert`` may name columns NOT in the target (the
+      Delta ``WITH SCHEMA EVOLUTION`` shape): each such column is
+      appended to the output schema, its value the clause expression
+      on the rows the clause touched and NULL everywhere else.
+      When False (default), an unknown column name raises.
 
     Rows are never duplicated: each target row matches at most one
     source row (caller guarantees source key uniqueness, as SQL MERGE
@@ -105,6 +112,18 @@ def merge_into(
     if matched_condition is not None:
         upd_gate = upd_gate & F.coalesce(matched_condition, F.lit(False))
 
+    target_names = {f.name for f in target.schema.fields}
+    new_names = [
+        n for n in list(matched_update) + list(not_matched_insert or {})
+        if n not in target_names
+    ]
+    if new_names and not allow_schema_evolution:
+        raise ValueError(
+            f"merge_into: column(s) {sorted(set(new_names))} are not in the "
+            "target schema — pass allow_schema_evolution=True to append "
+            "them (NULL on untouched rows), or fix the column name"
+        )
+
     out_cols = []
     for f in target.schema.fields:
         name = f.name
@@ -119,4 +138,17 @@ def merge_into(
             ins = ins if ins is not None else F.lit(None)
             expr = F.when(~t_present, ins.cast(f.dataType)).otherwise(expr)
         out_cols.append(expr.cast(f.dataType).alias(name))
+    # evolved columns: clause expression on touched rows, NULL elsewhere
+    seen: set[str] = set()
+    for name in new_names:
+        if name in seen:
+            continue
+        seen.add(name)
+        expr = F.lit(None)
+        if name in matched_update:
+            expr = F.when(upd_gate, matched_update[name]).otherwise(expr)
+        if not_matched_insert is not None and name in not_matched_insert:
+            expr = F.when(~t_present,
+                          not_matched_insert[name]).otherwise(expr)
+        out_cols.append(expr.alias(name))
     return joined.select(*out_cols)

@@ -477,6 +477,7 @@ def merge_into_parquet(
     not_matched_insert=None,
     matched_condition=None,
     idempotency_token: str | None = None,
+    allow_schema_evolution: bool = False,
 ) -> dict:
     """MERGE INTO the versioned table at ``path``: applies the
     three-clause functional merge (operators.merge.merge_into) to the
@@ -512,6 +513,7 @@ def merge_into_parquet(
             matched_delete=matched_delete,
             not_matched_insert=not_matched_insert,
             matched_condition=matched_condition,
+            allow_schema_evolution=allow_schema_evolution,
         )
         new_version = cur + 1
         _clear_aborted_snapshot(path, new_version)  # aborted prior commit

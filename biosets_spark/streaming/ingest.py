@@ -282,6 +282,7 @@ def merge_stream_sink(
     matched_delete=None,
     not_matched_insert=None,
     matched_condition=None,
+    allow_schema_evolution: bool = False,
 ):
     """foreachBatch MERGE sink into a VERSIONED table (r8): the
     streaming twin of ``sources.sink.merge_into_parquet``, applying
@@ -324,6 +325,7 @@ def merge_stream_sink(
             not_matched_insert=not_matched_insert,
             matched_condition=matched_condition,
             idempotency_token=f"batch-{batch_id}",
+            allow_schema_evolution=allow_schema_evolution,
         )
 
     return (

@@ -286,3 +286,43 @@ def test_compact_table_commits_new_version(spark, tmp_path):
     pre = {(r.k, r.price) for r in
            sink.read_snapshot(spark, path, version=3).collect()}
     assert {(r.k, r.price) for r in cur.collect()} == pre
+
+
+def test_merge_into_schema_evolution(spark, tmp_path):
+    """r8: allow_schema_evolution appends clause-named columns absent
+    from the target (NULL on untouched rows); without the flag the
+    unknown name raises loudly."""
+    import pytest
+
+    src = spark.createDataFrame(
+        [(2, 99.0, "eu"), (9, 5.0, "us")],
+        "k long, new_price double, region string")
+    with pytest.raises(ValueError, match="schema_evolution"):
+        merge_into(_target(spark), src, on="k",
+                   matched_update={"region": col("__s.region")})
+    out = merge_into(
+        _target(spark), src, on="k",
+        matched_update={"price": col("__s.new_price"),
+                        "region": col("__s.region")},
+        not_matched_insert={"price": col("__s.new_price"),
+                            "region": col("__s.region")},
+        allow_schema_evolution=True)
+    rows = {r.k: (r.price, r.region) for r in out.collect()}
+    assert rows == {
+        1: (10.0, None), 2: (99.0, "eu"), 3: (30.0, None),
+        4: (40.0, None), 9: (5.0, "us"),
+    }
+    # the versioned-table surface threads the flag through; the new
+    # column persists into the committed snapshot
+    path = str(tmp_path / "tbl")
+    sink.create_table(spark, path, _target(spark))
+    sink.merge_into_parquet(
+        spark, path, src, on="k",
+        matched_update={"price": col("__s.new_price"),
+                        "region": col("__s.region")},
+        not_matched_insert={"price": col("__s.new_price"),
+                            "region": col("__s.region")},
+        allow_schema_evolution=True)
+    snap = sink.read_snapshot(spark, path)
+    assert "region" in snap.columns
+    assert {r.region for r in snap.collect()} == {None, "eu", "us"}
