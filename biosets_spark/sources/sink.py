@@ -411,9 +411,17 @@ class _table_commit_lock:
         return False
 
 
-def create_table(spark: SparkSession, path: str, df: DataFrame) -> dict:
-    """Create a versioned table at ``path`` with ``df`` as version 0."""
+def create_table(spark: SparkSession, path: str, df: DataFrame,
+                 write_change_feed: bool = False,
+                 change_keys: str | list[str] | None = None) -> dict:
+    """Create a versioned table at ``path`` with ``df`` as version 0.
+    ``write_change_feed=True`` persists a per-commit change feed
+    (``_changes/v00000N`` parquet, Delta-CDF shape) — version 0's feed
+    is every row as an 'insert'. ``change_keys`` defaults to the first
+    column."""
     import datetime
+
+    from pyspark.sql import functions as F
 
     os.makedirs(os.path.join(path, SNAPSHOT_DIR), exist_ok=True)
     with _table_commit_lock(path):
@@ -427,6 +435,14 @@ def create_table(spark: SparkSession, path: str, df: DataFrame) -> dict:
             "operation": "create",
             "rows": spark.read.parquet(_snapshot_path(path, 0)).count(),
         }
+        if write_change_feed:
+            snap = spark.read.parquet(_snapshot_path(path, 0))
+            snap.withColumn("_change_type", F.lit("insert")).write.mode(
+                "overwrite").parquet(_changes_path(path, 0))
+            entry["change_feed"] = True
+            entry["change_keys"] = (
+                [change_keys] if isinstance(change_keys, str)
+                else list(change_keys) if change_keys else [df.columns[0]])
         _table_log_append(path, {"versions": [], "current": -1}, entry)
     return entry
 
@@ -478,6 +494,7 @@ def merge_into_parquet(
     matched_condition=None,
     idempotency_token: str | None = None,
     allow_schema_evolution: bool = False,
+    write_change_feed: bool | None = None,
 ) -> dict:
     """MERGE INTO the versioned table at ``path``: applies the
     three-clause functional merge (operators.merge.merge_into) to the
@@ -489,7 +506,12 @@ def merge_into_parquet(
     a streaming micro-batch id). A token already present in the log
     makes the call a NO-OP returning the original entry — this is
     what gives the foreachBatch streaming sink exactly-once MERGE
-    semantics across micro-batch replays after a crash."""
+    semantics across micro-batch replays after a crash.
+
+    ``write_change_feed``: persist this commit's row-level changes to
+    ``_changes/v00000N`` (Delta-CDF shape — computed ONCE at commit
+    time from the pre/post frames, never re-derived by readers).
+    Default: inherit whether the table was created with a feed."""
     import datetime
 
     from ..operators.merge import merge_into
@@ -526,6 +548,16 @@ def merge_into_parquet(
             "operation": "merge",
             "rows": rows,
         }
+        feed = (write_change_feed if write_change_feed is not None
+                else bool(log["versions"] and
+                          log["versions"][0].get("change_feed")))
+        if feed:
+            keys = ([on] if isinstance(on, str) else list(on))
+            committed = spark.read.parquet(_snapshot_path(path, new_version))
+            _diff_frames(target, committed, keys).write.mode(
+                "overwrite").parquet(_changes_path(path, new_version))
+            entry["change_feed"] = True
+            entry["change_keys"] = keys
         if idempotency_token is not None:
             entry["idempotency_token"] = idempotency_token
         _table_log_append(path, log, entry)
@@ -558,35 +590,17 @@ def vacuum_table(path: str, keep_last: int = 2) -> list[int]:
     return dropped
 
 
-def table_changes(
-    spark: SparkSession,
-    path: str,
-    from_version: int,
-    to_version: int | None = None,
-    on: str | list[str] | None = None,
-) -> DataFrame:
-    """Change data feed between two snapshots (Delta CDF parity):
-    row-level diff of ``from_version`` -> ``to_version`` (default:
-    current), keyed on ``on`` (default: the table's first column).
-    Output = the union of target-schema columns plus ``_change_type``
-    in {'insert', 'delete', 'update_preimage', 'update_postimage'}.
-
-    Plan: ONE full outer join of the two snapshots on the key, change
-    classification as CASE over presence sentinels, update detection
-    as a null-safe inequality across all non-key columns — the same
-    single key-shuffle cost class as the MERGE that produced the
-    versions. Because snapshots are copy-on-write, the diff is
-    computed, not logged; a file-granularity table format logs it
-    instead and this surface would read that log without changing its
-    output contract."""
+def _diff_frames(old: DataFrame, new: DataFrame,
+                 keys: list[str]) -> DataFrame:
+    """Row-level diff old -> new keyed on ``keys``: one full outer
+    join, change classification over presence sentinels, update
+    detection as null-safe inequality across non-key columns. Shared
+    by table_changes (diff of two snapshots) and the per-commit
+    change-feed writer."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import col
 
-    old = read_snapshot(spark, path, version=from_version)
-    new = read_snapshot(spark, path, version=to_version)
-    keys = [on] if isinstance(on, str) else list(on) if on else [old.columns[0]]
     data_cols = [c for c in old.columns if c not in keys]
-
     o = old.withColumn("__o_present", F.lit(True)).alias("__o")
     n = new.withColumn("__n_present", F.lit(True)).alias("__n")
     cond = None
@@ -609,11 +623,43 @@ def table_changes(
             F.lit(ctype).alias("_change_type"),
         )
 
-    inserts = side(~o_present & n_present, "insert")
-    deletes = side(o_present & ~n_present, "delete")
-    upd_pre = side(o_present & n_present & changed, "update_preimage")
-    upd_post = side(o_present & n_present & changed, "update_postimage")
-    return inserts.unionByName(deletes).unionByName(upd_pre).unionByName(upd_post)
+    return (
+        side(~o_present & n_present, "insert")
+        .unionByName(side(o_present & ~n_present, "delete"))
+        .unionByName(side(o_present & n_present & changed, "update_preimage"))
+        .unionByName(side(o_present & n_present & changed, "update_postimage"))
+    )
+
+
+def _changes_path(path: str, version: int) -> str:
+    return os.path.join(path, "_changes", f"v{version:06d}")
+
+
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    on: str | list[str] | None = None,
+) -> DataFrame:
+    """Change data feed between two snapshots (Delta CDF parity):
+    row-level diff of ``from_version`` -> ``to_version`` (default:
+    current), keyed on ``on`` (default: the table's first column).
+    Output = the union of target-schema columns plus ``_change_type``
+    in {'insert', 'delete', 'update_preimage', 'update_postimage'}.
+
+    Plan: ONE full outer join of the two snapshots on the key, change
+    classification as CASE over presence sentinels, update detection
+    as a null-safe inequality across all non-key columns — the same
+    single key-shuffle cost class as the MERGE that produced the
+    versions. Because snapshots are copy-on-write, the diff is
+    computed, not logged; a file-granularity table format logs it
+    instead and this surface would read that log without changing its
+    output contract."""
+    old = read_snapshot(spark, path, version=from_version)
+    new = read_snapshot(spark, path, version=to_version)
+    keys = [on] if isinstance(on, str) else list(on) if on else [old.columns[0]]
+    return _diff_frames(old, new, keys)
 
 
 def compact_table(
@@ -651,3 +697,37 @@ def compact_table(
         }
         _table_log_append(path, log, entry)
     return entry
+
+
+def read_change_feed(
+    spark: SparkSession,
+    path: str,
+    from_version: int = 0,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Read the PERSISTED change feed for versions
+    ``from_version..to_version`` inclusive (commits made with
+    ``write_change_feed``). Unlike ``table_changes`` (which diffs the
+    two endpoint snapshots), this concatenates every intermediate
+    commit's changes — a row updated twice appears twice, as a CDC
+    consumer expects. Raises if any version in range lacks a feed."""
+    log = _table_log_read(path)
+    hi = log["current"] if to_version is None else to_version
+    wanted = [v for v in log["versions"]
+              if from_version <= v["version"] <= hi]
+    missing = [v["version"] for v in wanted if not v.get("change_feed")]
+    if missing:
+        raise ValueError(
+            f"versions {missing} of {path!r} were committed without "
+            "write_change_feed — use table_changes() to compute a diff, "
+            "or re-create the table with a feed")
+    from pyspark.sql import functions as F
+
+    out = None
+    for v in wanted:
+        df = spark.read.parquet(_changes_path(path, v["version"])).withColumn(
+            "_commit_version", F.lit(v["version"]).cast("int"))
+        out = df if out is None else out.unionByName(df)
+    if out is None:
+        raise ValueError(f"no versions in range {from_version}..{hi}")
+    return out
