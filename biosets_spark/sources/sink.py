@@ -596,11 +596,25 @@ def _diff_frames(old: DataFrame, new: DataFrame,
     join, change classification over presence sentinels, update
     detection as null-safe inequality across non-key columns. Shared
     by table_changes (diff of two snapshots) and the per-commit
-    change-feed writer."""
+    change-feed writer. Frames are first aligned to their column
+    UNION (schema evolution adds columns on the new side; taking
+    data columns from ``old`` alone would silently drop the evolved
+    column from the feed AND miss rows whose only change is in it)."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import col
 
-    data_cols = [c for c in old.columns if c not in keys]
+    all_cols = list(old.columns) + [c for c in new.columns
+                                    if c not in old.columns]
+
+    def pad(df, other):
+        for c in all_cols:
+            if c not in df.columns:
+                df = df.withColumn(
+                    c, F.lit(None).cast(other.schema[c].dataType))
+        return df.select(*all_cols)
+
+    old, new = pad(old, new), pad(new, old)
+    data_cols = [c for c in all_cols if c not in keys]
     o = old.withColumn("__o_present", F.lit(True)).alias("__o")
     n = new.withColumn("__n_present", F.lit(True)).alias("__n")
     cond = None
@@ -727,7 +741,9 @@ def read_change_feed(
     for v in wanted:
         df = spark.read.parquet(_changes_path(path, v["version"])).withColumn(
             "_commit_version", F.lit(v["version"]).cast("int"))
-        out = df if out is None else out.unionByName(df)
+        # allowMissingColumns: schema evolution widens later feeds
+        out = df if out is None else out.unionByName(
+            df, allowMissingColumns=True)
     if out is None:
         raise ValueError(f"no versions in range {from_version}..{hi}")
     return out

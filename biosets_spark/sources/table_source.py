@@ -78,12 +78,29 @@ class _FilesPartition(InputPartition):
     files: list[str]
 
 
-def _read_files_arrow(files: list[str]):
+def _read_files_arrow(files: list[str], target_schema=None):
+    """Yield RecordBatches, reconciled to ``target_schema`` (a pyarrow
+    schema) when given: columns the file lacks come back as nulls and
+    column order matches the declaration — this is what lets a CDF
+    stream whose later commits evolved the schema (merge
+    allow_schema_evolution) keep reading the narrower early feeds."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     for f in files:
         pf = pq.ParquetFile(f)
-        yield from pf.iter_batches()
+        for batch in pf.iter_batches():
+            if target_schema is None or batch.schema.equals(target_schema):
+                yield batch
+                continue
+            cols = []
+            for fld in target_schema:
+                idx = batch.schema.get_field_index(fld.name)
+                if idx >= 0:
+                    cols.append(batch.column(idx).cast(fld.type))
+                else:
+                    cols.append(pa.nulls(batch.num_rows, type=fld.type))
+            yield pa.RecordBatch.from_arrays(cols, schema=target_schema)
 
 
 class _SnapshotReader(DataSourceReader):
@@ -100,9 +117,11 @@ class _SnapshotReader(DataSourceReader):
 
 
 class _ChangeFeedStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str, starting_version: int | None):
+    def __init__(self, path: str, starting_version: int | None,
+                 arrow_schema=None):
         self.path = path
         self.starting_version = starting_version
+        self.arrow_schema = arrow_schema
 
     def initialOffset(self) -> dict:
         # offset = "consumed THROUGH version N": starting_version=K
@@ -130,7 +149,7 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition):
-        yield from _read_files_arrow(partition.files)
+        yield from _read_files_arrow(partition.files, self.arrow_schema)
 
     def commit(self, end: dict) -> None:
         pass  # retention is vacuum_table's job, not the reader's
@@ -191,7 +210,10 @@ class BiosetsTableDataSource(DataSource):
                 raise ValueError(
                     f"table {path!r} has no change feed — commit with "
                     "write_change_feed=True to stream it")
-            return _spark_schema_of(_changes_path(path, fed[0]["version"]))
+            # the WIDEST feed schema — schema evolution only appends
+            # columns, so the latest fed commit declares the superset;
+            # narrower early feeds are null-padded at read
+            return _spark_schema_of(_changes_path(path, fed[-1]["version"]))
         return _spark_schema_of(_snapshot_path(path, self._resolved_version()))
 
     def reader(self, schema: StructType) -> DataSourceReader:
@@ -211,8 +233,11 @@ class BiosetsTableDataSource(DataSource):
                 "static batch, the CHANGE FEED is the stream")
         sv = next((v for k, v in self.options.items()
                    if k.lower() == "startingversion"), None)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         return _ChangeFeedStreamReader(
-            self._path(), int(sv) if sv is not None else None)
+            self._path(), int(sv) if sv is not None else None,
+            arrow_schema=to_arrow_schema(schema))
 
 
 def register(spark) -> None:

@@ -114,3 +114,32 @@ def test_compact_version_skipped_by_stream(spark, table, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination()
     assert spark.sql("SELECT count(*) n FROM cdf_skip").collect()[0].n == 5
+
+
+def test_stream_cdf_across_schema_evolution(spark, table):
+    """An evolved commit widens the feed schema; the stream declares
+    the widest schema and null-pads the narrower early feeds, and the
+    batch read_change_feed unions across the evolution."""
+    sink.merge_into_parquet(
+        spark, table,
+        spark.createDataFrame([(9, "eu", 7.0)],
+                              "k long, region string, new_price double"),
+        on="k",
+        matched_update={"price": col("__s.new_price"),
+                        "region": col("__s.region")},
+        allow_schema_evolution=True)
+    q = (spark.readStream.format("biosets_table")
+         .option("readChangeFeed", "true").option("startingVersion", 0)
+         .load(table)
+         .writeStream.format("memory").queryName("cdf_evo")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM cdf_evo").collect()
+    assert "region" in rows[0].asDict()
+    by = {(r.k, r._change_type): r.region for r in rows}
+    assert by[(9, "update_postimage")] == "eu"
+    assert by[(1, "insert")] is None  # null-padded early feed
+    assert len(rows) == 7  # 3 inserts + 2x2 update images
+    # batch feed reader tolerates the widened schema too
+    feed = sink.read_change_feed(spark, table, 0)
+    assert feed.count() == 7 and "region" in feed.columns
