@@ -680,6 +680,7 @@ def compact_table(
     spark: SparkSession,
     path: str,
     target_rows_per_file: int = 1_000_000,
+    sort_by: list[str] | str | None = None,
 ) -> dict:
     """OPTIMIZE for the versioned table: rewrite the CURRENT snapshot
     into ceil(rows / target_rows_per_file) files and commit the result
@@ -688,7 +689,13 @@ def compact_table(
     pre-compaction snapshots. Small files accrete from streaming MERGE
     commits exactly like any streaming sink — same rationale as
     ``compact_parquet``, expressed as a table commit instead of an
-    in-place swap."""
+    in-place swap.
+
+    ``sort_by`` additionally CLUSTERS the rewrite (range-partition +
+    sort-within-files, the ``save_to_disk`` layout lever): files then
+    cover disjoint key ranges so row-group min/max statistics prune
+    point/range scans on those keys — OPTIMIZE ... ZORDER's practical
+    single-dimension equivalent, paid once at compaction."""
     import datetime
 
     with _table_commit_lock(path):
@@ -699,7 +706,12 @@ def compact_table(
         n_files = max(1, -(-n // target_rows_per_file))
         new_version = cur + 1
         _clear_aborted_snapshot(path, new_version)
-        df.repartition(n_files).write.mode("errorifexists").parquet(
+        if sort_by:
+            sort_by = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+            out = df.repartitionByRange(n_files, *sort_by)                     .sortWithinPartitions(*sort_by)
+        else:
+            out = df.repartition(n_files)
+        out.write.mode("errorifexists").parquet(
             _snapshot_path(path, new_version))
         entry = {
             "version": new_version,

@@ -326,3 +326,30 @@ def test_merge_into_schema_evolution(spark, tmp_path):
     snap = sink.read_snapshot(spark, path)
     assert "region" in snap.columns
     assert {r.region for r in snap.collect()} == {None, "eu", "us"}
+
+
+def test_compact_table_clusters_with_sort_by(spark, tmp_path):
+    """compact_table(sort_by=...) range-clusters files: each output
+    file covers a disjoint key range (row-group pruning layout)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "tbl")
+    sink.create_table(
+        spark, path,
+        spark.createDataFrame([(i * 37 % 100, float(i)) for i in range(100)],
+                              "k long, price double"))
+    entry = sink.compact_table(spark, path, target_rows_per_file=50,
+                               sort_by="k")
+    assert entry["files"] == 2
+    snap_dir = str(tmp_path / "tbl" / "_snapshots" /
+                   f"v{entry['version']:06d}")
+    ranges = []
+    for f in sorted(glob.glob(snap_dir + "/*.parquet")):
+        t = pq.read_table(f, columns=["k"])["k"].to_pylist()
+        if t:
+            ranges.append((min(t), max(t)))
+    ranges.sort()
+    assert len(ranges) == 2
+    assert ranges[0][1] <= ranges[1][0]  # disjoint key ranges
