@@ -437,8 +437,9 @@ def create_table(spark: SparkSession, path: str, df: DataFrame,
         }
         if write_change_feed:
             snap = spark.read.parquet(_snapshot_path(path, 0))
-            snap.withColumn("_change_type", F.lit("insert")).write.mode(
-                "overwrite").parquet(_changes_path(path, 0))
+            snap.withColumn("_change_type", F.lit("insert")) \
+                .withColumn("_commit_version", F.lit(0).cast("int")) \
+                .write.mode("overwrite").parquet(_changes_path(path, 0))
             entry["change_feed"] = True
             entry["change_keys"] = (
                 [change_keys] if isinstance(change_keys, str)
@@ -552,10 +553,16 @@ def merge_into_parquet(
                 else bool(log["versions"] and
                           log["versions"][0].get("change_feed")))
         if feed:
+            from pyspark.sql import functions as F
+
             keys = ([on] if isinstance(on, str) else list(on))
             committed = spark.read.parquet(_snapshot_path(path, new_version))
-            _diff_frames(target, committed, keys).write.mode(
-                "overwrite").parquet(_changes_path(path, new_version))
+            # _commit_version rides IN the feed files so CDF consumers
+            # (incl. the streaming source) can order changes per key
+            # across commits without a side lookup
+            _diff_frames(target, committed, keys).withColumn(
+                "_commit_version", F.lit(new_version).cast("int")
+            ).write.mode("overwrite").parquet(_changes_path(path, new_version))
             entry["change_feed"] = True
             entry["change_keys"] = keys
         if idempotency_token is not None:
@@ -751,8 +758,10 @@ def read_change_feed(
 
     out = None
     for v in wanted:
-        df = spark.read.parquet(_changes_path(path, v["version"])).withColumn(
-            "_commit_version", F.lit(v["version"]).cast("int"))
+        df = spark.read.parquet(_changes_path(path, v["version"]))
+        if "_commit_version" not in df.columns:  # feeds written pre-r8.1
+            df = df.withColumn(
+                "_commit_version", F.lit(v["version"]).cast("int"))
         # allowMissingColumns: schema evolution widens later feeds
         out = df if out is None else out.unionByName(
             df, allowMissingColumns=True)

@@ -143,3 +143,47 @@ def test_stream_cdf_across_schema_evolution(spark, table):
     # batch feed reader tolerates the widened schema too
     feed = sink.read_change_feed(spark, table, 0)
     assert feed.count() == 7 and "region" in feed.columns
+
+
+def test_medallion_cdf_to_merge_pipeline(spark, table, tmp_path):
+    """End-to-end composition: stream table A's change feed (bronze)
+    and MERGE it into table B (silver) via the exactly-once streaming
+    sink — the medallion pipeline shape, entirely on engine
+    primitives. Deletes propagate; replays are no-ops."""
+    from biosets_spark.streaming import ingest as SI
+
+    silver = str(tmp_path / "silver")
+    sink.create_table(spark, silver, spark.createDataFrame(
+        [], "k long, price double"))
+
+    def sync(ckpt):
+        feed = (spark.readStream.format("biosets_table")
+                .option("readChangeFeed", "true")
+                .option("startingVersion", 0).load(table))
+        # post-images + inserts apply; deletes propagate as deletes;
+        # the per-key collapse orders on _commit_version (stamped into
+        # every feed row at commit time), so the newest commit wins
+        relevant = feed.where(
+            "_change_type in ('insert', 'update_postimage', 'delete')")
+        q = SI.merge_stream_sink(
+            relevant, silver, str(tmp_path / ckpt),
+            on="k", order_col="_commit_version",  # rides in the feed
+            matched_update={"price": col("__s.price")},
+            matched_delete=col("__s._change_type") == "delete",
+            matched_condition=col("__s._change_type") != "delete",
+            not_matched_insert={"price": col("__s.price")},
+        )
+        q.awaitTermination()
+
+    sync("ck1")
+    got = {r.k: r.price for r in sink.read_snapshot(spark, silver).collect()}
+    assert got == {1: 10.0, 2: 99.0, 9: 5.0}  # bronze current state
+    # bronze delete propagates on the next incremental sync
+    sink.merge_into_parquet(
+        spark, table,
+        spark.createDataFrame([(1, "D", 0.0)],
+                              "k long, op string, new_price double"),
+        on="k", matched_delete=col("__s.op") == "D")
+    sync("ck1")  # same checkpoint: only the new bronze commit flows
+    got = {r.k: r.price for r in sink.read_snapshot(spark, silver).collect()}
+    assert got == {2: 99.0, 9: 5.0}
