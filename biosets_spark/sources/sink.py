@@ -386,7 +386,15 @@ class _table_commit_lock:
                 try:
                     age = time.time() - os.path.getmtime(self.lock_path)
                 except OSError:
-                    continue  # holder just released; retry immediately
+                    # holder just released (ENOENT) — retry; still
+                    # honor the deadline so a persistent stat failure
+                    # (ACLs) can't spin forever
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"could not acquire table commit lock "
+                            f"{self.lock_path!r} within {self.timeout}s"
+                        ) from None
+                    continue
                 if age > self.stale_after:
                     warnings.warn(
                         f"breaking stale table commit lock {self.lock_path!r} "
