@@ -149,7 +149,13 @@ def decode_pnm(raw: bytes):
         start = pos
         while pos < len(raw) and not raw[pos:pos + 1].isspace():
             pos += 1
-        fields.append(int(raw[start:pos]))
+        if start == pos:  # header ran out before 3 numeric fields
+            raise ValueError("truncated PNM header")
+        try:
+            fields.append(int(raw[start:pos]))
+        except ValueError:
+            raise ValueError(
+                f"corrupt PNM header token {raw[start:pos]!r}") from None
     pos += 1  # single whitespace after maxval
     width, height, maxval = fields
     if maxval > 255:
