@@ -157,7 +157,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Current build round (bump each round; drives the defer-age invariant
 # in tests/test_registry.py).
-_ROUND = 8
+_ROUND = 9
 
 # Queries that already have GREEN driver CORRECTNESS rows, tagged with
 # the round their (latest) green row landed. The tag drives the
@@ -170,10 +170,10 @@ _ROUND = 8
 # All queries keep their oracles either way.
 _DRIVER_CHECKED_TAGGED: dict[str, int] = {
     # --- r1/r2 windows (tag 2 = last green in CORRECTNESS_r01/r02) ---
-    "q_scan_filter_project": 2, "q_cast_project": 2, "q_pricing_summary": 2,
-    "q_forecast_revenue": 2, "q_distinct_agg": 2, "q_rollup": 2, "q_cube": 2,
-    "q_quantiles": 2, "q_join_agg": 2, "q_top_orders": 2,
-    "q_left_join_histogram": 2, "q_semi_join": 2, "q_anti_join": 2,
+    "q_scan_filter_project": 8, "q_cast_project": 8, "q_pricing_summary": 8,
+    "q_forecast_revenue": 8, "q_distinct_agg": 8, "q_rollup": 8, "q_cube": 8,
+    "q_quantiles": 8, "q_join_agg": 8, "q_top_orders": 8,
+    "q_left_join_histogram": 8, "q_semi_join": 8, "q_anti_join": 8,
     "q_full_outer": 2, "q_meta_left_join": 2, "q_set_intersect": 2,
     "q_set_except": 2, "q_union_promote": 2, "q_window_topk_per_group": 2,
     "q_window_running_sum": 2, "q_window_lag_gap": 2, "q_ntile_kfold": 2,
@@ -282,6 +282,22 @@ _DRIVER_CHECKED_TAGGED: dict[str, int] = {
     "q_collocation_llr": 7, "q_tost_equivalence": 7, "q_cpk_capability": 7,
     "q_trimmed_mean": 7, "q_matthews_mcc": 7, "q_brier_decomposition": 7,
     "q_levene_bf": 7, "q_grubbs_test": 7,
+    # --- r8 window (50/50 green, CORRECTNESS_r08.json: 3 debuts +
+    # 34 backlog drains below; plus 13 tag-2 re-samples re-tagged 8
+    # in the r1/r2 block above per the post-drain policy) ---
+    "q_page_trend": 8, "q_cvar_shortfall": 8, "q_fleiss_kappa": 8,
+    "q_icc_reliability": 8, "q_average_precision": 8, "q_ndcg_at_100": 8,
+    "q_cochran_armitage": 8, "q_moods_median": 8, "q_fisher_z_diff": 8,
+    "q_welch_anova": 8, "q_capm_beta": 8, "q_max_drawdown": 8,
+    "q_hurst_exponent": 8, "q_jain_fairness": 8, "q_neyman_allocation": 8,
+    "q_mixture_gap": 8, "q_youden_cutpoint": 8, "q_hosmer_lemeshow": 8,
+    "q_mantel_haenszel": 8, "q_meta_heterogeneity": 8,
+    "q_bonferroni_family": 8, "q_bh_fdr": 8, "q_log_rank_test": 8, "q_rmst": 8,
+    "q_cuped_adjustment": 8, "q_winsor_variance_gain": 8, "q_eb_shrinkage": 8,
+    "q_kish_ess": 8, "q_covariate_balance": 8, "q_e_value": 8,
+    "q_sharpe_revenue": 8, "q_price_dispersion": 8, "q_chao1_richness": 8,
+    "q_doubling_time": 8, "q_bom_explosion": 8, "q_merge_upsert": 8,
+    "q_event_interval_join": 8,
 }
 
 _DRIVER_CHECKED = frozenset(_DRIVER_CHECKED_TAGGED)
@@ -328,11 +344,17 @@ _DEFER_NEXT_WINDOW_TAGGED: tuple = ()
 # driver-checked union 335/335 minus the 13 not-yet-resampled tag-2
 # cohort remainder, backlog zero, rotation started.
 #
-# R9 HANDOFF: tag the r8 greens (tag 8; re-tag the 13 re-sampled
-# tag-2 names as 8 too), bump _ROUND to 9. The r9 window is then
-# entirely re-verification spare rows, consuming the remaining tag-2
-# names first (ascending-tag sort does this automatically), then
-# tag-3.
+# R9 HANDOFF: EXECUTED — the 50 r8 greens are tagged 8 (the 13
+# re-sampled tag-2 names re-tagged in place), _ROUND bumped to 9,
+# defer list stays empty. The r9 window is entirely re-verification
+# spare rows: the 37 remaining tag-2 names front the checked tail
+# (ascending-tag sort), then the oldest tag-3 rows fill the ~13
+# remaining slots. Expected CORRECTNESS_r09 = 37 tag-2 + ~13 tag-3
+# re-verifications, all previously judge-reverified green in r8.
+#
+# R10 HANDOFF: tag the r9 greens as 9, bump _ROUND to 10. The r10
+# window continues draining tag-3 (ascending-tag sort does this
+# automatically). Any r9 debut queries front automatically.
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)
 
