@@ -302,11 +302,14 @@ def embedding_dup_pairs(
                     {"id_a": rows_a[r_idx], "id_b": ids_blk[c_idx], "sim": sims[r_idx, c_idx]}
                 )
 
-        # materialize before destroying the broadcast the plan reads
-        out = src.mapInPandas(
-            block, schema="id_a long, id_b long, sim double"
-        ).localCheckpoint(eager=True)
-        b.destroy()
+        # materialize before destroying the broadcast the plan reads;
+        # destroy in finally so a failed checkpoint can't leak it
+        try:
+            out = src.mapInPandas(
+                block, schema="id_a long, id_b long, sim double"
+            ).localCheckpoint(eager=True)
+        finally:
+            b.destroy()
         return out
 
     B = n_blocks
@@ -415,10 +418,12 @@ def knn_all(
                     out_s.extend(s[order])
                 yield pd.DataFrame({"qid": out_a, "nid": out_b, "sim": out_s})
 
-        cand = src.mapInPandas(
-            block, schema="qid long, nid long, sim double"
-        ).localCheckpoint(eager=True)
-        b.destroy()
+        try:
+            cand = src.mapInPandas(
+                block, schema="qid long, nid long, sim double"
+            ).localCheckpoint(eager=True)
+        finally:
+            b.destroy()
         return (
             cand.withColumn("rank", F.row_number().over(w))
             .filter(col("rank") <= k)

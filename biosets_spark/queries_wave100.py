@@ -23,7 +23,7 @@ epoch_us, both engines' timestamps are microsecond-granular).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql.functions import col
+from pyspark.sql.functions import broadcast, col
 
 from . import tables
 from .queries import dsum, q
@@ -127,7 +127,8 @@ def q_bom_explosion(spark, sf_dir):
              o_totalprice + 10.0 AS new_price
       FROM orders WHERE o_orderkey % 3 = 0 OR o_orderkey % 7 = 1
       UNION ALL
-      SELECT o_orderkey + 10000000, 'I', o_totalprice * 2
+      SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM orders),
+             'I', o_totalprice * 2
       FROM orders WHERE o_orderkey % 11 = 2
     ), merged AS (
       SELECT
@@ -150,8 +151,10 @@ def q_bom_explosion(spark, sf_dir):
     desc="Functional MERGE INTO (Delta/Iceberg three-clause "
          "semantics): a deterministic CDC batch against orders — "
          "keys = 0 (mod 3) update price (+10), keys = 1 (mod 7) "
-         "delete, keys = 2 (mod 11) insert as new '+10M' orders with "
-         "doubled price and status 'N' — applied through "
+         "delete, keys = 2 (mod 11) insert as new '+max(key)' orders "
+         "(offset past the actual max key so insert keys can never "
+         "collide with update/delete keys at ANY sf) with doubled "
+         "price and status 'N' — applied through "
          "operators.merge.merge_into (ONE full outer join on the "
          "merge key + per-column CASE, all JVM expressions; the "
          "duplicate-source-key guard is the same validation SQL "
@@ -173,10 +176,18 @@ def q_merge_upsert(spark, sf_dir):
         .otherwise(F.lit("U")).alias("op"),
         (col("o_totalprice") + 10.0).alias("new_price"),
     )
-    inserts = orders.where(col("o_orderkey") % 11 == 2).select(
-        (col("o_orderkey") + 10000000).alias("o_orderkey"),
-        F.lit("I").alias("op"),
-        (col("o_totalprice") * 2).alias("new_price"),
+    # offset insert keys past the actual max key: a scalar max agg
+    # broadcast-cross-joined in (one tiny row), so synthesized insert
+    # keys can never collide with update/delete source keys at any sf
+    mx = orders.agg(F.max("o_orderkey").alias("__max_key"))
+    inserts = (
+        orders.where(col("o_orderkey") % 11 == 2)
+        .crossJoin(broadcast(mx))
+        .select(
+            (col("o_orderkey") + col("__max_key")).alias("o_orderkey"),
+            F.lit("I").alias("op"),
+            (col("o_totalprice") * 2).alias("new_price"),
+        )
     )
     source = updates.unionByName(inserts)
     merged = merge_into(

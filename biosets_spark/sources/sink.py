@@ -585,14 +585,20 @@ def vacuum_table(path: str, keep_last: int = 2) -> list[int]:
     auditable; time-travel to a vacuumed version raises at read).
     Runs under the commit lock: vacuum's read-modify-write of the log
     would otherwise race a concurrent merge and clobber its freshly
-    appended entry."""
+    appended entry. ``keep_last`` must be >= 1: dropping every
+    snapshot would leave ``log['current']`` pointing at a vacuumed
+    version and make the table permanently unreadable."""
     import shutil
 
+    if keep_last < 1:
+        raise ValueError(
+            f"keep_last must be >= 1 (got {keep_last}): vacuuming the "
+            "current snapshot would make the table unreadable")
     with _table_commit_lock(path):
         log = _table_log_read(path)
         live = [v for v in log["versions"] if not v.get("vacuumed")]
         dropped = []
-        for v in live[:-keep_last] if keep_last > 0 else live:
+        for v in live[:-keep_last]:
             shutil.rmtree(_snapshot_path(path, v["version"]),
                           ignore_errors=True)
             v["vacuumed"] = True
@@ -751,11 +757,16 @@ def read_change_feed(
     ``write_change_feed``). Unlike ``table_changes`` (which diffs the
     two endpoint snapshots), this concatenates every intermediate
     commit's changes — a row updated twice appears twice, as a CDC
-    consumer expects. Raises if any version in range lacks a feed."""
+    consumer expects. Physical-only commits ('compact' rewrites) carry
+    no logical changes and never write a feed — they are skipped, the
+    same way the streaming reader (table_source) skips them. Raises
+    only when a DATA-CHANGING version in range lacks a feed."""
     log = _table_log_read(path)
     hi = log["current"] if to_version is None else to_version
     wanted = [v for v in log["versions"]
               if from_version <= v["version"] <= hi]
+    # compact is a physical rewrite: same logical rows, zero changes
+    wanted = [v for v in wanted if v.get("operation") != "compact"]
     missing = [v["version"] for v in wanted if not v.get("change_feed")]
     if missing:
         raise ValueError(
@@ -774,5 +785,7 @@ def read_change_feed(
         out = df if out is None else out.unionByName(
             df, allowMissingColumns=True)
     if out is None:
-        raise ValueError(f"no versions in range {from_version}..{hi}")
+        raise ValueError(
+            f"no change-carrying versions in range {from_version}..{hi}"
+            " (compact-only ranges have no logical changes)")
     return out

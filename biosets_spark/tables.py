@@ -61,8 +61,20 @@ def _path_snapshot(path: str) -> tuple:
     if not os.path.isdir(path):
         return ((path, st.st_size, st.st_mtime_ns),)
     out = []
+    # follow directory symlinks (a symlinked subdir must be recursed,
+    # not recorded as one stale (size, mtime) of the target) — guard
+    # cycles with a visited (dev, ino) set
+    seen: set = set()
 
     def _walk(d: str, prefix: str) -> None:
+        try:
+            dst = os.stat(d)
+        except OSError:
+            return
+        ident = (dst.st_dev, dst.st_ino)
+        if ident in seen:
+            return
+        seen.add(ident)
         try:
             entries = list(os.scandir(d))
         except OSError:
@@ -70,7 +82,7 @@ def _path_snapshot(path: str) -> tuple:
         for entry in entries:
             rel = prefix + entry.name
             try:
-                if entry.is_dir(follow_symlinks=False):
+                if entry.is_dir(follow_symlinks=True):
                     _walk(entry.path, rel + "/")
                 else:
                     est = entry.stat()

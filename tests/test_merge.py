@@ -353,3 +353,50 @@ def test_compact_table_clusters_with_sort_by(spark, tmp_path):
     ranges.sort()
     assert len(ranges) == 2
     assert ranges[0][1] <= ranges[1][0]  # disjoint key ranges
+
+
+def test_read_change_feed_skips_compact_commits(spark, tmp_path):
+    """r9 (advice): a 'compact' commit is a physical rewrite with no
+    logical changes and never writes a feed — batch read_change_feed
+    over a range spanning it must skip it (mirroring the streaming
+    reader), not raise."""
+    path = str(tmp_path / "tbl")
+    sink.create_table(spark, path, _target(spark), write_change_feed=True)
+    sink.merge_into_parquet(
+        spark, path,
+        spark.createDataFrame([(9, 5.0)], "k long, new_price double"),
+        on="k", not_matched_insert={"price": col("__s.new_price")},
+        write_change_feed=True)
+    sink.compact_table(spark, path, target_rows_per_file=100)  # v2, no feed
+    sink.merge_into_parquet(
+        spark, path,
+        spark.createDataFrame([(10, 6.0)], "k long, new_price double"),
+        on="k", not_matched_insert={"price": col("__s.new_price")},
+        write_change_feed=True)  # v3
+    feed = sink.read_change_feed(spark, path, 1)  # spans the compact
+    assert sorted((r.k, r._commit_version) for r in feed.collect()
+                  if r._change_type == "insert") == [(9, 1), (10, 3)]
+    # a DATA-CHANGING commit without a feed must still raise
+    sink.merge_into_parquet(
+        spark, path,
+        spark.createDataFrame([(11, 7.0)], "k long, new_price double"),
+        on="k", not_matched_insert={"price": col("__s.new_price")},
+        write_change_feed=False)  # v4
+    with pytest.raises(ValueError, match=r"\[4\].*without"):
+        sink.read_change_feed(spark, path, 0)
+    # a compact-only range has no logical changes -> actionable error
+    with pytest.raises(ValueError, match="compact-only"):
+        sink.read_change_feed(spark, path, 2, 2)
+
+
+def test_vacuum_keep_last_zero_rejected(spark, tmp_path):
+    """r9 (advice): keep_last=0 would delete the snapshot that
+    log['current'] points at, bricking the table — reject upfront."""
+    path = str(tmp_path / "tbl")
+    sink.create_table(spark, path, _target(spark))
+    with pytest.raises(ValueError, match="keep_last"):
+        sink.vacuum_table(path, keep_last=0)
+    with pytest.raises(ValueError, match="keep_last"):
+        sink.vacuum_table(path, keep_last=-3)
+    # table still fully readable
+    assert sink.read_snapshot(spark, path).count() == 4

@@ -1489,3 +1489,33 @@ def test_all_decoders_valueerror_surface():
                       (MM2.decode_tiff, b"II*\x00"), (MM2.decode_pnm, b"P6")):
         with pytest.raises(ValueError):
             fn(magic + b"\x81\x82\x83")
+
+
+def test_path_snapshot_follows_directory_symlinks(tmp_path):
+    """r8 ADVICE: a symlinked subdirectory inside a table path must be
+    recursed (an in-place rewrite of a nested part-file behind the
+    symlink must change the snapshot), and a symlink cycle must not
+    hang the walk."""
+    import os
+
+    from biosets_spark.tables import _path_snapshot
+
+    real = tmp_path / "real_parts"
+    real.mkdir()
+    (real / "part-0.bin").write_bytes(b"v1-payload")
+    tbl = tmp_path / "tbl.parquet"
+    tbl.mkdir()
+    os.symlink(real, tbl / "linked", target_is_directory=True)
+
+    snap1 = _path_snapshot(str(tbl))
+    assert any("linked/part-0.bin" in rel for rel, _, _ in snap1)
+
+    # same-size in-place rewrite behind the symlink: bump mtime only
+    (real / "part-0.bin").write_bytes(b"v2-payload")
+    snap2 = _path_snapshot(str(tbl))
+    assert snap2 != snap1
+
+    # symlink cycle: tbl/linked/back -> tbl must terminate
+    os.symlink(tbl, real / "back", target_is_directory=True)
+    snap3 = _path_snapshot(str(tbl))
+    assert any("part-0.bin" in rel for rel, _, _ in snap3)
