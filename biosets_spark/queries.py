@@ -70,6 +70,21 @@ def dsum(c: Column | str, alias: str, prec: str = "decimal(18,2)") -> Column:
     return F.sum(c.cast(prec)).cast("double").alias(alias)
 
 
+def dfloor(c: Column) -> Column:
+    """FLOOR with DuckDB's double semantics at every magnitude.
+
+    Spark's floor(double) returns LONG — it overflows past 2^63,
+    where DuckDB's FLOOR stays in double. Above 2^52 a double is
+    already integral (ulp >= 1), so passing it through IS the floor;
+    below that the long round-trip is exact. Used by the r9
+    engine-identical quantizer grid FLOOR(x*10^k + 0.5) / 10^k, which
+    replaced every ROUND over a derived double (ROUND-then-DECIMAL
+    double-rounds differently in DuckDB than Spark's BigDecimal
+    HALF_UP; FLOOR over identical IEEE doubles cannot disagree)."""
+    return F.when(F.abs(c) < F.lit(4503599627370496.0),
+                  F.floor(c).cast("double")).otherwise(c)
+
+
 def pair_expand(baskets, items_col: str, a_name: str, b_name: str):
     """C(k,2) ordered-pair expansion of a SORTED array column: every
     (a, b) with a earlier in the array than b, one output row each.
@@ -280,8 +295,8 @@ def q_cube(spark, sf_dir):
     "q_quantiles",
     oracle="""
     SELECT o_orderpriority,
-           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
-           ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+           (quantile_cont(o_totalprice, 0.5)) AS median_price,
+           (quantile_cont(o_totalprice, 0.9)) AS p90_price,
            COUNT(*) AS n
     FROM orders GROUP BY o_orderpriority
     """,
@@ -292,8 +307,8 @@ def q_cube(spark, sf_dir):
 def q_quantiles(spark, sf_dir):
     o = tables.load(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+        (F.expr("percentile(o_totalprice, 0.5)")).alias("median_price"),
+        (F.expr("percentile(o_totalprice, 0.9)")).alias("p90_price"),
         F.count("*").alias("n"),
     )
 

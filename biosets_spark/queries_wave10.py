@@ -7,7 +7,7 @@ per-minute anomaly detection.
 Determinism discipline follows queries.py: every score is either an
 integer count or a single IEEE expression over exact (decimal- or
 integer-summed) inputs; top-k orders use the exact expression with a
-unique-key tie-break; computed doubles are ROUND()ed before any
+unique-key tie-break; computed doubles are grid-rounded before any
 DECIMAL quantization so half-way ties use the engines' shared ROUND.
 """
 
@@ -19,7 +19,7 @@ from pyspark.sql.functions import broadcast, col, lit
 
 from . import tables
 from .operators import text as T
-from .queries import q
+from .queries import dfloor, q
 
 from .oracle_fragments import TOKS_SQL as _TOKS_SQL
 
@@ -52,7 +52,7 @@ from .oracle_fragments import TOKS_SQL as _TOKS_SQL
     SELECT p.doc_id,
            CAST(p.n_spans AS BIGINT) AS n_spans,
            CAST(COALESCE(d.dup_spans, 0) AS BIGINT) AS dup_spans,
-           ROUND(CAST(COALESCE(d.dup_spans, 0) AS DOUBLE) / p.n_spans, 4)
+           (CAST(COALESCE(d.dup_spans, 0) AS DOUBLE) / p.n_spans)
              AS dup_frac
     FROM per_doc p LEFT JOIN dup d ON p.doc_id = d.doc_id
     WHERE COALESCE(d.dup_spans, 0) > 0
@@ -74,7 +74,7 @@ def q_span_dedup(spark, sf_dir):
         .orderBy(col("dup_frac").desc(), "doc_id")
         .limit(20)
         .select("doc_id", "n_spans", "dup_spans",
-                F.round("dup_frac", 4).alias("dup_frac"))
+                col("dup_frac").alias("dup_frac"))
     )
 
 
@@ -105,7 +105,7 @@ def q_span_dedup(spark, sf_dir):
       GROUP BY 1, 2
     )
     SELECT id_small, id_big,
-           ROUND(common * 1.0 / c.n, 4) AS containment
+           (common * 1.0 / c.n) AS containment
     FROM pairs JOIN cnt c ON pairs.id_small = c.doc_id
     WHERE common * 1.0 / c.n >= 0.8
     """,
@@ -122,7 +122,7 @@ def q_containment(spark, sf_dir):
     docs = tables.load(spark, sf_dir, "documents")
     pairs = containment_pairs(docs, n=4, threshold=0.8, max_shingle_df=1000)
     return pairs.select(
-        "id_small", "id_big", F.round("containment", 4).alias("containment"))
+        "id_small", "id_big", col("containment").alias("containment"))
 
 
 @q(
@@ -313,10 +313,9 @@ def q_percent_rank(spark, sf_dir):
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                  / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                    * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
-                 6) AS corr_qty_price
+                    * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS corr_qty_price
     FROM s
     """,
     desc="deterministic Pearson correlation (quantity vs extended "
@@ -342,7 +341,7 @@ def q_corr_exact(spark, sf_dir):
     sxy, sxx, syy = (col(c).cast("double") for c in ("sxy", "sxx", "syy"))
     r = (n * sxy - sx * sy) / (
         F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
-    return s.select("l_returnflag", "n", F.round(r, 6).alias("corr_qty_price"))
+    return s.select("l_returnflag", "n", (r).alias("corr_qty_price"))
 
 
 @q(
@@ -452,7 +451,7 @@ def q_events_anomaly(spark, sf_dir):
     "q_winsorize",
     # exact interpolated percentiles (Spark percentile == DuckDB
     # quantile_cont, both (n-1)*p linear interpolation over sorted
-    # values); clipped values ROUND()ed before the decimal-exact group
+    # values); clipped values grid-rounded before the decimal-exact group
     # sum so the only floats are engine-identical expressions
     oracle=f"""
     WITH lens AS (
@@ -465,8 +464,8 @@ def q_events_anomaly(spark, sf_dir):
     )
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(CAST(SUM(CAST(ROUND(least(greatest(CAST(n_tok AS DOUBLE), lo), hi), 6)
-                              AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
+           (CAST(SUM(CAST(FLOOR((least(greatest(CAST(n_tok AS DOUBLE), lo), hi)) * 1e6 + 0.5) / 1e6
+                              AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
              AS mean_clipped_len
     FROM lens, cuts
     GROUP BY lang
@@ -485,15 +484,13 @@ def q_winsorize(spark, sf_dir):
         F.percentile(col("n_tok"), lit(0.05)).alias("lo"),
         F.percentile(col("n_tok"), lit(0.95)).alias("hi"),
     )
-    clipped = F.round(
-        F.least(F.greatest(col("n_tok").cast("double"), col("lo")), col("hi")), 6
-    ).cast("decimal(18,6)")
+    clipped = (dfloor((F.least(F.greatest(col("n_tok").cast("double"), col("lo")), col("hi"))) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("decimal(18,6)")
     return (
         lens.crossJoin(broadcast(cuts))
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.sum(clipped).cast("double") / F.count("*"), 4)
+            (F.sum(clipped).cast("double") / F.count("*"))
             .alias("mean_clipped_len"),
         )
     )

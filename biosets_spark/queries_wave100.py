@@ -161,7 +161,7 @@ def q_bom_explosion(spark, sf_dir):
          "MERGE mandates). Post-merge state is summarized per "
          "status. One key-shuffle — the cost class any table "
          "format's UPSERT pays; AQE broadcasts small CDC batches.",
-    tags=["merge", "join", "agg"],
+    tags=["merge", "join", "agg", "cross"],
 )
 def q_merge_upsert(spark, sf_dir):
     from .operators.merge import merge_into

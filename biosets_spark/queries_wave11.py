@@ -5,7 +5,7 @@ search (project 64-d embeddings to 8-d with a +-1 sign matrix derived
 from md5, identical in any engine, then verify norm preservation).
 
 Determinism discipline follows queries.py: integer counts everywhere
-possible; every double that enters a SUM is ROUND()ed to a fixed scale
+possible; every double that enters a SUM is grid-rounded to a fixed scale
 and accumulated in DECIMAL (order-free); orderings use exact
 expressions with unique tie-breaks; md5 is the portable randomness
 source (same digest in Spark, DuckDB, and Python).
@@ -18,7 +18,7 @@ from pyspark.sql.functions import broadcast, col, lit
 
 from . import tables
 from .operators import text as T
-from .queries import q
+from .queries import dfloor, q
 
 from .oracle_fragments import TOKS_SQL as _TOKS_SQL
 
@@ -44,7 +44,7 @@ from .oracle_fragments import TOKS_SQL as _TOKS_SQL
       FROM scored
     )
     SELECT doc_id, t AS term, CAST(rn AS INT) AS rank,
-           ROUND(score, 4) AS score
+           (score) AS score
     FROM ranked WHERE rn <= 3
     """,
     desc="per-document top-3 TF-IDF keywords (extractive tagging): "
@@ -57,15 +57,15 @@ from .oracle_fragments import TOKS_SQL as _TOKS_SQL
 def q_tfidf_keywords(spark, sf_dir):
     docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
     kw = T.tfidf_keywords(docs, k=3)
-    return kw.select("doc_id", "term", "rank", F.round("score", 4).alias("score"))
+    return kw.select("doc_id", "term", "rank", col("score").alias("score"))
 
 
 @q(
     "q_zipf_slope",
     # least-squares fit of ln(count) on ln(rank) over the top-1000
-    # vocabulary head: each log term is ROUND(x, 8) -> DECIMAL(18,8)
-    # before the sums (order-free), slope/intercept are one closing
-    # double expression each
+    # vocabulary head: each log term quantizes onto the engine-
+    # identical FLOOR(x*1e8 + 0.5) integer grid before the exact sums
+    # (order-free), slope/intercept are one closing double expression
     oracle=f"""
     WITH counts AS (
       SELECT tok, COUNT(*) AS c
@@ -78,12 +78,14 @@ def q_tfidf_keywords(spark, sf_dir):
     ),
     head AS (SELECT * FROM ranked WHERE rnk <= 1000),
     terms AS (
-      SELECT CAST(ROUND(LN(CAST(rnk AS DOUBLE)), 8) AS DECIMAL(18,8)) AS x,
-             CAST(ROUND(LN(CAST(c AS DOUBLE)), 8) AS DECIMAL(18,8)) AS y,
-             CAST(ROUND(LN(CAST(rnk AS DOUBLE)) * LN(CAST(c AS DOUBLE)), 8)
-                  AS DECIMAL(18,8)) AS xy,
-             CAST(ROUND(LN(CAST(rnk AS DOUBLE)) * LN(CAST(rnk AS DOUBLE)), 8)
-                  AS DECIMAL(18,8)) AS xx
+      SELECT CAST(FLOOR(LN(CAST(rnk AS DOUBLE)) * 1e8 + 0.5)
+                  AS DECIMAL(18,0)) AS x,
+             CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1e8 + 0.5)
+                  AS DECIMAL(18,0)) AS y,
+             CAST(FLOOR(LN(CAST(rnk AS DOUBLE)) * LN(CAST(c AS DOUBLE))
+                        * 1e8 + 0.5) AS DECIMAL(18,0)) AS xy,
+             CAST(FLOOR(LN(CAST(rnk AS DOUBLE)) * LN(CAST(rnk AS DOUBLE))
+                        * 1e8 + 0.5) AS DECIMAL(18,0)) AS xx
       FROM head
     ),
     s AS (
@@ -92,13 +94,17 @@ def q_tfidf_keywords(spark, sf_dir):
       FROM terms
     )
     SELECT CAST(n AS BIGINT) AS n_ranks,
-           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
-                 6) AS slope,
-           ROUND((CAST(sy AS DOUBLE)
-                  - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-                    * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+           ((n * (CAST(sxy AS DOUBLE) / 1e8)
+             - (CAST(sx AS DOUBLE) / 1e8) * (CAST(sy AS DOUBLE) / 1e8))
+                 / (n * (CAST(sxx AS DOUBLE) / 1e8)
+                    - (CAST(sx AS DOUBLE) / 1e8) * (CAST(sx AS DOUBLE) / 1e8)))
+             AS slope,
+           (((CAST(sy AS DOUBLE) / 1e8)
+                  - ((n * (CAST(sxy AS DOUBLE) / 1e8)
+                      - (CAST(sx AS DOUBLE) / 1e8) * (CAST(sy AS DOUBLE) / 1e8))
+                     / (n * (CAST(sxx AS DOUBLE) / 1e8)
+                        - (CAST(sx AS DOUBLE) / 1e8) * (CAST(sx AS DOUBLE) / 1e8)))
+                    * (CAST(sx AS DOUBLE) / 1e8)) / n) AS intercept
     FROM s
     """,
     desc="Zipf slope of the vocabulary head: least-squares ln(count) ~ "
@@ -130,25 +136,29 @@ def q_zipf_slope(spark, sf_dir):
     ).select("c", (col("_rid") + 1).cast("int").alias("rnk"))
     lx = F.log(col("rnk").cast("double"))
     ly = F.log(col("c").cast("double"))
+    # engine-identical 1e-8 integer grid for the log-derived terms
+    # (r9: ROUND-then-DECIMAL double-rounds differently across engines)
     terms = ranked.select(
-        F.round(lx, 8).cast("decimal(18,8)").alias("x"),
-        F.round(ly, 8).cast("decimal(18,8)").alias("y"),
-        F.round(lx * ly, 8).cast("decimal(18,8)").alias("xy"),
-        F.round(lx * lx, 8).cast("decimal(18,8)").alias("xx"),
+        F.floor(lx * F.lit(1e8) + F.lit(0.5)).cast("decimal(18,0)").alias("x"),
+        F.floor(ly * F.lit(1e8) + F.lit(0.5)).cast("decimal(18,0)").alias("y"),
+        F.floor(lx * ly * F.lit(1e8) + F.lit(0.5)).cast("decimal(18,0)").alias("xy"),
+        F.floor(lx * lx * F.lit(1e8) + F.lit(0.5)).cast("decimal(18,0)").alias("xx"),
     )
     s = terms.agg(
         F.count("*").alias("n"), F.sum("x").alias("sx"), F.sum("y").alias("sy"),
         F.sum("xy").alias("sxy"), F.sum("xx").alias("sxx"),
     )
     n = col("n")
-    sx, sy = col("sx").cast("double"), col("sy").cast("double")
-    sxy, sxx = col("sxy").cast("double"), col("sxx").cast("double")
+    sx = col("sx").cast("double") / F.lit(1e8)
+    sy = col("sy").cast("double") / F.lit(1e8)
+    sxy = col("sxy").cast("double") / F.lit(1e8)
+    sxx = col("sxx").cast("double") / F.lit(1e8)
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     intercept = (sy - slope * sx) / n
     return s.select(
         col("n").alias("n_ranks"),
-        F.round(slope, 6).alias("slope"),
-        F.round(intercept, 6).alias("intercept"),
+        (slope).alias("slope"),
+        (intercept).alias("intercept"),
     )
 
 
@@ -175,29 +185,29 @@ def q_zipf_slope(spark, sf_dir):
     ),
     proj AS (
       SELECT vec_id, k,
-             CAST(SUM(CAST(ROUND(x * s, 6) AS DECIMAL(18,6))) AS DOUBLE) AS y
+             CAST(SUM(CAST(FLOOR((x * s) * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6))) AS DOUBLE) AS y
       FROM comps GROUP BY vec_id, k
     ),
     norms AS (
       SELECT e.vec_id,
-             CAST(SUM(CAST(ROUND(CAST(e.embedding[d.d + 1] AS DOUBLE)
-                                 * CAST(e.embedding[d.d + 1] AS DOUBLE), 6)
+             CAST(SUM(CAST(FLOOR((CAST(e.embedding[d.d + 1] AS DOUBLE)
+                                 * CAST(e.embedding[d.d + 1] AS DOUBLE)) * 1e6 + 0.5) / 1e6
                            AS DECIMAL(18,6))) AS DOUBLE) AS orig_sq
       FROM emb64 e, (SELECT unnest(range(0, 64)) AS d) d
       GROUP BY e.vec_id
     ),
     ratios AS (
       SELECT p.vec_id,
-             (CAST(SUM(CAST(ROUND(p.y * p.y, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             (CAST(SUM(CAST(FLOOR((p.y * p.y) * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6))) AS DOUBLE)
               / 8.0) / n.orig_sq AS ratio
       FROM proj p JOIN norms n ON p.vec_id = n.vec_id
       GROUP BY p.vec_id, n.orig_sq
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           ROUND(CAST(SUM(CAST(ROUND(ratio, 8) AS DECIMAL(18,8))) AS DOUBLE)
-                 / COUNT(*), 4) AS mean_ratio,
-           ROUND(MIN(ratio), 4) AS min_ratio,
-           ROUND(MAX(ratio), 4) AS max_ratio
+           (CAST(SUM(CAST(FLOOR(ratio * 1e8 + 0.5) AS DECIMAL(18,0)))
+                 AS DOUBLE) / 1e8 / COUNT(*)) AS mean_ratio,
+           (MIN(ratio)) AS min_ratio,
+           (MAX(ratio)) AS max_ratio
     FROM ratios
     """,
     desc="deterministic Johnson-Lindenstrauss projection 64-d -> 8-d "
@@ -230,7 +240,7 @@ def q_random_projection(spark, sf_dir):
     # pushed 8x64 rows per vector through three hash aggregates and
     # measured 1.9 s warm at sf0.1; this one is 0.05 s warm (plan =
     # scan + project + one global agg). Per-element quantization is
-    # identical (ROUND(,6) -> DECIMAL before every sum; the aggregate
+    # identical (the 1e-6 grid -> DECIMAL before every sum; the aggregate
     # accumulator re-casts to DECIMAL(28,6) each step, exact for 64
     # O(1) terms, matching DuckDB's exact DECIMAL SUM).
     signs = [
@@ -256,13 +266,13 @@ def q_random_projection(spark, sf_dir):
             F.zip_with(
                 x,
                 F.array(*[lit(s) for s in signs[k]]),
-                lambda xv, sv: F.round(xv * sv, 6),
+                lambda xv, sv: (dfloor((xv * sv) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)),
             )
         )
         for k in range(8)
     ]
-    norm = dsum(F.transform(x, lambda xv: F.round(xv * xv, 6)))
-    terms = [F.round(y * y, 6).cast("decimal(18,6)") for y in ys]
+    norm = dsum(F.transform(x, lambda xv: (dfloor((xv * xv) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))))
+    terms = [(dfloor((y * y) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("decimal(18,6)") for y in ys]
     proj_sq = terms[0].cast("decimal(28,6)")
     for t in terms[1:]:
         proj_sq = (proj_sq + t).cast("decimal(28,6)")
@@ -271,9 +281,10 @@ def q_random_projection(spark, sf_dir):
     )
     return ratios.agg(
         F.count("*").alias("n_vecs"),
-        F.round(
-            F.sum(F.round(col("ratio"), 8).cast("decimal(18,8)")).cast("double")
-            / F.count("*"), 4).alias("mean_ratio"),
-        F.round(F.min("ratio"), 4).alias("min_ratio"),
-        F.round(F.max("ratio"), 4).alias("max_ratio"),
+        # engine-identical 1e-8 grid for the derived ratio (r9)
+        (F.sum(F.floor(col("ratio") * F.lit(1e8) + F.lit(0.5))
+               .cast("decimal(18,0)")).cast("double")
+            / F.lit(1e8) / F.count("*")).alias("mean_ratio"),
+        (F.min("ratio")).alias("min_ratio"),
+        (F.max("ratio")).alias("max_ratio"),
     )

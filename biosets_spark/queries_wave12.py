@@ -139,9 +139,9 @@ def q_grouping_id(spark, sf_dir):
            CAST(SUM(len(regexp_extract_all(text,
                  '[\p{L}]+|[\p{N}]+|[^ \t\n\x0B\f\r\p{L}\p{N}]'))) AS BIGINT)
              AS total_bpe,
-           ROUND(CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE)
+           (CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE)
                  / SUM(len(regexp_extract_all(text,
-                       '[\p{L}]+|[\p{N}]+|[^ \t\n\x0B\f\r\p{L}\p{N}]'))), 4)
+                       '[\p{L}]+|[\p{N}]+|[^ \t\n\x0B\f\r\p{L}\p{N}]'))))
              AS chars_per_token
     FROM documents GROUP BY lang
     """,
@@ -158,10 +158,8 @@ def q_token_fertility(spark, sf_dir):
     return docs.groupBy("lang").agg(
         F.sum(col("n_chars").cast("bigint")).alias("total_chars"),
         F.sum(F.size(T.bpe_tokens(col("text")))).cast("bigint").alias("total_bpe"),
-        F.round(
-            F.sum(col("n_chars").cast("bigint")).cast("double")
-            / F.sum(F.size(T.bpe_tokens(col("text")))), 4
-        ).alias("chars_per_token"),
+        (F.sum(col("n_chars").cast("bigint")).cast("double")
+            / F.sum(F.size(T.bpe_tokens(col("text"))))).alias("chars_per_token"),
     )
 
 

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -115,8 +115,8 @@ def _minhash_est_oracle(num_perm: int = 8) -> str:
       WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5
     )
     SELECT jac.id_a, jac.id_b,
-           ROUND(jac.j, 4) AS jaccard,
-           ROUND(({agree}) * 1.0 / {num_perm}, 4) AS jaccard_est
+           FLOOR((jac.j) * 1e4 + 0.5) / 1e4 AS jaccard,
+           FLOOR((({agree}) * 1.0 / {num_perm}) * 1e4 + 0.5) / 1e4 AS jaccard_est
     FROM jac
     JOIN sig a ON a.doc_id = jac.id_a
     JOIN sig b ON b.doc_id = jac.id_b
@@ -165,8 +165,8 @@ def q_minhash_estimate_quality(spark, sf_dir):
         exact.join(a, "id_a").join(b, "id_b")
         .select(
             "id_a", "id_b",
-            F.round("jaccard", 4).alias("jaccard"),
-            F.round(agree.cast("double") / num_perm, 4).alias("jaccard_est"),
+            (dfloor((col("jaccard")) * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).alias("jaccard"),
+            (dfloor((agree.cast("double") / num_perm) * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).alias("jaccard_est"),
         )
     )
 
@@ -321,8 +321,8 @@ def q_incremental_dedup(spark, sf_dir):
     SELECT CAST((SELECT COUNT(*) FROM ivf JOIN exact USING (vec_id)) AS BIGINT)
              AS n_hits,
            CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS k,
-           ROUND((SELECT COUNT(*) FROM ivf JOIN exact USING (vec_id))
-                 / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE), 4)
+           FLOOR(((SELECT COUNT(*) FROM ivf JOIN exact USING (vec_id))
+                 / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE)) * 1e4 + 0.5) / 1e4
              AS recall
     """,
     desc="recall@10 audit of the IVF index against exact brute-force "

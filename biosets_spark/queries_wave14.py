@@ -45,7 +45,7 @@ from .oracle_fragments import TOKS_SQL as _TOKS_SQL
     ),
     surprise AS (
       SELECT posts.doc_id,
-             CAST(ROUND(-LN((bgc.cbg + 1) / (ctx.cw1 + (SELECT v FROM vocab))), 8)
+             CAST(FLOOR((-LN((bgc.cbg + 1) / (ctx.cw1 + (SELECT v FROM vocab)))) * 1e8 + 0.5) / 1e8
                   AS DECIMAL(18,8)) AS s
       FROM posts JOIN bgc USING (bg) JOIN ctx USING (w1)
     ),
@@ -54,7 +54,7 @@ from .oracle_fragments import TOKS_SQL as _TOKS_SQL
              CAST(SUM(s) AS DOUBLE) AS sum_surprise
       FROM surprise GROUP BY doc_id
     )
-    SELECT doc_id, n_bigrams, ROUND(sum_surprise / n_bigrams, 4) AS xent
+    SELECT doc_id, n_bigrams, (sum_surprise / n_bigrams) AS xent
     FROM doc ORDER BY sum_surprise / n_bigrams DESC, doc_id LIMIT 20
     """,
     desc="Top-20 highest cross-entropy documents under a corpus-fitted "
@@ -75,7 +75,7 @@ def q_bigram_surprise(spark, sf_dir):
     return (
         scored.orderBy(col("xent").desc(), "doc_id")
         .limit(20)
-        .select("doc_id", "n_bigrams", F.round(col("xent"), 4).alias("xent"))
+        .select("doc_id", "n_bigrams", (col("xent")).alias("xent"))
     )
 
 
@@ -153,8 +153,8 @@ def q_cogroup_reconcile(spark, sf_dir):
     mad AS (SELECT lang, quantile_cont(ad, 0.5) AS mad FROM d GROUP BY lang)
     SELECT d.lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(MIN(d.med), 2) AS median_chars,
-           ROUND(MIN(mad.mad), 2) AS mad_chars,
+           (MIN(d.med)) AS median_chars,
+           (MIN(mad.mad)) AS mad_chars,
            CAST(SUM(CASE WHEN d.ad > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
              AS n_outliers
     FROM d JOIN mad USING (lang)
@@ -185,8 +185,8 @@ def q_mad_outliers(spark, sf_dir):
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.min("med"), 2).alias("median_chars"),
-            F.round(F.min("mad"), 2).alias("mad_chars"),
+            (F.min("med")).alias("median_chars"),
+            (F.min("mad")).alias("mad_chars"),
             F.sum(
                 F.when(col("ad") > 3 * col("mad"), 1).otherwise(0)
             ).alias("n_outliers"),
@@ -244,8 +244,8 @@ def q_group_sample(spark, sf_dir):
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
-           ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p95_exact,
+           (quantile_cont(o_totalprice, 0.5)) AS p50_exact,
+           (quantile_cont(o_totalprice, 0.95)) AS p95_exact,
            CASE WHEN COUNT(*) >= 100 THEN CAST(1 AS INT) END
              AS p50_within_band,
            CASE WHEN COUNT(*) >= 100 THEN CAST(1 AS INT) END
@@ -268,8 +268,8 @@ def q_approx_quantile_audit(spark, sf_dir):
         o.groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50_exact"),
-            F.round(F.expr("percentile(o_totalprice, 0.95)"), 2).alias("p95_exact"),
+            (F.expr("percentile(o_totalprice, 0.5)")).alias("p50_exact"),
+            (F.expr("percentile(o_totalprice, 0.95)")).alias("p95_exact"),
             F.when(F.count("*") >= 100, (
                 (F.expr("approx_percentile(o_totalprice, 0.5, 10000)")
                  >= F.expr("percentile(o_totalprice, 0.40)"))

@@ -20,7 +20,7 @@ from pyspark.sql.functions import broadcast, col, lit
 from . import tables
 from .operators import text as T
 from .operators.dedup import portable_hash60
-from .queries import q
+from .queries import dfloor, q
 
 from .oracle_fragments import TOKS_SQL as _TOKS_SQL
 
@@ -107,7 +107,7 @@ def q_countmin_audit(spark, sf_dir):
       FROM embeddings
     )
     SELECT label, CAST(pos AS INT) AS pos, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           CAST(SUM(CAST(ROUND(CAST(comp AS DOUBLE), 6) AS DECIMAL(18,8)))
+           CAST(SUM(CAST(FLOOR((CAST(comp AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DECIMAL(18,8)))
                 AS DOUBLE) / COUNT(*) AS centroid
     FROM comps WHERE pos < 8
     GROUP BY label, pos
@@ -134,12 +134,12 @@ def q_label_centroids(spark, sf_dir):
             F.count("*").alias("n_vecs"),
             # NO final ROUND: the decimal sum -> double is exact and
             # IEEE division is bit-identical in both engines, while a
-            # ROUND(quotient, 6) can land on a half boundary where
+            # FLOOR((quotient) * 1e6 + 0.5) / 1e6 can land on a half boundary where
             # Spark (BigDecimal of the shortest repr, HALF_UP) and
             # DuckDB (binary-value rounding) disagree — hit for real
             # at sf0.1 (r8: 0.003213 vs 0.003214)
             (
-                F.sum(F.round(col("comp").cast("double"), 6).cast("decimal(18,8)"))
+                F.sum((dfloor((col("comp").cast("double")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("decimal(18,8)"))
                 .cast("double") / F.count("*")
             ).alias("centroid"),
         )
@@ -161,8 +161,8 @@ def q_label_centroids(spark, sf_dir):
            CASE WHEN o_totalprice < c1 THEN 1 WHEN o_totalprice < c2 THEN 2
                 WHEN o_totalprice < c3 THEN 3 ELSE 4 END AS bin,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(MIN(o_totalprice), 2) AS min_price,
-           ROUND(MAX(o_totalprice), 2) AS max_price
+           (MIN(o_totalprice)) AS min_price,
+           (MAX(o_totalprice)) AS max_price
     FROM orders CROSS JOIN cuts
     GROUP BY o_orderpriority,
              CASE WHEN o_totalprice < c1 THEN 1 WHEN o_totalprice < c2 THEN 2
@@ -198,8 +198,8 @@ def q_equal_freq_bins(spark, sf_dir):
         binned.groupBy("o_orderpriority", "bin")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.min("o_totalprice"), 2).alias("min_price"),
-            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            (F.min("o_totalprice")).alias("min_price"),
+            (F.max("o_totalprice")).alias("max_price"),
         )
         .orderBy("o_orderpriority", "bin")
     )
@@ -216,13 +216,13 @@ def q_equal_freq_bins(spark, sf_dir):
     ),
     seg AS (
       SELECT user_id,
-             CAST(ROUND(value, 6) AS DECIMAL(18,6)) * (t_next - t) AS wv,
+             CAST(FLOOR((value) * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6)) * (t_next - t) AS wv,
              t_next - t AS dt
       FROM seq WHERE t_next IS NOT NULL
     )
     SELECT user_id,
            CAST(COUNT(*) + 1 AS BIGINT) AS n_events,
-           ROUND(CAST(SUM(wv) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE), 6) AS twa_value
+           (CAST(SUM(wv) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE)) AS twa_value
     FROM seg GROUP BY user_id
     ORDER BY CAST(SUM(wv) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE) DESC, user_id
     LIMIT 20
@@ -244,7 +244,7 @@ def q_time_weighted_avg(spark, sf_dir):
     ).withColumn("t_next", F.lead("t").over(w)).filter(col("t_next").isNotNull())
     seg = seq.select(
         "user_id",
-        (F.round(col("value"), 6).cast("decimal(18,6)") * (col("t_next") - col("t"))).alias("wv"),
+        ((dfloor((col("value")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("decimal(18,6)") * (col("t_next") - col("t"))).alias("wv"),
         (col("t_next") - col("t")).alias("dt"),
     )
     agg = seg.groupBy("user_id").agg(
@@ -254,7 +254,7 @@ def q_time_weighted_avg(spark, sf_dir):
     return (
         agg.orderBy(col("_twa_raw").desc(), "user_id")
         .limit(20)
-        .select("user_id", "n_events", F.round(col("_twa_raw"), 6).alias("twa_value"))
+        .select("user_id", "n_events", (col("_twa_raw")).alias("twa_value"))
     )
 
 
@@ -301,8 +301,8 @@ def q_time_weighted_avg(spark, sf_dir):
       FROM events GROUP BY event_type
     )
     SELECT exact.event_type, CAST(n_exact AS BIGINT) AS n_exact,
-           ROUND(e, 1) AS hll_estimate,
-           ROUND((e - n_exact) / n_exact, 3) AS rel_err,
+           (e) AS hll_estimate,
+           ((e - n_exact) / n_exact) AS rel_err,
            CAST(empties AS BIGINT) AS empty_registers
     FROM exact JOIN corrected USING (event_type)
     ORDER BY event_type
@@ -362,8 +362,8 @@ def q_hll_portable_audit(spark, sf_dir):
         .select(
             "event_type",
             "n_exact",
-            F.round(col("e"), 1).alias("hll_estimate"),
-            F.round((col("e") - col("n_exact")) / col("n_exact"), 3).alias("rel_err"),
+            (col("e")).alias("hll_estimate"),
+            ((col("e") - col("n_exact")) / col("n_exact")).alias("rel_err"),
             col("empties").cast("long").alias("empty_registers"),
         )
         .orderBy("event_type")

@@ -78,7 +78,7 @@ def q_basket_pairs(spark, sf_dir):
             CASE WHEN CAST(mon AS DOUBLE) > m50 THEN 'M+' ELSE 'M-' END)
              AS segment,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           ROUND(CAST(SUM(mon) AS DOUBLE), 2) AS total_monetary
+           (CAST(SUM(mon) AS DOUBLE)) AS total_monetary
     FROM rfm CROSS JOIN cuts
     GROUP BY segment ORDER BY segment
     """,
@@ -122,7 +122,7 @@ def q_rfm_segments(spark, sf_dir):
         seg.groupBy("segment")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("mon").cast("double"), 2).alias("total_monetary"),
+            (F.sum("mon").cast("double")).alias("total_monetary"),
         )
         .orderBy("segment")
     )
@@ -179,8 +179,8 @@ def q_event_transitions(spark, sf_dir):
       GROUP BY r_name, n_name
     )
     SELECT r_name, n_name, CAST(revenue AS DOUBLE) AS revenue,
-           ROUND(CAST(revenue AS DOUBLE)
-                 / CAST(SUM(revenue) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+           (CAST(revenue AS DOUBLE)
+                 / CAST(SUM(revenue) OVER (PARTITION BY r_name) AS DOUBLE))
              AS region_share
     FROM rev ORDER BY r_name, n_name
     """,
@@ -217,11 +217,8 @@ def q_revenue_share(spark, sf_dir):
         "r_name",
         "n_name",
         col("revenue_dec").cast("double").alias("revenue"),
-        F.round(
-            col("revenue_dec").cast("double")
-            / F.sum("revenue_dec").over(w).cast("double"),
-            6,
-        ).alias("region_share"),
+        (col("revenue_dec").cast("double")
+            / F.sum("revenue_dec").over(w).cast("double")).alias("region_share"),
     ).orderBy("r_name", "n_name")
 
 
@@ -234,9 +231,9 @@ def q_revenue_share(spark, sf_dir):
       FROM orders GROUP BY o_orderpriority, year(o_orderdate)
     )
     SELECT o_orderpriority, y, CAST(rev AS DOUBLE) AS revenue,
-           ROUND(CAST(rev AS DOUBLE)
+           (CAST(rev AS DOUBLE)
                  / CAST(LAG(rev) OVER (PARTITION BY o_orderpriority ORDER BY y)
-                        AS DOUBLE) - 1, 6) AS yoy
+                        AS DOUBLE) - 1) AS yoy
     FROM yr ORDER BY o_orderpriority, y
     """,
     desc="Year-over-year revenue growth per order priority: exact "
@@ -256,7 +253,5 @@ def q_yoy_growth(spark, sf_dir):
         "o_orderpriority",
         "y",
         col("rev").cast("double").alias("revenue"),
-        F.round(
-            col("rev").cast("double") / F.lag("rev").over(w).cast("double") - 1, 6
-        ).alias("yoy"),
+        (col("rev").cast("double") / F.lag("rev").over(w).cast("double") - 1).alias("yoy"),
     ).orderBy("o_orderpriority", "y")

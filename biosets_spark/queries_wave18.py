@@ -22,8 +22,8 @@ from .queries import q
     SELECT event_type,
            CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(quantile_cont(ROUND(value, 2), 0.5), 4) AS p50,
-           ROUND(quantile_cont(ROUND(value, 2), 0.95), 4) AS p95
+           (quantile_cont(FLOOR((value) * 1e2 + 0.5) / 1e2, 0.5)) AS p50,
+           (quantile_cont(FLOOR((value) * 1e2 + 0.5) / 1e2, 0.95)) AS p95
     FROM events
     GROUP BY event_type, date_trunc('week', CAST(ts AS DATE))
     ORDER BY event_type, week
@@ -47,8 +47,8 @@ def q_weekly_percentiles(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("n"),
-            F.round(F.expr("percentile(ROUND(value, 2), 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(ROUND(value, 2), 0.95)"), 4).alias("p95"),
+            (F.expr("percentile(FLOOR((value) * 1e2 + 0.5) / 1e2, 0.5)")).alias("p50"),
+            (F.expr("percentile(FLOOR((value) * 1e2 + 0.5) / 1e2, 0.95)")).alias("p95"),
         )
         .orderBy("event_type", "week")
     )

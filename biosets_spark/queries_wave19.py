@@ -19,7 +19,7 @@ from pyspark.sql.functions import broadcast, col, lit
 
 from . import tables
 from .operators.dedup import portable_hash60
-from .queries import q
+from .queries import dfloor, q
 
 # Portable deterministic uniform in (0, 1]: md5 of the key's decimal
 # string, first 15 hex digits (fits a signed BIGINT exactly in both
@@ -40,11 +40,11 @@ def _uniform(key):
     "q_ks_drift",
     oracle="""
     WITH g AS (
-      SELECT event_type, ROUND(value, 2) AS v,
+      SELECT event_type, FLOOR((value) * 1e2 + 0.5) / 1e2 AS v,
              SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS n1,
              SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS n2
       FROM events
-      GROUP BY event_type, ROUND(value, 2)
+      GROUP BY event_type, FLOOR((value) * 1e2 + 0.5) / 1e2
     ), c AS (
       SELECT event_type,
              SUM(n1) OVER (PARTITION BY event_type ORDER BY v
@@ -58,7 +58,7 @@ def _uniform(key):
     SELECT event_type,
            CAST(MAX(t1) AS BIGINT) AS n_early,
            CAST(MAX(t2) AS BIGINT) AS n_late,
-           ROUND(MAX(ABS(CAST(c1 AS DOUBLE) / t1 - CAST(c2 AS DOUBLE) / t2)), 6) AS ks
+           (MAX(ABS(CAST(c1 AS DOUBLE) / t1 - CAST(c2 AS DOUBLE) / t2))) AS ks
     FROM c GROUP BY event_type ORDER BY event_type
     """,
     desc="Two-sample Kolmogorov-Smirnov drift statistic per event "
@@ -77,7 +77,7 @@ def q_ks_drift(spark, sf_dir):
     ev = tables.load(spark, sf_dir, "events")
     early = (col("ts") < lit("2024-01-16").cast("timestamp")).cast("long")
     g = (
-        ev.select("event_type", F.round("value", 2).alias("v"), early.alias("e"))
+        ev.select("event_type", (dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).alias("v"), early.alias("e"))
         .groupBy("event_type", "v")
         .agg(F.sum("e").alias("n1"), F.sum(1 - col("e")).alias("n2"))
     )
@@ -102,7 +102,7 @@ def q_ks_drift(spark, sf_dir):
         .agg(
             F.max("t1").alias("n_early"),
             F.max("t2").alias("n_late"),
-            F.round(F.max(gap), 6).alias("ks"),
+            (F.max(gap)).alias("ks"),
         )
         .orderBy("event_type")
     )
@@ -130,8 +130,8 @@ def q_ks_drift(spark, sf_dir):
     SELECT seg,
            CAST(MAX(ta) AS BIGINT) AS n_old,
            CAST(MAX(tb) AS BIGINT) AS n_new,
-           ROUND(CAST(SUM(CAST(ROUND((pa - pb) * LN(pa / pb), 12)
-                               AS DECIMAL(38,12))) AS DOUBLE), 6) AS psi
+           (CAST(SUM(CAST(FLOOR(((pa - pb) * LN(pa / pb)) * 1e12 + 0.5) / 1e12
+                               AS DECIMAL(38,12))) AS DOUBLE)) AS psi
     FROM terms GROUP BY seg ORDER BY seg
     """,
     desc="Population Stability Index of the order-price distribution "
@@ -162,13 +162,13 @@ def q_psi_drift(spark, sf_dir):
         ((col("na") + 1).cast("double") / (col("ta") + 10)).alias("pa"),
         ((col("nb") + 1).cast("double") / (col("tb") + 10)).alias("pb"),
     )
-    term = F.round((col("pa") - col("pb")) * F.log(col("pa") / col("pb")), 12)
+    term = (dfloor(((col("pa") - col("pb")) * F.log(col("pa") / col("pb"))) * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12))
     return (
         terms.groupBy("seg")
         .agg(
             F.max("ta").alias("n_old"),
             F.max("tb").alias("n_new"),
-            F.round(F.sum(term.cast("decimal(38,12)")).cast("double"), 6).alias("psi"),
+            (F.sum(term.cast("decimal(38,12)")).cast("double")).alias("psi"),
         )
         .orderBy("seg")
     )
@@ -190,10 +190,9 @@ def q_psi_drift(spark, sf_dir):
     )
     SELECT seg,
            CAST(SUM(n) AS BIGINT) AS n_orders,
-           ROUND(CAST(SUM(CAST(ROUND(
-             POWER(CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * ct / tot, 2)
-               / (CAST(rt AS DOUBLE) * ct / tot), 10) AS DECIMAL(38,10)))
-             AS DOUBLE), 4) AS chi2_contrib
+           (CAST(SUM(CAST(FLOOR((POWER(CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * ct / tot, 2)
+               / (CAST(rt AS DOUBLE) * ct / tot)) * 1e10 + 0.5) / 1e10 AS DECIMAL(38,10)))
+             AS DOUBLE)) AS chi2_contrib
     FROM m GROUP BY seg ORDER BY seg
     """,
     desc="Chi-square association between market segment and order "
@@ -223,12 +222,12 @@ def q_chi2_assoc(spark, sf_dir):
         F.sum("n").over(Window.partitionBy("prio")).alias("ct"),
     ).crossJoin(broadcast(tot))
     e = col("rt").cast("double") * col("ct") / col("tot")
-    term = F.round(F.pow(col("n").cast("double") - e, 2) / e, 10)
+    term = (dfloor((F.pow(col("n").cast("double") - e, 2) / e) * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10))
     return (
         m.groupBy("seg")
         .agg(
             F.sum("n").alias("n_orders"),
-            F.round(F.sum(term.cast("decimal(38,10)")).cast("double"), 4).alias("chi2_contrib"),
+            (F.sum(term.cast("decimal(38,10)")).cast("double")).alias("chi2_contrib"),
         )
         .orderBy("seg")
     )
@@ -239,17 +238,15 @@ def q_chi2_assoc(spark, sf_dir):
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
-             CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             CAST(SUM(CAST(FLOOR((value) * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2))) AS DOUBLE)
                / COUNT(*) AS m
       FROM events GROUP BY event_type, CAST(ts AS DATE)
     )
     SELECT d1.event_type, d1.day, CAST(MAX(d1.n) AS BIGINT) AS n,
-           ROUND(
-             CAST(SUM(CAST(ROUND(d2.m / POWER(2.0, date_diff('day', d2.day, d1.day)), 10)
+           (CAST(SUM(CAST(FLOOR((d2.m / POWER(2.0, date_diff('day', d2.day, d1.day))) * 1e10 + 0.5) / 1e10
                            AS DECIMAL(38,10))) AS DOUBLE)
-             / CAST(SUM(CAST(ROUND(1.0 / POWER(2.0, date_diff('day', d2.day, d1.day)), 10)
-                             AS DECIMAL(38,10))) AS DOUBLE),
-             6) AS ewma
+             / CAST(SUM(CAST(FLOOR((1.0 / POWER(2.0, date_diff('day', d2.day, d1.day))) * 1e10 + 0.5) / 1e10
+                             AS DECIMAL(38,10))) AS DOUBLE)) AS ewma
     FROM daily d1
     JOIN daily d2
       ON d1.event_type = d2.event_type
@@ -274,15 +271,15 @@ def q_ewma_daily(spark, sf_dir):
         ev.groupBy("event_type", col("ts").cast("date").alias("day"))
         .agg(
             F.count("*").alias("n"),
-            (F.sum(F.round("value", 2).cast("decimal(18,2)")).cast("double")
+            (F.sum((dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).cast("decimal(18,2)")).cast("double")
              / F.count("*")).alias("m"),
         )
     )
     d1 = daily.alias("d1")
     d2 = daily.alias("d2")
     k = F.datediff(col("d1.day"), col("d2.day"))
-    wnum = F.round(col("d2.m") / F.pow(lit(2.0), k), 10).cast("decimal(38,10)")
-    wden = F.round(lit(1.0) / F.pow(lit(2.0), k), 10).cast("decimal(38,10)")
+    wnum = (dfloor((col("d2.m") / F.pow(lit(2.0), k)) * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10)).cast("decimal(38,10)")
+    wden = (dfloor((lit(1.0) / F.pow(lit(2.0), k)) * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10)).cast("decimal(38,10)")
     return (
         d1.join(
             d2,
@@ -293,9 +290,7 @@ def q_ewma_daily(spark, sf_dir):
         .groupBy(col("d1.event_type").alias("event_type"), col("d1.day").alias("day"))
         .agg(
             F.max(col("d1.n")).alias("n"),
-            F.round(
-                F.sum(wnum).cast("double") / F.sum(wden).cast("double"), 6
-            ).alias("ewma"),
+            (F.sum(wnum).cast("double") / F.sum(wden).cast("double")).alias("ewma"),
         )
         .orderBy("event_type", "day")
     )
@@ -357,7 +352,7 @@ def q_weighted_sample(spark, sf_dir):
     SELECT dim.state,
            CAST(COUNT(*) AS BIGINT) AS n_purchases,
            CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users,
-           CAST(SUM(CAST(ROUND(p.value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(FLOOR((p.value) * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events p
     JOIN dim ON p.user_id = dim.user_id
             AND p.ts >= dim.valid_from AND p.ts < dim.valid_to
@@ -400,7 +395,7 @@ def q_scd2_pit_join(spark, sf_dir):
         .agg(
             F.count("*").alias("n_purchases"),
             F.countDistinct("p_user").alias("n_users"),
-            F.sum(F.round("value", 2).cast("decimal(18,2)")).cast("double")
+            F.sum((dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).cast("decimal(18,2)")).cast("double")
             .alias("total_value"),
         )
         .orderBy("state")
@@ -423,9 +418,11 @@ _PR_EDGE_SQL = """
 # decimals first so the <=25-term reduction is order-independent.
 _PR_STEP_SQL = """
       SELECT n.n_name AS node,
-             ROUND(0.15 / 25 + 0.85 * COALESCE(CAST(SUM(CAST(ROUND(
-               {prev}.p * e.w / CAST(od.outw AS DOUBLE), 12)
-               AS DECIMAL(38,12))) AS DOUBLE), 0.0), 12) AS p
+             FLOOR((0.15 / 25 + 0.85 * COALESCE(CAST(SUM(CAST(
+               FLOOR(({prev}.p * e.w / CAST(od.outw AS DOUBLE))
+                     * 1e12 + 0.5)
+               AS DECIMAL(38,0))) AS DOUBLE) / 1e12, 0.0))
+                   * 1e12 + 0.5) / 1e12 AS p
       FROM nation n
       LEFT JOIN edges e ON e.dst = n.n_name
       LEFT JOIN {prev} ON {prev}.node = e.src
@@ -443,7 +440,7 @@ _PR_STEP_SQL = """
     p1 AS ({_PR_STEP_SQL.format(prev='p0')}),
     p2 AS ({_PR_STEP_SQL.format(prev='p1')}),
     p3 AS ({_PR_STEP_SQL.format(prev='p2')})
-    SELECT node AS n_name, ROUND(p, 8) AS pagerank
+    SELECT node AS n_name, (p) AS pagerank
     FROM p3 ORDER BY n_name
     """,
     desc="Three fixed iterations of weighted PageRank over the "
@@ -483,22 +480,27 @@ def q_pagerank_nations(spark, sf_dir):
     nodes = nat.select(col("n_name").alias("node"))
     p = nodes.select(col("node").alias("p_node"), (lit(1.0) / 25).alias("p"))
     for _ in range(3):
-        contrib = F.round(
-            col("p") * col("w") / col("outw").cast("double"), 12
-        ).cast("decimal(38,12)")
+        # engine-identical 1e-12 integer grid per contribution, exact
+        # integer sum, one shared /1e12 — then the damped iterate
+        # re-grids the same way (r9: ROUND double-rounded differently
+        # across engines on this derived trajectory)
+        contrib = F.floor(
+            (col("p") * col("w") / col("outw").cast("double"))
+            * F.lit(1e12) + F.lit(0.5)
+        ).cast("decimal(38,0)")
         p = (
             nodes.join(edges, col("dst") == col("node"), "left")
             .join(p, col("p_node") == col("src"), "left")
             .join(outdeg, col("od_src") == col("src"), "left")
             .groupBy("node")
             .agg(
-                F.round(
-                    lit(0.15) / 25
-                    + 0.85 * F.coalesce(F.sum(contrib).cast("double"), lit(0.0)),
-                    12,
-                ).alias("p")
+                (dfloor((lit(0.15) / 25
+                    + 0.85 * F.coalesce(
+                        F.sum(contrib).cast("double") / F.lit(1e12),
+                        lit(0.0)))
+                    * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)).alias("p")
             )
             .select(col("node").alias("p_node"), "p")
         )
-    return p.select(col("p_node").alias("n_name"), F.round("p", 8).alias("pagerank")) \
+    return p.select(col("p_node").alias("n_name"), col("p").alias("pagerank")) \
         .orderBy("n_name")

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
 from . import tables
-from .queries import pair_expand, q
+from .queries import dfloor, pair_expand, q
 
 
 @q(
@@ -25,13 +25,13 @@ from .queries import pair_expand, q
     oracle="""
     WITH v AS (
       SELECT vec_id, label,
-             list_transform(CAST(embedding AS DOUBLE[]), x -> ROUND(x, 6)) AS vec
+             list_transform(CAST(embedding AS DOUBLE[]), x -> FLOOR((x) * 1e6 + 0.5) / 1e6) AS vec
       FROM embeddings
     ), comps AS (
       SELECT label, generate_subscripts(vec, 1) AS pos, unnest(vec) AS comp FROM v
     ), cent AS (
       SELECT label AS c_label, pos,
-             ROUND(CAST(SUM(CAST(comp AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6) AS c
+             (CAST(SUM(CAST(comp AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*)) AS c
       FROM comps GROUP BY label, pos
     ), cvec AS (
       SELECT c_label, list(c ORDER BY pos) AS cv FROM cent GROUP BY c_label
@@ -65,15 +65,13 @@ from .queries import pair_expand, q
 def q_centroid_confusion(spark, sf_dir):
     emb = tables.load(spark, sf_dir, "embeddings").select(
         "vec_id", "label",
-        F.transform(col("embedding"), lambda x: F.round(x.cast("double"), 6)).alias("vec"),
+        F.transform(col("embedding"), lambda x: (dfloor((x.cast("double")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))).alias("vec"),
     )
     comps = emb.select("label", F.posexplode("vec").alias("pos", "comp"))
     cent = (
         comps.groupBy("label", "pos")
         .agg(
-            F.round(
-                F.sum(col("comp").cast("decimal(18,8)")).cast("double") / F.count("*"), 6
-            ).alias("c")
+            (F.sum(col("comp").cast("decimal(18,8)")).cast("double") / F.count("*")).alias("c")
         )
     )
     cvec = (
@@ -185,7 +183,7 @@ def q_dup_graph_degree(spark, sf_dir):
       GROUP BY a.l_partkey, b.l_partkey
     )
     SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
-           ROUND(CAST(n_ab AS DOUBLE) * n_baskets / (sa.n * sb.n), 4) AS lift
+           (CAST(n_ab AS DOUBLE) * n_baskets / (sa.n * sb.n)) AS lift
     FROM pair
     JOIN supp sa ON pair.part_a = sa.l_partkey
     JOIN supp sb ON pair.part_b = sb.l_partkey
@@ -236,9 +234,7 @@ def q_lift_rules(spark, sf_dir):
         pair.join(sa, "part_a").join(sb, "part_b").crossJoin(broadcast(nb))
         .select(
             "part_a", "part_b", "n_ab",
-            F.round(
-                col("n_ab").cast("double") * col("n_baskets") / (col("na") * col("nb")), 4
-            ).alias("lift"),
+            (col("n_ab").cast("double") * col("n_baskets") / (col("na") * col("nb"))).alias("lift"),
         )
         .orderBy(col("lift").desc(), "part_a", "part_b")
         .limit(20)

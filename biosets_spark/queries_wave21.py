@@ -51,7 +51,7 @@ _EDGE_SQL = """
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM edge) AS n_edges,
            CAST(n_tri AS BIGINT) AS n_triangles,
            CAST(n_wedges AS BIGINT) AS n_wedges,
-           ROUND(3.0 * n_tri / n_wedges, 6) AS clustering
+           (3.0 * n_tri / n_wedges) AS clustering
     FROM tri, wedge
     """,
     desc="Triangle count + global clustering coefficient of the part "
@@ -103,7 +103,7 @@ def q_triangle_count(spark, sf_dir):
             "n_edges",
             col("n_tri").alias("n_triangles"),
             "n_wedges",
-            F.round(lit(3.0) * col("n_tri") / col("n_wedges"), 6).alias("clustering"),
+            (lit(3.0) * col("n_tri") / col("n_wedges")).alias("clustering"),
         )
     )
 

@@ -43,7 +43,7 @@ from .queries import q
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
            CAST(SUM(n_novel) AS BIGINT) AS n_novel,
-           ROUND(CAST(SUM(n_novel) AS DOUBLE) / SUM(n_sh), 6) AS novelty_rate
+           (CAST(SUM(n_novel) AS DOUBLE) / SUM(n_sh)) AS novelty_rate
     FROM per_doc GROUP BY source ORDER BY source
     """,
     desc="N-gram novelty per source: the fraction of a document's "
@@ -88,7 +88,7 @@ def q_ngram_novelty(spark, sf_dir):
             F.count("*").alias("n_docs"),
             F.sum("n_sh").alias("n_shingles"),
             F.sum("n_novel").alias("n_novel"),
-            F.round(F.sum("n_novel").cast("double") / F.sum("n_sh"), 6)
+            (F.sum("n_novel").cast("double") / F.sum("n_sh"))
             .alias("novelty_rate"),
         )
         .orderBy("source")
@@ -110,8 +110,8 @@ def q_ngram_novelty(spark, sf_dir):
       GROUP BY e.user_id, f.v_ts
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
-           ROUND(quantile_cont(CAST(secs AS DOUBLE), 0.5) / 60, 4) AS p50_minutes,
-           ROUND(quantile_cont(CAST(secs AS DOUBLE), 0.9) / 60, 4) AS p90_minutes
+           (quantile_cont(CAST(secs AS DOUBLE), 0.5) / 60) AS p50_minutes,
+           (quantile_cont(CAST(secs AS DOUBLE), 0.9) / 60) AS p90_minutes
     FROM conv
     """,
     desc="Funnel conversion latency: per user, whole seconds from the "
@@ -145,8 +145,8 @@ def q_funnel_latency(spark, sf_dir):
     )
     return conv.agg(
         F.count("*").alias("n_converted"),
-        F.round(F.expr("percentile(CAST(secs AS DOUBLE), 0.5)") / 60, 4)
+        (F.expr("percentile(CAST(secs AS DOUBLE), 0.5)") / 60)
         .alias("p50_minutes"),
-        F.round(F.expr("percentile(CAST(secs AS DOUBLE), 0.9)") / 60, 4)
+        (F.expr("percentile(CAST(secs AS DOUBLE), 0.9)") / 60)
         .alias("p90_minutes"),
     )

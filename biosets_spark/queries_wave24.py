@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -32,7 +32,7 @@ from .queries import q
       SELECT vec_id, pos, comp FROM (
         SELECT vec_id, generate_subscripts(vec, 1) AS pos, unnest(vec) AS comp
         FROM (SELECT vec_id,
-                     list_transform(CAST(embedding AS DOUBLE[]), x -> ROUND(x, 6)) AS vec
+                     list_transform(CAST(embedding AS DOUBLE[]), x -> FLOOR((x) * 1e6 + 0.5) / 1e6) AS vec
               FROM embeddings)
       )
     ), ranked AS (
@@ -42,7 +42,7 @@ from .queries import q
     )
     SELECT CAST(rnk AS INT) AS rnk,
            CAST(COUNT(*) AS BIGINT) AS n_samples,
-           ROUND(CAST(SUM(CAST(comp AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6)
+           (CAST(SUM(CAST(comp AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*))
              AS ref_value
     FROM ranked GROUP BY rnk ORDER BY rnk
     """,
@@ -64,7 +64,7 @@ from .queries import q
 def q_quantile_normalize(spark, sf_dir):
     emb = tables.load(spark, sf_dir, "embeddings").select(
         "vec_id",
-        F.transform(col("embedding"), lambda x: F.round(x.cast("double"), 6)).alias("vec"),
+        F.transform(col("embedding"), lambda x: (dfloor((x.cast("double")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))).alias("vec"),
     )
     comps = emb.select("vec_id", F.posexplode("vec").alias("pos", "comp"))
     w = Window.partitionBy("vec_id").orderBy("comp", "pos")
@@ -73,9 +73,7 @@ def q_quantile_normalize(spark, sf_dir):
         ranked.groupBy("rnk")
         .agg(
             F.count("*").alias("n_samples"),
-            F.round(
-                F.sum(col("comp").cast("decimal(18,8)")).cast("double") / F.count("*"), 6
-            ).alias("ref_value"),
+            (F.sum(col("comp").cast("decimal(18,8)")).cast("double") / F.count("*")).alias("ref_value"),
         )
         .select(col("rnk").cast("int").alias("rnk"), "n_samples", "ref_value")
         .orderBy("rnk")
@@ -87,7 +85,7 @@ def q_quantile_normalize(spark, sf_dir):
     oracle="""
     WITH items AS (
       SELECT l_orderkey, l_linenumber, l_quantity,
-             ROUND(LN(l_quantity), 12) AS ln_q
+             (LN(l_quantity)) AS ln_q
       FROM lineitem WHERE l_orderkey <= 2000
     ), geo AS (
       SELECT l_orderkey,
@@ -96,8 +94,8 @@ def q_quantile_normalize(spark, sf_dir):
       FROM items GROUP BY l_orderkey
     )
     SELECT i.l_orderkey, CAST(MAX(g.n_items) AS BIGINT) AS n_items,
-           ROUND(MAX(i.ln_q - g.mean_ln), 6) AS max_clr,
-           ROUND(MIN(i.ln_q - g.mean_ln), 6) AS min_clr
+           (MAX(i.ln_q - g.mean_ln)) AS max_clr,
+           (MIN(i.ln_q - g.mean_ln)) AS min_clr
     FROM items i JOIN geo g ON i.l_orderkey = g.l_orderkey
     GROUP BY i.l_orderkey
     HAVING MAX(g.n_items) >= 3
@@ -123,7 +121,7 @@ def q_clr_transform(spark, sf_dir):
         .filter(col("l_orderkey") <= 2000)
         .select(
             "l_orderkey", "l_linenumber",
-            F.round(F.log("l_quantity"), 12).alias("ln_q"),
+            (F.log("l_quantity")).alias("ln_q"),
         )
     )
     geo = items.groupBy("l_orderkey").agg(
@@ -137,8 +135,8 @@ def q_clr_transform(spark, sf_dir):
         .groupBy("l_orderkey")
         .agg(
             F.max("n_items").alias("n_items"),
-            F.round(F.max(col("ln_q") - col("mean_ln")), 6).alias("max_clr"),
-            F.round(F.min(col("ln_q") - col("mean_ln")), 6).alias("min_clr"),
+            (F.max(col("ln_q") - col("mean_ln"))).alias("max_clr"),
+            (F.min(col("ln_q") - col("mean_ln"))).alias("min_clr"),
         )
         .filter(col("n_items") >= 3)
         .orderBy("l_orderkey")

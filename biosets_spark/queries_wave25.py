@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -33,20 +33,20 @@ from .queries import q
       FROM items GROUP BY l_orderkey
     ), terms AS (
       SELECT i.l_orderkey, t.richness,
-             ROUND(-(CAST(i.q AS DOUBLE) / t.n) * LN(CAST(i.q AS DOUBLE) / t.n), 12)
+             FLOOR((-(CAST(i.q AS DOUBLE) / t.n) * LN(CAST(i.q AS DOUBLE) / t.n)) * 1e12 + 0.5) / 1e12
                AS h_term,
-             ROUND(POWER(CAST(i.q AS DOUBLE) / t.n, 2), 12) AS d_term
+             FLOOR((POWER(CAST(i.q AS DOUBLE) / t.n, 2)) * 1e12 + 0.5) / 1e12 AS d_term
       FROM items i JOIN tot t ON i.l_orderkey = t.l_orderkey
     )
     SELECT l_orderkey,
            CAST(MAX(richness) AS BIGINT) AS richness,
-           ROUND(CAST(SUM(CAST(h_term AS DECIMAL(38,12))) AS DOUBLE), 6) AS shannon,
-           ROUND(1.0 - CAST(SUM(CAST(d_term AS DECIMAL(38,12))) AS DOUBLE), 6)
+           (CAST(SUM(CAST(h_term AS DECIMAL(38,12))) AS DOUBLE)) AS shannon,
+           (1.0 - CAST(SUM(CAST(d_term AS DECIMAL(38,12))) AS DOUBLE))
              AS simpson,
-           ROUND(CASE WHEN MAX(richness) > 1
+           (CASE WHEN MAX(richness) > 1
                       THEN CAST(SUM(CAST(h_term AS DECIMAL(38,12))) AS DOUBLE)
                            / LN(MAX(richness))
-                      ELSE 0.0 END, 6) AS evenness
+                      ELSE 0.0 END) AS evenness
     FROM terms GROUP BY l_orderkey HAVING MAX(richness) >= 3
     ORDER BY l_orderkey
     """,
@@ -78,20 +78,18 @@ def q_alpha_diversity(spark, sf_dir):
         col("l_orderkey") == col("tk"),
     ).select(
         "l_orderkey", "richness",
-        F.round(-p * F.log(p), 12).cast("decimal(38,12)").alias("h_term"),
-        F.round(F.pow(p, 2), 12).cast("decimal(38,12)").alias("d_term"),
+        (dfloor((-p * F.log(p)) * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)).cast("decimal(38,12)").alias("h_term"),
+        (dfloor((F.pow(p, 2)) * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)).cast("decimal(38,12)").alias("d_term"),
     )
     h = F.sum("h_term").cast("double")
     return (
         terms.groupBy("l_orderkey")
         .agg(
             F.max("richness").alias("richness"),
-            F.round(h, 6).alias("shannon"),
-            F.round(1.0 - F.sum("d_term").cast("double"), 6).alias("simpson"),
-            F.round(
-                F.when(F.max("richness") > 1, h / F.log(F.max("richness")))
-                .otherwise(0.0), 6
-            ).alias("evenness"),
+            (h).alias("shannon"),
+            (1.0 - F.sum("d_term").cast("double")).alias("simpson"),
+            (F.when(F.max("richness") > 1, h / F.log(F.max("richness")))
+                .otherwise(0.0)).alias("evenness"),
         )
         .filter(col("richness") >= 3)
         .orderBy("l_orderkey")
@@ -127,7 +125,7 @@ def q_alpha_diversity(spark, sf_dir):
         ON q1.k1 = q2.k1 AND q1.k2 = q2.k2 AND q1.l_partkey = q2.l_partkey
     )
     SELECT o_custkey, k1 AS order_a, k2 AS order_b,
-           ROUND(CAST(SUM(ABS(qa - qb)) AS DOUBLE) / SUM(qa + qb), 6) AS bray_curtis
+           (CAST(SUM(ABS(qa - qb)) AS DOUBLE) / SUM(qa + qb)) AS bray_curtis
     FROM merged GROUP BY o_custkey, k1, k2
     ORDER BY o_custkey, order_a, order_b
     """,
@@ -189,10 +187,8 @@ def q_bray_curtis(spark, sf_dir):
     return (
         merged.groupBy("o_custkey", "order_a", "order_b")
         .agg(
-            F.round(
-                F.sum(F.abs(col("qa") - col("qb"))).cast("double")
-                / F.sum(col("qa") + col("qb")), 6
-            ).alias("bray_curtis")
+            (F.sum(F.abs(col("qa") - col("qb"))).cast("double")
+                / F.sum(col("qa") + col("qb"))).alias("bray_curtis")
         )
         .orderBy("o_custkey", "order_a", "order_b")
     )

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 # Shared SQL prelude: centered 6-dec components of the first K dims.
 _CENTERED_SQL = """
@@ -36,15 +36,16 @@ _CENTERED_SQL = """
         SELECT vec_id, pos, comp FROM (
           SELECT vec_id, generate_subscripts(vec, 1) AS pos, unnest(vec) AS comp
           FROM (SELECT vec_id,
-                       list_transform(CAST(embedding AS DOUBLE[]), x -> ROUND(x, 6)) AS vec
+                       list_transform(CAST(embedding AS DOUBLE[]), x -> FLOOR((x) * 1e6 + 0.5) / 1e6) AS vec
                 FROM embeddings)
         ) WHERE pos <= {k}
       ), means AS (
         SELECT pos,
-               ROUND(CAST(SUM(CAST(comp AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6) AS m
+               FLOOR(CAST(SUM(CAST(comp AS DECIMAL(18,8))) AS DOUBLE)
+                     / COUNT(*) * 1e6 + 0.5) / 1e6 AS m
         FROM comps GROUP BY pos
       ), centered AS (
-        SELECT c.vec_id, c.pos, ROUND(c.comp - m.m, 6) AS x
+        SELECT c.vec_id, c.pos, FLOOR((c.comp - m.m) * 1e6 + 0.5) / 1e6 AS x
         FROM comps c JOIN means m ON c.pos = m.pos
       )
 """
@@ -62,7 +63,7 @@ _CENTERED_SQL = """
       GROUP BY a.pos, b.pos
     )
     SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
-           ROUND(p.sxy / SQRT(di.sxy * dj.sxy), 6) AS corr
+           (p.sxy / SQRT(di.sxy * dj.sxy)) AS corr
     FROM prods p
     JOIN prods di ON di.i = p.i AND di.j = p.i
     JOIN prods dj ON dj.i = p.j AND dj.j = p.j
@@ -85,17 +86,21 @@ def q_feature_correlation(spark, sf_dir):
     emb = tables.load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(F.slice("embedding", 1, 8),
-                    lambda x: F.round(x.cast("double"), 6)).alias("vec"),
+                    lambda x: (dfloor((x.cast("double")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))).alias("vec"),
     )
     comps = emb.select("vec_id", F.posexplode("vec").alias("pos", "comp")) \
         .withColumn("pos", col("pos") + 1)
     means = comps.groupBy("pos").agg(
-        F.round(
-            F.sum(col("comp").cast("decimal(18,8)")).cast("double") / F.count("*"), 6
-        ).alias("m")
+        # engine-identical grid: FLOOR(mean*1e6 + 0.5)/1e6 — a plain
+        # ROUND of this derived quotient can land on a half boundary
+        # where the engines' rounding modes disagree (r9)
+        (F.floor(
+            F.sum(col("comp").cast("decimal(18,8)")).cast("double")
+            / F.count("*") * lit(1e6) + lit(0.5)
+        ) / lit(1e6)).alias("m")
     )
     centered = comps.join(broadcast(means), "pos").select(
-        "vec_id", "pos", F.round(col("comp") - col("m"), 6).alias("x")
+        "vec_id", "pos", (dfloor((col("comp") - col("m")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("x")
     )
     a = centered.select(col("vec_id").alias("va"), col("pos").alias("i"), col("x").alias("xa"))
     b = centered.select(col("vec_id").alias("vb"), col("pos").alias("j"), col("x").alias("xb"))
@@ -116,24 +121,30 @@ def q_feature_correlation(spark, sf_dir):
         .join(broadcast(dj), col("j") == col("dj"))
         .select(
             col("i").cast("int").alias("i"), col("j").cast("int").alias("j"),
-            F.round(col("sxy") / F.sqrt(col("sxx") * col("syy")), 6).alias("corr"),
+            (col("sxy") / F.sqrt(col("sxx") * col("syy"))).alias("corr"),
         )
         .orderBy("i", "j")
     )
 
 
-# One power sweep as SQL: u = M v (12-dec rounded terms, decimal-
-# summed), then v = ROUND(u / linf, 10) with the L-inf norm as a 1-row
-# broadcast. Starting vector is all 1/8 (unit L2 for 64 dims).
+# One power sweep as SQL: u = M v (matvec terms quantized onto the
+# engine-identical FLOOR(x*1e12 + 0.5) integer grid, decimal-summed),
+# then v = FLOOR(u/linf * 1e10 + 0.5) / 1e10 with the L-inf norm as a
+# 1-row broadcast — pure shared-IEEE ops, so both engines walk the
+# bit-identical trajectory with NO rounding-mode tie anywhere (r9:
+# retired the the 1e-10 grid that produced the degenerate-corpus
+# known-fail). Starting vector is all 1/8 (unit L2 for 64 dims).
 _SWEEP_SQL = """
       {out}_u AS (
         SELECT m.i AS pos,
-               CAST(SUM(CAST(ROUND(m.c * {vin}.v, 12) AS DECIMAL(38,12))) AS DOUBLE) AS u
+               CAST(SUM(CAST(FLOOR(m.c * {vin}.v * 1e12 + 0.5)
+                             AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS u
         FROM cov m JOIN {vin} ON m.j = {vin}.pos
         GROUP BY m.i
       ), {out}_n AS (SELECT MAX(ABS(u)) AS linf FROM {out}_u),
       {out} AS (
-        SELECT pos, ROUND(u / linf, 10) AS v FROM {out}_u, {out}_n
+        SELECT pos, FLOOR(u / linf * 1e10 + 0.5) / 1e10 AS v
+        FROM {out}_u, {out}_n
       )
 """
 
@@ -142,7 +153,7 @@ _SWEEP_SQL = """
     "q_pca_power",
     oracle=_CENTERED_SQL.format(k=64) + """
     , ints AS (
-      SELECT vec_id, pos, CAST(ROUND(x * 1000000, 0) AS BIGINT) AS xi
+      SELECT vec_id, pos, CAST(FLOOR((x * 1000000) + 0.5) AS BIGINT) AS xi
       FROM centered
     ), cov AS (
       SELECT a.pos AS i, b.pos AS j,
@@ -174,10 +185,11 @@ _SWEEP_SQL = """
          "eigenvectors); each sweep after that "
          "is a join-agg over 4096 matrix cells — constant cost at any "
          "corpus size, the dense-matrix twin of q_pagerank_nations' "
-         "sparse sweeps. Matvec terms are 12-dec rounded then "
-         "decimal-summed and the iterate is normalized and rounded "
-         "once per sweep, so both engines walk the identical "
-         "trajectory; the all-positive start vector fixes the "
+         "sparse sweeps. Matvec terms quantize onto the engine-"
+         "identical FLOOR(x*1e12+0.5) grid then decimal-sum, and the "
+         "iterate renormalizes onto the 1e-10 grid the same way, so "
+         "both engines walk the bit-identical trajectory with no "
+         "rounding-mode tie anywhere; the all-positive start vector fixes the "
          "eigenvector sign.",
     tags=["vector", "join", "agg", "cross", "omics"],
 )
@@ -189,14 +201,18 @@ def q_pca_power(spark, sf_dir):
     # 6.0 s -> 3.9 s at sf0.1)
     emb = spread(tables.load(spark, sf_dir, "embeddings").select(
         "vec_id",
-        F.transform(col("embedding"), lambda x: F.round(x.cast("double"), 6)).alias("vec"),
+        F.transform(col("embedding"), lambda x: (dfloor((x.cast("double")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))).alias("vec"),
     ))
     comps = emb.select("vec_id", F.posexplode("vec").alias("pos", "comp")) \
         .withColumn("pos", col("pos") + 1)
     means = comps.groupBy("pos").agg(
-        F.round(
-            F.sum(col("comp").cast("decimal(18,8)")).cast("double") / F.count("*"), 6
-        ).alias("m")
+        # engine-identical grid: FLOOR(mean*1e6 + 0.5)/1e6 — a plain
+        # ROUND of this derived quotient can land on a half boundary
+        # where the engines' rounding modes disagree (r9)
+        (F.floor(
+            F.sum(col("comp").cast("decimal(18,8)")).cast("double")
+            / F.count("*") * lit(1e6) + lit(0.5)
+        ) / lit(1e6)).alias("m")
     )
     # exact integer micro-units of the 6-dec centered values, built as
     # ONE long array per row (the 64 per-dim means are a collected
@@ -212,7 +228,7 @@ def q_pca_power(spark, sf_dir):
         "vec_id",
         F.zip_with(
             "vec", m_lits,
-            lambda x, m: F.round(F.round(x - m, 6) * 1000000, 0).cast("long"),
+            lambda x, m: dfloor(((dfloor((x - m) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)) * 1000000) + F.lit(0.5)).cast("long"),
         ).alias("xi"),
     )
 
@@ -276,13 +292,16 @@ def q_pca_power(spark, sf_dir):
             cov.join(broadcast(v.select(col("pos").alias("j"), "v")), "j")
             .groupBy("i")
             .agg(
-                F.sum(F.round(col("c") * col("v"), 12).cast("decimal(38,12)"))
-                .cast("double").alias("u")
+                (F.sum(F.floor(col("c") * col("v") * lit(1e12) + lit(0.5))
+                       .cast("decimal(38,0)"))
+                 .cast("double") / lit(1e12)).alias("u")
             )
         ).localCheckpoint(eager=False)
         linf = u.agg(F.max(F.abs(col("u"))).alias("linf"))
         v = u.crossJoin(broadcast(linf)).select(
-            col("i").alias("pos"), F.round(col("u") / col("linf"), 10).alias("v")
+            col("i").alias("pos"),
+            (F.floor(col("u") / col("linf") * lit(1e10) + lit(0.5))
+             / lit(1e10)).alias("v")
         )
     return v.select(col("pos").cast("int").alias("pos"),
                     col("v").alias("loading")).orderBy("pos")

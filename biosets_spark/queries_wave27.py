@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 # Daily mean of 2-dec quantized values per event type: exact decimal
 # sum over an exact count, then rounded to 6 — identical in both
@@ -25,8 +25,8 @@ from .queries import q
 _DAILY_SQL = """
       WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
-               ROUND(CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
-                     / COUNT(*), 6) AS m
+               FLOOR((CAST(SUM(CAST(FLOOR((value) * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2))) AS DOUBLE)
+                     / COUNT(*)) * 1e6 + 0.5) / 1e6 AS m
         FROM events GROUP BY event_type, CAST(ts AS DATE)
       )
 """
@@ -37,12 +37,12 @@ _DAILY_SQL = """
     oracle=_DAILY_SQL + """
     , stats AS (
       SELECT event_type,
-             ROUND(CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             FLOOR((CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6
                AS mu
       FROM daily GROUP BY event_type
     ), cusum AS (
       SELECT d.event_type, d.day,
-             SUM(CAST(ROUND(d.m - s.mu, 6) AS DECIMAL(38,6)))
+             SUM(CAST(FLOOR((d.m - s.mu) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6)))
                OVER (PARTITION BY d.event_type ORDER BY d.day
                      ROWS UNBOUNDED PRECEDING) AS c
       FROM daily d JOIN stats s ON d.event_type = s.event_type
@@ -52,7 +52,7 @@ _DAILY_SQL = """
       FROM cusum
     )
     SELECT event_type,
-           ROUND(CAST(MAX(ABS(c)) AS DOUBLE), 6) AS max_cusum,
+           FLOOR((CAST(MAX(ABS(c)) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS max_cusum,
            MIN(CASE WHEN ABS(c) = cmax THEN day END) AS changepoint_day
     FROM flagged GROUP BY event_type ORDER BY event_type
     """,
@@ -73,16 +73,12 @@ def q_cusum_changepoint(spark, sf_dir):
     daily = (
         ev.groupBy("event_type", col("ts").cast("date").alias("day"))
         .agg(
-            F.round(
-                F.sum(F.round("value", 2).cast("decimal(18,2)")).cast("double")
-                / F.count("*"), 6
-            ).alias("m")
+            (dfloor((F.sum((dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).cast("decimal(18,2)")).cast("double")
+                / F.count("*")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("m")
         )
     )
     stats = daily.groupBy("event_type").agg(
-        F.round(
-            F.sum(col("m").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
-        ).alias("mu")
+        (dfloor((F.sum(col("m").cast("decimal(18,6)")).cast("double") / F.count("*")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("mu")
     )
     wcum = (
         Window.partitionBy("event_type").orderBy("day")
@@ -91,7 +87,7 @@ def q_cusum_changepoint(spark, sf_dir):
     cusum = (
         daily.join(broadcast(stats), "event_type")
         .withColumn(
-            "c", F.sum(F.round(col("m") - col("mu"), 6).cast("decimal(38,6)")).over(wcum)
+            "c", F.sum((dfloor((col("m") - col("mu")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("decimal(38,6)")).over(wcum)
         )
     )
     wmax = Window.partitionBy("event_type")
@@ -99,7 +95,7 @@ def q_cusum_changepoint(spark, sf_dir):
     return (
         flagged.groupBy("event_type")
         .agg(
-            F.round(F.max(F.abs(col("c"))).cast("double"), 6).alias("max_cusum"),
+            (dfloor((F.max(F.abs(col("c"))).cast("double")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("max_cusum"),
             F.min(F.when(F.abs(col("c")) == col("cmax"), col("day")))
             .alias("changepoint_day"),
         )
@@ -144,10 +140,8 @@ def q_sax_symbolize(spark, sf_dir):
     daily = (
         ev.groupBy("event_type", col("ts").cast("date").alias("day"))
         .agg(
-            F.round(
-                F.sum(F.round("value", 2).cast("decimal(18,2)")).cast("double")
-                / F.count("*"), 6
-            ).alias("m")
+            (dfloor((F.sum((dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).cast("decimal(18,2)")).cast("double")
+                / F.count("*")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("m")
         )
     )
     cuts = daily.groupBy("event_type").agg(

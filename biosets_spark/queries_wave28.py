@@ -19,7 +19,7 @@ from pyspark.sql.functions import broadcast, col
 
 from . import tables
 from .operators.dedup import portable_hash60
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -44,11 +44,11 @@ from .queries import q
     )
     SELECT CAST(n0 AS BIGINT) AS n0, CAST(x0 AS BIGINT) AS x0,
            CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
-           ROUND(CAST(x0 AS DOUBLE) / n0 - CAST(x1 AS DOUBLE) / n1, 6) AS diff,
-           ROUND((CAST(x0 AS DOUBLE) / n0 - CAST(x1 AS DOUBLE) / n1)
+           (CAST(x0 AS DOUBLE) / n0 - CAST(x1 AS DOUBLE) / n1) AS diff,
+           ((CAST(x0 AS DOUBLE) / n0 - CAST(x1 AS DOUBLE) / n1)
                  / SQRT((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
                         * (1 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
-                        * (1.0 / n0 + 1.0 / n1)), 6) AS z
+                        * (1.0 / n0 + 1.0 / n1))) AS z
     FROM wide
     """,
     desc="Two-proportion z-test between deterministic experiment arms "
@@ -90,11 +90,9 @@ def q_ab_test_z(spark, sf_dir):
     pp = (col("x0") + col("x1")).cast("double") / (col("n0") + col("n1"))
     return wide.select(
         "n0", "x0", "n1", "x1",
-        F.round(p0 - p1, 6).alias("diff"),
-        F.round(
-            (p0 - p1)
-            / F.sqrt(pp * (1 - pp) * (1.0 / col("n0") + 1.0 / col("n1"))), 6
-        ).alias("z"),
+        (p0 - p1).alias("diff"),
+        ((p0 - p1)
+            / F.sqrt(pp * (1 - pp) * (1.0 / col("n0") + 1.0 / col("n1")))).alias("z"),
     )
 
 
@@ -121,9 +119,9 @@ def q_ab_test_z(spark, sf_dir):
     SELECT CAST(t AS INT) AS hour,
            CAST(n_at_risk AS BIGINT) AS n_at_risk,
            CAST(d AS BIGINT) AS n_events,
-           ROUND(EXP(CAST(SUM(CAST(ROUND(LN(1.0 - CAST(d AS DOUBLE) / n_at_risk), 12)
+           (EXP(CAST(SUM(CAST(FLOOR((LN(1.0 - CAST(d AS DOUBLE) / n_at_risk)) * 1e12 + 0.5) / 1e12
                                    AS DECIMAL(38,12)))
-                          OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 6)
+                          OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE)))
              AS survival
     FROM tbl WHERE 1.0 - CAST(d AS DOUBLE) / n_at_risk > 0 ORDER BY hour
     """,
@@ -172,13 +170,11 @@ def q_survival_km(spark, sf_dir):
     s2 = tbl.select(
         col("t").alias("t3"), col("d").alias("d3"), col("n_at_risk").alias("n3")
     )
-    lnterm = F.round(
-        F.log(1.0 - col("d3").cast("double") / col("n3")), 12
-    ).cast("decimal(38,12)")
+    lnterm = (dfloor((F.log(1.0 - col("d3").cast("double") / col("n3"))) * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)).cast("decimal(38,12)")
     return (
         tbl.join(broadcast(s2), col("t3") <= col("t"))
         .groupBy("t", "d", "n_at_risk")
-        .agg(F.round(F.exp(F.sum(lnterm).cast("double")), 6).alias("survival"))
+        .agg((F.exp(F.sum(lnterm).cast("double"))).alias("survival"))
         .select(
             col("t").cast("int").alias("hour"),
             col("n_at_risk").cast("long").alias("n_at_risk"),

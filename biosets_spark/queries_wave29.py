@@ -22,7 +22,7 @@ from pyspark.sql.functions import broadcast, col, lit
 
 from . import tables
 from .operators.dedup import portable_hash60
-from .queries import q
+from .queries import dfloor, q
 
 # minstd multipliers 48271^(b+1) mod (2^31 - 1), precomputed so the
 # per-row work is one 31-bit modular multiply per resample.
@@ -113,7 +113,7 @@ _POIS_CUM = [0.36787944, 0.73575888, 0.91969860, 0.98101184,
       SELECT o_orderkey,
              (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
                % {_M31}) AS seed,
-             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS pc
+             CAST(FLOOR((o_totalprice * 100) + 0.5) AS BIGINT) AS pc
       FROM orders
     ), draws AS (
       SELECT l.b, s.pc, ((s.seed * l.ab) % {_M31}) / 2147483647.0 AS u
@@ -125,10 +125,10 @@ _POIS_CUM = [0.36787944, 0.73575888, 0.91969860, 0.98101184,
       FROM weighted GROUP BY b HAVING SUM(m) > 0
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_resamples,
-           ROUND(CAST(SUM(CAST(ROUND(mean_b, 8) AS DECIMAL(24,8))) AS DOUBLE) / COUNT(*), 4)
+           (CAST(SUM(CAST(FLOOR((mean_b) * 1e8 + 0.5) / 1e8 AS DECIMAL(24,8))) AS DOUBLE) / COUNT(*))
              AS boot_mean,
-           ROUND(quantile_cont(mean_b, 0.025), 4) AS ci_lo,
-           ROUND(quantile_cont(mean_b, 0.975), 4) AS ci_hi
+           (quantile_cont(mean_b, 0.025)) AS ci_lo,
+           (quantile_cont(mean_b, 0.975)) AS ci_hi
     FROM means
     """.format(case=_CASE_SQL),
     desc="Poisson-bootstrap 95% confidence interval for the mean "
@@ -165,7 +165,7 @@ def q_bootstrap_ci(spark, sf_dir):
         F.pmod(portable_hash60(col("o_orderkey").cast("string")), lit(_M31)).alias("seed"),
         # integer cents: the 9.6M-row multiply-accumulate runs in LONG
         # arithmetic (exact; decimal cells were the cost center)
-        F.round(col("o_totalprice") * 100, 0).cast("long").alias("pc"),
+        dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long").alias("pc"),
     )
     u = ((col("seed") * col("ab")) % _M31) / 2147483647.0
     m = (
@@ -193,9 +193,7 @@ def q_bootstrap_ci(spark, sf_dir):
     )
     return means.agg(
         F.count("*").alias("n_resamples"),
-        F.round(
-            F.sum(F.round(col("mean_b"), 8).cast("decimal(24,8)")).cast("double") / F.count("*"), 4
-        ).alias("boot_mean"),
-        F.round(F.expr("percentile(mean_b, 0.025)"), 4).alias("ci_lo"),
-        F.round(F.expr("percentile(mean_b, 0.975)"), 4).alias("ci_hi"),
+        (F.sum((dfloor((col("mean_b")) * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)).cast("decimal(24,8)")).cast("double") / F.count("*")).alias("boot_mean"),
+        (F.expr("percentile(mean_b, 0.025)")).alias("ci_lo"),
+        (F.expr("percentile(mean_b, 0.975)")).alias("ci_hi"),
     )

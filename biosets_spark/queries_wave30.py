@@ -52,11 +52,10 @@ from .queries import q
       FROM w
     )
     SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
-           ROUND(m0 - m1, 4) AS diff,
-           ROUND((m0 - m1) / SQRT(v0 / n0 + v1 / n1), 6) AS t,
-           ROUND(POWER(v0 / n0 + v1 / n1, 2)
-                 / (POWER(v0 / n0, 2) / (n0 - 1) + POWER(v1 / n1, 2) / (n1 - 1)),
-                 4) AS df
+           (m0 - m1) AS diff,
+           ((m0 - m1) / SQRT(v0 / n0 + v1 / n1)) AS t,
+           (POWER(v0 / n0 + v1 / n1, 2)
+                 / (POWER(v0 / n0, 2) / (n0 - 1) + POWER(v1 / n1, 2) / (n1 - 1))) AS df
     FROM v
     """,
     desc="Welch's unequal-variance t-test for mean order value "
@@ -96,14 +95,11 @@ def q_welch_ttest(spark, sf_dir):
     se2 = v0 / col("n0") + v1 / col("n1")
     return w.select(
         "n0", "n1",
-        F.round(m0 - m1, 4).alias("diff"),
-        F.round((m0 - m1) / F.sqrt(se2), 6).alias("t"),
-        F.round(
-            F.pow(se2, 2)
+        (m0 - m1).alias("diff"),
+        ((m0 - m1) / F.sqrt(se2)).alias("t"),
+        (F.pow(se2, 2)
             / (F.pow(v0 / col("n0"), 2) / (col("n0") - 1)
-               + F.pow(v1 / col("n1"), 2) / (col("n1") - 1)),
-            4,
-        ).alias("df"),
+               + F.pow(v1 / col("n1"), 2) / (col("n1") - 1))).alias("df"),
     )
 
 
@@ -143,14 +139,13 @@ def q_welch_ttest(spark, sf_dir):
       FROM mom
     )
     SELECT CAST(n AS BIGINT) AS n,
-           ROUND((s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12), 6) AS beta_items,
-           ROUND((s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12), 6) AS beta_qty,
-           ROUND(my - (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) * mx1
-                    - (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) * mx2,
-                 4) AS intercept,
-           ROUND(((s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) * s1y
+           ((s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12)) AS beta_items,
+           ((s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12)) AS beta_qty,
+           (my - (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) * mx1
+                    - (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) * mx2) AS intercept,
+           (((s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) * s1y
                   + (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) * s2y)
-                 / stot, 6) AS r2
+                 / stot) AS r2
     FROM c
     """,
     desc="Two-feature OLS (order value ~ item count + total quantity) "
@@ -200,11 +195,8 @@ def q_ols_normal_eq(spark, sf_dir):
     b2 = (s11 * s2y - s12 * s1y) / det
     return mom.select(
         col("n").cast("long").alias("n"),
-        F.round(b1, 6).alias("beta_items"),
-        F.round(b2, 6).alias("beta_qty"),
-        F.round(
-            col("sy") / col("n") - b1 * col("sx1") / col("n") - b2 * col("sx2") / col("n"),
-            4,
-        ).alias("intercept"),
-        F.round((b1 * s1y + b2 * s2y) / stot, 6).alias("r2"),
+        (b1).alias("beta_items"),
+        (b2).alias("beta_qty"),
+        (col("sy") / col("n") - b1 * col("sx1") / col("n") - b2 * col("sx2") / col("n")).alias("intercept"),
+        ((b1 * s1y + b2 * s2y) / stot).alias("r2"),
     )

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -99,7 +99,7 @@ def q_interval_union(spark, sf_dir):
     "q_weighted_median",
     oracle="""
     WITH items AS (
-      SELECT l_returnflag AS flag, ROUND(l_extendedprice, 2) AS price,
+      SELECT l_returnflag AS flag, FLOOR((l_extendedprice) * 1e2 + 0.5) / 1e2 AS price,
              CAST(l_quantity AS BIGINT) AS w
       FROM lineitem
     ), g AS (
@@ -113,7 +113,7 @@ def q_interval_union(spark, sf_dir):
     )
     SELECT flag,
            CAST(MAX(tw) AS BIGINT) AS total_weight,
-           ROUND(MIN(CASE WHEN 2 * cw >= tw THEN price END), 2) AS weighted_median
+           (MIN(CASE WHEN 2 * cw >= tw THEN price END)) AS weighted_median
     FROM c GROUP BY flag ORDER BY flag
     """,
     desc="Quantity-weighted median price per return flag: the order "
@@ -132,7 +132,7 @@ def q_interval_union(spark, sf_dir):
 def q_weighted_median(spark, sf_dir):
     li = tables.load(spark, sf_dir, "lineitem").select(
         col("l_returnflag").alias("flag"),
-        F.round("l_extendedprice", 2).alias("price"),
+        (dfloor((col("l_extendedprice")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).alias("price"),
         col("l_quantity").cast("long").alias("w"),
     )
     g = li.groupBy("flag", "price").agg(F.sum("w").alias("w"))
@@ -150,9 +150,7 @@ def q_weighted_median(spark, sf_dir):
         c.groupBy("flag")
         .agg(
             F.max("tw").alias("total_weight"),
-            F.round(
-                F.min(F.when(2 * col("cw") >= col("tw"), col("price"))), 2
-            ).alias("weighted_median"),
+            (F.min(F.when(2 * col("cw") >= col("tw"), col("price")))).alias("weighted_median"),
         )
         .orderBy("flag")
     )

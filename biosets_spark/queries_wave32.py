@@ -39,9 +39,9 @@ from .queries import q
     )
     SELECT seg,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS total_revenue,
-           ROUND(CAST(SUM((2 * rnk - 1) * rev) AS DOUBLE)
-                 / (COUNT(*) * CAST(SUM(rev) AS DOUBLE)) - 1.0, 6) AS gini
+           (CAST(SUM(rev) AS DOUBLE)) AS total_revenue,
+           (CAST(SUM((2 * rnk - 1) * rev) AS DOUBLE)
+                 / (COUNT(*) * CAST(SUM(rev) AS DOUBLE)) - 1.0) AS gini
     FROM ranked GROUP BY seg ORDER BY seg
     """,
     desc="Gini coefficient of revenue concentration across customers, "
@@ -71,12 +71,9 @@ def q_gini_revenue(spark, sf_dir):
         ranked.groupBy("seg")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("rev").cast("double"), 2).alias("total_revenue"),
-            F.round(
-                F.sum((2 * col("rnk") - 1) * col("rev")).cast("double")
-                / (F.count("*") * F.sum("rev").cast("double")) - 1.0,
-                6,
-            ).alias("gini"),
+            (F.sum("rev").cast("double")).alias("total_revenue"),
+            (F.sum((2 * col("rnk") - 1) * col("rev")).cast("double")
+                / (F.count("*") * F.sum("rev").cast("double")) - 1.0).alias("gini"),
         )
         .orderBy("seg")
     )
@@ -102,8 +99,8 @@ def q_gini_revenue(spark, sf_dir):
     )
     SELECT p.source, CAST(p.decile AS INT) AS decile,
            CAST(p.n AS BIGINT) AS n, CAST(p.hits AS BIGINT) AS hits,
-           ROUND((CAST(p.hits AS DOUBLE) / p.n)
-                 / (CAST(b.th AS DOUBLE) / b.tn), 4) AS lift
+           ((CAST(p.hits AS DOUBLE) / p.n)
+                 / (CAST(b.th AS DOUBLE) / b.tn)) AS lift
     FROM per_dec p JOIN base b ON p.source = b.source
     WHERE b.th > 0
     ORDER BY p.source, decile
@@ -143,10 +140,8 @@ def q_decile_lift(spark, sf_dir):
             "source",
             col("decile").cast("int").alias("decile"),
             "n", "hits",
-            F.round(
-                (col("hits").cast("double") / col("n"))
-                / (col("th").cast("double") / col("tn")), 4
-            ).alias("lift"),
+            ((col("hits").cast("double") / col("n"))
+                / (col("th").cast("double") / col("tn"))).alias("lift"),
         )
         .orderBy("source", "decile")
     )

@@ -18,13 +18,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 _DAILY_SQL = """
       WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
-               ROUND(CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
-                     / COUNT(*), 6) AS m
+               FLOOR((CAST(SUM(CAST(FLOOR((value) * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2))) AS DOUBLE)
+                     / COUNT(*)) * 1e6 + 0.5) / 1e6 AS m
         FROM events GROUP BY event_type, CAST(ts AS DATE)
       )
 """
@@ -53,9 +53,9 @@ _DAILY_SQL = """
       FROM lagged GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_days,
-           ROUND((s1 / n1 - (s / n) * (s / n)) / (ss / n - (s / n) * (s / n)), 6)
+           ((s1 / n1 - (s / n) * (s / n)) / (ss / n - (s / n) * (s / n)))
              AS acf_1,
-           ROUND((s7 / n7 - (s / n) * (s / n)) / (ss / n - (s / n) * (s / n)), 6)
+           ((s7 / n7 - (s / n) * (s / n)) / (ss / n - (s / n) * (s / n)))
              AS acf_7
     FROM mom ORDER BY event_type
     """,
@@ -76,10 +76,8 @@ def q_autocorrelation(spark, sf_dir):
     daily = (
         ev.groupBy("event_type", col("ts").cast("date").alias("day"))
         .agg(
-            F.round(
-                F.sum(F.round("value", 2).cast("decimal(18,2)")).cast("double")
-                / F.count("*"), 6
-            ).alias("m")
+            (dfloor((F.sum((dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).cast("decimal(18,2)")).cast("double")
+                / F.count("*")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("m")
         )
     )
     w = Window.partitionBy("event_type").orderBy("day")
@@ -103,8 +101,8 @@ def q_autocorrelation(spark, sf_dir):
     return mom.select(
         "event_type",
         col("n").cast("long").alias("n_days"),
-        F.round((col("s1") / col("n1") - mean * mean) / var, 6).alias("acf_1"),
-        F.round((col("s7") / col("n7") - mean * mean) / var, 6).alias("acf_7"),
+        ((col("s1") / col("n1") - mean * mean) / var).alias("acf_1"),
+        ((col("s7") / col("n7") - mean * mean) / var).alias("acf_7"),
     ).orderBy("event_type")
 
 
@@ -113,13 +111,13 @@ def q_autocorrelation(spark, sf_dir):
     oracle=_DAILY_SQL + """
     , pairs AS (
       SELECT a.event_type,
-             ROUND(b.m - a.m, 6) / date_diff('day', a.day, b.day) AS slope
+             FLOOR((b.m - a.m) * 1e6 + 0.5) / 1e6 / date_diff('day', a.day, b.day) AS slope
       FROM daily a JOIN daily b
         ON a.event_type = b.event_type AND b.day > a.day
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           ROUND(quantile_cont(slope, 0.5), 6) AS trend_per_day
+           (quantile_cont(slope, 0.5)) AS trend_per_day
     FROM pairs GROUP BY event_type ORDER BY event_type
     """,
     desc="Theil-Sen robust trend per event type: the MEDIAN of all "
@@ -140,10 +138,8 @@ def q_theil_sen(spark, sf_dir):
     daily = (
         ev.groupBy("event_type", col("ts").cast("date").alias("day"))
         .agg(
-            F.round(
-                F.sum(F.round("value", 2).cast("decimal(18,2)")).cast("double")
-                / F.count("*"), 6
-            ).alias("m")
+            (dfloor((F.sum((dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).cast("decimal(18,2)")).cast("double")
+                / F.count("*")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("m")
         )
     )
     a = daily.select(col("event_type").alias("et"), col("day").alias("d1"), col("m").alias("m1"))
@@ -152,13 +148,13 @@ def q_theil_sen(spark, sf_dir):
         broadcast(b), (col("et") == col("et2")) & (col("d2") > col("d1"))
     ).select(
         col("et").alias("event_type"),
-        (F.round(col("m2") - col("m1"), 6) / F.datediff(col("d2"), col("d1"))).alias("slope"),
+        ((dfloor((col("m2") - col("m1")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)) / F.datediff(col("d2"), col("d1"))).alias("slope"),
     )
     return (
         pairs.groupBy("event_type")
         .agg(
             F.count("*").alias("n_pairs"),
-            F.round(F.expr("percentile(slope, 0.5)"), 6).alias("trend_per_day"),
+            (F.expr("percentile(slope, 0.5)")).alias("trend_per_day"),
         )
         .orderBy("event_type")
     )

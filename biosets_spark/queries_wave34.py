@@ -27,7 +27,7 @@ from pyspark.sql.functions import broadcast, col
 
 from . import tables
 from .operators import ranking
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -35,7 +35,7 @@ from .queries import q
     oracle="""
     WITH hist AS (
       SELECT l_linestatus AS ls,
-             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+             CAST(FLOOR((l_extendedprice * 100) + 0.5) AS BIGINT) AS v,
              CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS bkt,
              COUNT(*) FILTER (WHERE l_returnflag = 'A') AS na,
              COUNT(*) FILTER (WHERE l_returnflag = 'R') AS nr,
@@ -71,16 +71,15 @@ from .queries import q
     )
     SELECT ls AS l_linestatus,
            CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_r,
-           ROUND(CAST(r2a - n1 * (n1 + 1) AS DOUBLE) / 2, 1) AS u_stat,
-           ROUND((CAST(r2a - n1 * (n1 + 1) AS DOUBLE) / 2
+           (CAST(r2a - n1 * (n1 + 1) AS DOUBLE) / 2) AS u_stat,
+           ((CAST(r2a - n1 * (n1 + 1) AS DOUBLE) / 2
                   - CAST(n1 AS DOUBLE) * n2 / 2)
                  / SQRT(CAST(n1 AS DOUBLE) * n2 / 12
                         * ((n1 + n2 + 1)
                            - CAST(tsum AS DOUBLE)
-                             / ((n1 + n2) * (CAST(n1 AS DOUBLE) + n2 - 1)))),
-                 6) AS z_score,
-           ROUND(1 - CAST(r2a - n1 * (n1 + 1) AS DOUBLE)
-                     / (CAST(n1 AS DOUBLE) * n2), 6) AS rank_biserial
+                             / ((n1 + n2) * (CAST(n1 AS DOUBLE) + n2 - 1))))) AS z_score,
+           (1 - CAST(r2a - n1 * (n1 + 1) AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) * n2)) AS rank_biserial
     FROM agg ORDER BY ls
     """,
     desc="Mann-Whitney U rank-sum test per linestatus: does the "
@@ -104,7 +103,7 @@ def q_mann_whitney(spark, sf_dir):
         li.where(col("l_returnflag").isin("A", "R"))
         .groupBy(
             col("l_linestatus").alias("ls"),
-            F.round(col("l_extendedprice") * 100).cast("long").alias("v"),
+            dfloor((col("l_extendedprice") * 100) + F.lit(0.5)).cast("long").alias("v"),
             F.floor(col("l_extendedprice") / 5000).cast("long").alias("bkt"),
         )
         .agg(
@@ -142,9 +141,9 @@ def q_mann_whitney(spark, sf_dir):
         col("ls").alias("l_linestatus"),
         col("n1").cast("long").alias("n_a"),
         col("n2").cast("long").alias("n_r"),
-        F.round(u, 1).alias("u_stat"),
-        F.round(F.try_divide(u - n1d * n2d / 2, sigma), 6).alias("z_score"),
-        F.round(1 - F.try_divide(2 * u, n1d * n2d), 6).alias("rank_biserial"),
+        (u).alias("u_stat"),
+        (F.try_divide(u - n1d * n2d / 2, sigma)).alias("z_score"),
+        (1 - F.try_divide(2 * u, n1d * n2d)).alias("rank_biserial"),
     ).orderBy("l_linestatus")
 
 
@@ -165,14 +164,14 @@ _RANK_SQL = """
     WITH rx AS ({_RANK_SQL.format(g="l_returnflag",
                                   v="CAST(l_quantity AS BIGINT)")}),
     ry AS ({_RANK_SQL.format(g="l_returnflag",
-                             v="CAST(ROUND(l_discount * 100) AS BIGINT)")}),
+                             v="CAST(FLOOR((l_discount * 100) + 0.5) AS BIGINT)")}),
     joined AS (
       SELECT li.l_returnflag AS g, rx.mr2 AS x2, ry.mr2 AS y2
       FROM lineitem li
       JOIN rx ON rx.g = li.l_returnflag
              AND rx.v = CAST(li.l_quantity AS BIGINT)
       JOIN ry ON ry.g = li.l_returnflag
-             AND ry.v = CAST(ROUND(li.l_discount * 100) AS BIGINT)
+             AND ry.v = CAST(FLOOR((li.l_discount * 100) + 0.5) AS BIGINT)
     ), mom AS (
       SELECT g, COUNT(*) AS n,
              CAST(SUM(CAST(x2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
@@ -183,13 +182,12 @@ _RANK_SQL = """
       FROM joined GROUP BY g
     )
     SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
-           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                  / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
-                 6) AS spearman_rho
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS spearman_rho
     FROM mom ORDER BY l_returnflag
     """,
     desc="Spearman rank correlation between quantity and discount per "
@@ -225,7 +223,7 @@ def q_spearman_corr(spark, sf_dir):
         )
 
     xv = col("l_quantity").cast("long")
-    yv = F.round(col("l_discount") * 100).cast("long")
+    yv = dfloor((col("l_discount") * 100) + F.lit(0.5)).cast("long")
     rx = rank_map(xv).select(
         col("g").alias("gx"), col("v").alias("vx"), col("mr2").alias("x2")
     )
@@ -258,5 +256,5 @@ def q_spearman_corr(spark, sf_dir):
     return mom.select(
         col("g").alias("l_returnflag"),
         col("n").cast("long").alias("n_rows"),
-        F.round(num / den, 6).alias("spearman_rho"),
+        (num / den).alias("spearman_rho"),
     ).orderBy("l_returnflag")

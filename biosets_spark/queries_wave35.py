@@ -18,23 +18,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
     "q_benford_digits",
     oracle="""
     WITH digits AS (
-      SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      SELECT CAST(SUBSTR(CAST(CAST(FLOOR((o_totalprice * 100) + 0.5) AS BIGINT)
                               AS VARCHAR), 1, 1) AS INTEGER) AS digit,
              COUNT(*) AS n
       FROM orders GROUP BY 1
     ), tot AS (SELECT SUM(n) AS big_n FROM digits)
     SELECT digit, CAST(n AS BIGINT) AS n_orders,
-           ROUND(CAST(n AS DOUBLE) / big_n, 6) AS obs_share,
-           ROUND(LOG10(1 + 1.0 / digit), 6) AS benford_share,
-           ROUND(POWER(n - big_n * LOG10(1 + 1.0 / digit), 2)
-                 / (big_n * LOG10(1 + 1.0 / digit)), 6) AS chi2_term
+           (CAST(n AS DOUBLE) / big_n) AS obs_share,
+           (LOG10(1 + 1.0 / digit)) AS benford_share,
+           (POWER(n - big_n * LOG10(1 + 1.0 / digit), 2)
+                 / (big_n * LOG10(1 + 1.0 / digit))) AS chi2_term
     FROM digits, tot ORDER BY digit
     """,
     desc="Benford's-law first-digit audit of order totals — the "
@@ -55,7 +55,7 @@ def q_benford_digits(spark, sf_dir):
     digits = (
         orders.select(
             F.substring(
-                F.round(col("o_totalprice") * 100).cast("long").cast("string"),
+                dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long").cast("string"),
                 1, 1,
             ).cast("int").alias("digit")
         )
@@ -69,12 +69,10 @@ def q_benford_digits(spark, sf_dir):
         .select(
             "digit",
             col("n").cast("long").alias("n_orders"),
-            F.round(col("n").cast("double") / col("big_n"), 6).alias("obs_share"),
-            F.round(exp_share, 6).alias("benford_share"),
-            F.round(
-                F.pow(col("n") - col("big_n") * exp_share, 2)
-                / (col("big_n") * exp_share), 6,
-            ).alias("chi2_term"),
+            (col("n").cast("double") / col("big_n")).alias("obs_share"),
+            (exp_share).alias("benford_share"),
+            (F.pow(col("n") - col("big_n") * exp_share, 2)
+                / (col("big_n") * exp_share)).alias("chi2_term"),
         )
         .orderBy("digit")
     )
@@ -97,9 +95,9 @@ def q_benford_digits(spark, sf_dir):
     SELECT seg AS c_mktsegment,
            CAST(SUM(nij) AS BIGINT) AS n_customers,
            CAST(COUNT(*) AS BIGINT) AS n_nations,
-           ROUND(SUM(CAST(nij AS DOUBLE) / big_n
+           (SUM(CAST(nij AS DOUBLE) / big_n
                      * LN(CAST(nij AS DOUBLE) * big_n
-                          / (CAST(ni AS DOUBLE) * nj))), 6) AS mi_contrib
+                          / (CAST(ni AS DOUBLE) * nj)))) AS mi_contrib
     FROM marg GROUP BY seg ORDER BY seg
     """,
     desc="Exact mutual information between market segment and nation "
@@ -139,7 +137,7 @@ def q_mutual_information(spark, sf_dir):
         .agg(
             F.sum("nij").cast("long").alias("n_customers"),
             F.count("*").cast("long").alias("n_nations"),
-            F.round(F.sum(term), 6).alias("mi_contrib"),
+            (F.sum(term)).alias("mi_contrib"),
         )
         .withColumnRenamed("seg", "c_mktsegment")
         .orderBy("c_mktsegment")

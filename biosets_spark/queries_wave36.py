@@ -39,9 +39,9 @@ _N_SHARDS = 64
     )
     SELECT shard, CAST(n_docs AS BIGINT) AS n_docs,
            CAST(total_chars AS BIGINT) AS total_chars,
-           ROUND(CAST(n_docs AS DOUBLE) * {_N_SHARDS} / big_n, 6)
+           (CAST(n_docs AS DOUBLE) * {_N_SHARDS} / big_n)
              AS doc_balance,
-           ROUND(CAST(total_chars AS DOUBLE) * {_N_SHARDS} / big_c, 6)
+           (CAST(total_chars AS DOUBLE) * {_N_SHARDS} / big_c)
              AS byte_balance
     FROM per, tot ORDER BY shard
     """,
@@ -84,9 +84,9 @@ def q_shard_assignment(spark, sf_dir):
             "shard",
             col("n_docs").cast("long").alias("n_docs"),
             col("total_chars").cast("long").alias("total_chars"),
-            F.round(col("n_docs").cast("double") * _N_SHARDS / col("big_n"), 6)
+            (col("n_docs").cast("double") * _N_SHARDS / col("big_n"))
             .alias("doc_balance"),
-            F.round(col("total_chars").cast("double") * _N_SHARDS / col("big_c"), 6)
+            (col("total_chars").cast("double") * _N_SHARDS / col("big_c"))
             .alias("byte_balance"),
         )
         .orderBy("shard")
@@ -109,13 +109,13 @@ def q_shard_assignment(spark, sf_dir):
              (SELECT SUM(nr * nc) FROM rm JOIN cm USING (k)) AS pe_num
     )
     SELECT CAST(big_n AS BIGINT) AS n_docs,
-           ROUND(CAST(agree AS DOUBLE) / big_n, 6) AS observed_agreement,
-           ROUND(CAST(pe_num AS DOUBLE) / (CAST(big_n AS DOUBLE) * big_n), 6)
+           (CAST(agree AS DOUBLE) / big_n) AS observed_agreement,
+           (CAST(pe_num AS DOUBLE) / (CAST(big_n AS DOUBLE) * big_n))
              AS expected_agreement,
-           ROUND((CAST(agree AS DOUBLE) / big_n
+           ((CAST(agree AS DOUBLE) / big_n
                   - CAST(pe_num AS DOUBLE) / (CAST(big_n AS DOUBLE) * big_n))
                  / (1 - CAST(pe_num AS DOUBLE)
-                        / (CAST(big_n AS DOUBLE) * big_n)), 6) AS kappa
+                        / (CAST(big_n AS DOUBLE) * big_n))) AS kappa
     FROM agg
     """,
     desc="Cohen's kappa between the labeled language and the "
@@ -165,8 +165,8 @@ def q_cohens_kappa(spark, sf_dir):
         base.crossJoin(broadcast(pe))
         .select(
             col("big_n").cast("long").alias("n_docs"),
-            F.round(po, 6).alias("observed_agreement"),
-            F.round(pe_share, 6).alias("expected_agreement"),
-            F.round((po - pe_share) / (1 - pe_share), 6).alias("kappa"),
+            (po).alias("observed_agreement"),
+            (pe_share).alias("expected_agreement"),
+            ((po - pe_share) / (1 - pe_share)).alias("kappa"),
         )
     )

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -29,7 +29,7 @@ from .queries import q
     oracle="""
     WITH cents AS (
       SELECT event_type,
-             CAST(ROUND(value * 100) AS BIGINT) AS c
+             CAST(FLOOR((value * 100) + 0.5) AS BIGINT) AS c
       FROM events
     ), mom AS (
       SELECT event_type, COUNT(*) AS n,
@@ -40,13 +40,13 @@ from .queries import q
       FROM cents GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_events,
-           ROUND(s1 / n / 100, 6) AS mean_value,
-           ROUND(SQRT(s2 / n - POWER(s1 / n, 2)) / 100, 6) AS stddev_pop,
-           ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * POWER(s1 / n, 3))
-                 / POWER(s2 / n - POWER(s1 / n, 2), 1.5), 6) AS skewness,
-           ROUND((s4 / n - 4 * (s1 / n) * (s3 / n)
+           (s1 / n / 100) AS mean_value,
+           (SQRT(s2 / n - POWER(s1 / n, 2)) / 100) AS stddev_pop,
+           ((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * POWER(s1 / n, 3))
+                 / POWER(s2 / n - POWER(s1 / n, 2), 1.5)) AS skewness,
+           ((s4 / n - 4 * (s1 / n) * (s3 / n)
                   + 6 * POWER(s1 / n, 2) * (s2 / n) - 3 * POWER(s1 / n, 4))
-                 / POWER(s2 / n - POWER(s1 / n, 2), 2) - 3, 6)
+                 / POWER(s2 / n - POWER(s1 / n, 2), 2) - 3)
              AS excess_kurtosis
     FROM mom ORDER BY event_type
     """,
@@ -68,7 +68,7 @@ def q_skew_kurtosis(spark, sf_dir):
     ev = tables.load(spark, sf_dir, "events")
     d38 = "decimal(38,0)"
     cents = ev.select(
-        "event_type", F.round(col("value") * 100).cast("long").alias("c")
+        "event_type", dfloor((col("value") * 100) + F.lit(0.5)).cast("long").alias("c")
     )
     mom = cents.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -89,13 +89,13 @@ def q_skew_kurtosis(spark, sf_dir):
     return mom.select(
         "event_type",
         col("n").cast("long").alias("n_events"),
-        F.round(m1 / 100, 6).alias("mean_value"),
-        F.round(F.sqrt(var) / 100, 6).alias("stddev_pop"),
+        (m1 / 100).alias("mean_value"),
+        (F.sqrt(var) / 100).alias("stddev_pop"),
         # try_divide: a single-row or constant-valued group has zero
         # variance; the moment ratios are then NULL (matching the
         # oracle, where x/0 is NULL) instead of an ANSI crash
-        F.round(F.try_divide(m3, F.pow(var, 1.5)), 6).alias("skewness"),
-        F.round(F.try_divide(m4, var * var) - 3, 6).alias("excess_kurtosis"),
+        (F.try_divide(m3, F.pow(var, 1.5))).alias("skewness"),
+        (F.try_divide(m4, var * var) - 3).alias("excess_kurtosis"),
     ).orderBy("event_type")
 
 
@@ -104,14 +104,14 @@ def q_skew_kurtosis(spark, sf_dir):
     oracle="""
     WITH daily AS (
       SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
-             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+             SUM(CAST(FLOOR((o_totalprice * 100) + 0.5) AS BIGINT)) AS rev_cents
       FROM orders GROUP BY 1, 2
     )
     SELECT pri AS o_orderpriority, day,
            CAST(rev_cents AS BIGINT) AS revenue_cents,
-           ROUND(quantile_cont(CAST(rev_cents AS DOUBLE), 0.5) OVER (
+           (quantile_cont(CAST(rev_cents AS DOUBLE), 0.5) OVER (
                PARTITION BY pri ORDER BY day
-               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 1)
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
              AS rolling_median_cents
     FROM daily ORDER BY pri, day
     """,
@@ -139,7 +139,7 @@ def q_rolling_median(spark, sf_dir):
             col("o_orderdate").cast("date").alias("day"),
         )
         .agg(
-            F.sum(F.round(col("o_totalprice") * 100).cast("long"))
+            F.sum(dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long"))
             .alias("rev_cents")
         )
     )
@@ -148,7 +148,5 @@ def q_rolling_median(spark, sf_dir):
         col("pri").alias("o_orderpriority"),
         "day",
         col("rev_cents").cast("long").alias("revenue_cents"),
-        F.round(
-            F.expr("percentile(cast(rev_cents as double), 0.5)").over(w), 1
-        ).alias("rolling_median_cents"),
+        (F.expr("percentile(cast(rev_cents as double), 0.5)").over(w)).alias("rolling_median_cents"),
     ).orderBy("o_orderpriority", "day")

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 _EPOCH = "2023-01-01"
 _BITS = 4  # 4 bits per dimension -> 8-bit Morton code
@@ -118,17 +118,17 @@ from .oracle_fragments import TOKS_SQL as _TOKS_SQL
       FROM documents
     ), scored AS (
       SELECT lang, words, sents, sylls,
-             CAST(ROUND(206.835 - 1.015 * (CAST(words AS DOUBLE) / sents)
-                        - 84.6 * (CAST(sylls AS DOUBLE) / words), 6)
+             CAST(FLOOR((206.835 - 1.015 * (CAST(words AS DOUBLE) / sents)
+                        - 84.6 * (CAST(sylls AS DOUBLE) / words)) * 1e6 + 0.5) / 1e6
                   AS DECIMAL(18,6)) AS flesch
       FROM per_doc
     )
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(CAST(SUM(words) AS DOUBLE) / SUM(sents), 6)
+           (CAST(SUM(words) AS DOUBLE) / SUM(sents))
              AS words_per_sentence,
-           ROUND(CAST(SUM(sylls) AS DOUBLE) / SUM(words), 6)
+           (CAST(SUM(sylls) AS DOUBLE) / SUM(words))
              AS syllables_per_word,
-           ROUND(CAST(SUM(flesch) AS DOUBLE) / COUNT(*), 6) AS mean_flesch
+           (CAST(SUM(flesch) AS DOUBLE) / COUNT(*)) AS mean_flesch
     FROM scored GROUP BY lang ORDER BY lang
     """,
     desc="Flesch-style readability panel per language: words per "
@@ -159,26 +159,17 @@ def q_readability(spark, sf_dir):
         F.greatest(n_runs(_SENTS, "."), F.lit(1)).alias("sents"),
         F.greatest(n_runs(_VOWELS, "V"), F.lit(1)).alias("sylls"),
     )
-    flesch = F.round(
-        206.835
+    flesch = (dfloor((206.835
         - 1.015 * (col("words").cast("double") / col("sents"))
-        - 84.6 * (col("sylls").cast("double") / col("words")),
-        6,
-    ).cast("decimal(18,6)")
+        - 84.6 * (col("sylls").cast("double") / col("words"))) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("decimal(18,6)")
     scored = per_doc.withColumn("flesch", flesch)
     return (
         scored.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(
-                F.sum("words").cast("double") / F.sum("sents"), 6
-            ).alias("words_per_sentence"),
-            F.round(
-                F.sum("sylls").cast("double") / F.sum("words"), 6
-            ).alias("syllables_per_word"),
-            F.round(
-                F.sum("flesch").cast("double") / F.count("*"), 6
-            ).alias("mean_flesch"),
+            (F.sum("words").cast("double") / F.sum("sents")).alias("words_per_sentence"),
+            (F.sum("sylls").cast("double") / F.sum("words")).alias("syllables_per_word"),
+            (F.sum("flesch").cast("double") / F.count("*")).alias("mean_flesch"),
         )
         .withColumn("n_docs", col("n_docs").cast("long"))
         .orderBy("lang")

@@ -125,7 +125,7 @@ def q_rarefaction(spark, sf_dir):
     ), tot AS (SELECT COUNT(*) AS n_samples FROM samples)
     SELECT l_partkey, CAST(n_present AS BIGINT) AS n_present,
            CAST(n_samples AS BIGINT) AS n_samples,
-           ROUND(CAST(n_present AS DOUBLE) / n_samples, 6) AS prevalence
+           (CAST(n_present AS DOUBLE) / n_samples) AS prevalence
     FROM pres, tot
     ORDER BY n_present DESC, l_partkey
     LIMIT 20
@@ -155,9 +155,7 @@ def q_core_prevalence(spark, sf_dir):
             "l_partkey",
             col("n_present").cast("long").alias("n_present"),
             col("n_samples").cast("long").alias("n_samples"),
-            F.round(
-                col("n_present").cast("double") / col("n_samples"), 6
-            ).alias("prevalence"),
+            (col("n_present").cast("double") / col("n_samples")).alias("prevalence"),
         )
         .orderBy(col("n_present").desc(), "l_partkey")
         .limit(20)

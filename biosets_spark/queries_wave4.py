@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 # ---------------------------------------------------------------------
 # embedding-space near-duplicate detection
@@ -207,7 +207,7 @@ def q_quantize_embeddings(spark, sf_dir):
             ",", F.transform(quantize_int8(col("emb"), col("sc")),
                              lambda x: x.cast("string"))
         ).alias("q8"),
-        F.round(col("sc"), 6).cast("double").alias("scale6"),
+        (dfloor((col("sc")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("double").alias("scale6"),
     )
 
 

@@ -20,7 +20,7 @@ from pyspark.sql.functions import broadcast, col
 
 from . import tables
 from .operators import ranking
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -28,7 +28,7 @@ from .queries import q
     oracle="""
     WITH hist AS (
       SELECT o_orderstatus AS st,
-             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+             CAST(FLOOR((o_totalprice * 100) + 0.5) AS BIGINT) AS v,
              CAST(FLOOR(o_totalprice / 20000) AS BIGINT) AS bkt,
              COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS np,
              COUNT(*) AS nt
@@ -54,8 +54,8 @@ from .queries import q
     )
     SELECT st AS o_orderstatus,
            CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
-           ROUND((CAST(r2p - n_pos * (n_pos + 1) AS DOUBLE) / 2)
-                 / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
+           ((CAST(r2p - n_pos * (n_pos + 1) AS DOUBLE) / 2)
+                 / (CAST(n_pos AS DOUBLE) * n_neg)) AS auc
     FROM agg ORDER BY st
     """,
     desc="Exact ROC AUC per order status for 'does total price "
@@ -76,7 +76,7 @@ def q_auc_roc(spark, sf_dir):
     hist = (
         orders.groupBy(
             col("o_orderstatus").alias("st"),
-            F.round(col("o_totalprice") * 100).cast("long").alias("v"),
+            dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long").alias("v"),
             F.floor(col("o_totalprice") / 20000).cast("long").alias("bkt"),
         )
         .agg(
@@ -101,7 +101,7 @@ def q_auc_roc(spark, sf_dir):
         col("n_neg").cast("long").alias("n_neg"),
         # try_divide: a status with no positives (or no negatives) has
         # an undefined AUC -> NULL, matching the oracle's x/0 = NULL
-        F.round(F.try_divide(u, col("n_pos").cast("double") * col("n_neg")), 6)
+        (F.try_divide(u, col("n_pos").cast("double") * col("n_neg")))
         .alias("auc"),
     ).orderBy("o_orderstatus")
 
@@ -126,11 +126,11 @@ from .oracle_fragments import TOKS_SQL as _TOKS_SQL
       FROM fof
     )
     SELECT f.c AS freq, CAST(f.n_types AS BIGINT) AS n_types,
-           ROUND(CAST(f.n_types AS DOUBLE) * f.c / t.n_tokens, 6)
+           (CAST(f.n_types AS DOUBLE) * f.c / t.n_tokens)
              AS mass_share,
-           ROUND(CAST(t.n1 AS DOUBLE) / t.n_tokens, 6) AS p_unseen_gt,
-           ROUND(CASE WHEN t.n1 > 0
-                      THEN 2.0 * t.n2 / t.n1 ELSE 0 END, 6) AS r1_star
+           (CAST(t.n1 AS DOUBLE) / t.n_tokens) AS p_unseen_gt,
+           (CASE WHEN t.n1 > 0
+                      THEN 2.0 * t.n2 / t.n1 ELSE 0 END) AS r1_star
     FROM fof f, tot t
     ORDER BY f.c
     LIMIT 20
@@ -175,16 +175,12 @@ def q_good_turing(spark, sf_dir):
         .select(
             col("c").alias("freq"),
             col("n_types").cast("long").alias("n_types"),
-            F.round(
-                col("n_types").cast("double") * col("c") / col("n_tokens"), 6
-            ).alias("mass_share"),
-            F.round(col("n1").cast("double") / col("n_tokens"), 6)
+            (col("n_types").cast("double") * col("c") / col("n_tokens")).alias("mass_share"),
+            (col("n1").cast("double") / col("n_tokens"))
             .alias("p_unseen_gt"),
-            F.round(
-                F.when(col("n1") > 0,
+            (F.when(col("n1") > 0,
                        2.0 * col("n2").cast("double") / col("n1"))
-                .otherwise(F.lit(0.0)), 6
-            ).alias("r1_star"),
+                .otherwise(F.lit(0.0))).alias("r1_star"),
         )
         .orderBy("freq")
         .limit(20)

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -90,7 +90,7 @@ def q_session_paths(spark, sf_dir):
     "q_log2_histogram",
     oracle="""
     WITH cents AS (
-      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders
+      SELECT CAST(FLOOR((o_totalprice * 100) + 0.5) AS BIGINT) AS c FROM orders
     ), binned AS (
       SELECT c, length(printf('%b', c)) - 1 AS bin FROM cents
     )
@@ -116,7 +116,7 @@ def q_session_paths(spark, sf_dir):
 def q_log2_histogram(spark, sf_dir):
     orders = tables.load(spark, sf_dir, "orders")
     cents = orders.select(
-        F.round(col("o_totalprice") * 100).cast("long").alias("c")
+        dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long").alias("c")
     )
     binned = cents.select(
         "c", (F.length(F.bin(col("c"))) - 1).alias("bin")

@@ -39,7 +39,7 @@ _BAND = "CAST(FLOOR(c_acctbal / 1000) AS BIGINT)"
     SELECT CAST(class_size AS BIGINT) AS class_size,
            CAST(COUNT(*) AS BIGINT) AS n_classes,
            CAST(SUM(class_size) AS BIGINT) AS n_rows_in_size,
-           ROUND(CAST(SUM(class_size) AS DOUBLE) / MAX(t.n_rows), 6)
+           (CAST(SUM(class_size) AS DOUBLE) / MAX(t.n_rows))
              AS row_share,
            CAST((SELECT MIN(class_size) FROM classes) AS BIGINT)
              AS k_anonymity
@@ -81,9 +81,7 @@ def q_k_anonymity(spark, sf_dir):
             col("class_size").cast("long").alias("class_size"),
             col("n_classes").cast("long").alias("n_classes"),
             col("n_rows_in_size").cast("long").alias("n_rows_in_size"),
-            F.round(
-                col("n_rows_in_size").cast("double") / col("n_rows"), 6
-            ).alias("row_share"),
+            (col("n_rows_in_size").cast("double") / col("n_rows")).alias("row_share"),
             col("k_anonymity").cast("long").alias("k_anonymity"),
         )
         .orderBy("class_size")

@@ -10,7 +10,7 @@ q_text_entropy's quantized-term discipline).
 
 Determinism discipline: group statistics are exact integer cents;
 each leave-one-out estimate / entropy term is ONE closed-form double
-from exact integers, quantized ROUND(,12) -> DECIMAL(38,12) before
+from exact integers, quantized the 1e-12 grid -> DECIMAL(38,12) before
 the cross-group sum (the q_alpha_diversity construction), so no
 float accumulation order exists anywhere.
 """
@@ -22,7 +22,7 @@ from pyspark.sql import Window
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -30,13 +30,13 @@ from .queries import q
     oracle="""
     WITH grp AS (
       SELECT date_trunc('month', l_shipdate) AS g,
-             SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS s,
+             SUM(CAST(FLOOR((l_discount * 100) + 0.5) AS BIGINT)) AS s,
              COUNT(*) AS n
       FROM lineitem GROUP BY 1
     ), tot AS (
       SELECT SUM(s) AS ts, SUM(n) AS tn, COUNT(*) AS ng FROM grp
     ), loo AS (
-      SELECT CAST(ROUND(CAST(t.ts - g.s AS DOUBLE) / (t.tn - g.n), 12)
+      SELECT CAST(FLOOR((CAST(t.ts - g.s AS DOUBLE) / (t.tn - g.n)) * 1e12 + 0.5) / 1e12
                   AS DECIMAL(38,12)) AS est,
              t.ts, t.tn, t.ng
       FROM grp g, tot t
@@ -44,16 +44,16 @@ from .queries import q
       SELECT CAST(SUM(est) AS DOUBLE) / MAX(ng) AS m FROM loo
     ), devs AS (
       SELECT l.ts, l.tn, l.ng,
-             CAST(ROUND(POWER(CAST(l.est AS DOUBLE) - c.m, 2), 18)
+             CAST(FLOOR((POWER(CAST(l.est AS DOUBLE) - c.m, 2)) * 1e18 + 0.5) / 1e18
                   AS DECIMAL(38,18)) AS d2
       FROM loo l, center c
     )
     SELECT CAST(MAX(ng) AS BIGINT) AS n_groups,
            CAST(MAX(tn) AS BIGINT) AS n_rows,
-           ROUND(CAST(MAX(ts) AS DOUBLE) / MAX(tn) / 100, 6)
+           (CAST(MAX(ts) AS DOUBLE) / MAX(tn) / 100)
              AS mean_discount,
-           ROUND(SQRT((CAST(MAX(ng) AS DOUBLE) - 1) / MAX(ng)
-                      * CAST(SUM(d2) AS DOUBLE)) / 100, 6) AS jackknife_se
+           (SQRT((CAST(MAX(ng) AS DOUBLE) - 1) / MAX(ng)
+                      * CAST(SUM(d2) AS DOUBLE)) / 100) AS jackknife_se
     FROM devs
     """,
     desc="Delete-one-month jackknife standard error of the mean "
@@ -80,7 +80,7 @@ def q_jackknife_variance(spark, sf_dir):
     grp = (
         li.groupBy(F.date_trunc("month", col("l_shipdate")).alias("g"))
         .agg(
-            F.sum(F.round(col("l_discount") * 100).cast("long")).alias("s"),
+            F.sum(dfloor((col("l_discount") * 100) + F.lit(0.5)).cast("long")).alias("s"),
             F.count("*").alias("n"),
         )
     )
@@ -89,9 +89,7 @@ def q_jackknife_variance(spark, sf_dir):
         F.count("*").alias("ng"),
     )
     loo = grp.crossJoin(broadcast(tot)).select(
-        F.round(
-            (col("ts") - col("s")).cast("double") / (col("tn") - col("n")), 12
-        ).cast("decimal(38,12)").alias("est"),
+        (dfloor(((col("ts") - col("s")).cast("double") / (col("tn") - col("n"))) * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)).cast("decimal(38,12)").alias("est"),
         "ts", "tn", "ng",
     )
     center = loo.agg(
@@ -102,18 +100,16 @@ def q_jackknife_variance(spark, sf_dir):
     # amplifies last-ulp engine differences past the rounding guard
     devs = loo.crossJoin(broadcast(center)).select(
         "ts", "tn", "ng",
-        F.round(F.pow(col("est").cast("double") - col("m"), 2), 18)
+        (dfloor((F.pow(col("est").cast("double") - col("m"), 2)) * F.lit(1e18) + F.lit(0.5)) / F.lit(1e18))
         .cast("decimal(38,18)").alias("d2"),
     )
     ngd = F.max("ng").cast("double")
     return devs.agg(
         F.max("ng").cast("long").alias("n_groups"),
         F.max("tn").cast("long").alias("n_rows"),
-        F.round(F.max("ts").cast("double") / F.max("tn") / 100, 6)
+        (F.max("ts").cast("double") / F.max("tn") / 100)
         .alias("mean_discount"),
-        F.round(
-            F.sqrt((ngd - 1) / ngd * F.sum("d2").cast("double")) / 100, 6
-        ).alias("jackknife_se"),
+        (F.sqrt((ngd - 1) / ngd * F.sum("d2").cast("double")) / 100).alias("jackknife_se"),
     )
 
 
@@ -135,17 +131,17 @@ def q_jackknife_variance(spark, sf_dir):
       FROM cells
     ), terms AS (
       SELECT src, ni, big_n,
-             CAST(ROUND(-(CAST(nij AS DOUBLE) / ni)
-                        * LN(CAST(nij AS DOUBLE) / ni), 12)
+             CAST(FLOOR((-(CAST(nij AS DOUBLE) / ni)
+                        * LN(CAST(nij AS DOUBLE) / ni)) * 1e12 + 0.5) / 1e12
                   AS DECIMAL(38,12)) AS h_term
       FROM marg
     )
     SELECT src AS event_type,
            CAST(MAX(ni) AS BIGINT) AS n_transitions,
-           ROUND(CAST(MAX(ni) AS DOUBLE) / MAX(big_n), 6) AS p_state,
-           ROUND(CAST(SUM(h_term) AS DOUBLE), 6) AS cond_entropy,
-           ROUND(CAST(MAX(ni) AS DOUBLE) / MAX(big_n)
-                 * CAST(SUM(h_term) AS DOUBLE), 6) AS rate_contrib
+           (CAST(MAX(ni) AS DOUBLE) / MAX(big_n)) AS p_state,
+           (CAST(SUM(h_term) AS DOUBLE)) AS cond_entropy,
+           (CAST(MAX(ni) AS DOUBLE) / MAX(big_n)
+                 * CAST(SUM(h_term) AS DOUBLE)) AS rate_contrib
     FROM terms GROUP BY src ORDER BY src
     """,
     desc="Markov entropy rate of the event stream: per source state, "
@@ -157,7 +153,7 @@ def q_jackknife_variance(spark, sf_dir):
          "per-user lag window into a k x k bigram cell table "
          "(q_event_transitions' construction); probabilities are "
          "exact integer-count ratios; each -p ln p term quantizes "
-         "ROUND(,12) -> DECIMAL before the per-state sum "
+         "the 1e-12 grid -> DECIMAL before the per-state sum "
          "(q_alpha_diversity's discipline), so no float "
          "accumulation order exists. The SUM() OVER () runs over "
          "the k x k cell table (25 rows), not data.",
@@ -180,19 +176,17 @@ def q_entropy_rate(spark, sf_dir):
     p = col("nij").cast("double") / col("ni")
     terms = marg.select(
         "src", "ni", "big_n",
-        F.round(-p * F.log(p), 12).cast("decimal(38,12)").alias("h_term"),
+        (dfloor((-p * F.log(p)) * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)).cast("decimal(38,12)").alias("h_term"),
     )
     return (
         terms.groupBy("src")
         .agg(
             F.max("ni").cast("long").alias("n_transitions"),
-            F.round(F.max("ni").cast("double") / F.max("big_n"), 6)
+            (F.max("ni").cast("double") / F.max("big_n"))
             .alias("p_state"),
-            F.round(F.sum("h_term").cast("double"), 6).alias("cond_entropy"),
-            F.round(
-                F.max("ni").cast("double") / F.max("big_n")
-                * F.sum("h_term").cast("double"), 6,
-            ).alias("rate_contrib"),
+            (F.sum("h_term").cast("double")).alias("cond_entropy"),
+            (F.max("ni").cast("double") / F.max("big_n")
+                * F.sum("h_term").cast("double")).alias("rate_contrib"),
         )
         .withColumnRenamed("src", "event_type")
         .orderBy("event_type")

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -31,7 +31,7 @@ from .queries import q
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS day,
              isodow(CAST(o_orderdate AS DATE)) AS dow,
-             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+             SUM(CAST(FLOOR((o_totalprice * 100) + 0.5) AS BIGINT)) AS cents
       FROM orders GROUP BY 1, 2
     ), per_dow AS (
       SELECT dow, COUNT(*) AS n_days, SUM(cents) AS cents
@@ -41,8 +41,8 @@ from .queries import q
     )
     SELECT dow, CAST(n_days AS BIGINT) AS n_days,
            CAST(cents AS BIGINT) AS total_cents,
-           ROUND((CAST(cents AS DOUBLE) / n_days)
-                 / (CAST(all_cents AS DOUBLE) / all_days), 6)
+           ((CAST(cents AS DOUBLE) / n_days)
+                 / (CAST(all_cents AS DOUBLE) / all_days))
              AS seasonal_index
     FROM per_dow, tot ORDER BY dow
     """,
@@ -66,7 +66,7 @@ def q_seasonal_index(spark, sf_dir):
             (F.weekday(col("o_orderdate").cast("date")) + 1).alias("dow"),
         )
         .agg(
-            F.sum(F.round(col("o_totalprice") * 100).cast("long"))
+            F.sum(dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long"))
             .alias("cents")
         )
     )
@@ -82,10 +82,8 @@ def q_seasonal_index(spark, sf_dir):
             "dow",
             col("n_days").cast("long").alias("n_days"),
             col("cents").cast("long").alias("total_cents"),
-            F.round(
-                (col("cents").cast("double") / col("n_days"))
-                / (col("all_cents").cast("double") / col("all_days")), 6,
-            ).alias("seasonal_index"),
+            ((col("cents").cast("double") / col("n_days"))
+                / (col("all_cents").cast("double") / col("all_days"))).alias("seasonal_index"),
         )
         .orderBy("dow")
     )
@@ -108,10 +106,10 @@ def q_seasonal_index(spark, sf_dir):
       FROM gaps WHERE gap_us IS NOT NULL GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
-           ROUND(s1 / n / 1e6, 6) AS mean_gap_s,
-           ROUND(SQRT(s2 / n - POWER(s1 / n, 2)) / 1e6, 6) AS stddev_gap_s,
-           ROUND((SQRT(s2 / n - POWER(s1 / n, 2)) - s1 / n)
-                 / (SQRT(s2 / n - POWER(s1 / n, 2)) + s1 / n), 6)
+           (s1 / n / 1e6) AS mean_gap_s,
+           (SQRT(s2 / n - POWER(s1 / n, 2)) / 1e6) AS stddev_gap_s,
+           ((SQRT(s2 / n - POWER(s1 / n, 2)) - s1 / n)
+                 / (SQRT(s2 / n - POWER(s1 / n, 2)) + s1 / n))
              AS burstiness
     FROM mom ORDER BY event_type
     """,
@@ -147,7 +145,7 @@ def q_burstiness(spark, sf_dir):
     return mom.select(
         "event_type",
         col("n").cast("long").alias("n_gaps"),
-        F.round(mu / 1e6, 6).alias("mean_gap_s"),
-        F.round(sigma / 1e6, 6).alias("stddev_gap_s"),
-        F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+        (mu / 1e6).alias("mean_gap_s"),
+        (sigma / 1e6).alias("stddev_gap_s"),
+        ((sigma - mu) / (sigma + mu)).alias("burstiness"),
     ).orderBy("event_type")

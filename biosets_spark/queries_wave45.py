@@ -9,7 +9,7 @@ mass — the check run before fixing a feature dimension).
 Determinism discipline: the train/test split and the feature buckets
 both use the engine-portable md5-derived hash; per-bigram surprises
 quantize to DECIMAL(18,8) before the order-free corpus sum; the
-perplexity exponential is one closed-form double, rounded 4.
+perplexity exponential is one closed-form double, emitted raw.
 """
 
 from __future__ import annotations
@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 from .oracle_fragments import TOKS_SQL as _TOKS_SQL
 _GATE = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5"
@@ -46,9 +46,8 @@ _DIM = 16
       FROM (SELECT unnest(t) AS tok FROM toks WHERE fold <> 0)
     ), scored AS (
       SELECT p.doc_id,
-             CAST(ROUND(-LN((COALESCE(b.cbg, 0) + 1)
-                            / (COALESCE(c.cw1, 0) + (SELECT v FROM vocab))),
-                        8) AS DECIMAL(18,8)) AS s,
+             CAST(FLOOR((-LN((COALESCE(b.cbg, 0) + 1)
+                            / (COALESCE(c.cw1, 0) + (SELECT v FROM vocab)))) * 1e8 + 0.5) / 1e8 AS DECIMAL(18,8)) AS s,
              CASE WHEN b.cbg IS NULL THEN 1 ELSE 0 END AS oov
       FROM posts p
       LEFT JOIN bgc b USING (bg) LEFT JOIN ctx c USING (w1)
@@ -59,8 +58,8 @@ _DIM = 16
            CAST((SELECT COUNT(*) FROM toks WHERE fold = 0) AS BIGINT)
              AS n_test_docs,
            CAST(COUNT(*) AS BIGINT) AS n_test_bigrams,
-           ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate,
-           ROUND(EXP(CAST(SUM(s) AS DOUBLE) / COUNT(*)), 4) AS perplexity
+           (CAST(SUM(oov) AS DOUBLE) / COUNT(*)) AS oov_rate,
+           (EXP(CAST(SUM(s) AS DOUBLE) / COUNT(*))) AS perplexity
     FROM scored
     """,
     desc="Held-out perplexity of an add-one-smoothed bigram LM: train "
@@ -120,21 +119,19 @@ def q_heldout_perplexity(spark, sf_dir):
         .join(ctx, "w1", "left")
         .crossJoin(broadcast(vocab))
         .select(
-            F.round(
-                -F.log(
+            (dfloor((-F.log(
                     (F.coalesce(col("cbg"), lit(0)) + 1)
                     / (F.coalesce(col("cw1"), lit(0)) + col("v"))
-                ), 8,
-            ).cast("decimal(18,8)").alias("s"),
+                )) * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)).cast("decimal(18,8)").alias("s"),
             F.when(col("cbg").isNull(), 1).otherwise(0).alias("oov"),
         )
     )
     return (
         scored.agg(
             F.count("*").alias("n_test_bigrams"),
-            F.round(F.sum("oov").cast("double") / F.count("*"), 6)
+            (F.sum("oov").cast("double") / F.count("*"))
             .alias("oov_rate"),
-            F.round(F.exp(F.sum("s").cast("double") / F.count("*")), 4)
+            (F.exp(F.sum("s").cast("double") / F.count("*")))
             .alias("perplexity"),
         )
         .crossJoin(broadcast(counts))
@@ -166,7 +163,7 @@ def q_heldout_perplexity(spark, sf_dir):
     SELECT CAST(n_types AS BIGINT) AS types_in_bucket,
            CAST(COUNT(*) AS BIGINT) AS n_buckets,
            CAST(MAX(t.v) AS BIGINT) AS vocab_size,
-           ROUND(CAST(MAX(t.coll_mass) AS DOUBLE) / MAX(t.m), 6)
+           (CAST(MAX(t.coll_mass) AS DOUBLE) / MAX(t.m))
              AS collided_mass_share
     FROM bucketed b, tot t
     GROUP BY n_types ORDER BY n_types LIMIT 20
@@ -220,7 +217,7 @@ def q_feature_hash_collisions(spark, sf_dir):
             col("n_types").cast("long").alias("types_in_bucket"),
             col("n_buckets").cast("long").alias("n_buckets"),
             col("v").cast("long").alias("vocab_size"),
-            F.round(col("coll_mass").cast("double") / col("m"), 6)
+            (col("coll_mass").cast("double") / col("m"))
             .alias("collided_mass_share"),
         )
         .orderBy("types_in_bucket")

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -30,8 +30,8 @@ from .queries import q
     WITH units AS (
       SELECT l_returnflag AS g,
              CAST(l_quantity AS BIGINT) AS x,
-             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
-             CAST(ROUND(l_discount * 10000) AS BIGINT) AS z
+             CAST(FLOOR((l_extendedprice * 100) + 0.5) AS BIGINT) AS y,
+             CAST(FLOOR((l_discount * 10000) + 0.5) AS BIGINT) AS z
       FROM lineitem
     ), mom AS (
       SELECT g, COUNT(*) AS n,
@@ -56,9 +56,9 @@ from .queries import q
       FROM mom
     )
     SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
-           ROUND(rxy, 6) AS r_qty_price,
-           ROUND((rxy - rxz * ryz)
-                 / SQRT((1 - rxz * rxz) * (1 - ryz * ryz)), 6)
+           (rxy) AS r_qty_price,
+           ((rxy - rxz * ryz)
+                 / SQRT((1 - rxz * rxz) * (1 - ryz * ryz)))
              AS r_partial_given_discount
     FROM r ORDER BY g
     """,
@@ -82,8 +82,8 @@ def q_partial_correlation(spark, sf_dir):
     units = li.select(
         col("l_returnflag").alias("g"),
         col("l_quantity").cast("long").alias("x"),
-        F.round(col("l_extendedprice") * 100).cast("long").alias("y"),
-        F.round(col("l_discount") * 10000).cast("long").alias("z"),
+        dfloor((col("l_extendedprice") * 100) + F.lit(0.5)).cast("long").alias("y"),
+        dfloor((col("l_discount") * 10000) + F.lit(0.5)).cast("long").alias("z"),
     )
 
     def ds(a, b=None):
@@ -119,13 +119,11 @@ def q_partial_correlation(spark, sf_dir):
     return r.select(
         col("g").alias("l_returnflag"),
         col("n").cast("long").alias("n_rows"),
-        F.round(col("rxy"), 6).alias("r_qty_price"),
-        F.round(
-            F.try_divide(
+        (col("rxy")).alias("r_qty_price"),
+        (F.try_divide(
                 col("rxy") - col("rxz") * col("ryz"),
                 F.sqrt((1 - col("rxz") * col("rxz"))
-                       * (1 - col("ryz") * col("ryz")))), 6,
-        ).alias("r_partial_given_discount"),
+                       * (1 - col("ryz") * col("ryz"))))).alias("r_partial_given_discount"),
     ).orderBy("l_returnflag")
 
 
@@ -135,7 +133,7 @@ def q_partial_correlation(spark, sf_dir):
     WITH rev AS (
       SELECT n.n_name,
              l.l_suppkey,
-             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS cents
+             SUM(CAST(FLOOR((l.l_extendedprice * 100) + 0.5) AS BIGINT)) AS cents
       FROM lineitem l
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -143,16 +141,14 @@ def q_partial_correlation(spark, sf_dir):
     )
     SELECT n_name,
            CAST(COUNT(*) AS BIGINT) AS n_suppliers,
-           ROUND(CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DOUBLE)
+           (CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DOUBLE)
                  / (CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
-                    * CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)),
-                 6) AS hhi,
-           ROUND((CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+                    * CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE))) AS hhi,
+           ((CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
                   * CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE))
-                 / CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DOUBLE),
-                 2) AS effective_suppliers,
-           ROUND(CAST(MAX(cents) AS DOUBLE)
-                 / CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE), 6)
+                 / CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DOUBLE)) AS effective_suppliers,
+           (CAST(MAX(cents) AS DOUBLE)
+                 / CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE))
              AS top_share
     FROM rev GROUP BY n_name ORDER BY n_name
     """,
@@ -179,7 +175,7 @@ def q_hhi_concentration(spark, sf_dir):
         .join(broadcast(nat), col("s_nationkey") == col("n_nationkey"))
         .groupBy("n_name", "l_suppkey")
         .agg(
-            F.sum(F.round(col("l_extendedprice") * 100).cast("long"))
+            F.sum(dfloor((col("l_extendedprice") * 100) + F.lit(0.5)).cast("long"))
             .alias("cents")
         )
     )
@@ -189,9 +185,9 @@ def q_hhi_concentration(spark, sf_dir):
         rev.groupBy("n_name")
         .agg(
             F.count("*").cast("long").alias("n_suppliers"),
-            F.round(s2 / (s1 * s1), 6).alias("hhi"),
-            F.round((s1 * s1) / s2, 2).alias("effective_suppliers"),
-            F.round(F.max("cents").cast("double") / s1, 6).alias("top_share"),
+            (s2 / (s1 * s1)).alias("hhi"),
+            ((s1 * s1) / s2).alias("effective_suppliers"),
+            (F.max("cents").cast("double") / s1).alias("top_share"),
         )
         .orderBy("n_name")
     )

@@ -9,7 +9,7 @@ fitted trend).
 
 Determinism discipline: revenue is exact integer cents; cohort-age
 cumulative sums run over the tiny (cohort x age) table partitioned by
-cohort; per-point percentage errors quantize ROUND(,8)->DECIMAL
+cohort; per-point percentage errors quantize the 1e-8 grid ->DECIMAL
 before averaging (exact ratios of integer counts thereafter).
 """
 
@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -36,7 +36,7 @@ from .queries import q
       SELECT f.cohort,
              date_diff('month', f.cohort,
                        date_trunc('month', o.o_orderdate)) AS age,
-             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+             SUM(CAST(FLOOR((o.o_totalprice * 100) + 0.5) AS BIGINT)) AS cents
       FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
       GROUP BY 1, 2
     ), curve AS (
@@ -47,7 +47,7 @@ from .queries import q
     )
     SELECT CAST(cohort AS DATE) AS cohort, CAST(age AS BIGINT) AS age_months,
            CAST(n_customers AS BIGINT) AS n_customers,
-           ROUND(CAST(cum_cents AS DOUBLE) / n_customers / 100, 2)
+           (CAST(cum_cents AS DOUBLE) / n_customers / 100)
              AS ltv_per_customer
     FROM curve
     WHERE age <= 6
@@ -81,7 +81,7 @@ def q_cohort_ltv(spark, sf_dir):
             ).cast("long").alias("age"),
         )
         .agg(
-            F.sum(F.round(col("o_totalprice") * 100).cast("long"))
+            F.sum(dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long"))
             .alias("cents")
         )
     )
@@ -99,9 +99,7 @@ def q_cohort_ltv(spark, sf_dir):
             col("cohort").cast("date").alias("cohort"),
             col("age").cast("long").alias("age_months"),
             col("n_customers").cast("long").alias("n_customers"),
-            F.round(
-                col("cum_cents").cast("double") / col("n_customers") / 100, 2
-            ).alias("ltv_per_customer"),
+            (col("cum_cents").cast("double") / col("n_customers") / 100).alias("ltv_per_customer"),
         )
         .orderBy("cohort", "age_months")
     )
@@ -112,7 +110,7 @@ def q_cohort_ltv(spark, sf_dir):
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+             SUM(CAST(FLOOR((value * 100) + 0.5) AS BIGINT)) AS cents
       FROM events GROUP BY 1, 2
     ), scored AS (
       SELECT event_type, cents,
@@ -121,15 +119,15 @@ def q_cohort_ltv(spark, sf_dir):
       FROM daily
     ), err AS (
       SELECT event_type, cents, fc,
-             CAST(ROUND(ABS(CAST(cents - fc AS DOUBLE)) / cents, 8)
+             CAST(FLOOR((ABS(CAST(cents - fc AS DOUBLE)) / cents) * 1e8 + 0.5) / 1e8
                   AS DECIMAL(28,8)) AS ape,
-             CAST(ROUND(2 * ABS(CAST(cents - fc AS DOUBLE))
-                        / (cents + fc), 8) AS DECIMAL(28,8)) AS sape
+             CAST(FLOOR((2 * ABS(CAST(cents - fc AS DOUBLE))
+                        / (cents + fc)) * 1e8 + 0.5) / 1e8 AS DECIMAL(28,8)) AS sape
       FROM scored WHERE fc IS NOT NULL AND cents > 0
     )
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,
-           ROUND(CAST(SUM(ape) AS DOUBLE) / COUNT(*), 6) AS mape,
-           ROUND(CAST(SUM(sape) AS DOUBLE) / COUNT(*), 6) AS smape
+           (CAST(SUM(ape) AS DOUBLE) / COUNT(*)) AS mape,
+           (CAST(SUM(sape) AS DOUBLE) / COUNT(*)) AS smape
     FROM err GROUP BY event_type ORDER BY event_type
     """,
     desc="Seasonal-naive forecast backtest: forecast each day's value "
@@ -140,7 +138,7 @@ def q_cohort_ltv(spark, sf_dir):
          "decoration), and with q_autocorrelation's acf_7 the "
          "complete seasonality panel. Daily totals are exact integer "
          "cents; each absolute-percentage error is one closed-form "
-         "double quantized ROUND(,8)->DECIMAL before the order-free "
+         "double quantized the 1e-8 grid ->DECIMAL before the order-free "
          "mean; the lag window partitions per type over the tiny "
          "daily table.",
     tags=["events", "stats", "window", "agg"],
@@ -150,7 +148,7 @@ def q_forecast_backtest(spark, sf_dir):
     daily = (
         ev.groupBy("event_type", col("ts").cast("date").alias("day"))
         .agg(
-            F.sum(F.round(col("value") * 100).cast("long")).alias("cents")
+            F.sum(dfloor((col("value") * 100) + F.lit(0.5)).cast("long")).alias("cents")
         )
     )
     w = Window.partitionBy("event_type").orderBy("day")
@@ -159,21 +157,17 @@ def q_forecast_backtest(spark, sf_dir):
     ).filter(col("fc").isNotNull() & (col("cents") > 0))
     err = scored.select(
         "event_type",
-        F.round(
-            F.abs((col("cents") - col("fc")).cast("double")) / col("cents"), 8
-        ).cast("decimal(28,8)").alias("ape"),
-        F.round(
-            2 * F.abs((col("cents") - col("fc")).cast("double"))
-            / (col("cents") + col("fc")), 8,
-        ).cast("decimal(28,8)").alias("sape"),
+        (dfloor((F.abs((col("cents") - col("fc")).cast("double")) / col("cents")) * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)).cast("decimal(28,8)").alias("ape"),
+        (dfloor((2 * F.abs((col("cents") - col("fc")).cast("double"))
+            / (col("cents") + col("fc"))) * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)).cast("decimal(28,8)").alias("sape"),
     )
     return (
         err.groupBy("event_type")
         .agg(
             F.count("*").cast("long").alias("n_scored"),
-            F.round(F.sum("ape").cast("double") / F.count("*"), 6)
+            (F.sum("ape").cast("double") / F.count("*"))
             .alias("mape"),
-            F.round(F.sum("sape").cast("double") / F.count("*"), 6)
+            (F.sum("sape").cast("double") / F.count("*"))
             .alias("smape"),
         )
         .orderBy("event_type")

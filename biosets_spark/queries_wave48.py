@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -29,7 +29,7 @@ from .queries import q
     oracle="""
     WITH part_rev AS (
       SELECT l.l_partkey, p.p_brand,
-             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS cents
+             SUM(CAST(FLOOR((l.l_extendedprice * 100) + 0.5) AS BIGINT)) AS cents
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       GROUP BY 1, 2
     ), abc AS (
@@ -62,7 +62,7 @@ from .queries import q
       FROM abc a JOIN cv c ON a.l_partkey = c.l_partkey
     ), tot AS (SELECT SUM(cents) AS all_cents FROM classed)
     SELECT abc, xyz, CAST(COUNT(*) AS BIGINT) AS n_parts,
-           ROUND(CAST(SUM(classed.cents) AS DOUBLE) / MAX(t.all_cents), 6)
+           (CAST(SUM(classed.cents) AS DOUBLE) / MAX(t.all_cents))
              AS revenue_share
     FROM classed, tot t
     GROUP BY abc, xyz ORDER BY abc, xyz
@@ -89,7 +89,7 @@ def q_abc_xyz(spark, sf_dir):
         li.join(broadcast(part), col("l_partkey") == col("p_partkey"))
         .groupBy("l_partkey", "p_brand")
         .agg(
-            F.sum(F.round(col("l_extendedprice") * 100).cast("long"))
+            F.sum(dfloor((col("l_extendedprice") * 100) + F.lit(0.5)).cast("long"))
             .alias("cents")
         )
     )
@@ -131,7 +131,7 @@ def q_abc_xyz(spark, sf_dir):
         .select(
             "abc", "xyz",
             col("n_parts").cast("long").alias("n_parts"),
-            F.round(col("cents").cast("double") / col("all_cents"), 6)
+            (col("cents").cast("double") / col("all_cents"))
             .alias("revenue_share"),
         )
         .orderBy("abc", "xyz")
@@ -151,8 +151,8 @@ def q_abc_xyz(spark, sf_dir):
       FROM daily GROUP BY event_type
     )
     SELECT event_type, CAST(nd AS BIGINT) AS n_days,
-           ROUND(s1 / nd, 6) AS mean_daily,
-           ROUND((s2 / nd - POWER(s1 / nd, 2)) / (s1 / nd), 6)
+           (s1 / nd) AS mean_daily,
+           ((s2 / nd - POWER(s1 / nd, 2)) / (s1 / nd))
              AS dispersion_index,
            (s2 / nd - POWER(s1 / nd, 2)) / (s1 / nd) > 1.5
              AS overdispersed
@@ -187,7 +187,7 @@ def q_dispersion_index(spark, sf_dir):
     return mom.select(
         "event_type",
         col("nd").cast("long").alias("n_days"),
-        F.round(mean, 6).alias("mean_daily"),
-        F.round(vmr, 6).alias("dispersion_index"),
+        (mean).alias("mean_daily"),
+        (vmr).alias("dispersion_index"),
         (vmr > 1.5).alias("overdispersed"),
     ).orderBy("event_type")

@@ -10,7 +10,7 @@ tail is — alpha <= 2 means the mean degree itself is unstable).
 Determinism discipline: degrees are exact integers from the same
 support->=2 edge list as q_triangle_count; assortativity moments
 accumulate as DECIMAL(38,0) over integer degree pairs; each ln term
-of the MLE quantizes ROUND(,12)->DECIMAL before the order-free sum.
+of the MLE quantizes the 1e-12 grid ->DECIMAL before the order-free sum.
 """
 
 from __future__ import annotations
@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import pair_expand, q
+from .queries import dfloor, pair_expand, q
 
 _EDGE_SQL = """
       WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -76,7 +76,7 @@ def _edges(spark, sf_dir):
       FROM edge e JOIN deg dx ON e.x = dx.v JOIN deg dy ON e.y = dy.v
     )
     SELECT CAST(n / 2 AS BIGINT) AS n_edges,
-           ROUND((n * sab - sa * sa) / (n * saa - sa * sa), 6)
+           ((n * sab - sa * sa) / (n * saa - sa * sa))
              AS assortativity
     FROM mom
     """,
@@ -123,10 +123,8 @@ def q_graph_assortativity(spark, sf_dir):
     n = col("n").cast("double")
     return mom.select(
         (col("n") / 2).cast("long").alias("n_edges"),
-        F.round(
-            (n * col("sab") - col("sa") * col("sa"))
-            / (n * col("saa") - col("sa") * col("sa")), 6,
-        ).alias("assortativity"),
+        ((n * col("sab") - col("sa") * col("sa"))
+            / (n * col("saa") - col("sa") * col("sa"))).alias("assortativity"),
     )
 
 
@@ -139,15 +137,15 @@ def q_graph_assortativity(spark, sf_dir):
       ) GROUP BY v
     ), terms AS (
       SELECT d,
-             CAST(ROUND(LN(CAST(d AS DOUBLE) / 0.5), 12) AS DECIMAL(38,12))
+             CAST(FLOOR((LN(CAST(d AS DOUBLE) / 0.5)) * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))
                AS lt
       FROM deg
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
            CAST(MAX(d) AS BIGINT) AS max_degree,
-           ROUND(1 + COUNT(*) / CAST(SUM(lt) AS DOUBLE), 6) AS alpha_mle,
-           ROUND(1.0 * (1 + COUNT(*) / CAST(SUM(lt) AS DOUBLE) - 1)
-                 / SQRT(COUNT(*)), 6) AS alpha_se
+           (1 + COUNT(*) / CAST(SUM(lt) AS DOUBLE)) AS alpha_mle,
+           (1.0 * (1 + COUNT(*) / CAST(SUM(lt) AS DOUBLE) - 1)
+                 / SQRT(COUNT(*))) AS alpha_se
     FROM terms
     """,
     desc="Power-law (Hill/MLE) exponent of the co-purchase degree "
@@ -157,7 +155,7 @@ def q_graph_assortativity(spark, sf_dir):
          "mean degree is unstable — the number that decides whether "
          "degree-based load balancing (salting hubs, capping "
          "fan-out) is needed before any graph join at scale. Each "
-         "ln term quantizes ROUND(,12)->DECIMAL before the "
+         "ln term quantizes the 1e-12 grid ->DECIMAL before the "
          "order-free sum; alpha and its standard error "
          "(alpha-1)/sqrt(n) are closed-form doubles over exact "
          "integer counts.",
@@ -173,13 +171,13 @@ def q_powerlaw_alpha(spark, sf_dir):
     )
     terms = deg.select(
         "d",
-        F.round(F.log(col("d").cast("double") / 0.5), 12)
+        (dfloor((F.log(col("d").cast("double") / 0.5)) * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12))
         .cast("decimal(38,12)").alias("lt"),
     )
     alpha = 1 + F.count("*") / F.sum("lt").cast("double")
     return terms.agg(
         F.count("*").cast("long").alias("n_vertices"),
         F.max("d").cast("long").alias("max_degree"),
-        F.round(alpha, 6).alias("alpha_mle"),
-        F.round((alpha - 1) / F.sqrt(F.count("*")), 6).alias("alpha_se"),
+        (alpha).alias("alpha_mle"),
+        ((alpha - 1) / F.sqrt(F.count("*"))).alias("alpha_se"),
     )

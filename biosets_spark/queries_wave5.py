@@ -87,8 +87,8 @@ def q_quality_gopher(spark, sf_dir):
              ANY_VALUE(n_distinct) * 1.0 / ANY_VALUE(n_toks) AS dr
       FROM cnt GROUP BY doc_id
     )
-    SELECT doc_id, ROUND(top_frac, 4) AS top_bigram_frac,
-           ROUND(dr, 4) AS distinct_token_ratio
+    SELECT doc_id, (top_frac) AS top_bigram_frac,
+           (dr) AS distinct_token_ratio
     FROM agg WHERE top_frac >= 0.08
     """,
     desc="repetition filter (Gopher A1.1 style): documents whose most "
@@ -101,8 +101,8 @@ def q_text_repetition(spark, sf_dir):
     r = TX.repetition_stats(docs)
     return r.filter(col("top_bigram_frac") >= 0.08).select(
         "doc_id",
-        F.round("top_bigram_frac", 4).alias("top_bigram_frac"),
-        F.round("distinct_token_ratio", 4).alias("distinct_token_ratio"),
+        col("top_bigram_frac").alias("top_bigram_frac"),
+        col("distinct_token_ratio").alias("distinct_token_ratio"),
     )
 
 
@@ -122,7 +122,7 @@ def q_text_repetition(spark, sf_dir):
       FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id
     )
     SELECT lang, COUNT(*) AS n_docs,
-           ROUND(AVG(ent), 4) AS avg_entropy,
+           (AVG(ent)) AS avg_entropy,
            COUNT(*) FILTER (ent < 2.7) AS n_low_entropy
     FROM e GROUP BY lang
     """,
@@ -136,7 +136,7 @@ def q_text_entropy(spark, sf_dir):
     ent = TX.char_entropy(docs, carry_cols=["lang"])
     return ent.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg("entropy"), 4).alias("avg_entropy"),
+        (F.avg("entropy")).alias("avg_entropy"),
         F.count_if(col("entropy") < 2.7).alias("n_low_entropy"),
     )
 
@@ -239,7 +239,7 @@ _BM25_TERMS = ["table", "scan", "merge", "join", "hash"]
       FROM tf JOIN df USING (t) CROSS JOIN params
       GROUP BY tf.doc_id
     )
-    SELECT doc_id, ROUND(score, 4) AS bm25
+    SELECT doc_id, (score) AS bm25
     FROM scored ORDER BY score DESC, doc_id LIMIT 10
     """,
     desc="BM25 top-10 for a fixed query term set (k1=1.5, b=0.75): "
@@ -253,5 +253,5 @@ def q_bm25_topk(spark, sf_dir):
     return (
         scored.orderBy(col("bm25").desc(), col("doc_id"))
         .limit(10)
-        .select("doc_id", F.round("bm25", 4).alias("bm25"))
+        .select("doc_id", col("bm25").alias("bm25"))
     )

@@ -13,7 +13,7 @@ the engine-portable md5 hash (so 'corpus prefixes' are identical on
 both engines and carry no crawl-order bias); the 10-point cumulative
 curve is built by a range self-join over the 10-row bucket table
 (tagged range — no empty-partition window); OLS terms over the 10
-log-log points quantize ROUND(,12)->DECIMAL before summing.
+log-log points quantize the 1e-12 grid ->DECIMAL before summing.
 """
 
 from __future__ import annotations
@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 from .oracle_fragments import TOKS_SQL as _TOKS_SQL
 _GATE = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10"
@@ -49,22 +49,23 @@ _GATE = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10"
       GROUP BY d.bkt
     ), pts AS (
       SELECT bkt, cum_docs, cum_vocab,
-             CAST(ROUND(LN(CAST(cum_docs AS DOUBLE)), 12)
-                  AS DECIMAL(38,12)) AS lx,
-             CAST(ROUND(LN(CAST(cum_vocab AS DOUBLE)), 12)
-                  AS DECIMAL(38,12)) AS ly
+             CAST(FLOOR((LN(CAST(cum_docs AS DOUBLE))) * 1e12 + 0.5) / 1e12
+                  AS DECIMAL(18,12)) AS lx,
+             CAST(FLOOR((LN(CAST(cum_vocab AS DOUBLE))) * 1e12 + 0.5) / 1e12
+                  AS DECIMAL(18,12)) AS ly
       FROM curve
     ), fit AS (
-      SELECT COUNT(*) AS n,
-             CAST(SUM(lx) AS DOUBLE) AS sx, CAST(SUM(ly) AS DOUBLE) AS sy,
-             CAST(SUM(lx * lx) AS DOUBLE) AS sxx,
-             CAST(SUM(lx * ly) AS DOUBLE) AS sxy
+      SELECT CAST(COUNT(*) AS DECIMAL(4,0)) AS n,
+             CAST(SUM(lx) AS DECIMAL(17,12)) AS sx,
+             CAST(SUM(ly) AS DECIMAL(17,12)) AS sy,
+             CAST(SUM(lx * lx) AS DECIMAL(30,24)) AS sxx,
+             CAST(SUM(lx * ly) AS DECIMAL(30,24)) AS sxy
       FROM pts
     )
     SELECT p.bkt AS checkpoint, CAST(p.cum_docs AS BIGINT) AS cum_docs,
            CAST(p.cum_vocab AS BIGINT) AS cum_vocab,
-           ROUND((f.n * f.sxy - f.sx * f.sy)
-                 / (f.n * f.sxx - f.sx * f.sx), 6) AS heaps_beta
+           (CAST(f.n * f.sxy - f.sx * f.sy AS DOUBLE)
+                 / CAST(f.n * f.sxx - f.sx * f.sx AS DOUBLE)) AS heaps_beta
     FROM pts p, fit f ORDER BY p.bkt
     """,
     desc="Heaps'-law vocabulary growth: documents fall into 10 "
@@ -79,7 +80,7 @@ _GATE = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10"
          "curve is FOR detecting: a closed vocabulary means more "
          "crawling buys no new types). The 10-row cumulative curve "
          "is a range self-join on the bucket table (tagged range); "
-         "OLS terms quantize ROUND(,12)->DECIMAL; the 1-row fit "
+         "OLS terms quantize the 1e-12 grid ->DECIMAL; the 1-row fit "
          "broadcasts back (tagged cross).",
     tags=["text", "agg", "range", "cross"],
 )
@@ -113,29 +114,31 @@ def q_heaps_law(spark, sf_dir):
     )
     pts = curve.select(
         "bkt", "cum_docs", "cum_vocab",
-        F.round(F.log(col("cum_docs").cast("double")), 12)
-        .cast("decimal(38,12)").alias("lx"),
-        F.round(F.log(col("cum_vocab").cast("double")), 12)
-        .cast("decimal(38,12)").alias("ly"),
+        (dfloor((F.log(col("cum_docs").cast("double"))) * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12))
+        .cast("decimal(18,12)").alias("lx"),
+        (dfloor((F.log(col("cum_vocab").cast("double"))) * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12))
+        .cast("decimal(18,12)").alias("ly"),
     )
+    # r9: the OLS numerator is a catastrophic cancellation — keep it
+    # EXACT in decimal and cast only the difference to double (the
+    # engines' decimal->double casts can differ by 1 ulp, which the
+    # cancellation amplified to a visible residue on a flat curve)
     fit = pts.agg(
-        F.count("*").alias("n"),
-        F.sum("lx").cast("double").alias("sx"),
-        F.sum("ly").cast("double").alias("sy"),
-        F.sum(col("lx") * col("lx")).cast("double").alias("sxx"),
-        F.sum(col("lx") * col("ly")).cast("double").alias("sxy"),
+        F.count("*").cast("decimal(4,0)").alias("n"),
+        F.sum("lx").cast("decimal(17,12)").alias("sx"),
+        F.sum("ly").cast("decimal(17,12)").alias("sy"),
+        F.sum(col("lx") * col("lx")).cast("decimal(30,24)").alias("sxx"),
+        F.sum(col("lx") * col("ly")).cast("decimal(30,24)").alias("sxy"),
     )
-    n = col("n").cast("double")
     return (
         pts.crossJoin(broadcast(fit))
         .select(
             col("bkt").alias("checkpoint"),
             col("cum_docs").cast("long").alias("cum_docs"),
             col("cum_vocab").cast("long").alias("cum_vocab"),
-            F.round(
-                (n * col("sxy") - col("sx") * col("sy"))
-                / (n * col("sxx") - col("sx") * col("sx")), 6,
-            ).alias("heaps_beta"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+                / (col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")).alias("heaps_beta"),
         )
         .orderBy("checkpoint")
     )
@@ -157,9 +160,9 @@ def q_heaps_law(spark, sf_dir):
     )
     SELECT tok, CAST(cf AS BIGINT) AS corpus_freq,
            CAST(df AS BIGINT) AS doc_freq,
-           ROUND(CAST(df2 AS DOUBLE) / df, 6) AS adaptation,
-           ROUND((CAST(df2 AS DOUBLE) / df)
-                 / (CAST(df AS DOUBLE) / n_docs), 6) AS adaptation_lift
+           (CAST(df2 AS DOUBLE) / df) AS adaptation,
+           ((CAST(df2 AS DOUBLE) / df)
+                 / (CAST(df AS DOUBLE) / n_docs)) AS adaptation_lift
     FROM stats, tot
     ORDER BY cf DESC, tok LIMIT 20
     """,
@@ -196,12 +199,10 @@ def q_word_adaptation(spark, sf_dir):
             "tok",
             col("cf").cast("long").alias("corpus_freq"),
             col("df").cast("long").alias("doc_freq"),
-            F.round(col("df2").cast("double") / col("df"), 6)
+            (col("df2").cast("double") / col("df"))
             .alias("adaptation"),
-            F.round(
-                (col("df2").cast("double") / col("df"))
-                / (col("df").cast("double") / col("n_docs")), 6,
-            ).alias("adaptation_lift"),
+            ((col("df2").cast("double") / col("df"))
+                / (col("df").cast("double") / col("n_docs"))).alias("adaptation_lift"),
         )
         .orderBy(col("corpus_freq").desc(), "tok")
         .limit(20)

@@ -9,7 +9,7 @@ rate mean cannot give when arrivals are bursty — q_burstiness says
 whether to worry, this says how much).
 
 Determinism discipline: retention rates are exact integer-count
-ratios; each log-rate OLS term quantizes ROUND(,12)->DECIMAL; the
+ratios; each log-rate OLS term quantizes the 1e-12 grid ->DECIMAL; the
 sweep line is integer +1/-1 endpoint arithmetic over microsecond
 timestamps with a fully tie-broken sort, so the running maximum is
 identical on both engines.
@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -40,9 +40,9 @@ from .queries import q
       FROM act WHERE off BETWEEN 1 AND 14 GROUP BY off
     ), pts AS (
       SELECT off, active, cohort,
-             CAST(ROUND(LN(CAST(active AS DOUBLE) / cohort), 12)
+             CAST(FLOOR((LN(CAST(active AS DOUBLE) / cohort)) * 1e12 + 0.5) / 1e12
                   AS DECIMAL(38,12)) AS ly,
-             CAST(ROUND(off * LN(CAST(active AS DOUBLE) / cohort), 12)
+             CAST(FLOOR((off * LN(CAST(active AS DOUBLE) / cohort)) * 1e12 + 0.5) / 1e12
                   AS DECIMAL(38,12)) AS xy
       FROM curve WHERE active > 0
     ), fit AS (
@@ -54,9 +54,9 @@ from .queries import q
       FROM pts
     )
     SELECT p.off AS day_offset, CAST(p.active AS BIGINT) AS n_active,
-           ROUND(CAST(p.active AS DOUBLE) / p.cohort, 6) AS retention,
-           ROUND(-LN(2) / ((f.n * f.sxy - f.sx * f.sy)
-                           / (f.n * f.sxx - f.sx * f.sx)), 4)
+           (CAST(p.active AS DOUBLE) / p.cohort) AS retention,
+           (-LN(2) / ((f.n * f.sxy - f.sx * f.sy)
+                           / (f.n * f.sxx - f.sx * f.sx)))
              AS half_life_days
     FROM pts p, fit f ORDER BY p.off
     """,
@@ -67,7 +67,7 @@ from .queries import q
          "matrix comparable release-over-release (a falling "
          "half-life is THE early churn alarm). Retention rates are "
          "exact integer-count ratios; each log-rate OLS term "
-         "quantizes ROUND(,12)->DECIMAL before the 14-point fit; "
+         "quantizes the 1e-12 grid ->DECIMAL before the 14-point fit; "
          "the slope's sign makes half-life positive for decaying "
          "curves. One distinct-activity shuffle on user_id, then "
          "everything runs over a 14-row curve (1-row fit broadcast, "
@@ -99,8 +99,8 @@ def q_retention_half_life(spark, sf_dir):
     lyd = F.log(col("active").cast("double") / col("cohort"))
     pts = curve.filter(col("active") > 0).select(
         "off", "active", "cohort",
-        F.round(lyd, 12).cast("decimal(38,12)").alias("ly"),
-        F.round(col("off") * lyd, 12).cast("decimal(38,12)").alias("xy"),
+        (dfloor((lyd) * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)).cast("decimal(38,12)").alias("ly"),
+        (dfloor((col("off") * lyd) * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)).cast("decimal(38,12)").alias("xy"),
     )
     d38 = "decimal(38,0)"
     fit = pts.agg(
@@ -118,9 +118,9 @@ def q_retention_half_life(spark, sf_dir):
         .select(
             col("off").alias("day_offset"),
             col("active").cast("long").alias("n_active"),
-            F.round(col("active").cast("double") / col("cohort"), 6)
+            (col("active").cast("double") / col("cohort"))
             .alias("retention"),
-            F.round(-F.log(lit(2.0)) / slope, 4).alias("half_life_days"),
+            (-F.log(lit(2.0)) / slope).alias("half_life_days"),
         )
         .orderBy("day_offset")
     )

@@ -10,7 +10,7 @@ test is even worth running, q_ab_test_z's prospective twin).
 
 Determinism discipline: per-(part, year) cents and quantities are
 exact integer sums; the one per-part division each true index needs
-(p1*q0 = c1*q0/q1) is quantized ROUND(., 6) -> DECIMAL(28,6)
+(p1*q0 = c1*q0/q1) is quantized FLOOR((.) * 1e6 + 0.5) / 1e6 -> DECIMAL(28,6)
 identically on both engines before summing, while the p0*q0 / p1*q1
 sides reduce exactly to the integer sums c0 / c1; the z quantiles
 (1.959964, 0.841621) are shared literals; every output is one
@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 _Z_ALPHA = 1.959964  # two-sided 5%
 _Z_BETA = 0.841621   # 80% power
@@ -38,7 +38,7 @@ _Z_BETA = 0.841621   # 80% power
       FROM lineitem
     ), py AS (
       SELECT l_partkey, EXTRACT(year FROM l_shipdate) AS y,
-             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents,
+             SUM(CAST(FLOOR((l_extendedprice * 100) + 0.5) AS BIGINT)) AS cents,
              SUM(CAST(l_quantity AS BIGINT)) AS qty
       FROM lineitem, years
       WHERE EXTRACT(year FROM l_shipdate) IN (y0, y1)
@@ -50,20 +50,20 @@ _Z_BETA = 0.841621   # 80% power
       JOIN years ON a.y = years.y0 AND b.y = years.y1
     ), agg AS (
       SELECT COUNT(*) AS n_parts,
-             CAST(SUM(CAST(ROUND(CAST(c1 AS DOUBLE) * q0 / q1, 6)
+             CAST(SUM(CAST(FLOOR((CAST(c1 AS DOUBLE) * q0 / q1) * 1e6 + 0.5) / 1e6
                            AS DECIMAL(28,6))) AS DOUBLE) AS l_num,
              CAST(SUM(c0) AS DOUBLE) AS l_den,
              CAST(SUM(c1) AS DOUBLE) AS p_num,
-             CAST(SUM(CAST(ROUND(CAST(c0 AS DOUBLE) * q1 / q0, 6)
+             CAST(SUM(CAST(FLOOR((CAST(c0 AS DOUBLE) * q1 / q0) * 1e6 + 0.5) / 1e6
                            AS DECIMAL(28,6))) AS DOUBLE) AS p_den
       FROM basket
     )
     SELECT CAST((SELECT y0 FROM years) AS BIGINT) AS base_year,
            CAST((SELECT y1 FROM years) AS BIGINT) AS current_year,
            CAST(n_parts AS BIGINT) AS n_common_parts,
-           ROUND(l_num / l_den, 6) AS laspeyres,
-           ROUND(p_num / p_den, 6) AS paasche,
-           ROUND(SQRT((l_num / l_den) * (p_num / p_den)), 6) AS fisher
+           (l_num / l_den) AS laspeyres,
+           (p_num / p_den) AS paasche,
+           (SQRT((l_num / l_den) * (p_num / p_den))) AS fisher
     FROM agg
     """,
     desc="Laspeyres / Paasche / Fisher price indices between the "
@@ -74,7 +74,7 @@ _Z_BETA = 0.841621   # 80% power
          "change from mix shift, which q_yoy_growth's raw revenue "
          "ratio conflates; Fisher is their geometric mean. The true "
          "index needs one per-part division (p1*q0 = c1*q0/q1); that "
-         "term is quantized ROUND(.,6) -> DECIMAL(28,6) identically "
+         "term is quantized FLOOR((.) * 1e6 + 0.5) / 1e6 -> DECIMAL(28,6) identically "
          "on both engines before summing (the repo's standard "
          "computed-double discipline), while the p0*q0 and p1*q1 "
          "sides reduce exactly to the integer cents sums c0 and c1 "
@@ -94,7 +94,7 @@ def q_price_index(spark, sf_dir):
         .filter((yr == col("y0")) | (yr == col("y1")))
         .groupBy(col("l_partkey"), yr.alias("y"), "y0", "y1")
         .agg(
-            F.sum(F.round(col("l_extendedprice") * 100).cast("long"))
+            F.sum(dfloor((col("l_extendedprice") * 100) + F.lit(0.5)).cast("long"))
             .alias("cents"),
             F.sum(col("l_quantity").cast("long")).alias("qty"),
         )
@@ -109,8 +109,8 @@ def q_price_index(spark, sf_dir):
     )
     basket = a.join(b, col("l_partkey") == col("pk2"))
     d28 = "decimal(28,6)"
-    p1q0 = F.round(col("c1").cast("double") * col("q0") / col("q1"), 6)
-    p0q1 = F.round(col("c0").cast("double") * col("q1") / col("q0"), 6)
+    p1q0 = (dfloor((col("c1").cast("double") * col("q0") / col("q1")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+    p0q1 = (dfloor((col("c0").cast("double") * col("q1") / col("q0")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
     # GLOBAL aggregate + re-attached years, not groupBy(y0, y1): the
     # oracle's ungrouped agg yields one row of NULL indices even when
     # the common basket is EMPTY (single-year corpora); grouping by
@@ -128,9 +128,9 @@ def q_price_index(spark, sf_dir):
         col("y0").cast("long").alias("base_year"),
         col("y1").cast("long").alias("current_year"),
         col("n_parts").cast("long").alias("n_common_parts"),
-        F.round(lasp, 6).alias("laspeyres"),
-        F.round(paas, 6).alias("paasche"),
-        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+        (lasp).alias("laspeyres"),
+        (paas).alias("paasche"),
+        (F.sqrt(lasp * paas)).alias("fisher"),
     )
 
 
@@ -148,7 +148,7 @@ def q_price_index(spark, sf_dir):
       FROM base
     )
     SELECT st AS o_orderstatus, CAST(n AS BIGINT) AS n_current,
-           ROUND(p1, 6) AS base_rate,
+           (p1) AS base_rate,
            CAST(CEIL(
              POWER({_Z_ALPHA} * SQRT(2 * ((p1 + p2) / 2)
                                      * (1 - (p1 + p2) / 2))
@@ -197,7 +197,7 @@ def q_power_analysis(spark, sf_dir):
     return base.select(
         col("st").alias("o_orderstatus"),
         col("n").cast("long").alias("n_current"),
-        F.round(p1, 6).alias("base_rate"),
+        (p1).alias("base_rate"),
         n_arm.cast("long").alias("n_per_arm"),
         (n_arm.cast("double") / col("n").cast("double") >= 1)
         .alias("underpowered_today"),

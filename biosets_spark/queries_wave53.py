@@ -44,13 +44,13 @@ _Z = 1.959964
            CAST(b AS BIGINT) AS n_urgent_low,
            CAST(c AS BIGINT) AS n_other_high,
            CAST(d AS BIGINT) AS n_other_low,
-           ROUND(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6)
+           (CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
              AS odds_ratio,
-           ROUND(EXP(LN(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
-                     - {_Z} * SQRT(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+           (EXP(LN(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                     - {_Z} * SQRT(1.0/a + 1.0/b + 1.0/c + 1.0/d)))
              AS ci_low,
-           ROUND(EXP(LN(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
-                     + {_Z} * SQRT(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+           (EXP(LN(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                     + {_Z} * SQRT(1.0/a + 1.0/b + 1.0/c + 1.0/d)))
              AS ci_high
     FROM cells WHERE a > 0 AND b > 0 AND c > 0 AND d > 0
     ORDER BY st
@@ -92,9 +92,9 @@ def q_odds_ratio(spark, sf_dir):
             col("b").cast("long").alias("n_urgent_low"),
             col("c").cast("long").alias("n_other_high"),
             col("d").cast("long").alias("n_other_low"),
-            F.round(ad / bc, 6).alias("odds_ratio"),
-            F.round(F.exp(F.log(ad / bc) - _Z * se), 6).alias("ci_low"),
-            F.round(F.exp(F.log(ad / bc) + _Z * se), 6).alias("ci_high"),
+            (ad / bc).alias("odds_ratio"),
+            (F.exp(F.log(ad / bc) - _Z * se)).alias("ci_low"),
+            (F.exp(F.log(ad / bc) + _Z * se)).alias("ci_high"),
         )
         .orderBy("o_orderstatus")
     )
@@ -131,10 +131,10 @@ def q_odds_ratio(spark, sf_dir):
     SELECT CAST(n AS BIGINT) AS n_docs,
            CAST(b AS BIGINT) AS a_only_correct,
            CAST(c AS BIGINT) AS b_only_correct,
-           ROUND(CAST(acc_a AS DOUBLE) / n, 6) AS accuracy_a,
-           ROUND(CAST(acc_b AS DOUBLE) / n, 6) AS accuracy_b,
-           ROUND(POWER(GREATEST(ABS(CAST(b AS DOUBLE) - c) - 1, 0), 2)
-                 / NULLIF(b + c, 0), 6) AS mcnemar_chi2
+           (CAST(acc_a AS DOUBLE) / n) AS accuracy_a,
+           (CAST(acc_b AS DOUBLE) / n) AS accuracy_b,
+           (POWER(GREATEST(ABS(CAST(b AS DOUBLE) - c) - 1, 0), 2)
+                 / NULLIF(b + c, 0)) AS mcnemar_chi2
     FROM cells
     """,
     desc="McNemar's paired test comparing two English detectors on "
@@ -180,16 +180,14 @@ def q_mcnemar_paired(spark, sf_dir):
         col("n").cast("long").alias("n_docs"),
         col("b").cast("long").alias("a_only_correct"),
         col("c").cast("long").alias("b_only_correct"),
-        F.round(col("acc_a").cast("double") / col("n"), 6)
+        (col("acc_a").cast("double") / col("n"))
         .alias("accuracy_a"),
-        F.round(col("acc_b").cast("double") / col("n"), 6)
+        (col("acc_b").cast("double") / col("n"))
         .alias("accuracy_b"),
-        F.round(
-            F.pow(
+        (F.pow(
                 F.greatest(
                     F.abs(col("b").cast("double") - col("c")) - 1, lit(0.0)
                 ), 2,
             )
-            / F.nullif((col("b") + col("c")).cast("double"), lit(0.0)), 6,
-        ).alias("mcnemar_chi2"),
+            / F.nullif((col("b") + col("c")).cast("double"), lit(0.0))).alias("mcnemar_chi2"),
     )

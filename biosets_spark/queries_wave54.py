@@ -20,14 +20,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
     "q_threshold_sweep",
     oracle="""
     WITH scored AS (
-      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+      SELECT CAST(FLOOR((o_totalprice * 100) + 0.5) AS BIGINT) AS c,
              (o_orderpriority = '1-URGENT') AS pos
       FROM orders
     ), cuts AS (
@@ -45,11 +45,11 @@ from .queries import q
              (SELECT COUNT(*) FILTER (WHERE pos) FROM scored) AS p
       FROM cuts
     )
-    SELECT k AS decile, ROUND(thr, 1) AS threshold_cents,
+    SELECT k AS decile, (thr) AS threshold_cents,
            CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
-           ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6) AS precision,
-           ROUND(CAST(tp AS DOUBLE) / p, 6) AS recall,
-           ROUND(2.0 * tp / NULLIF(tp + fp + p, 0), 6) AS f1
+           (CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0)) AS precision,
+           (CAST(tp AS DOUBLE) / p) AS recall,
+           (2.0 * tp / NULLIF(tp + fp + p, 0)) AS f1
     FROM counted ORDER BY k
     """,
     desc="Threshold sweep for 'total price predicts urgent': at each "
@@ -69,7 +69,7 @@ from .queries import q
 def q_threshold_sweep(spark, sf_dir):
     orders = tables.load(spark, sf_dir, "orders")
     scored = orders.select(
-        F.round(col("o_totalprice") * 100).cast("long").alias("c"),
+        dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long").alias("c"),
         (col("o_orderpriority") == "1-URGENT").alias("pos"),
     )
     qs = [i / 10 for i in range(1, 10)]
@@ -104,19 +104,15 @@ def q_threshold_sweep(spark, sf_dir):
     )
     return out.select(
         col("k").alias("decile"),
-        F.round(col("thr"), 1).alias("threshold_cents"),
+        (col("thr")).alias("threshold_cents"),
         col("tp").cast("long").alias("tp"),
         col("fp").cast("long").alias("fp"),
-        F.round(
-            col("tp").cast("double")
-            / F.nullif((col("tp") + col("fp")).cast("double"), lit(0.0)), 6,
-        ).alias("precision"),
-        F.round(col("tp").cast("double") / col("p"), 6).alias("recall"),
-        F.round(
-            2.0 * col("tp")
+        (col("tp").cast("double")
+            / F.nullif((col("tp") + col("fp")).cast("double"), lit(0.0))).alias("precision"),
+        (col("tp").cast("double") / col("p")).alias("recall"),
+        (2.0 * col("tp")
             / F.nullif((col("tp") + col("fp") + col("p")).cast("double"),
-                       lit(0.0)), 6,
-        ).alias("f1"),
+                       lit(0.0))).alias("f1"),
     ).orderBy("decile")
 
 
@@ -127,7 +123,7 @@ _GATE = "('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 5"
     "q_calibration_bins",
     oracle=f"""
     WITH scored AS (
-      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+      SELECT CAST(FLOOR((o_totalprice * 100) + 0.5) AS BIGINT) AS c,
              (o_orderpriority = '1-URGENT') AS pos,
              {_GATE} AS fold
       FROM orders
@@ -152,9 +148,9 @@ _GATE = "('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 5"
       FROM binned WHERE fold = 0 GROUP BY bin
     )
     SELECT t.bin AS score_bin, CAST(t.n_test AS BIGINT) AS n_test,
-           ROUND(tr.p_hat, 6) AS predicted_rate,
-           ROUND(t.observed, 6) AS observed_rate,
-           ROUND(t.observed - tr.p_hat, 6) AS calibration_gap
+           (tr.p_hat) AS predicted_rate,
+           (t.observed) AS observed_rate,
+           (t.observed - tr.p_hat) AS calibration_gap
     FROM test t JOIN train_rate tr ON t.bin = tr.bin
     ORDER BY t.bin
     """,
@@ -177,7 +173,7 @@ def q_calibration_bins(spark, sf_dir):
 
     orders = tables.load(spark, sf_dir, "orders")
     scored = orders.select(
-        F.round(col("o_totalprice") * 100).cast("long").alias("c"),
+        dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long").alias("c"),
         (col("o_orderpriority") == "1-URGENT").alias("pos"),
         F.pmod(portable_hash60(col("o_orderkey").cast("string")), lit(5))
         .alias("fold"),
@@ -216,9 +212,9 @@ def q_calibration_bins(spark, sf_dir):
         .select(
             col("bin").alias("score_bin"),
             col("n_test").cast("long").alias("n_test"),
-            F.round(col("p_hat"), 6).alias("predicted_rate"),
-            F.round(col("observed"), 6).alias("observed_rate"),
-            F.round(col("observed") - col("p_hat"), 6)
+            (col("p_hat")).alias("predicted_rate"),
+            (col("observed")).alias("observed_rate"),
+            (col("observed") - col("p_hat"))
             .alias("calibration_gap"),
         )
         .orderBy("score_bin")

@@ -10,7 +10,7 @@ variance the grouping actually explains before anyone ships a
 
 Determinism discipline: all group moments are DECIMAL(38,0) sums of
 exact integer units; per-stratum differences and weights are closed-
-form doubles quantized ROUND(,12)->DECIMAL before the cross-stratum
+form doubles quantized the 1e-12 grid ->DECIMAL before the cross-stratum
 weighted sums (the q_jackknife_variance discipline); eta-squared and
 F are single closed-form doubles, rounded 6.
 """
@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -40,21 +40,23 @@ from .queries import q
              SUM(CAST(y AS DECIMAL(38,0))) FILTER (WHERE NOT treated) AS s0
       FROM units GROUP BY stratum
     ), terms AS (
-      SELECT CAST(ROUND((CAST(s1 AS DOUBLE) / n1
+      SELECT CAST(FLOOR((CAST(s1 AS DOUBLE) / n1
                          - CAST(s0 AS DOUBLE) / n0)
-                        * (CAST(n1 AS DOUBLE) * n0 / (n1 + n0)), 12)
-                  AS DECIMAL(38,12)) AS wd,
-             CAST(n1 AS DECIMAL(38,0)) * n0 / (n1 + n0) AS w,
+                        * (CAST(n1 AS DOUBLE) * n0 / (n1 + n0))
+                        * 1e12 + 0.5)
+                  AS DECIMAL(38,0)) AS wd,
+             CAST(FLOOR(CAST(n1 AS DOUBLE) * n0 / (n1 + n0)
+                        * 1e6 + 0.5) AS DECIMAL(38,0)) AS w,
              n1, n0, s1, s0
       FROM per WHERE n1 > 0 AND n0 > 0
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
            CAST(SUM(n1) AS BIGINT) AS n_treated,
            CAST(SUM(n0) AS BIGINT) AS n_control,
-           ROUND(CAST(SUM(s1) AS DOUBLE) / SUM(n1)
-                 - CAST(SUM(s0) AS DOUBLE) / SUM(n0), 6)
+           (CAST(SUM(s1) AS DOUBLE) / SUM(n1)
+                 - CAST(SUM(s0) AS DOUBLE) / SUM(n0))
              AS unadjusted_effect,
-           ROUND(CAST(SUM(wd) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6)
+           (CAST(SUM(wd) AS DOUBLE) / 1e12 / (CAST(SUM(w) AS DOUBLE) / 1e6))
              AS stratified_effect
     FROM terms
     """,
@@ -69,7 +71,7 @@ from .queries import q
          "missing either arm drop out per standard practice. One "
          "combinable conditional agg per stratum over the broadcast-"
          "dim join; per-stratum weighted differences quantize "
-         "ROUND(,12)->DECIMAL before the cross-stratum sums, so no "
+         "the 1e-12 grid ->DECIMAL before the cross-stratum sums, so no "
          "float accumulation order exists.",
     tags=["stats", "join", "agg"],
 )
@@ -93,21 +95,24 @@ def q_stratified_effect(spark, sf_dir):
     diff = col("s1").cast("double") / col("n1") - col("s0").cast("double") / col("n0")
     w = col("n1").cast("double") * col("n0") / (col("n1") + col("n0"))
     terms = per.filter((col("n1") > 0) & (col("n0") > 0)).select(
-        F.round(diff * w, 12).cast("decimal(38,12)").alias("wd"),
-        (col("n1").cast(d38) * col("n0") / (col("n1") + col("n0"))).alias("w"),
+        # portable quantizer: FLOOR(x*1e12 + 0.5) is the SAME IEEE op
+        # sequence in both engines (ROUND-then-DECIMAL double-rounds
+        # differently in DuckDB vs Spark's BigDecimal HALF_UP)
+        F.floor(diff * w * F.lit(1e12) + F.lit(0.5)).cast(d38).alias("wd"),
+        # w is a repeating-decimal quotient: decimal division rounds at
+        # different scales across engines, so quantize via the same
+        # engine-identical FLOOR(x*1e6 + 0.5) before the exact sum
+        F.floor(w * F.lit(1e6) + F.lit(0.5)).cast(d38).alias("w"),
         "n1", "n0", "s1", "s0",
     )
     return terms.agg(
         F.count("*").cast("long").alias("n_strata"),
         F.sum("n1").cast("long").alias("n_treated"),
         F.sum("n0").cast("long").alias("n_control"),
-        F.round(
-            F.sum("s1").cast("double") / F.sum("n1")
-            - F.sum("s0").cast("double") / F.sum("n0"), 6,
-        ).alias("unadjusted_effect"),
-        F.round(
-            F.sum("wd").cast("double") / F.sum("w").cast("double"), 6
-        ).alias("stratified_effect"),
+        (F.sum("s1").cast("double") / F.sum("n1")
+            - F.sum("s0").cast("double") / F.sum("n0")).alias("unadjusted_effect"),
+        (F.sum("wd").cast("double") / F.lit(1e12)
+            / (F.sum("w").cast("double") / F.lit(1e6))).alias("stratified_effect"),
     )
 
 
@@ -116,7 +121,7 @@ def q_stratified_effect(spark, sf_dir):
     oracle="""
     WITH units AS (
       SELECT event_type, isodow(CAST(ts AS DATE)) AS dow,
-             CAST(ROUND(value * 100) AS BIGINT) AS c
+             CAST(FLOOR((value * 100) + 0.5) AS BIGINT) AS c
       FROM events
     ), per AS (
       SELECT event_type, dow, COUNT(*) AS n,
@@ -130,22 +135,20 @@ def q_stratified_effect(spark, sf_dir):
       FROM per GROUP BY event_type
     ), terms AS (
       SELECT p.event_type, g.k, g.n_tot,
-             CAST(ROUND(p.n * POWER(CAST(p.s1 AS DOUBLE) / p.n - g.gm, 2),
-                        6) AS DECIMAL(38,6)) AS ssb_t,
-             CAST(ROUND(CAST(p.s2 AS DOUBLE)
-                        - CAST(p.s1 AS DOUBLE) * p.s1 / p.n, 6)
+             CAST(FLOOR((p.n * POWER(CAST(p.s1 AS DOUBLE) / p.n - g.gm, 2)) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6)) AS ssb_t,
+             CAST(FLOOR((CAST(p.s2 AS DOUBLE)
+                        - CAST(p.s1 AS DOUBLE) * p.s1 / p.n) * 1e6 + 0.5) / 1e6
                   AS DECIMAL(38,6)) AS ssw_t
       FROM per p JOIN grand g ON p.event_type = g.event_type
     )
     SELECT event_type,
            CAST(MAX(k) AS BIGINT) AS n_groups,
            CAST(MAX(n_tot) AS BIGINT) AS n_rows,
-           ROUND(CAST(SUM(ssb_t) AS DOUBLE)
+           (CAST(SUM(ssb_t) AS DOUBLE)
                  / (CAST(SUM(ssb_t) AS DOUBLE)
-                    + CAST(SUM(ssw_t) AS DOUBLE)), 6) AS eta_squared,
-           ROUND((CAST(SUM(ssb_t) AS DOUBLE) / (MAX(k) - 1))
-                 / (CAST(SUM(ssw_t) AS DOUBLE) / (MAX(n_tot) - MAX(k))),
-                 6) AS f_stat
+                    + CAST(SUM(ssw_t) AS DOUBLE))) AS eta_squared,
+           ((CAST(SUM(ssb_t) AS DOUBLE) / (MAX(k) - 1))
+                 / (CAST(SUM(ssw_t) AS DOUBLE) / (MAX(n_tot) - MAX(k)))) AS f_stat
     FROM terms GROUP BY event_type ORDER BY event_type
     """,
     desc="One-way ANOVA of event value by weekday (isodow, Monday-"
@@ -169,7 +172,7 @@ def q_anova_oneway(spark, sf_dir):
     units = ev.select(
         "event_type",
         (F.weekday(col("ts").cast("date")) + 1).alias("dow"),
-        F.round(col("value") * 100).cast("long").alias("c"),
+        dfloor((col("value") * 100) + F.lit(0.5)).cast("long").alias("c"),
     )
     per = units.groupBy("event_type", "dow").agg(
         F.count("*").alias("n"),
@@ -187,15 +190,9 @@ def q_anova_oneway(spark, sf_dir):
     # mean) happens inside identical doubles, never across engines
     terms = per.join(broadcast(grand), col("event_type") == col("et")).select(
         "event_type", "k", "n_tot",
-        F.round(
-            col("n") * F.pow(col("s1").cast("double") / col("n") - col("gm"), 2),
-            6,
-        ).cast("decimal(38,6)").alias("ssb_t"),
-        F.round(
-            col("s2").cast("double")
-            - col("s1").cast("double") * col("s1").cast("double") / col("n"),
-            6,
-        ).cast("decimal(38,6)").alias("ssw_t"),
+        (dfloor((col("n") * F.pow(col("s1").cast("double") / col("n") - col("gm"), 2)) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("decimal(38,6)").alias("ssb_t"),
+        (dfloor((col("s2").cast("double")
+            - col("s1").cast("double") * col("s1").cast("double") / col("n")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("decimal(38,6)").alias("ssw_t"),
     )
     ssb = F.sum("ssb_t").cast("double")
     ssw = F.sum("ssw_t").cast("double")
@@ -207,12 +204,10 @@ def q_anova_oneway(spark, sf_dir):
             # try_divide: constant values (ssb+ssw = 0), a single dow
             # group (k-1 = 0), or saturated groups (n_tot = k) all
             # degrade to NULL, matching the oracle's x/0 = NULL
-            F.round(F.try_divide(ssb, ssb + ssw), 6).alias("eta_squared"),
-            F.round(
-                F.try_divide(
+            (F.try_divide(ssb, ssb + ssw)).alias("eta_squared"),
+            (F.try_divide(
                     F.try_divide(ssb, F.max("k") - 1),
-                    F.try_divide(ssw, F.max("n_tot") - F.max("k"))), 6,
-            ).alias("f_stat"),
+                    F.try_divide(ssw, F.max("n_tot") - F.max("k")))).alias("f_stat"),
         )
         .orderBy("event_type")
     )

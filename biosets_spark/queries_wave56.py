@@ -55,10 +55,10 @@ _CUT = "1997-01-01"
       FROM cells
     )
     SELECT CAST(n_all AS BIGINT) AS n_rows,
-           ROUND(tb, 6) AS treated_pre, ROUND(tp, 6) AS treated_post,
-           ROUND(cb, 6) AS control_pre, ROUND(cp, 6) AS control_post,
-           ROUND((tp - tb) - (cp - cb), 6) AS did_estimate,
-           ROUND(SQRT(ssw / (n_all - 4) * inv_n), 6) AS did_se
+           (tb) AS treated_pre, (tp) AS treated_post,
+           (cb) AS control_pre, (cp) AS control_post,
+           ((tp - tb) - (cp - cb)) AS did_estimate,
+           (SQRT(ssw / (n_all - 4) * inv_n)) AS did_se
     FROM wide
     """,
     desc="Difference-in-differences: effect of PROMO part types on "
@@ -106,19 +106,17 @@ def q_diff_in_diff(spark, sf_dir):
     )
     return wide.select(
         col("n_all").cast("long").alias("n_rows"),
-        F.round(col("tb"), 6).alias("treated_pre"),
-        F.round(col("tp"), 6).alias("treated_post"),
-        F.round(col("cb"), 6).alias("control_pre"),
-        F.round(col("cp"), 6).alias("control_post"),
-        F.round((col("tp") - col("tb")) - (col("cp") - col("cb")), 6)
+        (col("tb")).alias("treated_pre"),
+        (col("tp")).alias("treated_post"),
+        (col("cb")).alias("control_pre"),
+        (col("cp")).alias("control_post"),
+        ((col("tp") - col("tb")) - (col("cp") - col("cb")))
         .alias("did_estimate"),
         # try_divide: with n_all <= 4 rows the pooled-variance df is
         # zero or negative-degenerate; the SE is NULL, matching the
         # oracle's x/0 = NULL
-        F.round(
-            F.sqrt(F.try_divide(col("ssw"), col("n_all") - 4)
-                   * col("inv_n")), 6
-        ).alias("did_se"),
+        (F.sqrt(F.try_divide(col("ssw"), col("n_all") - 4)
+                   * col("inv_n"))).alias("did_se"),
     )
 
 
@@ -147,10 +145,10 @@ _GATE_B = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 16, 15))::BIGINT % 10"
            CAST(n2 AS BIGINT) AS capture_2,
            CAST(m AS BIGINT) AS recaptured,
            CAST(n_true AS BIGINT) AS true_population,
-           ROUND((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1, 6)
+           ((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1)
              AS chapman_estimate,
-           ROUND(((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1
-                  - n_true) / n_true, 6) AS relative_error
+           (((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1
+                  - n_true) / n_true) AS relative_error
     FROM counts
     """,
     desc="Capture-recapture (Chapman-corrected Lincoln-Petersen) "
@@ -186,7 +184,7 @@ def q_capture_recapture(spark, sf_dir):
         col("n2").cast("long").alias("capture_2"),
         col("m").cast("long").alias("recaptured"),
         col("n_true").cast("long").alias("true_population"),
-        F.round(chapman, 6).alias("chapman_estimate"),
-        F.round((chapman - col("n_true")) / col("n_true"), 6)
+        (chapman).alias("chapman_estimate"),
+        ((chapman - col("n_true")) / col("n_true"))
         .alias("relative_error"),
     )

@@ -10,7 +10,7 @@ q_benford_digits' leading-digit test with a trailing-digit test).
 
 Determinism discipline: all cell counts are exact integers; each
 chi-square term is one closed-form double over exact integers,
-quantized ROUND(,10)->DECIMAL before the cross-cell sum; cent endings
+quantized the 1e-10 grid ->DECIMAL before the cross-cell sum; cent endings
 come from integer modulus, never float rounding.
 """
 
@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -38,8 +38,8 @@ from .queries import q
       FROM cells
     ), terms AS (
       SELECT big_n,
-             CAST(ROUND(POWER(nij - CAST(ni AS DOUBLE) * nj / big_n, 2)
-                        / (CAST(ni AS DOUBLE) * nj / big_n), 10)
+             CAST(FLOOR((POWER(nij - CAST(ni AS DOUBLE) * nj / big_n, 2)
+                        / (CAST(ni AS DOUBLE) * nj / big_n)) * 1e10 + 0.5) / 1e10
                   AS DECIMAL(38,10)) AS t
       FROM marg
     ), dims AS (
@@ -51,14 +51,14 @@ from .queries import q
     )
     SELECT CAST(n AS BIGINT) AS n_rows,
            CAST(r AS BIGINT) AS n_segments, CAST(c AS BIGINT) AS n_nations,
-           ROUND(chi2, 6) AS chi2,
-           ROUND(SQRT(chi2 / (n * LEAST(r - 1, c - 1))), 6) AS cramers_v,
-           ROUND(SQRT(
+           (chi2) AS chi2,
+           (SQRT(chi2 / (n * LEAST(r - 1, c - 1)))) AS cramers_v,
+           (SQRT(
              GREATEST(chi2 / n - (CAST(r AS DOUBLE) - 1) * (c - 1) / (n - 1),
                       0)
              / LEAST(r - (CAST(r AS DOUBLE) - 1) * (r - 1) / (n - 1) - 1,
                      c - (CAST(c AS DOUBLE) - 1) * (c - 1) / (n - 1) - 1)
-           ), 6) AS cramers_v_corrected
+           )) AS cramers_v_corrected
     FROM agg
     """,
     desc="Bias-corrected Cramer's V for market segment x nation over "
@@ -70,7 +70,7 @@ from .queries import q
          "also reported; corrected <= plain always). The fact table "
          "collapses in one 125-cell count agg; margins are window "
          "sums over that tiny cell table; each chi-square term "
-         "quantizes ROUND(,10)->DECIMAL before the cross-cell sum "
+         "quantizes the 1e-10 grid ->DECIMAL before the cross-cell sum "
          "so no accumulation order exists.",
     tags=["stats", "join", "agg", "cross"],
 )
@@ -97,7 +97,7 @@ def q_cramers_v(spark, sf_dir):
     e = col("ni").cast("double") * col("nj") / col("big_n")
     terms = marg.select(
         "big_n", "r", "c",
-        F.round(F.pow(col("nij") - e, 2) / e, 10)
+        (dfloor((F.pow(col("nij") - e, 2) / e) * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10))
         .cast("decimal(38,10)").alias("t"),
     )
     agg = terms.groupBy("big_n", "r", "c").agg(
@@ -116,10 +116,10 @@ def q_cramers_v(spark, sf_dir):
         col("big_n").cast("long").alias("n_rows"),
         col("r").cast("long").alias("n_segments"),
         col("c").cast("long").alias("n_nations"),
-        F.round(col("chi2"), 6).alias("chi2"),
-        F.round(F.sqrt(col("chi2") / (nd * F.least(rd - 1, cd - 1))), 6)
+        (col("chi2")).alias("chi2"),
+        (F.sqrt(col("chi2") / (nd * F.least(rd - 1, cd - 1))))
         .alias("cramers_v"),
-        F.round(F.sqrt(phi2c / F.least(rc - 1, cc - 1)), 6)
+        (F.sqrt(phi2c / F.least(rc - 1, cc - 1)))
         .alias("cramers_v_corrected"),
     )
 
@@ -128,7 +128,7 @@ def q_cramers_v(spark, sf_dir):
     "q_round_price_bias",
     oracle="""
     WITH endings AS (
-      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) % 100 AS cents_end
+      SELECT CAST(FLOOR((o_totalprice * 100) + 0.5) AS BIGINT) % 100 AS cents_end
       FROM orders
     ), classed AS (
       SELECT CASE WHEN cents_end = 0 THEN '.00'
@@ -141,9 +141,9 @@ def q_cramers_v(spark, sf_dir):
       FROM endings GROUP BY 1, 2
     ), tot AS (SELECT SUM(n) AS big_n FROM classed)
     SELECT ending, CAST(SUM(n) AS BIGINT) AS n_orders,
-           ROUND(CAST(SUM(n) AS DOUBLE) / MAX(t.big_n), 6) AS share,
-           ROUND((CAST(SUM(n) AS DOUBLE) / MAX(t.big_n))
-                 / (CAST(MAX(n_slots) AS DOUBLE) / 100), 6)
+           (CAST(SUM(n) AS DOUBLE) / MAX(t.big_n)) AS share,
+           ((CAST(SUM(n) AS DOUBLE) / MAX(t.big_n))
+                 / (CAST(MAX(n_slots) AS DOUBLE) / 100))
              AS bias_vs_uniform
     FROM classed, tot t
     GROUP BY ending ORDER BY ending
@@ -163,7 +163,7 @@ def q_cramers_v(spark, sf_dir):
 def q_round_price_bias(spark, sf_dir):
     orders = tables.load(spark, sf_dir, "orders")
     cents_end = (
-        F.round(col("o_totalprice") * 100).cast("long") % 100
+        dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long") % 100
     ).alias("cents_end")
     classed = (
         orders.select(cents_end)
@@ -184,12 +184,10 @@ def q_round_price_bias(spark, sf_dir):
         .groupBy("ending")
         .agg(
             F.sum("n").cast("long").alias("n_orders"),
-            F.round(F.sum("n").cast("double") / F.max("big_n"), 6)
+            (F.sum("n").cast("double") / F.max("big_n"))
             .alias("share"),
-            F.round(
-                (F.sum("n").cast("double") / F.max("big_n"))
-                / (F.max("n_slots").cast("double") / 100), 6,
-            ).alias("bias_vs_uniform"),
+            ((F.sum("n").cast("double") / F.max("big_n"))
+                / (F.max("n_slots").cast("double") / 100)).alias("bias_vs_uniform"),
         )
         .orderBy("ending")
     )

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -34,7 +34,7 @@ from .queries import q
     oracle="""
     WITH latency AS (
       SELECT o.o_orderkey, o.o_orderpriority AS pri,
-             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price,
+             CAST(FLOOR((o.o_totalprice * 100) + 0.5) AS BIGINT) AS price,
              MIN(date_diff('day', CAST(o.o_orderdate AS DATE),
                            CAST(l.l_shipdate AS DATE))) AS lat
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -78,7 +78,7 @@ def q_skyline_orders(spark, sf_dir):
         li.join(
             orders.select(
                 "o_orderkey", col("o_orderpriority").alias("pri"),
-                F.round(col("o_totalprice") * 100).cast("long").alias("price"),
+                dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long").alias("price"),
                 col("o_orderdate").cast("date").alias("od"),
             ),
             col("l_orderkey") == col("o_orderkey"),
@@ -115,7 +115,7 @@ def q_skyline_orders(spark, sf_dir):
     oracle="""
     WITH cust_rev AS (
       SELECT o_orderpriority AS pri, o_custkey,
-             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+             SUM(CAST(FLOOR((o_totalprice * 100) + 0.5) AS BIGINT)) AS cents
       FROM orders GROUP BY 1, 2
     ), ranked AS (
       SELECT pri, cents,
@@ -140,9 +140,9 @@ def q_skyline_orders(spark, sf_dir):
     )
     SELECT pri AS o_orderpriority,
            CAST(rk AS BIGINT) AS knee_rank, CAST(n AS BIGINT) AS n_customers,
-           ROUND(CAST(rk AS DOUBLE) / n, 6) AS knee_share_of_customers,
-           ROUND(cum_share, 6) AS revenue_share_at_knee,
-           ROUND(gap, 6) AS max_gap
+           (CAST(rk AS DOUBLE) / n) AS knee_share_of_customers,
+           (cum_share) AS revenue_share_at_knee,
+           (gap) AS max_gap
     FROM best WHERE is_knee = 1 ORDER BY pri
     """,
     desc="Knee point of the cumulative revenue concentration curve "
@@ -163,7 +163,7 @@ def q_knee_point(spark, sf_dir):
     cust_rev = orders.groupBy(
         col("o_orderpriority").alias("pri"), "o_custkey"
     ).agg(
-        F.sum(F.round(col("o_totalprice") * 100).cast("long")).alias("cents")
+        F.sum(dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long")).alias("cents")
     )
     w_ord = Window.partitionBy("pri").orderBy(col("cents").desc(), "o_custkey")
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -189,10 +189,10 @@ def q_knee_point(spark, sf_dir):
             col("pri").alias("o_orderpriority"),
             col("rk").cast("long").alias("knee_rank"),
             col("n").cast("long").alias("n_customers"),
-            F.round(col("rk").cast("double") / col("n"), 6)
+            (col("rk").cast("double") / col("n"))
             .alias("knee_share_of_customers"),
-            F.round(col("cum_share"), 6).alias("revenue_share_at_knee"),
-            F.round(col("gap"), 6).alias("max_gap"),
+            (col("cum_share")).alias("revenue_share_at_knee"),
+            (col("gap")).alias("max_gap"),
         )
         .orderBy("o_orderpriority")
     )

@@ -12,7 +12,7 @@ baseline).
 Determinism discipline: daily means are exact 6-dec decimal ratios
 (the shared q_cusum prelude); chart limits are closed-form doubles
 from decimal moment sums; remainder/seasonal variance terms quantize
-ROUND(,10)->DECIMAL before their cross-day sums; every flag compares
+the 1e-10 grid ->DECIMAL before their cross-day sums; every flag compares
 identical doubles on both engines.
 """
 
@@ -22,13 +22,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 _DAILY_SQL = """
       WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
-               ROUND(CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2)))
-                          AS DOUBLE) / COUNT(*), 6) AS m
+               FLOOR((CAST(SUM(CAST(FLOOR((value) * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2)))
+                          AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS m
         FROM events GROUP BY event_type, CAST(ts AS DATE)
       )
 """
@@ -50,9 +50,9 @@ _DAILY_SQL = """
     )
     SELECT d.event_type,
            CAST(l.n AS BIGINT) AS n_days,
-           ROUND(l.center, 6) AS center_line,
-           ROUND(l.center - 3 * l.sigma, 6) AS lcl,
-           ROUND(l.center + 3 * l.sigma, 6) AS ucl,
+           (l.center) AS center_line,
+           (l.center - 3 * l.sigma) AS lcl,
+           (l.center + 3 * l.sigma) AS ucl,
            CAST(COUNT(*) FILTER (WHERE d.m > l.center + 3 * l.sigma
                                  OR d.m < l.center - 3 * l.sigma) AS BIGINT)
              AS n_beyond_3sigma,
@@ -82,10 +82,8 @@ def q_control_chart(spark, sf_dir):
     daily = (
         ev.groupBy("event_type", col("ts").cast("date").alias("day"))
         .agg(
-            F.round(
-                F.sum(F.round("value", 2).cast("decimal(18,2)"))
-                .cast("double") / F.count("*"), 6
-            ).alias("m")
+            (dfloor((F.sum((dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).cast("decimal(18,2)"))
+                .cast("double") / F.count("*")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("m")
         )
     )
     md = col("m").cast("decimal(18,6)")
@@ -119,9 +117,9 @@ def q_control_chart(spark, sf_dir):
         .select(
             "event_type",
             col("n").cast("long").alias("n_days"),
-            F.round(col("center"), 6).alias("center_line"),
-            F.round(col("center") - 3 * col("sigma"), 6).alias("lcl"),
-            F.round(col("center") + 3 * col("sigma"), 6).alias("ucl"),
+            (col("center")).alias("center_line"),
+            (col("center") - 3 * col("sigma")).alias("lcl"),
+            (col("center") + 3 * col("sigma")).alias("ucl"),
             col("n3").cast("long").alias("n_beyond_3sigma"),
             col("n2").cast("long").alias("n_beyond_2sigma"),
         )
@@ -142,15 +140,15 @@ def q_control_chart(spark, sf_dir):
       FROM daily GROUP BY event_type
     ), terms AS (
       SELECT d.event_type,
-             CAST(ROUND(POWER(d.m - g.gm, 2), 10) AS DECIMAL(38,10)) AS tot,
-             CAST(ROUND(POWER(d.m - s.sm, 2), 10) AS DECIMAL(38,10)) AS rem
+             CAST(FLOOR((POWER(d.m - g.gm, 2)) * 1e10 + 0.5) / 1e10 AS DECIMAL(38,10)) AS tot,
+             CAST(FLOOR((POWER(d.m - s.sm, 2)) * 1e10 + 0.5) / 1e10 AS DECIMAL(38,10)) AS rem
       FROM daily d
       JOIN grand g ON d.event_type = g.event_type
       JOIN dowm s ON d.event_type = s.event_type AND isodow(d.day) = s.dow
     )
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
-           ROUND(GREATEST(1 - CAST(SUM(rem) AS DOUBLE)
-                          / CAST(SUM(tot) AS DOUBLE), 0), 6)
+           (GREATEST(1 - CAST(SUM(rem) AS DOUBLE)
+                          / CAST(SUM(tot) AS DOUBLE), 0))
              AS seasonal_strength
     FROM terms GROUP BY event_type ORDER BY event_type
     """,
@@ -163,7 +161,7 @@ def q_control_chart(spark, sf_dir):
          "Fs -> 1 means the weekday profile IS the series. Weekday "
          "means and the grand mean come from exact decimal ratios; "
          "each day's squared deviation is one closed-form double "
-         "quantized ROUND(,10)->DECIMAL before the only cross-day "
+         "quantized the 1e-10 grid ->DECIMAL before the only cross-day "
          "sums (the q_anova_oneway discipline — this is its "
          "eta-squared, framed for time series). isodow keeps the "
          "weekday anchor identical on both engines.",
@@ -174,10 +172,8 @@ def q_seasonal_strength(spark, sf_dir):
     daily = (
         ev.groupBy("event_type", col("ts").cast("date").alias("day"))
         .agg(
-            F.round(
-                F.sum(F.round("value", 2).cast("decimal(18,2)"))
-                .cast("double") / F.count("*"), 6
-            ).alias("m")
+            (dfloor((F.sum((dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).cast("decimal(18,2)"))
+                .cast("double") / F.count("*")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("m")
         )
         .withColumn("dow", F.weekday(col("day")) + 1)
     )
@@ -196,9 +192,9 @@ def q_seasonal_strength(spark, sf_dir):
         )
         .select(
             "event_type",
-            F.round(F.pow(col("m") - col("gm"), 2), 10)
+            (dfloor((F.pow(col("m") - col("gm"), 2)) * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10))
             .cast("decimal(38,10)").alias("tot"),
-            F.round(F.pow(col("m") - col("sm"), 2), 10)
+            (dfloor((F.pow(col("m") - col("sm"), 2)) * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10))
             .cast("decimal(38,10)").alias("rem"),
         )
     )
@@ -209,13 +205,11 @@ def q_seasonal_strength(spark, sf_dir):
             # try_divide: a constant series has zero total variance;
             # the NULL ratio then clamps to 0.0 via greatest, which
             # skips NULLs identically in both engines
-            F.round(
-                F.greatest(
+            (F.greatest(
                     1 - F.try_divide(F.sum("rem").cast("double"),
                                      F.sum("tot").cast("double")),
                     F.lit(0.0),
-                ), 6,
-            ).alias("seasonal_strength"),
+                )).alias("seasonal_strength"),
         )
         .orderBy("event_type")
     )

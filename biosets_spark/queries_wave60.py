@@ -23,13 +23,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 _DAILY_SQL = """
       WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
-               ROUND(CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2)))
-                          AS DOUBLE) / COUNT(*), 6) AS m
+               FLOOR((CAST(SUM(CAST(FLOOR((value) * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2)))
+                          AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS m
         FROM events GROUP BY event_type, CAST(ts AS DATE)
       )
 """
@@ -60,16 +60,16 @@ _PI = 3.141592653589793
     SELECT s.event_type,
            CAST(n.nd AS BIGINT) AS n_days,
            CAST(s.s_stat AS BIGINT) AS s_stat,
-           ROUND((n.nd * (n.nd - 1.0) * (2 * n.nd + 5) - ties.tie_term)
-                 / 18, 6) AS var_s,
-           ROUND(CASE
+           FLOOR(((n.nd * (n.nd - 1.0) * (2 * n.nd + 5) - ties.tie_term)
+                 / 18) * 1e6 + 0.5) / 1e6 AS var_s,
+           (CASE
              WHEN s.s_stat > 0 THEN (s.s_stat - 1)
                / SQRT((n.nd * (n.nd - 1.0) * (2 * n.nd + 5) - ties.tie_term)
                       / 18)
              WHEN s.s_stat < 0 THEN (s.s_stat + 1)
                / SQRT((n.nd * (n.nd - 1.0) * (2 * n.nd + 5) - ties.tie_term)
                       / 18)
-             ELSE 0 END, 6) AS z_mk
+             ELSE 0 END) AS z_mk
     FROM s JOIN ties ON s.event_type = ties.event_type
     JOIN n ON s.event_type = n.event_type
     ORDER BY s.event_type
@@ -92,10 +92,8 @@ def q_mann_kendall(spark, sf_dir):
     daily = (
         ev.groupBy("event_type", col("ts").cast("date").alias("day"))
         .agg(
-            F.round(
-                F.sum(F.round("value", 2).cast("decimal(18,2)"))
-                .cast("double") / F.count("*"), 6
-            ).alias("m")
+            (dfloor((F.sum((dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).cast("decimal(18,2)"))
+                .cast("double") / F.count("*")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("m")
         )
     )
     a = daily.alias("a")
@@ -140,8 +138,8 @@ def q_mann_kendall(spark, sf_dir):
         "event_type",
         col("nd").cast("long").alias("n_days"),
         col("s_stat").cast("long").alias("s_stat"),
-        F.round(var_s, 6).alias("var_s"),
-        F.round(z, 6).alias("z_mk"),
+        (dfloor((var_s) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("var_s"),
+        (z).alias("z_mk"),
     ).orderBy("event_type")
 
 
@@ -150,7 +148,7 @@ def q_mann_kendall(spark, sf_dir):
     oracle=f"""
     WITH blockmax AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             MAX(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS mx
+             MAX(CAST(FLOOR((value) * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2))) AS mx
       FROM events GROUP BY event_type, CAST(ts AS DATE)
     ), mom AS (
       SELECT event_type, COUNT(*) AS n,
@@ -165,11 +163,11 @@ def q_mann_kendall(spark, sf_dir):
       FROM mom
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_blocks,
-           ROUND(mean, 6) AS block_mean,
-           ROUND(mean - {_EULER} * beta, 6) AS gumbel_mu,
-           ROUND(beta, 6) AS gumbel_beta,
-           ROUND(mean - {_EULER} * beta
-                 - beta * LN(-LN(0.99)), 6) AS return_level_100
+           (mean) AS block_mean,
+           (mean - {_EULER} * beta) AS gumbel_mu,
+           (beta) AS gumbel_beta,
+           (mean - {_EULER} * beta
+                 - beta * LN(-LN(0.99))) AS return_level_100
     FROM fit ORDER BY event_type
     """,
     desc="Gumbel extreme-value fit to each event type's daily maxima "
@@ -191,7 +189,7 @@ def q_gumbel_maxima(spark, sf_dir):
     ev = tables.load(spark, sf_dir, "events")
     blockmax = (
         ev.groupBy("event_type", col("ts").cast("date").alias("day"))
-        .agg(F.max(F.round("value", 2).cast("decimal(18,2)")).alias("mx"))
+        .agg(F.max((dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).cast("decimal(18,2)")).alias("mx"))
     )
     mom = blockmax.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -210,9 +208,9 @@ def q_gumbel_maxima(spark, sf_dir):
     return mom.select(
         "event_type",
         col("n").cast("long").alias("n_blocks"),
-        F.round(mean, 6).alias("block_mean"),
-        F.round(mu, 6).alias("gumbel_mu"),
-        F.round(beta, 6).alias("gumbel_beta"),
-        F.round(mu - beta * F.log(-F.log(lit(0.99))), 6)
+        (mean).alias("block_mean"),
+        (mu).alias("gumbel_mu"),
+        (beta).alias("gumbel_beta"),
+        (mu - beta * F.log(-F.log(lit(0.99))))
         .alias("return_level_100"),
     ).orderBy("event_type")

@@ -23,14 +23,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 _DAILY2_SQL = """
       WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
                COUNT(*) AS x,
-               ROUND(CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2)))
-                          AS DOUBLE) / COUNT(*), 6) AS y
+               FLOOR((CAST(SUM(CAST(FLOOR((value) * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2)))
+                          AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS y
         FROM events GROUP BY event_type, CAST(ts AS DATE)
       )
 """
@@ -62,9 +62,9 @@ _DAILY2_SQL = """
     SELECT cd.event_type, CAST(n.nd AS BIGINT) AS n_days,
            CAST(cd.nc AS BIGINT) AS concordant,
            CAST(cd.nd_ AS BIGINT) AS discordant,
-           ROUND((cd.nc - cd.nd_)
+           ((cd.nc - cd.nd_)
                  / SQRT((n.nd * (n.nd - 1.0) / 2 - tx.n1)
-                        * (n.nd * (n.nd - 1.0) / 2 - ty.n2)), 6) AS tau_b
+                        * (n.nd * (n.nd - 1.0) / 2 - ty.n2))) AS tau_b
     FROM cd JOIN tx ON cd.event_type = tx.event_type
     JOIN ty ON cd.event_type = ty.event_type
     JOIN n ON cd.event_type = n.event_type
@@ -88,10 +88,8 @@ def q_kendall_tau(spark, sf_dir):
         ev.groupBy("event_type", col("ts").cast("date").alias("day"))
         .agg(
             F.count("*").alias("x"),
-            F.round(
-                F.sum(F.round("value", 2).cast("decimal(18,2)"))
-                .cast("double") / F.count("*"), 6
-            ).alias("y"),
+            (dfloor((F.sum((dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).cast("decimal(18,2)"))
+                .cast("double") / F.count("*")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("y"),
         )
     )
     a, b = daily.alias("a"), daily.alias("b")
@@ -135,7 +133,7 @@ def q_kendall_tau(spark, sf_dir):
         col("nd").cast("long").alias("n_days"),
         col("nc").cast("long").alias("concordant"),
         col("nd_").cast("long").alias("discordant"),
-        F.round(tau, 6).alias("tau_b"),
+        (tau).alias("tau_b"),
     ).orderBy("event_type")
 
 
@@ -144,8 +142,8 @@ def q_kendall_tau(spark, sf_dir):
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             CAST(ROUND(CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2)))
-                             AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS m
+             CAST(FLOOR((CAST(SUM(CAST(FLOOR((value) * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2)))
+                             AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6)) AS m
       FROM events GROUP BY event_type, CAST(ts AS DATE)
     ), walsh AS (
       SELECT a.event_type, CAST(a.m + b.m AS DOUBLE) / 2 AS w
@@ -154,9 +152,9 @@ def q_kendall_tau(spark, sf_dir):
     )
     SELECT w.event_type,
            CAST(COUNT(*) AS BIGINT) AS n_walsh,
-           ROUND(quantile_cont(w.w, 0.5), 6) AS hl_estimate,
-           ROUND((SELECT quantile_cont(CAST(m AS DOUBLE), 0.5)
-                  FROM daily d WHERE d.event_type = w.event_type), 6)
+           (quantile_cont(w.w, 0.5)) AS hl_estimate,
+           ((SELECT quantile_cont(CAST(m AS DOUBLE), 0.5)
+                  FROM daily d WHERE d.event_type = w.event_type))
              AS plain_median
     FROM walsh w GROUP BY w.event_type ORDER BY w.event_type
     """,
@@ -177,10 +175,8 @@ def q_hodges_lehmann(spark, sf_dir):
     daily = (
         ev.groupBy("event_type", col("ts").cast("date").alias("day"))
         .agg(
-            F.round(
-                F.sum(F.round("value", 2).cast("decimal(18,2)"))
-                .cast("double") / F.count("*"), 6
-            ).cast("decimal(18,6)").alias("m")
+            (dfloor((F.sum((dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).cast("decimal(18,2)"))
+                .cast("double") / F.count("*")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("decimal(18,6)").alias("m")
         )
     )
     a, b = daily.alias("a"), daily.alias("b")
@@ -204,8 +200,8 @@ def q_hodges_lehmann(spark, sf_dir):
         .select(
             "event_type",
             col("n_walsh").cast("long").alias("n_walsh"),
-            F.round(col("hl"), 6).alias("hl_estimate"),
-            F.round(col("pm"), 6).alias("plain_median"),
+            (col("hl")).alias("hl_estimate"),
+            (col("pm")).alias("plain_median"),
         )
         .orderBy("event_type")
     )

@@ -12,7 +12,7 @@ backward-looking decayed stock).
 
 Determinism discipline: all rates are exact integer-count ratios;
 per-order decay terms exp(-age*ln2/half_life)*price are one
-closed-form double each, quantized ROUND(,6)->DECIMAL(28,6) before
+closed-form double each, quantized the 1e-6 grid ->DECIMAL(28,6) before
 the only cross-row sums; ln 2 is a shared literal; ages are exact
 integer day diffs from the corpus max date.
 """
@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 _LN2 = 0.6931471805599453
 _HALF_LIFE_DAYS = 180
@@ -53,12 +53,12 @@ _HALF_LIFE_DAYS = 180
                / SUM(n) FILTER (WHERE NOT exposed) AS pooled_diff
       FROM cells
     )
-    SELECT ROUND(p.pooled_diff, 6) AS pooled_diff,
+    SELECT FLOOR((p.pooled_diff) * 1e6 + 0.5) / 1e6 AS pooled_diff,
            CAST(COUNT(*) AS BIGINT) AS n_strata,
            CAST(COUNT(*) FILTER (WHERE SIGN(s.diff) = -SIGN(p.pooled_diff)
                                  AND s.diff <> 0) AS BIGINT) AS n_reversed,
-           ROUND(MIN(s.diff), 6) AS min_stratum_diff,
-           ROUND(MAX(s.diff), 6) AS max_stratum_diff,
+           (MIN(s.diff)) AS min_stratum_diff,
+           (MAX(s.diff)) AS max_stratum_diff,
            COUNT(*) FILTER (WHERE SIGN(s.diff) = -SIGN(p.pooled_diff)
                             AND s.diff <> 0) = COUNT(*) AS full_reversal
     FROM strata s, pooled p
@@ -107,11 +107,11 @@ def q_simpson_paradox(spark, sf_dir):
         col("diff") != 0
     )
     return j.groupBy("pooled_diff").agg(
-        F.round(F.first("pooled_diff"), 6).alias("pd"),
+        (dfloor((F.first("pooled_diff")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("pd"),
         F.count("*").cast("long").alias("n_strata"),
         F.count(F.when(reversed_, 1)).cast("long").alias("n_reversed"),
-        F.round(F.min("diff"), 6).alias("min_stratum_diff"),
-        F.round(F.max("diff"), 6).alias("max_stratum_diff"),
+        (F.min("diff")).alias("min_stratum_diff"),
+        (F.max("diff")).alias("max_stratum_diff"),
         (F.count(F.when(reversed_, 1)) == F.count("*")).alias("full_reversal"),
     ).select(
         col("pd").alias("pooled_diff"), "n_strata", "n_reversed",
@@ -125,10 +125,10 @@ def q_simpson_paradox(spark, sf_dir):
     WITH ref AS (SELECT MAX(o_orderdate) AS d0 FROM orders),
     terms AS (
       SELECT c.c_mktsegment AS seg,
-             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
-             CAST(ROUND(EXP(-date_diff('day', o.o_orderdate, r.d0)
+             CAST(FLOOR((o.o_totalprice * 100) + 0.5) AS BIGINT) AS cents,
+             CAST(FLOOR((EXP(-date_diff('day', o.o_orderdate, r.d0)
                             * {_LN2} / {_HALF_LIFE_DAYS})
-                        * o.o_totalprice, 6) AS DECIMAL(28,6)) AS dv
+                        * o.o_totalprice) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6)) AS dv
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
       CROSS JOIN ref r
@@ -137,8 +137,8 @@ def q_simpson_paradox(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(CAST(SUM(cents) AS DOUBLE) / 100 AS DOUBLE) AS lifetime_value,
            CAST(SUM(dv) AS DOUBLE) AS decayed_value,
-           ROUND(CAST(SUM(dv) AS DOUBLE)
-                 / (CAST(SUM(cents) AS DOUBLE) / 100), 6) AS recency_ratio
+           (CAST(SUM(dv) AS DOUBLE)
+                 / (CAST(SUM(cents) AS DOUBLE) / 100)) AS recency_ratio
     FROM terms GROUP BY seg ORDER BY seg
     """,
     desc="Recency-weighted order value per market segment: each "
@@ -149,7 +149,7 @@ def q_simpson_paradox(spark, sf_dir):
          "historical; the backward-looking stock complement to "
          "q_cohort_ltv's forward curves and q_rfm_segments' discrete "
          "recency bins. Ages are exact integer day diffs; each decay "
-         "term is ONE closed-form double quantized ROUND(,6)->"
+         "term is ONE closed-form double quantized the 1e-6 grid ->"
          "DECIMAL(28,6) before the per-segment sum (order-free); "
          "lifetime totals stay exact integer cents. One fact scan, "
          "broadcast customer-dim join, 1-row ref-date broadcast "
@@ -161,16 +161,14 @@ def q_recency_value(spark, sf_dir):
     c = tables.load(spark, sf_dir, "customer")
     ref = o.agg(F.max("o_orderdate").alias("d0"))
     age = F.datediff(col("d0"), col("o_orderdate"))
-    dv = F.round(
-        F.exp(-age * lit(_LN2) / lit(_HALF_LIFE_DAYS)) * col("o_totalprice"), 6
-    ).cast("decimal(28,6)")
+    dv = (dfloor((F.exp(-age * lit(_LN2) / lit(_HALF_LIFE_DAYS)) * col("o_totalprice")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("decimal(28,6)")
     terms = (
         o.join(broadcast(c.select("c_custkey", "c_mktsegment")),
                col("o_custkey") == col("c_custkey"))
         .crossJoin(broadcast(ref))
         .select(
             col("c_mktsegment").alias("seg"),
-            F.round(col("o_totalprice") * 100).cast("long").alias("cents"),
+            dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long").alias("cents"),
             dv.alias("dv"),
         )
     )
@@ -180,10 +178,8 @@ def q_recency_value(spark, sf_dir):
             F.count("*").cast("long").alias("n_orders"),
             (F.sum("cents").cast("double") / 100).alias("lifetime_value"),
             F.sum("dv").cast("double").alias("decayed_value"),
-            F.round(
-                F.sum("dv").cast("double")
-                / (F.sum("cents").cast("double") / 100), 6
-            ).alias("recency_ratio"),
+            (F.sum("dv").cast("double")
+                / (F.sum("cents").cast("double") / 100)).alias("recency_ratio"),
         )
         .select(
             col("seg").alias("c_mktsegment"), "n_orders",

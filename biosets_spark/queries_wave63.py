@@ -12,7 +12,7 @@ view to the spectrum).
 
 Determinism discipline: token counts and per-source totals are exact
 integers; relative frequencies are exact-ratio doubles; z-scores and
-entropy terms are closed-form doubles quantized ROUND(,8/,12)->
+entropy terms are closed-form doubles quantized FLOOR((,8/) * 1e12 + 0.5) / 1e12->
 DECIMAL before any cross-token sum; the top-K token set is ordered
 (count DESC, token) so both engines pick the identical basis.
 """
@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 from .oracle_fragments import TOKS_SQL as _TOKS_SQL
 _TOP_K = 30
@@ -45,7 +45,7 @@ _TOP_K = 30
       SELECT s.source, s.ns, k.tok FROM src_tot s CROSS JOIN topk k
     ), freq AS (
       SELECT g.source, g.tok,
-             CAST(ROUND(CAST(COALESCE(c.c, 0) AS DOUBLE) / g.ns, 10)
+             CAST(FLOOR((CAST(COALESCE(c.c, 0) AS DOUBLE) / g.ns) * 1e10 + 0.5) / 1e10
                   AS DECIMAL(28,10)) AS f
       FROM grid g LEFT JOIN (
         SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
@@ -53,7 +53,7 @@ _TOP_K = 30
     ), marg AS (
       SELECT tok, COUNT(*) AS k,
              CAST(SUM(f) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(ROUND(CAST(f AS DOUBLE) * CAST(f AS DOUBLE), 14)
+             CAST(SUM(CAST(FLOOR((CAST(f AS DOUBLE) * CAST(f AS DOUBLE)) * 1e14 + 0.5) / 1e14
                            AS DECIMAL(38,14))) AS DOUBLE) AS s2
       FROM freq GROUP BY tok
     ), zs AS (
@@ -63,12 +63,12 @@ _TOP_K = 30
       FROM freq fr JOIN marg m ON fr.tok = m.tok
     ), deltas AS (
       SELECT a.source AS source_a, b.source AS source_b,
-             CAST(SUM(CAST(ROUND(ABS(a.z - b.z), 8) AS DECIMAL(18,8)))
+             CAST(SUM(CAST(FLOOR((ABS(a.z - b.z)) * 1e8 + 0.5) / 1e8 AS DECIMAL(18,8)))
                   AS DOUBLE) / COUNT(*) AS delta
       FROM zs a JOIN zs b ON a.tok = b.tok AND a.source < b.source
       GROUP BY 1, 2
     )
-    SELECT source_a, source_b, ROUND(delta, 6) AS delta
+    SELECT source_a, source_b, (delta) AS delta
     FROM deltas ORDER BY delta, source_a, source_b LIMIT 10
     """,
     desc=f"Burrows' delta stylometric distance between sources over "
@@ -82,7 +82,7 @@ _TOP_K = 30
          "(template kinship q_vocab_stats' scalars can't see). The "
          "corpus collapses to a (source, token) count table; the "
          "token basis is deterministically ordered (count DESC, "
-         "token); |z| differences quantize ROUND(,8)->DECIMAL before "
+         "token); |z| differences quantize the 1e-8 grid ->DECIMAL before "
          "the per-pair sum; token margins come from a group-by over "
          f"the {_TOP_K}-token grid with a broadcast join back, no "
          "corpus-wide window. Source-pair join is bounded at "
@@ -103,9 +103,7 @@ def q_burrows_delta(spark, sf_dir):
     grid = src_tot.crossJoin(broadcast(topk))
     freq = grid.join(stc, ["source", "tok"], "left").select(
         "source", "tok",
-        F.round(
-            F.coalesce(col("c"), F.lit(0)).cast("double") / col("ns"), 10
-        ).cast("decimal(28,10)").alias("f"),
+        (dfloor((F.coalesce(col("c"), F.lit(0)).cast("double") / col("ns")) * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10)).cast("decimal(28,10)").alias("f"),
     )
     # square in DOUBLE and quantize: a (28,10)x(28,10) decimal multiply
     # overflows precision 38 and the two engines truncate differently
@@ -113,7 +111,7 @@ def q_burrows_delta(spark, sf_dir):
     marg = freq.groupBy(col("tok").alias("tok_m")).agg(
         F.count("*").alias("k"),
         F.sum("f").cast("double").alias("s1"),
-        F.sum(F.round(fd * fd, 14).cast("decimal(38,14)"))
+        F.sum((dfloor((fd * fd) * F.lit(1e14) + F.lit(0.5)) / F.lit(1e14)).cast("decimal(38,14)"))
         .cast("double").alias("s2"),
     )
     mu = col("s1") / col("k")
@@ -140,14 +138,14 @@ def q_burrows_delta(spark, sf_dir):
             # in BOTH engines (same class as the r5 q_hill_tail ADVICE)
             (
                 F.sum(
-                    F.round(F.abs(col("a.z") - col("b.z")), 8)
+                    (dfloor((F.abs(col("a.z") - col("b.z"))) * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8))
                     .cast("decimal(18,8)")
                 ).cast("double") / F.count("*")
             ).alias("delta")
         )
     )
     return (
-        deltas.select("source_a", "source_b", F.round("delta", 6).alias("delta"))
+        deltas.select("source_a", "source_b", col("delta").alias("delta"))
         .orderBy("delta", "source_a", "source_b")
         .limit(10)
     )
@@ -164,21 +162,21 @@ def q_burrows_delta(spark, sf_dir):
       SELECT source, SUM(c) AS ns, COUNT(*) AS v FROM stc GROUP BY source
     ), terms AS (
       SELECT s.source, t.ns, t.v,
-             CAST(ROUND(-(CAST(s.c AS DOUBLE) / t.ns)
-                        * LN(CAST(s.c AS DOUBLE) / t.ns), 12)
+             CAST(FLOOR((-(CAST(s.c AS DOUBLE) / t.ns)
+                        * LN(CAST(s.c AS DOUBLE) / t.ns)) * 1e12 + 0.5) / 1e12
                   AS DECIMAL(38,12)) AS h1t,
-             CAST(ROUND(POWER(CAST(s.c AS DOUBLE) / t.ns, 2), 12)
+             CAST(FLOOR((POWER(CAST(s.c AS DOUBLE) / t.ns, 2)) * 1e12 + 0.5) / 1e12
                   AS DECIMAL(38,12)) AS p2t
       FROM stc s JOIN tot t ON s.source = t.source
     )
     SELECT source,
            CAST(MAX(v) AS BIGINT) AS richness,
-           ROUND(LN(MAX(v)), 6) AS h0,
-           ROUND(CAST(SUM(h1t) AS DOUBLE), 6) AS h1_shannon,
-           ROUND(-LN(CAST(SUM(p2t) AS DOUBLE)), 6) AS h2_collision,
-           ROUND(CAST(SUM(h1t) AS DOUBLE) / LN(MAX(v)), 6) AS evenness,
-           ROUND(CAST(SUM(h1t) AS DOUBLE)
-                 - (-LN(CAST(SUM(p2t) AS DOUBLE))), 6) AS head_heaviness
+           (LN(MAX(v))) AS h0,
+           (CAST(SUM(h1t) AS DOUBLE)) AS h1_shannon,
+           (-LN(CAST(SUM(p2t) AS DOUBLE))) AS h2_collision,
+           (CAST(SUM(h1t) AS DOUBLE) / LN(MAX(v))) AS evenness,
+           (CAST(SUM(h1t) AS DOUBLE)
+                 - (-LN(CAST(SUM(p2t) AS DOUBLE)))) AS head_heaviness
     FROM terms GROUP BY source ORDER BY source
     """,
     desc="Renyi entropy spectrum of each source's token distribution: "
@@ -190,7 +188,7 @@ def q_burrows_delta(spark, sf_dir):
          "— the multi-alpha extension of q_alpha_diversity and the "
          "per-source refinement of q_text_entropy's per-doc scalar. "
          "Token probabilities are exact-ratio doubles; both the "
-         "-p ln p and p^2 terms quantize ROUND(,12)->DECIMAL(38,12) "
+         "-p ln p and p^2 terms quantize the 1e-12 grid ->DECIMAL(38,12) "
          "before their per-source sums, so no accumulation order "
          "exists. The corpus collapses to (source, token) counts; "
          "everything downstream runs on the vocabulary table.",
@@ -211,8 +209,8 @@ def q_renyi_spectrum(spark, sf_dir):
     p = col("c").cast("double") / col("ns")
     terms = stc.join(broadcast(tot), col("source") == col("src_t")).select(
         "source", "v",
-        F.round(-p * F.log(p), 12).cast("decimal(38,12)").alias("h1t"),
-        F.round(F.pow(p, 2), 12).cast("decimal(38,12)").alias("p2t"),
+        (dfloor((-p * F.log(p)) * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)).cast("decimal(38,12)").alias("h1t"),
+        (dfloor((F.pow(p, 2)) * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)).cast("decimal(38,12)").alias("p2t"),
     )
     h1 = F.sum("h1t").cast("double")
     h2 = -F.log(F.sum("p2t").cast("double"))
@@ -220,11 +218,11 @@ def q_renyi_spectrum(spark, sf_dir):
         terms.groupBy("source")
         .agg(
             F.max("v").cast("long").alias("richness"),
-            F.round(F.log(F.max("v")), 6).alias("h0"),
-            F.round(h1, 6).alias("h1_shannon"),
-            F.round(h2, 6).alias("h2_collision"),
-            F.round(h1 / F.log(F.max("v")), 6).alias("evenness"),
-            F.round(h1 - h2, 6).alias("head_heaviness"),
+            (F.log(F.max("v"))).alias("h0"),
+            (h1).alias("h1_shannon"),
+            (h2).alias("h2_collision"),
+            (h1 / F.log(F.max("v"))).alias("evenness"),
+            (h1 - h2).alias("head_heaviness"),
         )
         .orderBy("source")
     )

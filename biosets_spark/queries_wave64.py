@@ -48,8 +48,8 @@ from .oracle_fragments import TOKS_SQL as _TOKS_SQL
            CAST(va.v AS BIGINT) AS vocab_a,
            CAST(vb.v AS BIGINT) AS vocab_b,
            CAST(c.n_common AS BIGINT) AS n_common,
-           ROUND(CAST(c.n_common AS DOUBLE)
-                 / (va.v + vb.v - c.n_common), 6) AS jaccard
+           (CAST(c.n_common AS DOUBLE)
+                 / (va.v + vb.v - c.n_common)) AS jaccard
     FROM common c
     JOIN vs va ON c.source_a = va.source
     JOIN vs vb ON c.source_b = vb.source
@@ -106,7 +106,7 @@ def q_vocab_overlap(spark, sf_dir):
             col("vocab_a").cast("long").alias("vocab_a"),
             col("vocab_b").cast("long").alias("vocab_b"),
             col("n_common").cast("long").alias("n_common"),
-            F.round(jac, 6).alias("jaccard"),
+            (jac).alias("jaccard"),
             jac.alias("_j"),
         )
         .orderBy(col("_j").desc(), "source_a", "source_b")
@@ -153,10 +153,10 @@ def q_vocab_overlap(spark, sf_dir):
       GROUP BY c.event_type
     )
     SELECT m.event_type, CAST(m.n AS BIGINT) AS n_gaps,
-           ROUND(m.s1 / m.n / 1e6, 6) AS mean_gap_sec,
-           ROUND(SQRT(m.s2 / m.n - POWER(m.s1 / m.n, 2))
-                 / (m.s1 / m.n), 6) AS cov,
-           ROUND(k.d, 6) AS ks_distance,
+           (m.s1 / m.n / 1e6) AS mean_gap_sec,
+           (SQRT(m.s2 / m.n - POWER(m.s1 / m.n, 2))
+                 / (m.s1 / m.n)) AS cov,
+           (k.d) AS ks_distance,
            k.d > 1.358 / SQRT(m.n) AS reject_exponential_5pct
     FROM mom m JOIN ks k ON m.event_type = k.event_type
     ORDER BY m.event_type
@@ -227,11 +227,9 @@ def q_interarrival_fit(spark, sf_dir):
     return out.select(
         "event_type",
         col("n").cast("long").alias("n_gaps"),
-        F.round(mean_g / 1e6, 6).alias("mean_gap_sec"),
-        F.round(
-            F.sqrt(col("s2") / col("n") - F.pow(mean_g, 2)) / mean_g, 6
-        ).alias("cov"),
-        F.round(col("d"), 6).alias("ks_distance"),
+        (mean_g / 1e6).alias("mean_gap_sec"),
+        (F.sqrt(col("s2") / col("n") - F.pow(mean_g, 2)) / mean_g).alias("cov"),
+        (col("d")).alias("ks_distance"),
         (col("d") > 1.358 / F.sqrt(col("n").cast("double")))
         .alias("reject_exponential_5pct"),
     ).orderBy("event_type")

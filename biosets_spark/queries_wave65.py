@@ -11,7 +11,7 @@ near-zero or wildly-scaled vectors silently poison q_knn_* results).
 
 Determinism discipline: prefix candidacy blocks on the exact
 64-char head and verifies with exact string equality; norms are
-sums of ROUND(,6)-quantized squared components accumulated in
+sums of the 1e-6 grid -quantized squared components accumulated in
 DECIMAL(38,12) (order-free), with a single closed-form sqrt per
 vector; every rate is an exact integer ratio.
 """
@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -55,7 +55,7 @@ from .queries import q
     SELECT id_short, id_long,
            CAST(len_short AS BIGINT) AS len_short,
            CAST(len_long AS BIGINT) AS len_long,
-           ROUND(CAST(len_short AS DOUBLE) / len_long, 6) AS kept_fraction
+           (CAST(len_short AS DOUBLE) / len_long) AS kept_fraction
     FROM blocked ORDER BY id_short, id_long
     """,
     desc="Truncation-duplicate pairs: document A is an exact prefix "
@@ -136,7 +136,7 @@ def q_dedup_truncation(spark, sf_dir):
             "id_short", "id_long",
             col("len_short").cast("long").alias("len_short"),
             col("len_long").cast("long").alias("len_long"),
-            F.round(col("len_short").cast("double") / col("len_long"), 6)
+            (col("len_short").cast("double") / col("len_long"))
             .alias("kept_fraction"),
         )
         .orderBy("id_short", "id_long")
@@ -150,19 +150,19 @@ def q_dedup_truncation(spark, sf_dir):
       SELECT label, vec_id,
              SQRT(CAST(list_sum(list_transform(
                     CAST(embedding AS DOUBLE[]),
-                    x -> CAST(ROUND(ROUND(x, 6) * ROUND(x, 6), 12)
-                              AS DECIMAL(38,12))))
-                  AS DOUBLE)) AS l2
+                    x -> CAST(FLOOR(FLOOR((x) * 1e6 + 0.5) / 1e6 * FLOOR((x) * 1e6 + 0.5) / 1e6 * 1e12 + 0.5)
+                              AS DECIMAL(38,0))))
+                  AS DOUBLE) / 1e12) AS l2
       FROM embeddings
     )
     SELECT label,
            CAST(COUNT(*) AS BIGINT) AS n_vectors,
-           ROUND(CAST(SUM(CAST(ROUND(l2, 8) AS DECIMAL(28,8))) AS DOUBLE)
-                 / COUNT(*), 6) AS mean_norm,
-           ROUND(MIN(l2), 6) AS min_norm,
-           ROUND(MAX(l2), 6) AS max_norm,
+           (CAST(SUM(CAST(FLOOR(l2 * 1e8 + 0.5) AS DECIMAL(28,0))) AS DOUBLE)
+                 / 1e8 / COUNT(*)) AS mean_norm,
+           (MIN(l2)) AS min_norm,
+           (MAX(l2)) AS max_norm,
            CAST(COUNT(*) FILTER (WHERE l2 < 1e-6) AS BIGINT) AS n_degenerate,
-           ROUND(MAX(l2) / NULLIF(MIN(l2), 0), 6) AS norm_spread
+           (MAX(l2) / NULLIF(MIN(l2), 0)) AS norm_spread
     FROM norms GROUP BY label ORDER BY label
     """,
     desc="Embedding L2-norm audit per label: mean/min/max norm, the "
@@ -171,10 +171,10 @@ def q_dedup_truncation(spark, sf_dir):
          "cosine ANN, because a zero vector makes cosine undefined "
          "and a 100x norm spread means dot-product shortcuts "
          "(q_knn_* uses normalized vectors) quietly change ranking. "
-         "Each squared component is quantized ROUND(,12)->"
-         "DECIMAL(38,12) inside a per-row fold (order-free within "
-         "the vector), one sqrt per vector, and the per-label mean "
-         "sums ROUND(,8)-quantized norms — no cross-row float "
+         "Each squared component quantizes onto the "
+         "engine-identical FLOOR(x*1e12+0.5) integer grid inside a "
+         "per-row fold (order-free within the vector), one sqrt per "
+         "vector, and the per-label mean sums 1e-8-grid norms — no cross-row float "
          "accumulation anywhere. One scan, one combinable agg; "
          "norms are per-row expressions (JVM higher-order "
          "functions, no Python).",
@@ -182,34 +182,36 @@ def q_dedup_truncation(spark, sf_dir):
 )
 def q_embedding_norms(spark, sf_dir):
     emb = tables.load(spark, sf_dir, "embeddings")
+    # r9: derived-double quantizers use the engine-identical integer
+    # grid FLOOR(x*K + 0.5) — ROUND-then-DECIMAL double-rounds
+    # differently across engines on sqrt/product-derived values
     sq = F.aggregate(
         F.transform(
             col("embedding"),
-            lambda x: F.round(
-                F.round(x.cast("double"), 6) * F.round(x.cast("double"), 6), 12
-            ).cast("decimal(38,12)"),
+            lambda x: F.floor(
+                (dfloor((x.cast("double")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)) * (dfloor((x.cast("double")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+                * lit(1e12) + lit(0.5)
+            ).cast("decimal(38,0)"),
         ),
-        lit(0).cast("decimal(38,12)"),
-        # re-cast inside the merge: decimal+decimal widens to (38,11)
-        # under Spark's precision-loss rules and breaks the fold type
-        lambda acc, v: (acc + v).cast("decimal(38,12)"),
+        lit(0).cast("decimal(38,0)"),
+        # re-cast inside the merge: decimal+decimal widens under
+        # Spark's precision-loss rules and breaks the fold type
+        lambda acc, v: (acc + v).cast("decimal(38,0)"),
     )
-    norms = emb.select("label", F.sqrt(sq.cast("double")).alias("l2"))
+    norms = emb.select(
+        "label", F.sqrt(sq.cast("double") / lit(1e12)).alias("l2"))
     return (
         norms.groupBy("label")
         .agg(
             F.count("*").cast("long").alias("n_vectors"),
-            F.round(
-                F.sum(F.round(col("l2"), 8).cast("decimal(28,8)"))
-                .cast("double") / F.count("*"), 6
-            ).alias("mean_norm"),
-            F.round(F.min("l2"), 6).alias("min_norm"),
-            F.round(F.max("l2"), 6).alias("max_norm"),
+            (F.sum(F.floor(col("l2") * lit(1e8) + lit(0.5))
+                   .cast("decimal(28,0)"))
+                .cast("double") / lit(1e8) / F.count("*")).alias("mean_norm"),
+            (F.min("l2")).alias("min_norm"),
+            (F.max("l2")).alias("max_norm"),
             F.count(F.when(col("l2") < 1e-6, 1)).cast("long")
             .alias("n_degenerate"),
-            F.round(
-                F.max("l2") / F.nullif(F.min("l2"), lit(0.0)), 6
-            ).alias("norm_spread"),
+            (F.max("l2") / F.nullif(F.min("l2"), lit(0.0))).alias("norm_spread"),
         )
         .orderBy("label")
     )

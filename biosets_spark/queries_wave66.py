@@ -10,7 +10,7 @@ CONVERSION (view -> click -> purchase strictly ordered INSIDE a
 actually bills, where q_events_funnel's user-lifetime ordering
 counts conversions that span days).
 
-Determinism discipline: unit-vector components quantize ROUND(,8)->
+Determinism discipline: unit-vector components quantize the 1e-8 grid ->
 DECIMAL(28,8) before the only cross-row sums (per-component, then a
 64-term closed form); session ids come from the exact lag-gap +
 running-count construction over integer microseconds with
@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -31,30 +31,29 @@ from .queries import q
     oracle="""
     WITH norms AS (
       SELECT label, vec_id,
-             list_transform(CAST(embedding AS DOUBLE[]), x -> ROUND(x, 6))
+             list_transform(CAST(embedding AS DOUBLE[]), x -> FLOOR((x) * 1e6 + 0.5) / 1e6)
                AS vec,
              SQRT(CAST(list_sum(list_transform(
                     CAST(embedding AS DOUBLE[]),
-                    x -> CAST(ROUND(ROUND(x, 6) * ROUND(x, 6), 12)
-                              AS DECIMAL(38,12)))) AS DOUBLE)) AS l2
+                    x -> CAST(FLOOR(FLOOR((x) * 1e6 + 0.5) / 1e6 * FLOOR((x) * 1e6 + 0.5) / 1e6 * 1e12 + 0.5)
+                              AS DECIMAL(38,0)))) AS DOUBLE) / 1e12) AS l2
       FROM embeddings
     ), comps AS (
       SELECT label, generate_subscripts(vec, 1) AS pos,
-             CAST(ROUND(unnest(vec) / l2, 8) AS DECIMAL(28,8)) AS u
+             CAST(FLOOR(unnest(vec) / l2 * 1e8 + 0.5) AS DECIMAL(28,0)) AS u
       FROM norms
     ), sums AS (
-      SELECT label, pos, CAST(SUM(u) AS DOUBLE) AS s, COUNT(*) AS n
+      SELECT label, pos, CAST(SUM(u) AS DECIMAL(38,0)) AS s, COUNT(*) AS n
       FROM comps GROUP BY label, pos
     ), agg AS (
       SELECT label, MAX(n) AS n,
-             CAST(SUM(CAST(ROUND(s * s, 10) AS DECIMAL(38,10))) AS DOUBLE)
-               AS norm2
+             CAST(SUM(s * s) AS DOUBLE) / 1e16 AS norm2
       FROM sums GROUP BY label
     )
     SELECT label, CAST(n AS BIGINT) AS n_vectors,
-           ROUND((norm2 - n) / (CAST(n AS DOUBLE) * (n - 1)), 6)
+           ((norm2 - n) / (CAST(n AS DOUBLE) * (n - 1)))
              AS mean_pairwise_cosine,
-           ROUND(SQRT(norm2) / n, 6) AS centroid_norm
+           (SQRT(norm2) / n) AS centroid_norm
     FROM agg ORDER BY label
     """,
     desc="Embedding anisotropy per label: the EXACT mean pairwise "
@@ -66,30 +65,36 @@ from .queries import q
          "retrieval loses discrimination — the known anisotropy "
          "pathology of contextual embedding spaces); centroid_norm "
          "= ||mean u|| is its square root twin. Unit components "
-         "quantize ROUND(,8)->DECIMAL(28,8) before the per-"
-         "component sums and the 64 squared sums quantize again "
-         "before the closing 64-term sum, so no accumulation order "
-         "exists anywhere. Shuffles (label, pos, decimal) partial "
+         "quantize onto the engine-identical FLOOR(x*1e8 + 0.5) "
+         "integer grid before the per-component sums; the squared "
+         "component sums are then EXACT decimal arithmetic, so no "
+         "accumulation order exists anywhere. Shuffles (label, pos, decimal) partial "
          "sums only — never vectors.",
     tags=["vector", "stats", "agg"],
 )
 def q_embedding_anisotropy(spark, sf_dir):
     emb = tables.load(spark, sf_dir, "embeddings")
+    # all derived-double quantizers use the engine-identical integer
+    # grid FLOOR(x*K + 0.5) (r9: ROUND-then-DECIMAL double-rounds
+    # differently in DuckDB than Spark's BigDecimal HALF_UP); only the
+    # RAW component keeps ROUND (both engines see the identical
+    # parquet float, so its rounding agrees)
     sq = F.aggregate(
         F.transform(
             col("embedding"),
-            lambda x: F.round(
-                F.round(x.cast("double"), 6) * F.round(x.cast("double"), 6), 12
-            ).cast("decimal(38,12)"),
+            lambda x: F.floor(
+                (dfloor((x.cast("double")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)) * (dfloor((x.cast("double")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+                * lit(1e12) + lit(0.5)
+            ).cast("decimal(38,0)"),
         ),
-        lit(0).cast("decimal(38,12)"),
-        lambda acc, v: (acc + v).cast("decimal(38,12)"),
+        lit(0).cast("decimal(38,0)"),
+        lambda acc, v: (acc + v).cast("decimal(38,0)"),
     )
     norms = emb.select(
         "label",
-        F.transform(col("embedding"), lambda x: F.round(x.cast("double"), 6))
+        F.transform(col("embedding"), lambda x: (dfloor((x.cast("double")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)))
         .alias("vec"),
-        F.sqrt(sq.cast("double")).alias("l2"),
+        F.sqrt(sq.cast("double") / lit(1e12)).alias("l2"),
     )
     comps = norms.select(
         "label",
@@ -98,15 +103,17 @@ def q_embedding_anisotropy(spark, sf_dir):
     ).select(
         "label",
         (col("pos0") + 1).alias("pos"),
-        F.round(col("comp") / col("l2"), 8).cast("decimal(28,8)").alias("u"),
+        F.floor(col("comp") / col("l2") * lit(1e8) + lit(0.5))
+        .cast("decimal(28,0)").alias("u"),
     )
     sums = comps.groupBy("label", "pos").agg(
-        F.sum("u").cast("double").alias("s"), F.count("*").alias("n")
+        F.sum("u").cast("decimal(38,0)").alias("s"), F.count("*").alias("n")
     )
+    # s is an exact integer on the 1e-8 grid, so sum(s*s) is EXACT
+    # decimal arithmetic — the third quantizer disappears entirely
     agg = sums.groupBy("label").agg(
         F.max("n").alias("n"),
-        F.sum(F.round(col("s") * col("s"), 10).cast("decimal(38,10)"))
-        .cast("double").alias("norm2"),
+        (F.sum(col("s") * col("s")).cast("double") / lit(1e16)).alias("norm2"),
     )
     nd = col("n").cast("double")
     return agg.select(
@@ -114,9 +121,9 @@ def q_embedding_anisotropy(spark, sf_dir):
         col("n").cast("long").alias("n_vectors"),
         # try_divide: a single-vector label has no pairs -> NULL,
         # matching the oracle's x/0 = NULL
-        F.round(F.try_divide(col("norm2") - col("n"), nd * (col("n") - 1)), 6)
+        (F.try_divide(col("norm2") - col("n"), nd * (col("n") - 1)))
         .alias("mean_pairwise_cosine"),
-        F.round(F.sqrt(col("norm2")) / col("n"), 6).alias("centroid_norm"),
+        (F.sqrt(col("norm2")) / col("n")).alias("centroid_norm"),
     ).orderBy("label")
 
 
@@ -156,10 +163,10 @@ def q_embedding_anisotropy(spark, sf_dir):
                                  AND t_click > t_view
                                  AND t_buy > t_click) AS BIGINT)
              AS n_full_funnel,
-           ROUND(CAST(COUNT(*) FILTER (WHERE t_view IS NOT NULL
+           (CAST(COUNT(*) FILTER (WHERE t_view IS NOT NULL
                                        AND t_click > t_view
                                        AND t_buy > t_click) AS DOUBLE)
-                 / NULLIF(COUNT(*) FILTER (WHERE t_view IS NOT NULL), 0), 6)
+                 / NULLIF(COUNT(*) FILTER (WHERE t_view IS NOT NULL), 0))
              AS session_conversion
     FROM stages
     """,
@@ -208,9 +215,6 @@ def q_session_conversion(spark, sf_dir):
         F.count(F.when(viewed, 1)).cast("long").alias("n_view"),
         F.count(F.when(clicked, 1)).cast("long").alias("n_view_click"),
         F.count(F.when(bought, 1)).cast("long").alias("n_full_funnel"),
-        F.round(
-            F.count(F.when(bought, 1)).cast("double")
-            / F.nullif(F.count(F.when(viewed, 1)).cast("double"), lit(0.0)),
-            6,
-        ).alias("session_conversion"),
+        (F.count(F.when(bought, 1)).cast("double")
+            / F.nullif(F.count(F.when(viewed, 1)).cast("double"), lit(0.0))).alias("session_conversion"),
     )

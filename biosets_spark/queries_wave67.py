@@ -9,9 +9,10 @@ vector's label: the classic nonparametric accuracy bound, per-label
 — the model-free twin of q_centroid_confusion whose centroid
 classifier underfits multi-modal classes that 1-NN handles).
 
-Determinism discipline: unit components quantize ROUND(,8)->
-DECIMAL(28,8) and all cross-row sums are decimal (per label-
-component, then globally per component by summing the label
+Determinism discipline: unit components quantize onto the
+engine-identical FLOOR(x*1e8+0.5) integer grid and all cross-row
+sums are exact decimal (per label-component, then globally per
+component by summing the label
 decimals); squared sums quantize again before the 64-term closing
 sums; LOO predictions come from exact BLAS cosines with neighbor-id
 tie-breaks and all accuracies are exact integer ratios.
@@ -23,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -31,49 +32,49 @@ from .queries import q
     oracle="""
     WITH norms AS (
       SELECT label,
-             list_transform(CAST(embedding AS DOUBLE[]), x -> ROUND(x, 6))
+             list_transform(CAST(embedding AS DOUBLE[]), x -> FLOOR((x) * 1e6 + 0.5) / 1e6)
                AS vec,
              SQRT(CAST(list_sum(list_transform(
                     CAST(embedding AS DOUBLE[]),
-                    x -> CAST(ROUND(ROUND(x, 6) * ROUND(x, 6), 12)
-                              AS DECIMAL(38,12)))) AS DOUBLE)) AS l2
+                    x -> CAST(FLOOR(FLOOR((x) * 1e6 + 0.5) / 1e6 * FLOOR((x) * 1e6 + 0.5) / 1e6 * 1e12 + 0.5)
+                              AS DECIMAL(38,0)))) AS DOUBLE) / 1e12) AS l2
       FROM embeddings
     ), comps AS (
       SELECT label, generate_subscripts(vec, 1) AS pos,
-             CAST(ROUND(unnest(vec) / l2, 8) AS DECIMAL(28,8)) AS u
+             CAST(FLOOR(unnest(vec) / l2 * 1e8 + 0.5) AS DECIMAL(28,0)) AS u
       FROM norms
     ), lp AS (
-      SELECT label, pos, SUM(u) AS s, COUNT(*) AS nl
+      SELECT label, pos, CAST(SUM(u) AS DECIMAL(19,0)) AS s, COUNT(*) AS nl
       FROM comps GROUP BY label, pos
     ), per_label AS (
-      SELECT label, MAX(nl) AS nl,
-             CAST(SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 10)
-                           AS DECIMAL(38,10))) AS DOUBLE) AS t
+      SELECT label, MAX(nl) AS nl, SUM(s * s) AS t
       FROM lp GROUP BY label
     ), intra AS (
-      SELECT CAST(SUM(CAST(ROUND(t - nl, 8) AS DECIMAL(28,8))) AS DOUBLE)
-               AS intra_sum,
+      SELECT SUM(t - CAST(nl AS DECIMAL(19,0)) * 10000000000000000)
+               AS intra_int,
              SUM(nl * (nl - 1)) AS intra_pairs,
              SUM(nl * nl) AS sum_nl2,
              COUNT(*) AS n_labels
       FROM per_label
     ), allsum AS (
-      SELECT CAST(SUM(CAST(ROUND(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE), 10)
-                           AS DECIMAL(38,10))) AS DOUBLE) AS norm2,
-             MAX(n) AS n
+      SELECT SUM(sg * sg) AS norm2_int, MAX(n) AS n
       FROM (
-        SELECT pos, SUM(s) AS sg, SUM(nl) AS n FROM lp GROUP BY pos
+        SELECT pos, CAST(SUM(s) AS DECIMAL(19,0)) AS sg, SUM(nl) AS n
+        FROM lp GROUP BY pos
       )
     )
     SELECT CAST(a.n AS BIGINT) AS n_vectors,
            CAST(i.n_labels AS BIGINT) AS n_labels,
-           ROUND(i.intra_sum / i.intra_pairs, 6) AS mean_intra_cosine,
-           ROUND((a.norm2 - a.n - i.intra_sum)
-                 / (CAST(a.n AS DOUBLE) * a.n - i.sum_nl2), 6)
+           (CAST(i.intra_int AS DOUBLE) / 1e16 / i.intra_pairs)
+             AS mean_intra_cosine,
+           (CAST(a.norm2_int - CAST(a.n AS DECIMAL(19,0))
+                   * 10000000000000000 - i.intra_int AS DOUBLE) / 1e16
+                 / (CAST(a.n AS DOUBLE) * a.n - i.sum_nl2))
              AS mean_inter_cosine,
-           ROUND(i.intra_sum / i.intra_pairs
-                 - (a.norm2 - a.n - i.intra_sum)
-                   / (CAST(a.n AS DOUBLE) * a.n - i.sum_nl2), 6)
+           (CAST(i.intra_int AS DOUBLE) / 1e16 / i.intra_pairs
+                 - CAST(a.norm2_int - CAST(a.n AS DECIMAL(19,0))
+                        * 10000000000000000 - i.intra_int AS DOUBLE) / 1e16
+                   / (CAST(a.n AS DOUBLE) * a.n - i.sum_nl2))
              AS separation
     FROM intra i, allsum a
     """,
@@ -86,73 +87,78 @@ from .queries import q
          "truth is what q_knn_loo_eval then confirms "
          "nonparametrically). separation = intra - inter; near 0 "
          "means cosine retrieval cannot see the labels. Unit "
-         "components quantize ROUND(,8)->DECIMAL(28,8); label sums "
-         "add EXACTLY into the global component sums (decimal "
-         "addition); both squarings quantize before their closing "
-         "sums. Shuffles only (label, pos, decimal) partials.",
+         "components quantize onto the engine-identical "
+         "FLOOR(x*1e8 + 0.5) integer grid; label sums add EXACTLY "
+         "into the global component sums and both squarings are "
+         "exact decimal arithmetic — no quantizer after the grid. Shuffles only (label, pos, decimal) partials.",
     tags=["vector", "stats", "agg", "cross"],
 )
 def q_label_separation(spark, sf_dir):
     emb = tables.load(spark, sf_dir, "embeddings")
+    # r9: every derived-double quantizer uses the engine-identical
+    # integer grid FLOOR(x*K + 0.5); s is then an exact integer on the
+    # 1e-8 grid, so both squarings and the inter numerator are EXACT
+    # decimal arithmetic with no quantizer at all
     sq = F.aggregate(
         F.transform(
             col("embedding"),
-            lambda x: F.round(
-                F.round(x.cast("double"), 6) * F.round(x.cast("double"), 6), 12
-            ).cast("decimal(38,12)"),
+            lambda x: F.floor(
+                (dfloor((x.cast("double")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)) * (dfloor((x.cast("double")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+                * lit(1e12) + lit(0.5)
+            ).cast("decimal(38,0)"),
         ),
-        lit(0).cast("decimal(38,12)"),
-        lambda acc, v: (acc + v).cast("decimal(38,12)"),
+        lit(0).cast("decimal(38,0)"),
+        lambda acc, v: (acc + v).cast("decimal(38,0)"),
     )
     norms = emb.select(
         "label",
-        F.transform(col("embedding"), lambda x: F.round(x.cast("double"), 6))
+        F.transform(col("embedding"), lambda x: (dfloor((x.cast("double")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)))
         .alias("vec"),
-        F.sqrt(sq.cast("double")).alias("l2"),
+        F.sqrt(sq.cast("double") / lit(1e12)).alias("l2"),
     )
     comps = norms.select(
         "label", F.posexplode("vec").alias("pos0", "comp"), "l2"
     ).select(
         "label", (col("pos0") + 1).alias("pos"),
-        F.round(col("comp") / col("l2"), 8).cast("decimal(28,8)").alias("u"),
+        F.floor(col("comp") / col("l2") * lit(1e8) + lit(0.5))
+        .cast("decimal(28,0)").alias("u"),
     )
     lp = comps.groupBy("label", "pos").agg(
-        F.sum("u").alias("s"), F.count("*").alias("nl")
+        F.sum("u").cast("decimal(19,0)").alias("s"), F.count("*").alias("nl")
     )
-    sd = col("s").cast("double")
+    one_e16 = lit(10000000000000000).cast("decimal(19,0)")
     per_label = lp.groupBy("label").agg(
         F.max("nl").alias("nl"),
-        F.sum(F.round(sd * sd, 10).cast("decimal(38,10)")).cast("double")
-        .alias("t"),
+        F.sum(col("s") * col("s")).alias("t"),
     )
     intra = per_label.agg(
-        F.sum(F.round(col("t") - col("nl"), 8).cast("decimal(28,8)"))
-        .cast("double").alias("intra_sum"),
+        F.sum(col("t") - col("nl").cast("decimal(19,0)") * one_e16)
+        .alias("intra_int"),
         F.sum(col("nl") * (col("nl") - 1)).alias("intra_pairs"),
         F.sum(col("nl") * col("nl")).alias("sum_nl2"),
         F.count("*").alias("n_labels"),
     )
     gsum = lp.groupBy("pos").agg(
-        F.sum("s").alias("sg"), F.sum("nl").alias("n")
+        F.sum("s").cast("decimal(19,0)").alias("sg"), F.sum("nl").alias("n")
     )
-    sgd = col("sg").cast("double")
     allsum = gsum.agg(
-        F.sum(F.round(sgd * sgd, 10).cast("decimal(38,10)")).cast("double")
-        .alias("norm2"),
+        F.sum(col("sg") * col("sg")).alias("norm2_int"),
         F.max("n").alias("n"),
     )
     j = intra.crossJoin(broadcast(allsum))
     nd = col("n").cast("double")
-    mean_intra = col("intra_sum") / col("intra_pairs")
-    mean_inter = (col("norm2") - col("n") - col("intra_sum")) / (
+    mean_intra = col("intra_int").cast("double") / lit(1e16) / col("intra_pairs")
+    inter_num = (col("norm2_int") - col("n").cast("decimal(19,0)") * one_e16
+                 - col("intra_int"))
+    mean_inter = inter_num.cast("double") / lit(1e16) / (
         nd * col("n") - col("sum_nl2")
     )
     return j.select(
         col("n").cast("long").alias("n_vectors"),
         col("n_labels").cast("long").alias("n_labels"),
-        F.round(mean_intra, 6).alias("mean_intra_cosine"),
-        F.round(mean_inter, 6).alias("mean_inter_cosine"),
-        F.round(mean_intra - mean_inter, 6).alias("separation"),
+        (mean_intra).alias("mean_intra_cosine"),
+        (mean_inter).alias("mean_inter_cosine"),
+        (mean_intra - mean_inter).alias("separation"),
     )
 
 
@@ -173,8 +179,8 @@ def q_label_separation(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n_vectors,
            CAST(COUNT(*) FILTER (WHERE pred_label = true_label) AS BIGINT)
              AS n_correct,
-           ROUND(CAST(COUNT(*) FILTER (WHERE pred_label = true_label)
-                      AS DOUBLE) / COUNT(*), 6) AS loo_accuracy
+           (CAST(COUNT(*) FILTER (WHERE pred_label = true_label)
+                      AS DOUBLE) / COUNT(*)) AS loo_accuracy
     FROM scored WHERE rnk = 1
     GROUP BY true_label ORDER BY true_label
     """,
@@ -213,10 +219,8 @@ def q_knn_loo_eval(spark, sf_dir):
             F.count("*").cast("long").alias("n_vectors"),
             F.count(F.when(col("pred_label") == col("true_label"), 1))
             .cast("long").alias("n_correct"),
-            F.round(
-                F.count(F.when(col("pred_label") == col("true_label"), 1))
-                .cast("double") / F.count("*"), 6
-            ).alias("loo_accuracy"),
+            (F.count(F.when(col("pred_label") == col("true_label"), 1))
+                .cast("double") / F.count("*")).alias("loo_accuracy"),
         )
         .orderBy("label")
     )

@@ -12,7 +12,7 @@ point-biserial correlation scan).
 Determinism discipline: all class counts are exact integers and
 Gini terms exact integer-ratio closed forms evaluated per distinct
 cut; cut selection orders by (impurity, cut) on identical doubles;
-eta^2 uses ROUND(,8)->DECIMAL component sums per (dim, label) so
+eta^2 uses the 1e-8 grid ->DECIMAL component sums per (dim, label) so
 between/total sums of squares are order-free; every output rate is
 one closing double.
 """
@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -33,9 +33,9 @@ from .queries import q
       SELECT f.feature, f.v,
              (l.l_returnflag = 'R') AS pos
       FROM lineitem l, LATERAL (VALUES
-        ('discount', CAST(ROUND(l.l_discount * 100) AS BIGINT)),
+        ('discount', CAST(FLOOR((l.l_discount * 100) + 0.5) AS BIGINT)),
         ('quantity', CAST(l.l_quantity AS BIGINT)),
-        ('tax',      CAST(ROUND(l.l_tax * 100) AS BIGINT))
+        ('tax',      CAST(FLOOR((l.l_tax * 100) + 0.5) AS BIGINT))
       ) AS f(feature, v)
     ), hist AS (
       SELECT feature, v,
@@ -69,13 +69,13 @@ from .queries import q
       FROM splits
     )
     SELECT feature, CAST(cut AS BIGINT) AS best_cut,
-           ROUND(1 - POWER(CAST(kt AS DOUBLE) / nt, 2)
-                   - POWER(1 - CAST(kt AS DOUBLE) / nt, 2), 6)
+           (1 - POWER(CAST(kt AS DOUBLE) / nt, 2)
+                   - POWER(1 - CAST(kt AS DOUBLE) / nt, 2))
              AS gini_before,
-           ROUND(gini_after, 6) AS gini_after,
-           ROUND(1 - POWER(CAST(kt AS DOUBLE) / nt, 2)
+           (gini_after) AS gini_after,
+           (1 - POWER(CAST(kt AS DOUBLE) / nt, 2)
                    - POWER(1 - CAST(kt AS DOUBLE) / nt, 2)
-                 - gini_after, 6) AS gini_gain
+                 - gini_after) AS gini_gain
     FROM best WHERE rnk = 1 ORDER BY feature
     """,
     desc="Decision-stump split finder for 'is the line item "
@@ -102,7 +102,7 @@ def q_stump_split(spark, sf_dir):
             F.array(
                 F.struct(
                     lit("discount").alias("feature"),
-                    F.round(col("l_discount") * 100).cast("long").alias("v"),
+                    dfloor((col("l_discount") * 100) + F.lit(0.5)).cast("long").alias("v"),
                 ),
                 F.struct(
                     lit("quantity").alias("feature"),
@@ -110,7 +110,7 @@ def q_stump_split(spark, sf_dir):
                 ),
                 F.struct(
                     lit("tax").alias("feature"),
-                    F.round(col("l_tax") * 100).cast("long").alias("v"),
+                    dfloor((col("l_tax") * 100) + F.lit(0.5)).cast("long").alias("v"),
                 ),
             )
         ).alias("f"),
@@ -153,9 +153,9 @@ def q_stump_split(spark, sf_dir):
     return best.select(
         "feature",
         col("cut").cast("long").alias("best_cut"),
-        F.round(gini_before, 6).alias("gini_before"),
-        F.round(col("gini_after"), 6).alias("gini_after"),
-        F.round(gini_before - col("gini_after"), 6).alias("gini_gain"),
+        (gini_before).alias("gini_before"),
+        (col("gini_after")).alias("gini_after"),
+        (gini_before - col("gini_after")).alias("gini_gain"),
     ).orderBy("feature")
 
 
@@ -164,27 +164,27 @@ def q_stump_split(spark, sf_dir):
     oracle="""
     WITH comps AS (
       SELECT label, generate_subscripts(v, 1) AS dim,
-             CAST(ROUND(unnest(v), 8) AS DECIMAL(28,8)) AS x
+             CAST(FLOOR((unnest(v)) * 1e8 + 0.5) / 1e8 AS DECIMAL(28,8)) AS x
       FROM (SELECT label,
                    list_transform(CAST(embedding AS DOUBLE[]),
-                                  y -> ROUND(y, 6)) AS v
+                                  y -> FLOOR((y) * 1e6 + 0.5) / 1e6) AS v
             FROM embeddings)
     ), grp AS (
       SELECT dim, label, COUNT(*) AS n,
              SUM(x) AS s,
-             SUM(CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 12)
+             SUM(CAST(FLOOR((CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * 1e12 + 0.5) / 1e12
                       AS DECIMAL(38,12))) AS ss
       FROM comps WHERE dim <= 8 GROUP BY dim, label
     ), agg AS (
       SELECT dim, SUM(n) AS n,
              CAST(SUM(s) AS DOUBLE) AS s,
              CAST(SUM(ss) AS DOUBLE) AS ss,
-             CAST(SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 10)
+             CAST(SUM(CAST(FLOOR((CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) * 1e10 + 0.5) / 1e10
                            AS DECIMAL(38,10))) AS DOUBLE) AS sb_raw
       FROM grp GROUP BY dim
     )
     SELECT CAST(dim AS INTEGER) AS dim,
-           ROUND((sb_raw - s * s / n) / (ss - s * s / n), 6) AS eta2
+           ((sb_raw - s * s / n) / (ss - s * s / n)) AS eta2
     FROM agg ORDER BY dim
     """,
     desc="Eta-squared feature scan: for each of the 8 leading "
@@ -196,7 +196,7 @@ def q_stump_split(spark, sf_dir):
          "synthetic labels produce) means the dimension carries no "
          "class signal — the per-dimension refinement of "
          "q_label_separation's global verdict. Components quantize "
-         "ROUND(,8)->DECIMAL(28,8); per-(dim,label) moment sums are "
+         "the 1e-8 grid ->DECIMAL(28,8); per-(dim,label) moment sums are "
          "exact decimals that ADD exactly into the per-dim totals; "
          "each group's s^2/n term quantizes before the cross-label "
          "sum. One narrow explode + two stacked combinable aggs "
@@ -208,18 +208,18 @@ def q_eta2_scan(spark, sf_dir):
     comps = emb.select(
         "label",
         F.posexplode(
-            F.transform(col("embedding"), lambda y: F.round(y.cast("double"), 6))
+            F.transform(col("embedding"), lambda y: (dfloor((y.cast("double")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)))
         ).alias("dim0", "y"),
     ).select(
         "label",
         (col("dim0") + 1).alias("dim"),
-        F.round(col("y"), 8).cast("decimal(28,8)").alias("x"),
+        (dfloor((col("y")) * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)).cast("decimal(28,8)").alias("x"),
     ).filter(col("dim") <= 8)
     xd = col("x").cast("double")
     grp = comps.groupBy("dim", "label").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("s"),
-        F.sum(F.round(xd * xd, 12).cast("decimal(38,12)")).alias("ss"),
+        F.sum((dfloor((xd * xd) * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)).cast("decimal(38,12)")).alias("ss"),
     )
     sd = col("s").cast("double")
     agg = grp.groupBy("dim").agg(
@@ -227,12 +227,12 @@ def q_eta2_scan(spark, sf_dir):
         F.sum("s").cast("double").alias("s"),
         F.sum("ss").cast("double").alias("ss"),
         F.sum(
-            F.round(sd * sd / col("n"), 10).cast("decimal(38,10)")
+            (dfloor((sd * sd / col("n")) * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10)).cast("decimal(38,10)")
         ).cast("double").alias("sb_raw"),
     )
     grand = col("s") * col("s") / col("n")
     eta2 = (col("sb_raw") - grand) / (col("ss") - grand)
     return agg.select(
         col("dim").cast("int").alias("dim"),
-        F.round(eta2, 6).alias("eta2"),
+        (eta2).alias("eta2"),
     ).orderBy("dim")

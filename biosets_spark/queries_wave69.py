@@ -47,8 +47,8 @@ _MIN_PAIR = 50
       SELECT SUM(cp) AS tp FROM pairs
     )
     SELECT p.w1, p.w2, CAST(p.cp AS BIGINT) AS pair_count,
-           ROUND(LN(CAST(p.cp AS DOUBLE) * t.tp
-                    / (CAST(u1.c AS DOUBLE) * 2 * u2.c)), 6) AS pmi
+           (LN(CAST(p.cp AS DOUBLE) * t.tp
+                    / (CAST(u1.c AS DOUBLE) * 2 * u2.c))) AS pmi
     FROM pairs p
     JOIN uni u1 ON p.w1 = u1.w
     JOIN uni u2 ON p.w2 = u2.w
@@ -116,7 +116,7 @@ def q_skipgram_pmi(spark, sf_dir):
         .select(
             "w1", "w2",
             col("cp").cast("long").alias("pair_count"),
-            F.round(pmi, 6).alias("pmi"),
+            (pmi).alias("pmi"),
             pmi.alias("_p"),
         )
         .orderBy(col("_p").desc(), "w1", "w2")
@@ -148,7 +148,7 @@ def q_skipgram_pmi(spark, sf_dir):
     )
     SELECT lang, CAST(rnk AS INTEGER) AS rnk, tri,
            CAST(c AS BIGINT) AS n_occurrences,
-           ROUND(CAST(c AS DOUBLE) / nt, 6) AS share
+           (CAST(c AS DOUBLE) / nt) AS share
     FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk
     """,
     desc="Character-trigram language fingerprint: each language's 5 "
@@ -193,5 +193,5 @@ def q_char_trigram_profile(spark, sf_dir):
         col("rnk").cast("int").alias("rnk"),
         "tri",
         col("c").cast("long").alias("n_occurrences"),
-        F.round(col("c").cast("double") / col("nt"), 6).alias("share"),
+        (col("c").cast("double") / col("nt")).alias("share"),
     ).orderBy("lang", "rnk")

@@ -11,7 +11,7 @@ oscillation and clustering that q_mann_kendall's monotone-trend
 test is blind to).
 
 Determinism discipline: token counts are exact integers; smoothed
-log-prob terms are closed-form doubles quantized ROUND(,10)->
+log-prob terms are closed-form doubles quantized the 1e-10 grid ->
 DECIMAL(38,10) before per-pair sums; the daily median is the exact
 percentile of identical 6-dec doubles; run counts are pure integer
 lag-flag sums; every z is one closing closed form.
@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 from .oracle_fragments import TOKS_SQL as _TOKS_SQL
 
@@ -41,9 +41,8 @@ from .oracle_fragments import TOKS_SQL as _TOKS_SQL
       SELECT COUNT(DISTINCT tok) AS v FROM stc
     ), terms AS (
       SELECT e.source AS eval_src, tm.source AS model_src,
-             CAST(SUM(CAST(ROUND(
-               -(CAST(e.c AS DOUBLE) / te.n)
-                 * LN((COALESCE(m.c, 0) + 1.0) / (tm.n + vb.v)), 10)
+             CAST(SUM(CAST(FLOOR((-(CAST(e.c AS DOUBLE) / te.n)
+                 * LN((COALESCE(m.c, 0) + 1.0) / (tm.n + vb.v))) * 1e10 + 0.5) / 1e10
                AS DECIMAL(38,10))) AS DOUBLE) AS xent
       FROM stc e
       JOIN tot te ON e.source = te.source
@@ -59,7 +58,7 @@ from .oracle_fragments import TOKS_SQL as _TOKS_SQL
       FROM terms
     )
     SELECT eval_src AS source, model_src AS closest_source,
-           ROUND(xent, 6) AS cross_entropy
+           (xent) AS cross_entropy
     FROM ranked WHERE rnk = 1 ORDER BY eval_src
     """,
     desc="Cross-source LM transfer: for each source, the FOREIGN "
@@ -73,7 +72,7 @@ from .oracle_fragments import TOKS_SQL as _TOKS_SQL
          "(source, token) counts; the evaluation is a vocab-table "
          "join fanned out by n_sources (bounded by the source "
          "count, independent of corpus size) with OOV handled by "
-         "the LEFT join + add-1; each term quantizes ROUND(,10)->"
+         "the LEFT join + add-1; each term quantizes the 1e-10 grid ->"
          "DECIMAL before the per-pair sum; argmin tie-broken by "
          "model source.",
     tags=["text", "stats", "join", "agg", "cross", "window"],
@@ -109,14 +108,11 @@ def q_cross_entropy_sources(spark, sf_dir):
         )
         .crossJoin(broadcast(vocab))
     )
-    term = F.round(
-        -(col("e.c").cast("double") / col("ne"))
+    term = (dfloor((-(col("e.c").cast("double") / col("ne"))
         * F.log(
             (F.coalesce(col("mc"), F.lit(0)) + 1.0).cast("double")
             / (col("nm") + col("v"))
-        ),
-        10,
-    ).cast("decimal(38,10)")
+        )) * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10)).cast("decimal(38,10)")
     xent = (
         grid.groupBy(
             col("e.source").alias("eval_src"), col("ms").alias("model_src")
@@ -130,7 +126,7 @@ def q_cross_entropy_sources(spark, sf_dir):
         .select(
             col("eval_src").alias("source"),
             col("model_src").alias("closest_source"),
-            F.round("xent", 6).alias("cross_entropy"),
+            col("xent").alias("cross_entropy"),
         )
         .orderBy("source")
     )
@@ -141,8 +137,8 @@ def q_cross_entropy_sources(spark, sf_dir):
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             ROUND(CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2)))
-                        AS DOUBLE) / COUNT(*), 6) AS m
+             FLOOR((CAST(SUM(CAST(FLOOR((value) * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2)))
+                        AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS m
       FROM events GROUP BY event_type, CAST(ts AS DATE)
     ), med AS (
       SELECT event_type, quantile_cont(m, 0.5) AS md
@@ -169,11 +165,11 @@ def q_cross_entropy_sources(spark, sf_dir):
     SELECT event_type,
            CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below,
            CAST(r AS BIGINT) AS n_runs,
-           ROUND(2.0 * n1 * n2 / (n1 + n2) + 1, 6) AS expected_runs,
-           ROUND((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+           (2.0 * n1 * n2 / (n1 + n2) + 1) AS expected_runs,
+           ((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
                  / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
                         / (POWER(CAST(n1 + n2 AS DOUBLE), 2)
-                           * (n1 + n2 - 1))), 6) AS z_runs
+                           * (n1 + n2 - 1)))) AS z_runs
     FROM agg ORDER BY event_type
     """,
     desc="Wald-Wolfowitz runs test on each event type's daily-mean "
@@ -197,10 +193,8 @@ def q_runs_test(spark, sf_dir):
     daily = (
         ev.groupBy("event_type", col("ts").cast("date").alias("day"))
         .agg(
-            F.round(
-                F.sum(F.round("value", 2).cast("decimal(18,2)"))
-                .cast("double") / F.count("*"), 6
-            ).alias("m")
+            (dfloor((F.sum((dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).cast("decimal(18,2)"))
+                .cast("double") / F.count("*")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("m")
         )
     )
     med = daily.groupBy(col("event_type").alias("et")).agg(
@@ -238,6 +232,6 @@ def q_runs_test(spark, sf_dir):
         col("n1").cast("long").alias("n_above"),
         col("n2").cast("long").alias("n_below"),
         col("r").cast("long").alias("n_runs"),
-        F.round(er, 6).alias("expected_runs"),
-        F.round((col("r") - er) / sigma, 6).alias("z_runs"),
+        (er).alias("expected_runs"),
+        ((col("r") - er) / sigma).alias("z_runs"),
     ).orderBy("event_type")

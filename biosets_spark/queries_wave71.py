@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 from .oracle_fragments import TOKS_SQL as _TOKS_SQL
 _LN2 = 0.6931471805599453
@@ -44,19 +44,18 @@ _HIGH = 20.0
       SELECT source, SUM(c) AS n FROM stc GROUP BY source
     ), common AS (
       SELECT a.source AS sa, b.source AS sb,
-             CAST(SUM(CAST(ROUND(
-               (CAST(a.c AS DOUBLE) / ta.n)
+             CAST(SUM(CAST(FLOOR(((CAST(a.c AS DOUBLE) / ta.n)
                  * LN(2 * (CAST(a.c AS DOUBLE) / ta.n)
                       / (CAST(a.c AS DOUBLE) / ta.n
                          + CAST(b.c AS DOUBLE) / tb.n))
                + (CAST(b.c AS DOUBLE) / tb.n)
                  * LN(2 * (CAST(b.c AS DOUBLE) / tb.n)
                       / (CAST(a.c AS DOUBLE) / ta.n
-                         + CAST(b.c AS DOUBLE) / tb.n)), 10)
+                         + CAST(b.c AS DOUBLE) / tb.n))) * 1e10 + 0.5) / 1e10
                AS DECIMAL(38,10))) AS DOUBLE) AS common_terms,
-             CAST(SUM(CAST(ROUND(CAST(a.c AS DOUBLE) / ta.n, 10)
+             CAST(SUM(CAST(FLOOR((CAST(a.c AS DOUBLE) / ta.n) * 1e10 + 0.5) / 1e10
                            AS DECIMAL(28,10))) AS DOUBLE) AS pa_common,
-             CAST(SUM(CAST(ROUND(CAST(b.c AS DOUBLE) / tb.n, 10)
+             CAST(SUM(CAST(FLOOR((CAST(b.c AS DOUBLE) / tb.n) * 1e10 + 0.5) / 1e10
                            AS DECIMAL(28,10))) AS DOUBLE) AS pb_common
       FROM stc a
       JOIN stc b ON a.tok = b.tok AND a.source < b.source
@@ -70,7 +69,7 @@ _HIGH = 20.0
                     + (1 - pb_common) * {_LN2}) AS js
       FROM common
     )
-    SELECT sa AS source_a, sb AS source_b, ROUND(js, 6) AS js_divergence
+    SELECT sa AS source_a, sb AS source_b, (js) AS js_divergence
     FROM jsd ORDER BY js, sa, sb LIMIT 10
     """,
     desc="Jensen-Shannon divergence between source unigram "
@@ -104,9 +103,7 @@ def q_js_divergence(spark, sf_dir):
     tb = tot.select(col("source").alias("sb_t"), col("n").alias("nb"))
     pa = col("a.c").cast("double") / col("na")
     pb = col("b.c").cast("double") / col("nb")
-    term = F.round(
-        pa * F.log(2 * pa / (pa + pb)) + pb * F.log(2 * pb / (pa + pb)), 10
-    ).cast("decimal(38,10)")
+    term = (dfloor((pa * F.log(2 * pa / (pa + pb)) + pb * F.log(2 * pb / (pa + pb))) * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10)).cast("decimal(38,10)")
     common = (
         a.join(b, (col("a.tok") == col("b.tok"))
                & (col("a.source") < col("b.source")))
@@ -115,9 +112,9 @@ def q_js_divergence(spark, sf_dir):
         .groupBy(col("a.source").alias("sa"), col("b.source").alias("sb"))
         .agg(
             F.sum(term).cast("double").alias("common_terms"),
-            F.sum(F.round(pa, 10).cast("decimal(28,10)")).cast("double")
+            F.sum((dfloor((pa) * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10)).cast("decimal(28,10)")).cast("double")
             .alias("pa_common"),
-            F.sum(F.round(pb, 10).cast("decimal(28,10)")).cast("double")
+            F.sum((dfloor((pb) * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10)).cast("decimal(28,10)")).cast("double")
             .alias("pb_common"),
         )
     )
@@ -129,7 +126,7 @@ def q_js_divergence(spark, sf_dir):
     return (
         common.select(
             col("sa").alias("source_a"), col("sb").alias("source_b"),
-            F.round(js, 6).alias("js_divergence"), js.alias("_j"),
+            (js).alias("js_divergence"), js.alias("_j"),
         )
         .orderBy("_j", "source_a", "source_b")
         .limit(10)
@@ -151,10 +148,10 @@ def q_js_divergence(spark, sf_dir):
       FROM daily WHERE day < DATE '2024-01-08' GROUP BY event_type
     ), llr AS (
       SELECT d.event_type, d.day,
-             CAST(ROUND(d.k * LN(LEAST(b.p0 * {_LIFT}, 0.999999) / b.p0)
+             CAST(FLOOR((d.k * LN(LEAST(b.p0 * {_LIFT}, 0.999999) / b.p0)
                         + (d.n - d.k)
                           * LN((1 - LEAST(b.p0 * {_LIFT}, 0.999999))
-                               / (1 - b.p0)), 8) AS DECIMAL(28,8)) AS t
+                               / (1 - b.p0))) * 1e8 + 0.5) / 1e8 AS DECIMAL(28,8)) AS t
       FROM daily d JOIN base b ON d.event_type = b.event_type
       WHERE d.day >= DATE '2024-01-08'
     ), cum AS (
@@ -166,10 +163,10 @@ def q_js_divergence(spark, sf_dir):
       FROM llr
     )
     SELECT b.event_type,
-           ROUND(b.p0, 6) AS baseline_rate,
-           ROUND(MAX(c.c) FILTER (WHERE c.day = c.last_day), 6) AS final_llr,
-           ROUND(MAX(c.c), 6) AS max_llr,
-           ROUND(MIN(c.c), 6) AS min_llr,
+           (b.p0) AS baseline_rate,
+           (MAX(c.c) FILTER (WHERE c.day = c.last_day)) AS final_llr,
+           (MAX(c.c)) AS max_llr,
+           (MIN(c.c)) AS min_llr,
            MIN(c.day) FILTER (WHERE ABS(c.c) > {_SPRT_A}) AS crossed_day,
            CASE WHEN MIN(c.day) FILTER (WHERE c.c > {_SPRT_A}) IS NOT NULL
                      AND (MIN(c.day) FILTER (WHERE c.c < -{_SPRT_A}) IS NULL
@@ -192,7 +189,7 @@ def q_js_divergence(spark, sf_dir):
          "(peeking at a z-test inflates false positives; the SPRT "
          "boundary is designed for daily peeking). Counts are exact "
          "integers; each day's LLR term is one closed form "
-         "quantized ROUND(,8)->DECIMAL(28,8) so the running sum is "
+         "quantized the 1e-8 grid ->DECIMAL(28,8) so the running sum is "
          "order-free; crossing detection compares identical "
          "doubles. The event stream collapses to the tiny daily "
          "table; windows partition by event type.",
@@ -215,11 +212,8 @@ def q_sprt_monitor(spark, sf_dir):
         .agg((F.sum("k").cast("double") / F.sum("n")).alias("p0"))
     )
     p1 = F.least(col("p0") * _LIFT, lit(0.999999))
-    term = F.round(
-        col("k") * F.log(p1 / col("p0"))
-        + (col("n") - col("k")) * F.log((1 - p1) / (1 - col("p0"))),
-        8,
-    ).cast("decimal(28,8)")
+    term = (dfloor((col("k") * F.log(p1 / col("p0"))
+        + (col("n") - col("k")) * F.log((1 - p1) / (1 - col("p0")))) * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)).cast("decimal(28,8)")
     llr = (
         daily.filter(col("day") >= F.lit("2024-01-08").cast("date"))
         .join(broadcast(base), col("event_type") == col("et_b"))
@@ -256,10 +250,10 @@ def q_sprt_monitor(spark, sf_dir):
     )
     return agg.select(
         "event_type",
-        F.round("p0", 6).alias("baseline_rate"),
-        F.round("final_llr", 6).alias("final_llr"),
-        F.round("max_llr", 6).alias("max_llr"),
-        F.round("min_llr", 6).alias("min_llr"),
+        col("p0").alias("baseline_rate"),
+        col("final_llr").alias("final_llr"),
+        col("max_llr").alias("max_llr"),
+        col("min_llr").alias("min_llr"),
         col("crossed_day"),
         decision.alias("decision"),
     ).orderBy("event_type")

@@ -11,7 +11,7 @@ control — built on the shared two-level midrank helper).
 
 Determinism discipline: order cents are exact integers; the top-k
 set is ordered (value DESC, key) so both engines pick identical
-rows; ln terms quantize ROUND(,10)->DECIMAL before the k-term sum;
+rows; ln terms quantize the 1e-10 grid ->DECIMAL before the k-term sum;
 paired diffs are exact integer cents with exact midranks from
 operators/ranking.doubled_midranks; each z is one closing closed
 form.
@@ -24,7 +24,7 @@ from pyspark.sql.functions import broadcast, col
 
 from . import tables
 from .operators import ranking
-from .queries import q
+from .queries import dfloor, q
 
 _TAIL_K = 200
 
@@ -33,22 +33,22 @@ _TAIL_K = 200
     "q_hill_tail",
     oracle=f"""
     WITH topk AS (
-      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      SELECT CAST(FLOOR((o_totalprice * 100) + 0.5) AS BIGINT) AS c
       FROM orders
-      ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC, o_orderkey
+      ORDER BY CAST(FLOOR((o_totalprice * 100) + 0.5) AS BIGINT) DESC, o_orderkey
       LIMIT {_TAIL_K}
     ), thresh AS (
       SELECT MIN(c) AS ck FROM topk
     ), terms AS (
-      SELECT CAST(ROUND(LN(CAST(t.c AS DOUBLE) / th.ck), 10)
+      SELECT CAST(FLOOR((LN(CAST(t.c AS DOUBLE) / th.ck)) * 1e10 + 0.5) / 1e10
                   AS DECIMAL(38,10)) AS lr
       FROM topk t, thresh th
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS k,
-           ROUND(CAST((SELECT ck FROM thresh) AS DOUBLE) / 100, 2)
+           FLOOR((CAST((SELECT ck FROM thresh) AS DOUBLE) / 100) * 1e2 + 0.5) / 1e2
              AS threshold_value,
-           ROUND(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 6) AS hill_gamma,
-           ROUND(COUNT(*) / CAST(SUM(lr) AS DOUBLE), 6) AS tail_alpha
+           FLOOR((CAST(SUM(lr) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS hill_gamma,
+           FLOOR((COUNT(*) / CAST(SUM(lr) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS tail_alpha
     FROM terms
     """,
     desc=f"Hill tail-index of order value over the top-{_TAIL_K} "
@@ -61,7 +61,7 @@ _TAIL_K = 200
          "The top-k set is a TakeOrdered over exact integer cents "
          "with order-key tie-breaks (identical on both engines — no "
          "global sort materializes); each log-ratio term quantizes "
-         "ROUND(,10)->DECIMAL before the k-term sum; the threshold "
+         "the 1e-10 grid ->DECIMAL before the k-term sum; the threshold "
          "is the exact k-th order statistic.",
     tags=["stats", "agg", "cross"],
 )
@@ -69,7 +69,7 @@ def q_hill_tail(spark, sf_dir):
     orders = tables.load(spark, sf_dir, "orders")
     topk = (
         orders.select(
-            F.round(col("o_totalprice") * 100).cast("long").alias("c"),
+            dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long").alias("c"),
             "o_orderkey",
         )
         .orderBy(col("c").desc(), "o_orderkey")
@@ -78,7 +78,7 @@ def q_hill_tail(spark, sf_dir):
     thresh = topk.agg(F.min("c").alias("ck"))
     terms = topk.crossJoin(broadcast(thresh)).select(
         "ck",
-        F.round(F.log(col("c").cast("double") / col("ck")), 10)
+        (dfloor((F.log(col("c").cast("double") / col("ck"))) * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10))
         .cast("decimal(38,10)").alias("lr"),
     )
     # k is COUNT(*) over the actual top-k set (not the _TAIL_K
@@ -87,10 +87,10 @@ def q_hill_tail(spark, sf_dir):
     # order-statistic count in BOTH engines (r5 ADVICE fix).
     return terms.groupBy("ck").agg(
         F.count("*").cast("long").alias("k"),
-        F.round(col("ck").cast("double") / 100, 2).alias("threshold_value"),
-        F.round(F.sum("lr").cast("double") / F.count("*"), 6)
+        (dfloor((col("ck").cast("double") / 100) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).alias("threshold_value"),
+        (dfloor((F.sum("lr").cast("double") / F.count("*")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
         .alias("hill_gamma"),
-        F.round(F.count("*") / F.sum("lr").cast("double"), 6)
+        (dfloor((F.count("*") / F.sum("lr").cast("double")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
         .alias("tail_alpha"),
     ).select("k", "threshold_value", "hill_gamma", "tail_alpha")
 
@@ -100,11 +100,11 @@ def q_hill_tail(spark, sf_dir):
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+             SUM(CAST(FLOOR((value) * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2))) AS s, COUNT(*) AS n
       FROM events GROUP BY event_type, CAST(ts AS DATE)
     ), cents AS (
       SELECT event_type, day,
-             CAST(ROUND(CAST(s AS DOUBLE) / n * 100) AS BIGINT) AS mc
+             CAST(FLOOR((CAST(s AS DOUBLE) / n * 100) + 0.5) AS BIGINT) AS mc
       FROM daily
     ), pairs AS (
       SELECT a.event_type, b.mc - a.mc AS d
@@ -140,9 +140,9 @@ def q_hill_tail(spark, sf_dir):
       GROUP BY i.event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
-           ROUND(CAST(wp2 AS DOUBLE) / 2, 1) AS w_plus,
-           ROUND((CAST(wp2 AS DOUBLE) / 2 - n * (n + 1.0) / 4)
-                 / SQRT(n * (n + 1.0) * (2 * n + 1) / 24), 6) AS z_wilcoxon
+           (CAST(wp2 AS DOUBLE) / 2) AS w_plus,
+           ((CAST(wp2 AS DOUBLE) / 2 - n * (n + 1.0) / 4)
+                 / SQRT(n * (n + 1.0) * (2 * n + 1) / 24)) AS z_wilcoxon
     FROM agg ORDER BY event_type
     """,
     desc="Wilcoxon signed-rank test on week-over-week paired daily "
@@ -165,10 +165,8 @@ def q_wilcoxon_signed_rank(spark, sf_dir):
     daily = (
         ev.groupBy("event_type", col("ts").cast("date").alias("day"))
         .agg(
-            F.round(
-                F.sum(F.round("value", 2).cast("decimal(18,2)"))
-                .cast("double") / F.count("*") * 100
-            ).cast("long").alias("mc")
+            dfloor((F.sum((dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).cast("decimal(18,2)"))
+                .cast("double") / F.count("*") * 100) + F.lit(0.5)).cast("long").alias("mc")
         )
     )
     a, b = daily.alias("a"), daily.alias("b")
@@ -206,6 +204,6 @@ def q_wilcoxon_signed_rank(spark, sf_dir):
     return agg.select(
         "event_type",
         col("n").cast("long").alias("n_pairs"),
-        F.round(w_plus, 1).alias("w_plus"),
-        F.round(z, 6).alias("z_wilcoxon"),
+        (w_plus).alias("w_plus"),
+        (z).alias("z_wilcoxon"),
     ).orderBy("event_type")

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -55,11 +55,11 @@ from .queries import q
            CAST(g1 AS BIGINT) AS correct_stopword,
            CAST(g2 AS BIGINT) AS correct_ascii,
            CAST(g3 AS BIGINT) AS correct_vowel,
-           ROUND(3 * 2
+           (3 * 2
                  * (POWER(g1 - CAST(sl AS DOUBLE) / 3, 2)
                     + POWER(g2 - CAST(sl AS DOUBLE) / 3, 2)
                     + POWER(g3 - CAST(sl AS DOUBLE) / 3, 2))
-                 / NULLIF(3 * sl - sl2, 0), 6) AS cochran_q
+                 / NULLIF(3 * sl - sl2, 0)) AS cochran_q
     FROM agg
     """,
     desc="Cochran's Q for three binary English detectors scored on "
@@ -115,7 +115,7 @@ def q_cochran_q(spark, sf_dir):
         col("g1").cast("long").alias("correct_stopword"),
         col("g2").cast("long").alias("correct_ascii"),
         col("g3").cast("long").alias("correct_vowel"),
-        F.round(q_stat, 6).alias("cochran_q"),
+        (q_stat).alias("cochran_q"),
     )
 
 
@@ -124,8 +124,8 @@ def q_cochran_q(spark, sf_dir):
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             ROUND(CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2)))
-                        AS DOUBLE) / COUNT(*), 6) AS m
+             FLOOR((CAST(SUM(CAST(FLOOR((value) * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2)))
+                        AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS m
       FROM events GROUP BY event_type, CAST(ts AS DATE)
     ), ranked AS (
       SELECT event_type, day,
@@ -145,10 +145,10 @@ def q_cochran_q(spark, sf_dir):
     )
     SELECT s.event_type,
            CAST(s.n_days AS BIGINT) AS n_days,
-           ROUND(s.rsum / s.n_days, 6) AS mean_rank,
-           ROUND((SELECT 12.0 / (t2.n * t2.k * (t2.k + 1))
+           (s.rsum / s.n_days) AS mean_rank,
+           ((SELECT 12.0 / (t2.n * t2.k * (t2.k + 1))
                          * SUM(POWER(s2.rsum, 2)) - 3.0 * t2.n * (t2.k + 1)
-                  FROM sums s2, tot t2 GROUP BY t2.n, t2.k), 6)
+                  FROM sums s2, tot t2 GROUP BY t2.n, t2.k))
              AS friedman_chi2
     FROM sums s ORDER BY s.event_type
     """,
@@ -173,10 +173,8 @@ def q_friedman_test(spark, sf_dir):
     daily = (
         ev.groupBy("event_type", col("ts").cast("date").alias("day"))
         .agg(
-            F.round(
-                F.sum(F.round("value", 2).cast("decimal(18,2)"))
-                .cast("double") / F.count("*"), 6
-            ).alias("m")
+            (dfloor((F.sum((dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).cast("decimal(18,2)"))
+                .cast("double") / F.count("*")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("m")
         )
     )
     w_rank = Window.partitionBy("day").orderBy("m")
@@ -204,6 +202,6 @@ def q_friedman_test(spark, sf_dir):
     return j.select(
         "event_type",
         col("n_days").cast("long").alias("n_days"),
-        F.round(col("rsum") / col("n_days"), 6).alias("mean_rank"),
-        F.round(chi2, 6).alias("friedman_chi2"),
+        (col("rsum") / col("n_days")).alias("mean_rank"),
+        (chi2).alias("friedman_chi2"),
     ).orderBy("event_type")

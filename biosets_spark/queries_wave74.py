@@ -10,9 +10,9 @@ moment-based gate that decides whether q_control_chart's 3-sigma
 limits and q_welch_ttest's t inference are even applicable).
 
 Determinism discipline: order cents are exact integers; x ln x
-terms quantize ROUND(,4)->DECIMAL(38,4) before their segment sums;
+terms quantize the 1e-4 grid ->DECIMAL(38,4) before their segment sums;
 central moments use the two-pass center-then-power discipline
-(exact decimal mean, ROUND(,6)->DECIMAL(38,6) quantized centered
+(exact decimal mean, the 1e-6 grid ->DECIMAL(38,6) quantized centered
 powers — no cancellation of large raw power sums); every statistic
 is one closing closed-form double; chi-square critical value
 5.991465 is a shared literal.
@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 _CHI2_2_95 = 5.991465
 
@@ -34,12 +34,12 @@ _CHI2_2_95 = 5.991465
     oracle="""
     WITH vals AS (
       SELECT c.c_mktsegment AS seg,
-             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+             CAST(FLOOR((o.o_totalprice * 100) + 0.5) AS BIGINT) AS cents
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     ), segs AS (
       SELECT seg, COUNT(*) AS n, SUM(cents) AS s,
-             CAST(SUM(CAST(ROUND(CAST(cents AS DOUBLE)
-                                 * LN(CAST(cents AS DOUBLE)), 4)
+             CAST(SUM(CAST(FLOOR((CAST(cents AS DOUBLE)
+                                 * LN(CAST(cents AS DOUBLE))) * 1e4 + 0.5) / 1e4
                            AS DECIMAL(38,4))) AS DOUBLE) AS sxlx
       FROM vals GROUP BY seg
     ), tot AS (
@@ -47,12 +47,12 @@ _CHI2_2_95 = 5.991465
     )
     SELECT g.seg AS c_mktsegment,
            CAST(g.n AS BIGINT) AS n_orders,
-           ROUND(CAST(g.s AS DOUBLE) / t.st, 6) AS value_share,
-           ROUND(g.sxlx / g.s - LN(CAST(g.s AS DOUBLE) / g.n), 6)
+           (CAST(g.s AS DOUBLE) / t.st) AS value_share,
+           (g.sxlx / g.s - LN(CAST(g.s AS DOUBLE) / g.n))
              AS theil_within,
-           ROUND((CAST(g.s AS DOUBLE) / t.st)
+           ((CAST(g.s AS DOUBLE) / t.st)
                  * LN((CAST(g.s AS DOUBLE) / g.n)
-                      / (CAST(t.st AS DOUBLE) / t.nt)), 6)
+                      / (CAST(t.st AS DOUBLE) / t.nt)))
              AS between_term
     FROM segs g, tot t ORDER BY g.seg
     """,
@@ -65,7 +65,7 @@ _CHI2_2_95 = 5.991465
          "'does revenue inequality live inside segments or between "
          "them' in one pass (the test pins the decomposition "
          "identity against a brute-force global T). Cents are exact "
-         "integers; each x ln x term quantizes ROUND(,4)->"
+         "integers; each x ln x term quantizes the 1e-4 grid ->"
          "DECIMAL(38,4) before the only cross-row sums; one "
          "broadcast-dim join + one combinable segment agg + a 1-row "
          "total (tagged cross).",
@@ -79,13 +79,13 @@ def q_theil_decomposition(spark, sf_dir):
         col("o_custkey") == col("c_custkey"),
     ).select(
         col("c_mktsegment").alias("seg"),
-        F.round(col("o_totalprice") * 100).cast("long").alias("cents"),
+        dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long").alias("cents"),
     )
     cd = col("cents").cast("double")
     segs = vals.groupBy("seg").agg(
         F.count("*").alias("n"),
         F.sum("cents").alias("s"),
-        F.sum(F.round(cd * F.log(cd), 4).cast("decimal(38,4)"))
+        F.sum((dfloor((cd * F.log(cd)) * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).cast("decimal(38,4)"))
         .cast("double").alias("sxlx"),
     )
     tot = segs.agg(F.sum("n").alias("nt"), F.sum("s").alias("st"))
@@ -96,10 +96,10 @@ def q_theil_decomposition(spark, sf_dir):
     return j.select(
         col("seg").alias("c_mktsegment"),
         col("n").cast("long").alias("n_orders"),
-        F.round(sd / col("st"), 6).alias("value_share"),
-        F.round(col("sxlx") / col("s") - F.log(mean_g), 6)
+        (sd / col("st")).alias("value_share"),
+        (col("sxlx") / col("s") - F.log(mean_g))
         .alias("theil_within"),
-        F.round((sd / col("st")) * F.log(mean_g / mu), 6)
+        ((sd / col("st")) * F.log(mean_g / mu))
         .alias("between_term"),
     ).orderBy("c_mktsegment")
 
@@ -109,8 +109,8 @@ def q_theil_decomposition(spark, sf_dir):
     oracle=f"""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             CAST(ROUND(CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2)))
-                             AS DOUBLE) / COUNT(*) * 100) AS BIGINT) AS mc
+             CAST(FLOOR((CAST(SUM(CAST(FLOOR((value) * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2)))
+                             AS DOUBLE) / COUNT(*) * 100) + 0.5) AS BIGINT) AS mc
       FROM events GROUP BY event_type, CAST(ts AS DATE)
     ), means AS (
       SELECT event_type, COUNT(*) AS n,
@@ -118,20 +118,20 @@ def q_theil_decomposition(spark, sf_dir):
       FROM daily GROUP BY event_type
     ), cm AS (
       SELECT d.event_type, m.n,
-             CAST(SUM(CAST(ROUND(POWER(d.mc - m.m1, 2), 6)
+             CAST(SUM(CAST(FLOOR((POWER(d.mc - m.m1, 2)) * 1e6 + 0.5) / 1e6
                            AS DECIMAL(38,6))) AS DOUBLE) / m.n AS m2,
-             CAST(SUM(CAST(ROUND(POWER(d.mc - m.m1, 3), 6)
+             CAST(SUM(CAST(FLOOR((POWER(d.mc - m.m1, 3)) * 1e6 + 0.5) / 1e6
                            AS DECIMAL(38,6))) AS DOUBLE) / m.n AS m3,
-             CAST(SUM(CAST(ROUND(POWER(d.mc - m.m1, 4), 6)
+             CAST(SUM(CAST(FLOOR((POWER(d.mc - m.m1, 4)) * 1e6 + 0.5) / 1e6
                            AS DECIMAL(38,6))) AS DOUBLE) / m.n AS m4
       FROM daily d JOIN means m ON d.event_type = m.event_type
       GROUP BY d.event_type, m.n
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_days,
-           ROUND(m3 / POWER(m2, 1.5), 6) AS skewness,
-           ROUND(m4 / POWER(m2, 2) - 3, 6) AS excess_kurtosis,
-           ROUND(n / 6.0 * (POWER(m3 / POWER(m2, 1.5), 2)
-                 + POWER(m4 / POWER(m2, 2) - 3, 2) / 4), 6) AS jarque_bera,
+           FLOOR((m3 / POWER(m2, 1.5)) * 1e6 + 0.5) / 1e6 AS skewness,
+           (m4 / POWER(m2, 2) - 3) AS excess_kurtosis,
+           (n / 6.0 * (POWER(m3 / POWER(m2, 1.5), 2)
+                 + POWER(m4 / POWER(m2, 2) - 3, 2) / 4)) AS jarque_bera,
            n / 6.0 * (POWER(m3 / POWER(m2, 1.5), 2)
                  + POWER(m4 / POWER(m2, 2) - 3, 2) / 4) > {_CHI2_2_95}
              AS reject_normal_5pct
@@ -146,7 +146,7 @@ def q_theil_decomposition(spark, sf_dir):
          "even applicable to these series. Daily means are "
          "integerized to exact cents; the two-pass "
          "center-then-power discipline (exact decimal mean, then "
-         "ROUND(,6)->DECIMAL(38,6) quantized centered powers) keeps "
+         "the 1e-6 grid ->DECIMAL(38,6) quantized centered powers) keeps "
          "the cancellation-free moments order-free; JB is one closed "
          "form per type; 5.991465 is a shared literal.",
     tags=["events", "stats", "agg"],
@@ -156,10 +156,8 @@ def q_jarque_bera(spark, sf_dir):
     daily = (
         ev.groupBy("event_type", col("ts").cast("date").alias("day"))
         .agg(
-            F.round(
-                F.sum(F.round("value", 2).cast("decimal(18,2)"))
-                .cast("double") / F.count("*") * 100
-            ).cast("long").alias("mc")
+            dfloor((F.sum((dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).cast("decimal(18,2)"))
+                .cast("double") / F.count("*") * 100) + F.lit(0.5)).cast("long").alias("mc")
         )
     )
     means = daily.groupBy(col("event_type").alias("et_m")).agg(
@@ -172,11 +170,11 @@ def q_jarque_bera(spark, sf_dir):
         daily.join(broadcast(means), col("event_type") == col("et_m"))
         .groupBy("event_type", "n")
         .agg(
-            (F.sum(F.round(F.pow(dev, 2), 6).cast("decimal(38,6)"))
+            (F.sum((dfloor((F.pow(dev, 2)) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("decimal(38,6)"))
              .cast("double") / F.max("n")).alias("m2"),
-            (F.sum(F.round(F.pow(dev, 3), 6).cast("decimal(38,6)"))
+            (F.sum((dfloor((F.pow(dev, 3)) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("decimal(38,6)"))
              .cast("double") / F.max("n")).alias("m3"),
-            (F.sum(F.round(F.pow(dev, 4), 6).cast("decimal(38,6)"))
+            (F.sum((dfloor((F.pow(dev, 4)) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("decimal(38,6)"))
              .cast("double") / F.max("n")).alias("m4"),
         )
     )
@@ -190,8 +188,8 @@ def q_jarque_bera(spark, sf_dir):
     return cm.select(
         "event_type",
         col("n").cast("long").alias("n_days"),
-        F.round(skew, 6).alias("skewness"),
-        F.round(kurt, 6).alias("excess_kurtosis"),
-        F.round(jb, 6).alias("jarque_bera"),
+        (dfloor((skew) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("skewness"),
+        (kurt).alias("excess_kurtosis"),
+        (jb).alias("jarque_bera"),
         (jb > _CHI2_2_95).alias("reject_normal_5pct"),
     ).orderBy("event_type")

@@ -11,7 +11,7 @@ q_control_chart's fixed center line is the wrong model; rho well
 below 1 means mean reversion and yesterday's spike self-corrects).
 
 Determinism discipline: count cells are exact integers; entropy
-terms quantize ROUND(,12)->DECIMAL(38,12) before their sums; daily
+terms quantize the 1e-12 grid ->DECIMAL(38,12) before their sums; daily
 means are exact integer cents; all regression sums are DECIMAL-
 accumulated cross-products of integers; rho, se and t are single
 closing closed forms.
@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -34,15 +34,13 @@ from .queries import q
     ), tot AS (
       SELECT SUM(n) AS nt FROM cells
     ), hl AS (
-      SELECT CAST(SUM(CAST(ROUND(
-               -(CAST(ln_.n AS DOUBLE) / t.nt)
-                 * LN(CAST(ln_.n AS DOUBLE) / t.nt), 12)
+      SELECT CAST(SUM(CAST(FLOOR((-(CAST(ln_.n AS DOUBLE) / t.nt)
+                 * LN(CAST(ln_.n AS DOUBLE) / t.nt)) * 1e12 + 0.5) / 1e12
                AS DECIMAL(38,12))) AS DOUBLE) AS h_lang
       FROM (SELECT lang, SUM(n) AS n FROM cells GROUP BY lang) ln_, tot t
     ), hls AS (
-      SELECT CAST(SUM(CAST(ROUND(
-               -(CAST(c.n AS DOUBLE) / t.nt)
-                 * LN(CAST(c.n AS DOUBLE) / s.ns), 12)
+      SELECT CAST(SUM(CAST(FLOOR((-(CAST(c.n AS DOUBLE) / t.nt)
+                 * LN(CAST(c.n AS DOUBLE) / s.ns)) * 1e12 + 0.5) / 1e12
                AS DECIMAL(38,12))) AS DOUBLE) AS h_lang_given_src
       FROM cells c
       JOIN (SELECT source, SUM(n) AS ns FROM cells GROUP BY source) s
@@ -50,9 +48,9 @@ from .queries import q
       CROSS JOIN tot t
     )
     SELECT CAST((SELECT nt FROM tot) AS BIGINT) AS n_docs,
-           ROUND(hl.h_lang, 6) AS h_lang,
-           ROUND(hls.h_lang_given_src, 6) AS h_lang_given_source,
-           ROUND((hl.h_lang - hls.h_lang_given_src) / hl.h_lang, 6)
+           (hl.h_lang) AS h_lang,
+           (hls.h_lang_given_src) AS h_lang_given_source,
+           ((hl.h_lang - hls.h_lang_given_src) / hl.h_lang)
              AS theils_u
     FROM hl, hls
     """,
@@ -64,7 +62,7 @@ from .queries import q
          "source routing could substitute for language ID (U near 1) "
          "or the two labels are independent (U near 0). The corpus "
          "collapses to a tiny (source, lang) cell table; both "
-         "entropies are sums of ROUND(,12)->DECIMAL-quantized "
+         "entropies are sums of the 1e-12 grid ->DECIMAL-quantized "
          "closed-form terms over exact integer ratios, so no "
          "accumulation order exists; one closing ratio.",
     tags=["text", "stats", "agg", "cross"],
@@ -80,7 +78,7 @@ def q_theils_u(spark, sf_dir):
     pl = col("nl").cast("double") / col("nt")
     h_lang = (
         lang_m.crossJoin(broadcast(tot))
-        .select(F.round(-pl * F.log(pl), 12).cast("decimal(38,12)").alias("t"))
+        .select((dfloor((-pl * F.log(pl)) * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)).cast("decimal(38,12)").alias("t"))
         .agg(F.sum("t").cast("double").alias("h_lang"))
     )
     pj = col("n").cast("double") / col("nt")
@@ -88,7 +86,7 @@ def q_theils_u(spark, sf_dir):
     h_cond = (
         cells.join(broadcast(src_m), col("source") == col("src"))
         .crossJoin(broadcast(tot))
-        .select(F.round(-pj * F.log(pc), 12).cast("decimal(38,12)").alias("t"))
+        .select((dfloor((-pj * F.log(pc)) * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)).cast("decimal(38,12)").alias("t"))
         .agg(F.sum("t").cast("double").alias("h_cond"))
     )
     return (
@@ -96,11 +94,9 @@ def q_theils_u(spark, sf_dir):
         .crossJoin(broadcast(h_cond))
         .select(
             col("nt").cast("long").alias("n_docs"),
-            F.round(col("h_lang"), 6).alias("h_lang"),
-            F.round(col("h_cond"), 6).alias("h_lang_given_source"),
-            F.round(
-                (col("h_lang") - col("h_cond")) / col("h_lang"), 6
-            ).alias("theils_u"),
+            (col("h_lang")).alias("h_lang"),
+            (col("h_cond")).alias("h_lang_given_source"),
+            ((col("h_lang") - col("h_cond")) / col("h_lang")).alias("theils_u"),
         )
     )
 
@@ -110,8 +106,8 @@ def q_theils_u(spark, sf_dir):
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             CAST(ROUND(CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2)))
-                             AS DOUBLE) / COUNT(*) * 100) AS BIGINT) AS mc
+             CAST(FLOOR((CAST(SUM(CAST(FLOOR((value) * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2)))
+                             AS DOUBLE) / COUNT(*) * 100) + 0.5) AS BIGINT) AS mc
       FROM events GROUP BY event_type, CAST(ts AS DATE)
     ), lagged AS (
       SELECT event_type, day, mc AS y,
@@ -134,11 +130,11 @@ def q_theils_u(spark, sf_dir):
       FROM s
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
-           ROUND(rho, 6) AS rho,
-           ROUND((rho - 1)
+           (rho) AS rho,
+           ((rho - 1)
                  / SQRT(((syy - sy * sy / n)
                          - rho * (sxy - sx * sy / n)) / (n - 2)
-                        / (sxx - sx * sx / n)), 6) AS df_t,
+                        / (sxx - sx * sx / n))) AS df_t,
            rho < 1
            AND (rho - 1)
                / SQRT(((syy - sy * sy / n)
@@ -169,10 +165,8 @@ def q_unit_root_ar1(spark, sf_dir):
     daily = (
         ev.groupBy("event_type", col("ts").cast("date").alias("day"))
         .agg(
-            F.round(
-                F.sum(F.round("value", 2).cast("decimal(18,2)"))
-                .cast("double") / F.count("*") * 100
-            ).cast("long").alias("mc")
+            dfloor((F.sum((dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).cast("decimal(18,2)"))
+                .cast("double") / F.count("*") * 100) + F.lit(0.5)).cast("long").alias("mc")
         )
     )
     w = Window.partitionBy("event_type").orderBy("day")
@@ -205,7 +199,7 @@ def q_unit_root_ar1(spark, sf_dir):
     return s.select(
         "event_type",
         col("n").cast("long").alias("n_pairs"),
-        F.round(rho, 6).alias("rho"),
-        F.round(df_t, 6).alias("df_t"),
+        (rho).alias("rho"),
+        (df_t).alias("df_t"),
         ((rho < 1) & (df_t < -2.99)).alias("mean_reverting_5pct"),
     ).orderBy("event_type")

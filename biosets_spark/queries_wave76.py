@@ -40,16 +40,16 @@ _Z_BETA = 0.841621
     SELECT st AS o_orderstatus,
            CAST(n AS BIGINT) AS n_current,
            CAST(FLOOR(n / 2.0) AS BIGINT) AS n_per_arm,
-           ROUND(CAST(k AS DOUBLE) / n, 6) AS base_rate,
-           ROUND(({_Z_ALPHA} + {_Z_BETA})
+           (CAST(k AS DOUBLE) / n) AS base_rate,
+           (({_Z_ALPHA} + {_Z_BETA})
                  * SQRT(2 * (CAST(k AS DOUBLE) / n)
                         * (1 - CAST(k AS DOUBLE) / n)
-                        / CAST(FLOOR(n / 2.0) AS BIGINT)), 6) AS mde_absolute,
-           ROUND(({_Z_ALPHA} + {_Z_BETA})
+                        / CAST(FLOOR(n / 2.0) AS BIGINT))) AS mde_absolute,
+           (({_Z_ALPHA} + {_Z_BETA})
                  * SQRT(2 * (CAST(k AS DOUBLE) / n)
                         * (1 - CAST(k AS DOUBLE) / n)
                         / CAST(FLOOR(n / 2.0) AS BIGINT))
-                 / (CAST(k AS DOUBLE) / n), 6) AS mde_relative
+                 / (CAST(k AS DOUBLE) / n)) AS mde_relative
     FROM base ORDER BY st
     """,
     desc="Minimum-detectable-effect planner: for each status group's "
@@ -83,9 +83,9 @@ def q_mde_planner(spark, sf_dir):
         col("st").alias("o_orderstatus"),
         col("n").cast("long").alias("n_current"),
         n_arm.alias("n_per_arm"),
-        F.round(p, 6).alias("base_rate"),
-        F.round(mde_abs, 6).alias("mde_absolute"),
-        F.round(F.try_divide(mde_abs, p), 6).alias("mde_relative"),
+        (p).alias("base_rate"),
+        (mde_abs).alias("mde_absolute"),
+        (F.try_divide(mde_abs, p)).alias("mde_relative"),
     ).orderBy("o_orderstatus")
 
 
@@ -121,7 +121,7 @@ from .oracle_fragments import TOKS_SQL as _TOKS_SQL
            CAST(retained AS BIGINT) AS retained,
            CAST(v_late - retained AS BIGINT) AS new_types,
            CAST(v_early - retained AS BIGINT) AS retired_types,
-           ROUND(CAST(v_late - retained AS DOUBLE) / v_late, 6)
+           (CAST(v_late - retained AS DOUBLE) / v_late)
              AS turnover_rate
     FROM counts ORDER BY lang
     """,
@@ -179,8 +179,5 @@ def q_vocab_turnover(spark, sf_dir):
         col("retained").cast("long").alias("retained"),
         (col("v_late") - col("retained")).cast("long").alias("new_types"),
         (col("v_early") - col("retained")).cast("long").alias("retired_types"),
-        F.round(
-            (col("v_late") - col("retained")).cast("double") / col("v_late"),
-            6,
-        ).alias("turnover_rate"),
+        ((col("v_late") - col("retained")).cast("double") / col("v_late")).alias("turnover_rate"),
     ).orderBy("lang")

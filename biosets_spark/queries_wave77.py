@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 _HALVES_SQL = """
     WITH yr AS (
@@ -32,7 +32,7 @@ _HALVES_SQL = """
     ), rev AS (
       SELECT l_suppkey AS suppkey,
              (EXTRACT(year FROM l_shipdate) <= y.midyear) AS early,
-             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents
+             SUM(CAST(FLOOR((l_extendedprice * 100) + 0.5) AS BIGINT)) AS cents
       FROM lineitem, yr y
       GROUP BY 1, 2
     ), ranked AS (
@@ -79,7 +79,7 @@ def q_rank_churn(spark, sf_dir):
     sup = tables.load(spark, sf_dir, "supplier")
     yr = F.year(col("l_shipdate"))
     mid = li.agg(
-        F.floor((F.min(yr) + F.max(yr)) / 2).cast("long").alias("midyear")
+        dfloor((F.min(yr) + F.max(yr)) / 2).cast("long").alias("midyear")
     )
     rev = (
         li.crossJoin(broadcast(mid))
@@ -88,7 +88,7 @@ def q_rank_churn(spark, sf_dir):
             (yr <= col("midyear")).alias("early"),
         )
         .agg(
-            F.sum(F.round(col("l_extendedprice") * 100).cast("long"))
+            F.sum(dfloor((col("l_extendedprice") * 100) + F.lit(0.5)).cast("long"))
             .alias("cents")
         )
     )
@@ -132,8 +132,8 @@ def q_rank_churn(spark, sf_dir):
     SELECT CAST((SELECT COUNT(*) FROM both_) AS BIGINT) AS n_suppliers,
            CAST(SUM(c) AS BIGINT) AS concordant,
            CAST(COUNT(*) - SUM(c) AS BIGINT) AS discordant,
-           ROUND((2.0 * SUM(c) - COUNT(*)) / COUNT(*), 6) AS kendall_tau,
-           ROUND(CAST(COUNT(*) - SUM(c) AS DOUBLE) / COUNT(*), 6)
+           ((2.0 * SUM(c) - COUNT(*)) / COUNT(*)) AS kendall_tau,
+           (CAST(COUNT(*) - SUM(c) AS DOUBLE) / COUNT(*))
              AS churn_fraction
     FROM pairs
     """,
@@ -157,7 +157,7 @@ def q_kendall_rankings(spark, sf_dir):
     li = tables.load(spark, sf_dir, "lineitem")
     yr = F.year(col("l_shipdate"))
     mid = li.agg(
-        F.floor((F.min(yr) + F.max(yr)) / 2).cast("long").alias("midyear")
+        dfloor((F.min(yr) + F.max(yr)) / 2).cast("long").alias("midyear")
     )
     rev = (
         li.crossJoin(broadcast(mid))
@@ -166,7 +166,7 @@ def q_kendall_rankings(spark, sf_dir):
             (yr <= col("midyear")).alias("early"),
         )
         .agg(
-            F.sum(F.round(col("l_extendedprice") * 100).cast("long"))
+            F.sum(dfloor((col("l_extendedprice") * 100) + F.lit(0.5)).cast("long"))
             .alias("cents")
         )
     )
@@ -202,10 +202,6 @@ def q_kendall_rankings(spark, sf_dir):
         col("n_suppliers").cast("long").alias("n_suppliers"),
         col("nc").cast("long").alias("concordant"),
         (col("np") - col("nc")).cast("long").alias("discordant"),
-        F.round(
-            (2.0 * col("nc") - col("np")).cast("double") / col("np"), 6
-        ).alias("kendall_tau"),
-        F.round(
-            (col("np") - col("nc")).cast("double") / col("np"), 6
-        ).alias("churn_fraction"),
+        ((2.0 * col("nc") - col("np")).cast("double") / col("np")).alias("kendall_tau"),
+        ((col("np") - col("nc")).cast("double") / col("np")).alias("churn_fraction"),
     )

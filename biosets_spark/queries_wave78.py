@@ -11,9 +11,9 @@ binomial models behind q_sprt_monitor and q_ab_test_z assume away,
 and their nominal error rates are fiction until corrected by phi).
 
 Determinism discipline: cents are exact integers; ln x terms
-quantize ROUND(,8)->DECIMAL(28,8) before segment sums; daily counts
+quantize the 1e-8 grid ->DECIMAL(28,8) before segment sums; daily counts
 are exact integers, the pooled rate an exact ratio, and each day's
-chi-square term one closed-form double quantized ROUND(,8)->DECIMAL
+chi-square term one closed-form double quantized the 1e-8 grid ->DECIMAL
 before the cross-day sum.
 """
 
@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 _HIGH = 20.0
 
@@ -33,19 +33,19 @@ _HIGH = 20.0
     oracle="""
     WITH vals AS (
       SELECT c.c_mktsegment AS seg,
-             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+             CAST(FLOOR((o.o_totalprice * 100) + 0.5) AS BIGINT) AS cents
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     ), segs AS (
       SELECT seg, COUNT(*) AS n, SUM(cents) AS s,
-             CAST(SUM(CAST(ROUND(LN(CAST(cents AS DOUBLE)), 8)
+             CAST(SUM(CAST(FLOOR((LN(CAST(cents AS DOUBLE))) * 1e8 + 0.5) / 1e8
                            AS DECIMAL(28,8))) AS DOUBLE) AS slx
       FROM vals GROUP BY seg
     )
     SELECT seg AS c_mktsegment,
            CAST(n AS BIGINT) AS n_orders,
-           ROUND(CAST(s AS DOUBLE) / n / 100, 2) AS mean_value,
-           ROUND(EXP(slx / n) / 100, 2) AS geo_mean_value,
-           ROUND(1 - EXP(slx / n) / (CAST(s AS DOUBLE) / n), 6)
+           (CAST(s AS DOUBLE) / n / 100) AS mean_value,
+           (EXP(slx / n) / 100) AS geo_mean_value,
+           (1 - EXP(slx / n) / (CAST(s AS DOUBLE) / n))
              AS atkinson_eps1
     FROM segs ORDER BY seg
     """,
@@ -57,7 +57,7 @@ _HIGH = 20.0
          "utility), completing the inequality family: Gini "
          "(q_gini_revenue) ranks, Theil (q_theil_decomposition) "
          "decomposes, Atkinson prices. Cents are exact integers; "
-         "each ln(x) term quantizes ROUND(,8)->DECIMAL(28,8) before "
+         "each ln(x) term quantizes the 1e-8 grid ->DECIMAL(28,8) before "
          "the per-segment sum so the geometric mean is order-free; "
          "one broadcast-dim join and one combinable agg.",
     tags=["stats", "join", "agg"],
@@ -70,13 +70,13 @@ def q_atkinson_index(spark, sf_dir):
         col("o_custkey") == col("c_custkey"),
     ).select(
         col("c_mktsegment").alias("seg"),
-        F.round(col("o_totalprice") * 100).cast("long").alias("cents"),
+        dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long").alias("cents"),
     )
     segs = vals.groupBy("seg").agg(
         F.count("*").alias("n"),
         F.sum("cents").alias("s"),
         F.sum(
-            F.round(F.log(col("cents").cast("double")), 8)
+            (dfloor((F.log(col("cents").cast("double"))) * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8))
             .cast("decimal(28,8)")
         ).cast("double").alias("slx"),
     )
@@ -85,9 +85,9 @@ def q_atkinson_index(spark, sf_dir):
     return segs.select(
         col("seg").alias("c_mktsegment"),
         col("n").cast("long").alias("n_orders"),
-        F.round(mean / 100, 2).alias("mean_value"),
-        F.round(geo / 100, 2).alias("geo_mean_value"),
-        F.round(1 - geo / mean, 6).alias("atkinson_eps1"),
+        (mean / 100).alias("mean_value"),
+        (geo / 100).alias("geo_mean_value"),
+        (1 - geo / mean).alias("atkinson_eps1"),
     ).orderBy("c_mktsegment")
 
 
@@ -105,17 +105,16 @@ def q_atkinson_index(spark, sf_dir):
       FROM daily GROUP BY event_type
     ), terms AS (
       SELECT d.event_type, p.d,
-             CAST(ROUND(
-               POWER(d.k - d.n * (CAST(p.kt AS DOUBLE) / p.nt), 2)
+             CAST(FLOOR((POWER(d.k - d.n * (CAST(p.kt AS DOUBLE) / p.nt), 2)
                / (d.n * (CAST(p.kt AS DOUBLE) / p.nt)
-                  * (1 - CAST(p.kt AS DOUBLE) / p.nt)), 8)
+                  * (1 - CAST(p.kt AS DOUBLE) / p.nt))) * 1e8 + 0.5) / 1e8
                AS DECIMAL(28,8)) AS t
       FROM daily d JOIN pooled p ON d.event_type = p.event_type
     )
     SELECT t.event_type,
            CAST(MAX(t.d) AS BIGINT) AS n_days,
-           ROUND(CAST(SUM(t.t) AS DOUBLE), 6) AS chi2,
-           ROUND(CAST(SUM(t.t) AS DOUBLE) / (MAX(t.d) - 1), 6)
+           FLOOR((CAST(SUM(t.t) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS chi2,
+           (CAST(SUM(t.t) AS DOUBLE) / (MAX(t.d) - 1))
              AS dispersion_phi,
            CAST(SUM(t.t) AS DOUBLE) / (MAX(t.d) - 1) > 1.5
              AS overdispersed
@@ -131,7 +130,7 @@ def q_atkinson_index(spark, sf_dir):
          "q_power_analysis's n) is optimistic until divided by phi "
          "— the adequacy check for the model family itself. Counts "
          "are exact integers, the pooled rate an exact ratio; each "
-         "day's term is one closed form quantized ROUND(,8)->"
+         "day's term is one closed form quantized the 1e-8 grid ->"
          "DECIMAL before the cross-day sum.",
     tags=["events", "stats", "agg"],
 )
@@ -153,10 +152,8 @@ def q_overdispersion(spark, sf_dir):
     # variance zero; those terms (and phi for a 1-day type below) are
     # NULL, matching the oracle's x/0 = NULL (SUM skips NULLs in both
     # engines)
-    term = F.round(
-        F.try_divide(F.pow(col("k") - col("n") * p, 2),
-                     col("n") * p * (1 - p)), 8
-    ).cast("decimal(28,8)")
+    term = (dfloor((F.try_divide(F.pow(col("k") - col("n") * p, 2),
+                     col("n") * p * (1 - p))) * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)).cast("decimal(28,8)")
     terms = daily.join(broadcast(pooled), col("event_type") == col("et_p"))
     agg = terms.groupBy("event_type").agg(
         F.max("d").alias("d"),
@@ -166,7 +163,7 @@ def q_overdispersion(spark, sf_dir):
     return agg.select(
         "event_type",
         col("d").cast("long").alias("n_days"),
-        F.round(col("chi2"), 6).alias("chi2"),
-        F.round(phi, 6).alias("dispersion_phi"),
+        (dfloor((col("chi2")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("chi2"),
+        (phi).alias("dispersion_phi"),
         (phi > 1.5).alias("overdispersed"),
     ).orderBy("event_type")

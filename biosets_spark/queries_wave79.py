@@ -11,7 +11,7 @@ absence of evidence, TOST is evidence of absence).
 
 Determinism discipline: bigram/unigram counts are exact integers;
 each G2 cell term O*ln(O/E) is one closed-form double quantized
-ROUND(,6)->DECIMAL(28,6) before the 4-cell sum; daily means are
+the 1e-6 grid ->DECIMAL(28,6) before the 4-cell sum; daily means are
 exact integer cents with decimal moment sums per half; every t is
 one closing closed form against the shared t-critical literal.
 """
@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 from .oracle_fragments import TOKS_SQL as _TOKS_SQL
 _MIN_BG = 30
@@ -61,15 +61,15 @@ _MARGIN = 0.10
     ), g2 AS (
       SELECT w1, w2, o11,
              2 * CAST(
-               CAST(ROUND(CASE WHEN o11 > 0 THEN o11 * LN(o11 * CAST(nn AS DOUBLE) / (c1 * CAST(c2 AS DOUBLE))) ELSE 0 END, 6) AS DECIMAL(28,6))
-             + CAST(ROUND(CASE WHEN o12 > 0 THEN o12 * LN(o12 * CAST(nn AS DOUBLE) / (c1 * CAST(nn - c2 AS DOUBLE))) ELSE 0 END, 6) AS DECIMAL(28,6))
-             + CAST(ROUND(CASE WHEN o21 > 0 THEN o21 * LN(o21 * CAST(nn AS DOUBLE) / (CAST(nn - c1 AS DOUBLE) * c2)) ELSE 0 END, 6) AS DECIMAL(28,6))
-             + CAST(ROUND(CASE WHEN o22 > 0 THEN o22 * LN(o22 * CAST(nn AS DOUBLE) / (CAST(nn - c1 AS DOUBLE) * (nn - c2))) ELSE 0 END, 6) AS DECIMAL(28,6))
+               CAST(FLOOR((CASE WHEN o11 > 0 THEN o11 * LN(o11 * CAST(nn AS DOUBLE) / (c1 * CAST(c2 AS DOUBLE))) ELSE 0 END) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))
+             + CAST(FLOOR((CASE WHEN o12 > 0 THEN o12 * LN(o12 * CAST(nn AS DOUBLE) / (c1 * CAST(nn - c2 AS DOUBLE))) ELSE 0 END) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))
+             + CAST(FLOOR((CASE WHEN o21 > 0 THEN o21 * LN(o21 * CAST(nn AS DOUBLE) / (CAST(nn - c1 AS DOUBLE) * c2)) ELSE 0 END) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))
+             + CAST(FLOOR((CASE WHEN o22 > 0 THEN o22 * LN(o22 * CAST(nn AS DOUBLE) / (CAST(nn - c1 AS DOUBLE) * (nn - c2))) ELSE 0 END) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))
                AS DOUBLE) AS llr
       FROM cells
     )
     SELECT w1, w2, CAST(o11 AS BIGINT) AS pair_count,
-           ROUND(llr, 4) AS g2_llr
+           (llr) AS g2_llr
     FROM g2 ORDER BY llr DESC, w1, w2 LIMIT 20
     """,
     desc="Dunning log-likelihood collocations: for each adjacent "
@@ -82,7 +82,7 @@ _MARGIN = 0.10
          "self-join is a band join with fan-out exactly 1 per "
          "token; margins come from the bigram table itself "
          "(independence model over bigram positions); each of the "
-         "four O*ln(O/E) cell terms quantizes ROUND(,6)->DECIMAL "
+         "four O*ln(O/E) cell terms quantizes the 1e-6 grid ->DECIMAL "
          "before the sum so G2 is order-free; ordering tie-breaks "
          "on the pair strings.",
     tags=["text", "stats", "join", "agg", "cross", "range"],
@@ -120,9 +120,7 @@ def q_collocation_llr(spark, sf_dir):
     def term(o, e_num, e_den):
         return F.when(
             o > 0,
-            F.round(
-                o * F.log(o * col("nn").cast("double") / (e_num * e_den)), 6
-            ),
+            (dfloor((o * F.log(o * col("nn").cast("double") / (e_num * e_den))) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)),
         ).otherwise(F.lit(0.0)).cast("decimal(28,6)")
 
     nn_c1 = (col("nn") - col("c1")).cast("double")
@@ -137,7 +135,7 @@ def q_collocation_llr(spark, sf_dir):
         cells.select(
             "w1", "w2",
             col("o11").cast("long").alias("pair_count"),
-            F.round(llr, 4).alias("g2_llr"),
+            (llr).alias("g2_llr"),
             llr.alias("_l"),
         )
         .orderBy(col("_l").desc(), "w1", "w2")
@@ -151,8 +149,8 @@ def q_collocation_llr(spark, sf_dir):
     oracle=f"""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             CAST(ROUND(CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2)))
-                             AS DOUBLE) / COUNT(*) * 100) AS BIGINT) AS mc
+             CAST(FLOOR((CAST(SUM(CAST(FLOOR((value) * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2)))
+                             AS DOUBLE) / COUNT(*) * 100) + 0.5) AS BIGINT) AS mc
       FROM events GROUP BY event_type, CAST(ts AS DATE)
     ), split AS (
       SELECT CAST(FLOOR((CAST(MIN(day) - DATE '1970-01-01' AS BIGINT)
@@ -177,12 +175,12 @@ def q_collocation_llr(spark, sf_dir):
         ON e.event_type = l.event_type AND e.early AND NOT l.early
     )
     SELECT event_type,
-           ROUND((m2 - m1) / 100, 4) AS mean_diff,
-           ROUND({_MARGIN} * (m1 + m2) / 2 / 100, 4) AS margin,
-           ROUND(((m2 - m1) + {_MARGIN} * (m1 + m2) / 2)
-                 / SQRT(v1 / n1 + v2 / n2), 6) AS t_lower,
-           ROUND(({_MARGIN} * (m1 + m2) / 2 - (m2 - m1))
-                 / SQRT(v1 / n1 + v2 / n2), 6) AS t_upper,
+           ((m2 - m1) / 100) AS mean_diff,
+           FLOOR(({_MARGIN} * (m1 + m2) / 2 / 100) * 1e4 + 0.5) / 1e4 AS margin,
+           (((m2 - m1) + {_MARGIN} * (m1 + m2) / 2)
+                 / SQRT(v1 / n1 + v2 / n2)) AS t_lower,
+           (({_MARGIN} * (m1 + m2) / 2 - (m2 - m1))
+                 / SQRT(v1 / n1 + v2 / n2)) AS t_upper,
            ((m2 - m1) + {_MARGIN} * (m1 + m2) / 2)
              / SQRT(v1 / n1 + v2 / n2) > {_T_CRIT}
            AND ({_MARGIN} * (m1 + m2) / 2 - (m2 - m1))
@@ -208,10 +206,8 @@ def q_tost_equivalence(spark, sf_dir):
     daily = (
         ev.groupBy("event_type", col("ts").cast("date").alias("day"))
         .agg(
-            F.round(
-                F.sum(F.round("value", 2).cast("decimal(18,2)"))
-                .cast("double") / F.count("*") * 100
-            ).cast("long").alias("mc")
+            dfloor((F.sum((dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).cast("decimal(18,2)"))
+                .cast("double") / F.count("*") * 100) + F.lit(0.5)).cast("long").alias("mc")
         )
     )
     epoch_day = F.datediff(col("day"), F.lit("1970-01-01").cast("date"))
@@ -251,9 +247,9 @@ def q_tost_equivalence(spark, sf_dir):
     t_hi = (margin - (m2 - m1)) / se
     return st.select(
         "event_type",
-        F.round((m2 - m1) / 100, 4).alias("mean_diff"),
-        F.round(margin / 100, 4).alias("margin"),
-        F.round(t_lo, 6).alias("t_lower"),
-        F.round(t_hi, 6).alias("t_upper"),
+        ((m2 - m1) / 100).alias("mean_diff"),
+        (dfloor((margin / 100) * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).alias("margin"),
+        (t_lo).alias("t_lower"),
+        (t_hi).alias("t_upper"),
         ((t_lo > _T_CRIT) & (t_hi > _T_CRIT)).alias("equivalent_5pct"),
     ).orderBy("event_type")

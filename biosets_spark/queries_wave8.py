@@ -19,7 +19,7 @@ from pyspark.sql.functions import broadcast, col, lit
 
 from . import tables
 from .operators import text as T
-from .queries import q
+from .queries import dfloor, q
 
 # the oracle-side whitespace tokenizer matching operators.text.tokens
 from .oracle_fragments import TOKS_SQL as _TOKS_SQL
@@ -36,7 +36,7 @@ from .oracle_fragments import TOKS_SQL as _TOKS_SQL
     SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
            CAST(SUM(c) AS BIGINT) AS total_tokens,
            CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS hapax_count,
-           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+           (CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE))
              AS type_token_ratio,
            (SELECT tok FROM counts ORDER BY c DESC, tok DESC LIMIT 1)
              AS top_token,
@@ -63,7 +63,7 @@ def q_vocab_stats(spark, sf_dir):
         F.count("*").alias("vocab_size"),
         F.sum("c").alias("total_tokens"),
         F.count(F.when(col("c") == 1, 1)).alias("hapax_count"),
-        F.round(F.count("*") / F.sum("c"), 6).alias("type_token_ratio"),
+        (F.count("*") / F.sum("c")).alias("type_token_ratio"),
         top["tok"].alias("top_token"),
         top["c"].alias("top_count"),
     )
@@ -96,9 +96,9 @@ def q_vocab_stats(spark, sf_dir):
       HAVING COUNT(*) >= 5
     )
     SELECT t1, t2, pair_count,
-           ROUND(LN((CAST(pair_count AS DOUBLE)
+           FLOOR((LN((CAST(pair_count AS DOUBLE)
                      * (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents))
-                    / (CAST(d1.df AS DOUBLE) * CAST(d2.df AS DOUBLE))), 4)
+                    / (CAST(d1.df AS DOUBLE) * CAST(d2.df AS DOUBLE)))) * 1e4 + 0.5) / 1e4
              AS pmi
     FROM pairs
     JOIN dfreq d1 ON d1.tok = t1
@@ -124,7 +124,7 @@ def q_token_pmi(spark, sf_dir):
     return (
         scored.orderBy(col("pmi").desc(), "t1", "t2")
         .limit(20)
-        .select("t1", "t2", "pair_count", F.round("pmi", 4).alias("pmi"))
+        .select("t1", "t2", "pair_count", (dfloor((col("pmi")) * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).alias("pmi"))
     )
 
 
@@ -134,12 +134,12 @@ def q_token_pmi(spark, sf_dir):
     WITH src AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
     w AS (
       SELECT source, n,
-             CAST(ROUND(POW(CAST(n AS DOUBLE), 0.7), 8) AS DECIMAL(24,8)) AS wq
+             CAST(FLOOR((POW(CAST(n AS DOUBLE), 0.7)) * 1e8 + 0.5) / 1e8 AS DECIMAL(24,8)) AS wq
       FROM src
     )
     SELECT source, n,
-           ROUND(CAST(wq AS DOUBLE)
-                 / (SELECT CAST(SUM(wq) AS DOUBLE) FROM w), 6) AS share
+           (CAST(wq AS DOUBLE)
+                 / (SELECT CAST(SUM(wq) AS DOUBLE) FROM w)) AS share
     FROM w
     ORDER BY source
     """,
@@ -159,7 +159,7 @@ def q_mix_temperature(spark, sf_dir):
         docs.groupBy("source")
         .agg(F.count("*").alias("n"))
         .withColumn(
-            "wq", F.round(F.pow(col("n").cast("double"), lit(0.7)), 8)
+            "wq", (dfloor((F.pow(col("n").cast("double"), lit(0.7))) * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8))
             .cast("decimal(24,8)"))
     )
     total = w.agg(F.sum("wq").alias("_tw"))
@@ -167,9 +167,7 @@ def q_mix_temperature(spark, sf_dir):
         w.crossJoin(broadcast(total))
         .select(
             "source", "n",
-            F.round(
-                col("wq").cast("double") / col("_tw").cast("double"), 6
-            ).alias("share"),
+            (col("wq").cast("double") / col("_tw").cast("double")).alias("share"),
         )
         .orderBy("source")
     )

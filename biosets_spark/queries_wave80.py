@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 _TRIM = 0.10
 
@@ -33,8 +33,8 @@ _TRIM = 0.10
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             CAST(ROUND(CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2)))
-                             AS DOUBLE) / COUNT(*) * 100) AS BIGINT) AS mc
+             CAST(FLOOR((CAST(SUM(CAST(FLOOR((value) * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2)))
+                             AS DOUBLE) / COUNT(*) * 100) + 0.5) AS BIGINT) AS mc
       FROM events GROUP BY event_type, CAST(ts AS DATE)
     ), means AS (
       SELECT event_type, COUNT(*) AS n,
@@ -42,17 +42,17 @@ _TRIM = 0.10
       FROM daily GROUP BY event_type
     ), sig AS (
       SELECT d.event_type, m.n, m.mu,
-             SQRT(CAST(SUM(CAST(ROUND(POWER(d.mc - m.mu, 2), 6)
+             SQRT(CAST(SUM(CAST(FLOOR((POWER(d.mc - m.mu, 2)) * 1e6 + 0.5) / 1e6
                                 AS DECIMAL(38,6))) AS DOUBLE) / (m.n - 1))
                AS sd
       FROM daily d JOIN means m ON d.event_type = m.event_type
       GROUP BY d.event_type, m.n, m.mu
     )
     SELECT event_type,
-           ROUND(mu / 100, 2) AS center,
-           ROUND(sd / 100, 4) AS stddev,
-           ROUND((1.2 * mu - 0.8 * mu) / (6 * sd), 6) AS cp,
-           ROUND(LEAST(1.2 * mu - mu, mu - 0.8 * mu) / (3 * sd), 6) AS cpk,
+           (mu / 100) AS center,
+           (sd / 100) AS stddev,
+           ((1.2 * mu - 0.8 * mu) / (6 * sd)) AS cp,
+           (LEAST(1.2 * mu - mu, mu - 0.8 * mu) / (3 * sd)) AS cpk,
            LEAST(1.2 * mu - mu, mu - 0.8 * mu) / (3 * sd) >= 1.33
              AS capable_4sigma
     FROM sig ORDER BY event_type
@@ -76,10 +76,8 @@ def q_cpk_capability(spark, sf_dir):
     daily = (
         ev.groupBy("event_type", col("ts").cast("date").alias("day"))
         .agg(
-            F.round(
-                F.sum(F.round("value", 2).cast("decimal(18,2)"))
-                .cast("double") / F.count("*") * 100
-            ).cast("long").alias("mc")
+            dfloor((F.sum((dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).cast("decimal(18,2)"))
+                .cast("double") / F.count("*") * 100) + F.lit(0.5)).cast("long").alias("mc")
         )
     )
     means = daily.groupBy(col("event_type").alias("et_m")).agg(
@@ -97,7 +95,7 @@ def q_cpk_capability(spark, sf_dir):
             # are NULL, matching the oracle's x/0 = NULL
             F.sqrt(
                 F.try_divide(
-                    F.sum(F.round(F.pow(dev, 2), 6).cast("decimal(38,6)"))
+                    F.sum((dfloor((F.pow(dev, 2)) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("decimal(38,6)"))
                     .cast("double"), col("n") - 1)
             ).alias("sd")
         )
@@ -107,10 +105,10 @@ def q_cpk_capability(spark, sf_dir):
     cpk = F.try_divide(F.least(usl - mu, mu - lsl), 3 * sd)
     return sig.select(
         "event_type",
-        F.round(mu / 100, 2).alias("center"),
-        F.round(sd / 100, 4).alias("stddev"),
-        F.round(F.try_divide(usl - lsl, 6 * sd), 6).alias("cp"),
-        F.round(cpk, 6).alias("cpk"),
+        (mu / 100).alias("center"),
+        (sd / 100).alias("stddev"),
+        (F.try_divide(usl - lsl, 6 * sd)).alias("cp"),
+        (cpk).alias("cpk"),
         (cpk >= 1.33).alias("capable_4sigma"),
     ).orderBy("event_type")
 
@@ -120,7 +118,7 @@ def q_cpk_capability(spark, sf_dir):
     oracle=f"""
     WITH vals AS (
       SELECT c.c_mktsegment AS seg,
-             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+             CAST(FLOOR((o.o_totalprice * 100) + 0.5) AS BIGINT) AS cents
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     ), hist AS (
       SELECT seg, cents, COUNT(*) AS cnt FROM vals GROUP BY seg, cents
@@ -145,9 +143,9 @@ def q_cpk_capability(spark, sf_dir):
     SELECT seg AS c_mktsegment,
            CAST(MAX(n) AS BIGINT) AS n_orders,
            CAST(MAX(k) AS BIGINT) AS n_trimmed_each_side,
-           ROUND(CAST(SUM(cents * kept) AS DOUBLE) / SUM(kept) / 100, 4)
+           (CAST(SUM(cents * kept) AS DOUBLE) / SUM(kept) / 100)
              AS trimmed_mean,
-           ROUND(CAST(SUM(cents * cnt) AS DOUBLE) / SUM(cnt) / 100, 4)
+           (CAST(SUM(cents * cnt) AS DOUBLE) / SUM(cnt) / 100)
              AS raw_mean
     FROM clipped GROUP BY seg ORDER BY seg
     """,
@@ -175,7 +173,7 @@ def q_trimmed_mean(spark, sf_dir):
         col("o_custkey") == col("c_custkey"),
     ).select(
         col("c_mktsegment").alias("seg"),
-        F.round(col("o_totalprice") * 100).cast("long").alias("cents"),
+        dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long").alias("cents"),
     )
     hist = vals.groupBy("seg", "cents").agg(F.count("*").alias("cnt"))
     tot = hist.groupBy(col("seg").alias("seg_t")).agg(
@@ -212,8 +210,8 @@ def q_trimmed_mean(spark, sf_dir):
         col("seg").alias("c_mktsegment"),
         col("n").cast("long").alias("n_orders"),
         col("k").cast("long").alias("n_trimmed_each_side"),
-        F.round(col("tsum").cast("double") / col("tcnt") / 100, 4)
+        (col("tsum").cast("double") / col("tcnt") / 100)
         .alias("trimmed_mean"),
-        F.round(col("rsum").cast("double") / col("rcnt") / 100, 4)
+        (col("rsum").cast("double") / col("rcnt") / 100)
         .alias("raw_mean"),
     ).orderBy("c_mktsegment")

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -45,11 +45,11 @@ from .queries import q
     )
     SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
            CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
-           ROUND((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+           ((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
                  / SQRT((CAST(tp AS DOUBLE) + fp) * (tp + CAST(fn AS DOUBLE))
                         * (CAST(tn AS DOUBLE) + fp)
-                        * (tn + CAST(fn AS DOUBLE))), 6) AS mcc,
-           ROUND(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6)
+                        * (tn + CAST(fn AS DOUBLE)))) AS mcc,
+           (CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn))
              AS accuracy
     FROM cells
     """,
@@ -88,8 +88,8 @@ def q_matthews_mcc(spark, sf_dir):
         col("fp").cast("long").alias("fp"),
         col("fn").cast("long").alias("fn"),
         col("tn").cast("long").alias("tn"),
-        F.round(mcc, 6).alias("mcc"),
-        F.round((tp + tn) / (tp + fp + fn + tn), 6).alias("accuracy"),
+        (mcc).alias("mcc"),
+        ((tp + tn) / (tp + fp + fn + tn)).alias("accuracy"),
     )
 
 
@@ -97,7 +97,7 @@ def q_matthews_mcc(spark, sf_dir):
     "q_brier_decomposition",
     oracle="""
     WITH scored AS (
-      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+      SELECT CAST(FLOOR((o_totalprice * 100) + 0.5) AS BIGINT) AS c,
              CAST(o_orderpriority = '1-URGENT' AS INTEGER) AS y
       FROM orders
     ), mx AS (
@@ -109,7 +109,7 @@ def q_matthews_mcc(spark, sf_dir):
       FROM scored s, mx m
     ), bins AS (
       SELECT bin, COUNT(*) AS nb, SUM(y) AS yb,
-             CAST(SUM(CAST(ROUND(p, 10) AS DECIMAL(28,10))) AS DOUBLE)
+             CAST(SUM(CAST(FLOOR((p) * 1e10 + 0.5) / 1e10 AS DECIMAL(28,10))) AS DOUBLE)
                / COUNT(*) AS pbar,
              CAST(SUM(y) AS DOUBLE) / COUNT(*) AS ybar
       FROM probs GROUP BY bin
@@ -118,22 +118,22 @@ def q_matthews_mcc(spark, sf_dir):
              CAST(SUM(yb) AS DOUBLE) / SUM(nb) AS ybar_all
       FROM bins
     ), brier AS (
-      SELECT CAST(SUM(CAST(ROUND(POWER(p - y, 2), 10) AS DECIMAL(28,10)))
+      SELECT CAST(SUM(CAST(FLOOR((POWER(p - y, 2)) * 1e10 + 0.5) / 1e10 AS DECIMAL(28,10)))
                   AS DOUBLE) / COUNT(*) AS bs
       FROM probs
     ), parts AS (
-      SELECT CAST(SUM(CAST(ROUND(nb * POWER(b.pbar - b.ybar, 2), 8)
+      SELECT CAST(SUM(CAST(FLOOR((nb * POWER(b.pbar - b.ybar, 2)) * 1e8 + 0.5) / 1e8
                            AS DECIMAL(38,8))) AS DOUBLE) / MAX(t.n) AS rel,
-             CAST(SUM(CAST(ROUND(nb * POWER(b.ybar - t.ybar_all, 2), 8)
+             CAST(SUM(CAST(FLOOR((nb * POWER(b.ybar - t.ybar_all, 2)) * 1e8 + 0.5) / 1e8
                            AS DECIMAL(38,8))) AS DOUBLE) / MAX(t.n) AS res,
              MAX(t.ybar_all) * (1 - MAX(t.ybar_all)) AS unc
       FROM bins b, tot t
     )
-    SELECT ROUND(br.bs, 6) AS brier_score,
-           ROUND(p.rel, 6) AS reliability,
-           ROUND(p.res, 6) AS resolution,
-           ROUND(p.unc, 6) AS uncertainty,
-           ROUND(p.rel - p.res + p.unc, 6) AS decomposed_sum
+    SELECT (br.bs) AS brier_score,
+           (p.rel) AS reliability,
+           (p.res) AS resolution,
+           (p.unc) AS uncertainty,
+           (p.rel - p.res + p.unc) AS decomposed_sum
     FROM brier br, parts p
     """,
     desc="Brier score with Murphy decomposition for the price-derived "
@@ -154,7 +154,7 @@ def q_matthews_mcc(spark, sf_dir):
 def q_brier_decomposition(spark, sf_dir):
     orders = tables.load(spark, sf_dir, "orders")
     scored = orders.select(
-        F.round(col("o_totalprice") * 100).cast("long").alias("c"),
+        dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long").alias("c"),
         (col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
     )
     mx = scored.agg(F.max("c").alias("mc"))
@@ -166,7 +166,7 @@ def q_brier_decomposition(spark, sf_dir):
     bins = probs.groupBy("bin").agg(
         F.count("*").alias("nb"),
         F.sum("y").alias("yb"),
-        (F.sum(F.round(col("p"), 10).cast("decimal(28,10)")).cast("double")
+        (F.sum((dfloor((col("p")) * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10)).cast("decimal(28,10)")).cast("double")
          / F.count("*")).alias("pbar"),
         (F.sum("y").cast("double") / F.count("*")).alias("ybar"),
     )
@@ -175,28 +175,28 @@ def q_brier_decomposition(spark, sf_dir):
         (F.sum("yb").cast("double") / F.sum("nb")).alias("ybar_all"),
     )
     brier = probs.agg(
-        (F.sum(F.round(F.pow(col("p") - col("y"), 2), 10)
+        (F.sum((dfloor((F.pow(col("p") - col("y"), 2)) * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10))
                .cast("decimal(28,10)")).cast("double") / F.count("*"))
         .alias("bs")
     )
     parts = (
         bins.crossJoin(broadcast(tot))
         .agg(
-            (F.sum(F.round(col("nb") * F.pow(col("pbar") - col("ybar"), 2), 8)
+            (F.sum((dfloor((col("nb") * F.pow(col("pbar") - col("ybar"), 2)) * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8))
                    .cast("decimal(38,8)")).cast("double") / F.max("n"))
             .alias("rel"),
             (F.sum(
-                F.round(col("nb") * F.pow(col("ybar") - col("ybar_all"), 2), 8)
+                (dfloor((col("nb") * F.pow(col("ybar") - col("ybar_all"), 2)) * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8))
                 .cast("decimal(38,8)")
             ).cast("double") / F.max("n")).alias("res"),
             (F.max("ybar_all") * (1 - F.max("ybar_all"))).alias("unc"),
         )
     )
     return brier.crossJoin(broadcast(parts)).select(
-        F.round(col("bs"), 6).alias("brier_score"),
-        F.round(col("rel"), 6).alias("reliability"),
-        F.round(col("res"), 6).alias("resolution"),
-        F.round(col("unc"), 6).alias("uncertainty"),
-        F.round(col("rel") - col("res") + col("unc"), 6)
+        (col("bs")).alias("brier_score"),
+        (col("rel")).alias("reliability"),
+        (col("res")).alias("resolution"),
+        (col("unc")).alias("uncertainty"),
+        (col("rel") - col("res") + col("unc"))
         .alias("decomposed_sum"),
     )

@@ -23,15 +23,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 _G_CRIT_30 = 2.9085  # Grubbs two-sided 5%, n = 30
 
 _DAILY_MC_SQL = """
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             CAST(ROUND(CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2)))
-                             AS DOUBLE) / COUNT(*) * 100) AS BIGINT) AS mc
+             CAST(FLOOR((CAST(SUM(CAST(FLOOR((value) * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2)))
+                             AS DOUBLE) / COUNT(*) * 100) + 0.5) AS BIGINT) AS mc
       FROM events GROUP BY event_type, CAST(ts AS DATE)
     )
 """
@@ -45,11 +45,11 @@ _DAILY_MC_SQL = """
       FROM daily GROUP BY event_type
     ), devs AS (
       SELECT d.event_type,
-             CAST(ROUND(ABS(d.mc - m.md), 6) AS DECIMAL(28,6)) AS z
+             CAST(FLOOR((ABS(d.mc - m.md)) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6)) AS z
       FROM daily d JOIN med m ON d.event_type = m.event_type
     ), grp AS (
       SELECT event_type, COUNT(*) AS n, SUM(z) AS sz,
-             SUM(CAST(ROUND(CAST(z AS DOUBLE) * CAST(z AS DOUBLE), 6)
+             SUM(CAST(FLOOR((CAST(z AS DOUBLE) * CAST(z AS DOUBLE)) * 1e6 + 0.5) / 1e6
                       AS DECIMAL(38,6))) AS szz
       FROM devs GROUP BY event_type
     ), tot AS (
@@ -58,20 +58,18 @@ _DAILY_MC_SQL = """
       FROM grp
     ), parts AS (
       SELECT t.nt, t.k,
-             CAST(SUM(CAST(ROUND(
-               POWER(CAST(g.sz AS DOUBLE) / g.n - t.szt / t.nt, 2) * g.n, 6)
+             CAST(SUM(CAST(FLOOR((POWER(CAST(g.sz AS DOUBLE) / g.n - t.szt / t.nt, 2) * g.n) * 1e6 + 0.5) / 1e6
                AS DECIMAL(38,6))) AS DOUBLE) AS ssb,
-             CAST(SUM(CAST(ROUND(
-               CAST(g.szz AS DOUBLE)
-               - CAST(g.sz AS DOUBLE) * CAST(g.sz AS DOUBLE) / g.n, 6)
+             CAST(SUM(CAST(FLOOR((CAST(g.szz AS DOUBLE)
+               - CAST(g.sz AS DOUBLE) * CAST(g.sz AS DOUBLE) / g.n) * 1e6 + 0.5) / 1e6
                AS DECIMAL(38,6))) AS DOUBLE) AS ssw
       FROM grp g, tot t GROUP BY t.nt, t.k
     )
     SELECT CAST(k AS BIGINT) AS n_groups,
            CAST(nt AS BIGINT) AS n_days_total,
-           ROUND(ssb / (k - 1), 6) AS ms_between,
-           ROUND(ssw / (nt - k), 6) AS ms_within,
-           ROUND((ssb / (k - 1)) / (ssw / (nt - k)), 6) AS f_stat,
+           (ssb / (k - 1)) AS ms_between,
+           (ssw / (nt - k)) AS ms_within,
+           ((ssb / (k - 1)) / (ssw / (nt - k))) AS f_stat,
            (ssb / (k - 1)) / (ssw / (nt - k)) > 2.45 AS reject_equal_var_5pct
     FROM parts
     """,
@@ -94,10 +92,8 @@ def q_levene_bf(spark, sf_dir):
     daily = (
         ev.groupBy("event_type", col("ts").cast("date").alias("day"))
         .agg(
-            F.round(
-                F.sum(F.round("value", 2).cast("decimal(18,2)"))
-                .cast("double") / F.count("*") * 100
-            ).cast("long").alias("mc")
+            dfloor((F.sum((dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).cast("decimal(18,2)"))
+                .cast("double") / F.count("*") * 100) + F.lit(0.5)).cast("long").alias("mc")
         )
     )
     med = daily.groupBy(col("event_type").alias("et_m")).agg(
@@ -105,14 +101,14 @@ def q_levene_bf(spark, sf_dir):
     )
     devs = daily.join(broadcast(med), col("event_type") == col("et_m")).select(
         "event_type",
-        F.round(F.abs(col("mc") - col("md")), 6).cast("decimal(28,6)")
+        (dfloor((F.abs(col("mc") - col("md"))) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("decimal(28,6)")
         .alias("z"),
     )
     zd = col("z").cast("double")
     grp = devs.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("z").alias("sz"),
-        F.sum(F.round(zd * zd, 6).cast("decimal(38,6)")).alias("szz"),
+        F.sum((dfloor((zd * zd) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("decimal(38,6)")).alias("szz"),
     )
     tot = grp.agg(
         F.sum("n").alias("nt"),
@@ -126,15 +122,11 @@ def q_levene_bf(spark, sf_dir):
             F.max("nt").alias("nt"),
             F.max("k").alias("k"),
             F.sum(
-                F.round(
-                    F.pow(szd / col("n") - col("szt") / col("nt"), 2)
-                    * col("n"), 6,
-                ).cast("decimal(38,6)")
+                (dfloor((F.pow(szd / col("n") - col("szt") / col("nt"), 2)
+                    * col("n")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("decimal(38,6)")
             ).cast("double").alias("ssb"),
             F.sum(
-                F.round(
-                    col("szz").cast("double") - szd * szd / col("n"), 6
-                ).cast("decimal(38,6)")
+                (dfloor((col("szz").cast("double") - szd * szd / col("n")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("decimal(38,6)")
             ).cast("double").alias("ssw"),
         )
     )
@@ -147,9 +139,9 @@ def q_levene_bf(spark, sf_dir):
     return parts.select(
         col("k").cast("long").alias("n_groups"),
         col("nt").cast("long").alias("n_days_total"),
-        F.round(msb, 6).alias("ms_between"),
-        F.round(msw, 6).alias("ms_within"),
-        F.round(f_stat, 6).alias("f_stat"),
+        (msb).alias("ms_between"),
+        (msw).alias("ms_within"),
+        (f_stat).alias("f_stat"),
         (f_stat > 2.45).alias("reject_equal_var_5pct"),
     )
 
@@ -163,7 +155,7 @@ def q_levene_bf(spark, sf_dir):
       FROM daily GROUP BY event_type
     ), sig AS (
       SELECT d.event_type, m.n, m.mu,
-             SQRT(CAST(SUM(CAST(ROUND(POWER(d.mc - m.mu, 2), 6)
+             SQRT(CAST(SUM(CAST(FLOOR((POWER(d.mc - m.mu, 2)) * 1e6 + 0.5) / 1e6
                                 AS DECIMAL(38,6))) AS DOUBLE) / (m.n - 1))
                AS sd
       FROM daily d JOIN means m ON d.event_type = m.event_type
@@ -180,7 +172,7 @@ def q_levene_bf(spark, sf_dir):
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_days,
            day AS worst_day,
-           ROUND(g, 6) AS grubbs_g,
+           (g) AS grubbs_g,
            g > {_G_CRIT_30} AS outlier_5pct
     FROM ranked WHERE rnk = 1 ORDER BY event_type
     """,
@@ -204,10 +196,8 @@ def q_grubbs_test(spark, sf_dir):
     daily = (
         ev.groupBy("event_type", col("ts").cast("date").alias("day"))
         .agg(
-            F.round(
-                F.sum(F.round("value", 2).cast("decimal(18,2)"))
-                .cast("double") / F.count("*") * 100
-            ).cast("long").alias("mc")
+            dfloor((F.sum((dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).cast("decimal(18,2)"))
+                .cast("double") / F.count("*") * 100) + F.lit(0.5)).cast("long").alias("mc")
         )
     )
     means = daily.groupBy(col("event_type").alias("et_m")).agg(
@@ -224,7 +214,7 @@ def q_grubbs_test(spark, sf_dir):
             # (sd = 0) yields NULL G scores, matching the oracle
             F.sqrt(
                 F.try_divide(
-                    F.sum(F.round(F.pow(dev, 2), 6).cast("decimal(38,6)"))
+                    F.sum((dfloor((F.pow(dev, 2)) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("decimal(38,6)"))
                     .cast("double"), col("n") - 1)
             ).alias("sd")
         )
@@ -244,7 +234,7 @@ def q_grubbs_test(spark, sf_dir):
             "event_type",
             col("n").cast("long").alias("n_days"),
             col("day").alias("worst_day"),
-            F.round(col("g"), 6).alias("grubbs_g"),
+            (col("g")).alias("grubbs_g"),
             (col("g") > _G_CRIT_30).alias("outlier_5pct"),
         )
         .orderBy("event_type")

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 _TAIL = 0.05
 
@@ -33,8 +33,8 @@ _TAIL = 0.05
     oracle="""
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS day,
-             CAST(ROUND(CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2)))
-                             AS DOUBLE) / COUNT(*) * 100) AS BIGINT) AS mc
+             CAST(FLOOR((CAST(SUM(CAST(FLOOR((value) * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2)))
+                             AS DOUBLE) / COUNT(*) * 100) + 0.5) AS BIGINT) AS mc
       FROM events GROUP BY CAST(ts AS DATE)
     ), tagged AS (
       SELECT day, mc, isodow(day) AS dow,
@@ -59,11 +59,11 @@ _TAIL = 0.05
       FROM sums
     )
     SELECT CAST(n AS BIGINT) AS n_weeks, CAST(k AS BIGINT) AS k_weekdays,
-           ROUND(l_stat, 1) AS page_l,
-           ROUND(n * k * POWER(k + 1, 2) / 4.0, 1) AS expected_l,
-           ROUND((l_stat - n * k * POWER(k + 1, 2) / 4.0)
+           (l_stat) AS page_l,
+           (n * k * POWER(k + 1, 2) / 4.0) AS expected_l,
+           ((l_stat - n * k * POWER(k + 1, 2) / 4.0)
                  / SQRT(n * POWER(CAST(k AS DOUBLE), 2)
-                        * (k + 1) * (POWER(k, 2) - 1) / 144), 6) AS z_page
+                        * (k + 1) * (POWER(k, 2) - 1) / 144)) AS z_page
     FROM stat
     """,
     desc="Page's L test for a monotone weekday trend: within each "
@@ -87,10 +87,8 @@ def q_page_trend(spark, sf_dir):
     daily = (
         ev.groupBy(col("ts").cast("date").alias("day"))
         .agg(
-            F.round(
-                F.sum(F.round("value", 2).cast("decimal(18,2)"))
-                .cast("double") / F.count("*") * 100
-            ).cast("long").alias("mc")
+            dfloor((F.sum((dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).cast("decimal(18,2)"))
+                .cast("double") / F.count("*") * 100) + F.lit(0.5)).cast("long").alias("mc")
         )
     )
     epoch = F.datediff(col("day"), F.lit("2024-01-01").cast("date"))
@@ -132,9 +130,9 @@ def q_page_trend(spark, sf_dir):
     return stat.select(
         col("n").cast("long").alias("n_weeks"),
         col("k").cast("long").alias("k_weekdays"),
-        F.round(col("l_stat"), 1).alias("page_l"),
-        F.round(el, 1).alias("expected_l"),
-        F.round((col("l_stat") - el) / sigma, 6).alias("z_page"),
+        (col("l_stat")).alias("page_l"),
+        (el).alias("expected_l"),
+        ((col("l_stat") - el) / sigma).alias("z_page"),
     )
 
 
@@ -143,7 +141,7 @@ def q_page_trend(spark, sf_dir):
     oracle=f"""
     WITH vals AS (
       SELECT c.c_mktsegment AS seg,
-             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+             CAST(FLOOR((o.o_totalprice * 100) + 0.5) AS BIGINT) AS cents
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     ), hist AS (
       SELECT seg, cents, COUNT(*) AS cnt FROM vals GROUP BY seg, cents
@@ -168,9 +166,9 @@ def q_page_trend(spark, sf_dir):
     SELECT seg AS c_mktsegment,
            CAST(MAX(n) AS BIGINT) AS n_orders,
            CAST(MAX(k) AS BIGINT) AS n_tail,
-           ROUND(CAST(MIN(CASE WHEN kept > 0 THEN cents END) AS DOUBLE)
-                 / 100, 2) AS var_95,
-           ROUND(CAST(SUM(cents * kept) AS DOUBLE) / SUM(kept) / 100, 2)
+           (CAST(MIN(CASE WHEN kept > 0 THEN cents END) AS DOUBLE)
+                 / 100) AS var_95,
+           (CAST(SUM(cents * kept) AS DOUBLE) / SUM(kept) / 100)
              AS cvar_95
     FROM tail GROUP BY seg ORDER BY seg
     """,
@@ -198,7 +196,7 @@ def q_cvar_shortfall(spark, sf_dir):
         col("o_custkey") == col("c_custkey"),
     ).select(
         col("c_mktsegment").alias("seg"),
-        F.round(col("o_totalprice") * 100).cast("long").alias("cents"),
+        dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long").alias("cents"),
     )
     hist = vals.groupBy("seg", "cents").agg(F.count("*").alias("cnt"))
     tot = hist.groupBy(col("seg").alias("seg_t")).agg(
@@ -236,8 +234,8 @@ def q_cvar_shortfall(spark, sf_dir):
             col("seg").alias("c_mktsegment"),
             col("n").cast("long").alias("n_orders"),
             col("kk").cast("long").alias("n_tail"),
-            F.round(col("var_c").cast("double") / 100, 2).alias("var_95"),
-            F.round(col("tsum").cast("double") / col("tcnt") / 100, 2)
+            (col("var_c").cast("double") / 100).alias("var_95"),
+            (col("tsum").cast("double") / col("tcnt") / 100)
             .alias("cvar_95"),
         )
         .orderBy("c_mktsegment")

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -45,19 +45,18 @@ from .queries import q
       FROM documents
     ), agg AS (
       SELECT COUNT(*) AS n,
-             CAST(SUM(CAST(ROUND(
-               (n_yes * (n_yes - 1) + (3 - n_yes) * (2 - n_yes)) / 6.0, 10)
+             CAST(SUM(CAST(FLOOR(((n_yes * (n_yes - 1) + (3 - n_yes) * (2 - n_yes)) / 6.0) * 1e10 + 0.5) / 1e10
                AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS p_bar,
              CAST(SUM(n_yes) AS DOUBLE) / (3 * COUNT(*)) AS p_yes
       FROM scored
     )
     SELECT CAST(n AS BIGINT) AS n_docs,
-           ROUND(p_yes, 6) AS share_yes,
-           ROUND(p_bar, 6) AS observed_agreement,
-           ROUND(p_yes * p_yes + (1 - p_yes) * (1 - p_yes), 6)
+           (p_yes) AS share_yes,
+           (p_bar) AS observed_agreement,
+           (p_yes * p_yes + (1 - p_yes) * (1 - p_yes))
              AS expected_agreement,
-           ROUND((p_bar - (p_yes * p_yes + (1 - p_yes) * (1 - p_yes)))
-                 / (1 - (p_yes * p_yes + (1 - p_yes) * (1 - p_yes))), 6)
+           ((p_bar - (p_yes * p_yes + (1 - p_yes) * (1 - p_yes)))
+                 / (1 - (p_yes * p_yes + (1 - p_yes) * (1 - p_yes))))
              AS fleiss_kappa
     FROM agg
     """,
@@ -72,7 +71,7 @@ from .queries import q
          "q_cohens_kappa needs truth and q_cochran_q only compares "
          "error rates. Ratings are pure JVM expressions; one "
          "combinable agg carries every term; per-doc agreement "
-         "ratios quantize ROUND(,10)->DECIMAL before the sum.",
+         "ratios quantize the 1e-10 grid ->DECIMAL before the sum.",
     tags=["text", "stats", "agg"],
 )
 def q_fleiss_kappa(spark, sf_dir):
@@ -87,9 +86,7 @@ def q_fleiss_kappa(spark, sf_dir):
     vr = vowels.cast("double") / F.greatest(letters, lit(1))
     pc = (vr >= 0.35) & (vr <= 0.45)
     n_yes = pa.cast("int") + pb.cast("int") + pc.cast("int")
-    p_i = F.round(
-        (n_yes * (n_yes - 1) + (3 - n_yes) * (2 - n_yes)) / 6.0, 10
-    ).cast("decimal(28,10)")
+    p_i = (dfloor(((n_yes * (n_yes - 1) + (3 - n_yes) * (2 - n_yes)) / 6.0) * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10)).cast("decimal(28,10)")
     agg = docs.select(n_yes.alias("ny"), p_i.alias("pi")).agg(
         F.count("*").alias("n"),
         (F.sum("pi").cast("double") / F.count("*")).alias("p_bar"),
@@ -98,10 +95,10 @@ def q_fleiss_kappa(spark, sf_dir):
     pe = col("p_yes") * col("p_yes") + (1 - col("p_yes")) * (1 - col("p_yes"))
     return agg.select(
         col("n").cast("long").alias("n_docs"),
-        F.round(col("p_yes"), 6).alias("share_yes"),
-        F.round(col("p_bar"), 6).alias("observed_agreement"),
-        F.round(pe, 6).alias("expected_agreement"),
-        F.round((col("p_bar") - pe) / (1 - pe), 6).alias("fleiss_kappa"),
+        (col("p_yes")).alias("share_yes"),
+        (col("p_bar")).alias("observed_agreement"),
+        (pe).alias("expected_agreement"),
+        ((col("p_bar") - pe) / (1 - pe)).alias("fleiss_kappa"),
     )
 
 
@@ -110,8 +107,8 @@ def q_fleiss_kappa(spark, sf_dir):
     oracle="""
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS day,
-             CAST(ROUND(CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2)))
-                             AS DOUBLE) / COUNT(*) * 100) AS BIGINT) AS mc
+             CAST(FLOOR((CAST(SUM(CAST(FLOOR((value) * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2)))
+                             AS DOUBLE) / COUNT(*) * 100) + 0.5) AS BIGINT) AS mc
       FROM events GROUP BY CAST(ts AS DATE)
     ), tagged AS (
       SELECT mc,
@@ -129,22 +126,20 @@ def q_fleiss_kappa(spark, sf_dir):
              CAST(SUM(s) AS DOUBLE) / SUM(n) AS grand
       FROM grp
     ), ssb AS (
-      SELECT CAST(SUM(CAST(ROUND(
-               g.n * POWER(CAST(g.s AS DOUBLE) / g.n - t.grand, 2), 6)
+      SELECT CAST(SUM(CAST(FLOOR((g.n * POWER(CAST(g.s AS DOUBLE) / g.n - t.grand, 2)) * 1e6 + 0.5) / 1e6
                AS DECIMAL(38,6))) AS DOUBLE) AS v
       FROM grp g, tot t
     ), ssw AS (
-      SELECT CAST(SUM(CAST(ROUND(
-               POWER(x.mc - CAST(g.s AS DOUBLE) / g.n, 2), 6)
+      SELECT CAST(SUM(CAST(FLOOR((POWER(x.mc - CAST(g.s AS DOUBLE) / g.n, 2)) * 1e6 + 0.5) / 1e6
                AS DECIMAL(38,6))) AS DOUBLE) AS v
       FROM tagged x JOIN grp g ON x.wk = g.wk
     )
     SELECT CAST(t.k AS BIGINT) AS n_weeks,
            CAST(t.nt AS BIGINT) AS n_days,
-           ROUND(b.v / (t.k - 1), 6) AS ms_between,
-           ROUND(w.v / (t.nt - t.k), 6) AS ms_within,
-           ROUND((b.v / (t.k - 1) - w.v / (t.nt - t.k))
-                 / (b.v / (t.k - 1) + (7 - 1) * (w.v / (t.nt - t.k))), 6)
+           (b.v / (t.k - 1)) AS ms_between,
+           (w.v / (t.nt - t.k)) AS ms_within,
+           ((b.v / (t.k - 1) - w.v / (t.nt - t.k))
+                 / (b.v / (t.k - 1) + (7 - 1) * (w.v / (t.nt - t.k))))
              AS icc1
     FROM tot t, ssb b, ssw w
     """,
@@ -167,10 +162,8 @@ def q_icc_reliability(spark, sf_dir):
     daily = (
         ev.groupBy(col("ts").cast("date").alias("day"))
         .agg(
-            F.round(
-                F.sum(F.round("value", 2).cast("decimal(18,2)"))
-                .cast("double") / F.count("*") * 100
-            ).cast("long").alias("mc")
+            dfloor((F.sum((dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).cast("decimal(18,2)"))
+                .cast("double") / F.count("*") * 100) + F.lit(0.5)).cast("long").alias("mc")
         )
     )
     epoch = F.datediff(col("day"), F.lit("2024-01-01").cast("date"))
@@ -195,9 +188,7 @@ def q_icc_reliability(spark, sf_dir):
         grp.crossJoin(broadcast(tot))
         .agg(
             F.sum(
-                F.round(
-                    col("n") * F.pow(sd / col("n") - col("grand"), 2), 6
-                ).cast("decimal(38,6)")
+                (dfloor((col("n") * F.pow(sd / col("n") - col("grand"), 2)) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("decimal(38,6)")
             ).cast("double").alias("v")
         )
     )
@@ -208,7 +199,7 @@ def q_icc_reliability(spark, sf_dir):
         kept.join(broadcast(gmeans), col("wk") == col("wk_g"))
         .agg(
             F.sum(
-                F.round(F.pow(col("mc") - col("gmean"), 2), 6)
+                (dfloor((F.pow(col("mc") - col("gmean"), 2)) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
                 .cast("decimal(38,6)")
             ).cast("double").alias("v")
         )
@@ -222,7 +213,7 @@ def q_icc_reliability(spark, sf_dir):
     return j.select(
         col("k").cast("long").alias("n_weeks"),
         col("nt").cast("long").alias("n_days"),
-        F.round(msb, 6).alias("ms_between"),
-        F.round(msw, 6).alias("ms_within"),
-        F.round((msb - msw) / (msb + (7 - 1) * msw), 6).alias("icc1"),
+        (msb).alias("ms_between"),
+        (msw).alias("ms_within"),
+        ((msb - msw) / (msb + (7 - 1) * msw)).alias("icc1"),
     )

@@ -27,12 +27,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 _RANK_SQL = """
     WITH scored AS (
       SELECT o_orderkey AS k,
-             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+             CAST(FLOOR((o_totalprice * 100) + 0.5) AS BIGINT) AS c,
              CAST(o_orderpriority = '1-URGENT' AS INTEGER) AS urgent,
              CAST(o_orderpriority = '2-HIGH' AS INTEGER) AS high
       FROM orders
@@ -69,11 +69,11 @@ _RANK_SQL = """
     oracle=_RANK_SQL + """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(SUM(urgent) AS BIGINT) AS n_relevant,
-           ROUND(CAST(SUM(CASE WHEN urgent = 1
-                      THEN CAST(ROUND(CAST(cum_y AS DOUBLE) / rnk, 10)
+           (CAST(SUM(CASE WHEN urgent = 1
+                      THEN CAST(FLOOR((CAST(cum_y AS DOUBLE) / rnk) * 1e10 + 0.5) / 1e10
                                 AS DECIMAL(28,10)) END) AS DOUBLE)
-                 / SUM(urgent), 6) AS average_precision,
-           ROUND(CAST(SUM(urgent) AS DOUBLE) / COUNT(*), 6) AS base_rate
+                 / SUM(urgent)) AS average_precision,
+           (CAST(SUM(urgent) AS DOUBLE) / COUNT(*)) AS base_rate
     FROM ranked
     """,
     desc="Exact average precision of the price ranking for urgency: "
@@ -87,7 +87,7 @@ _RANK_SQL = """
          "construction (price-bucket windows + broadcast bucket "
          "offsets — no whole-table window; the q_mann_whitney scale "
          "plan applied to strict ranks); each precision term "
-         "quantizes ROUND(,10)->DECIMAL before the sum.",
+         "quantizes the 1e-10 grid ->DECIMAL before the sum.",
     tags=["stats", "window", "agg"],
 )
 def q_average_precision(spark, sf_dir):
@@ -96,7 +96,7 @@ def q_average_precision(spark, sf_dir):
     orders = tables.load(spark, sf_dir, "orders")
     scored = orders.select(
         col("o_orderkey").alias("k"),
-        F.round(col("o_totalprice") * 100).cast("long").alias("c"),
+        dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long").alias("c"),
         (col("o_orderpriority") == "1-URGENT").cast("int").alias("urgent"),
     ).withColumn("bkt", F.floor(-col("c") / 20000).cast("long"))
     w_in = (
@@ -133,16 +133,14 @@ def q_average_precision(spark, sf_dir):
     )
     term = F.when(
         col("urgent") == 1,
-        F.round(col("cum_y").cast("double") / col("rnk"), 10)
+        (dfloor((col("cum_y").cast("double") / col("rnk")) * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10))
         .cast("decimal(28,10)"),
     )
     return ranked.agg(
         F.count("*").cast("long").alias("n_orders"),
         F.sum("urgent").cast("long").alias("n_relevant"),
-        F.round(
-            F.sum(term).cast("double") / F.sum("urgent"), 6
-        ).alias("average_precision"),
-        F.round(F.sum("urgent").cast("double") / F.count("*"), 6)
+        (F.sum(term).cast("double") / F.sum("urgent")).alias("average_precision"),
+        (F.sum("urgent").cast("double") / F.count("*"))
         .alias("base_rate"),
     )
 
@@ -153,7 +151,7 @@ def q_average_precision(spark, sf_dir):
     , rel AS (
       SELECT rnk, 2 * urgent + high AS g FROM ranked WHERE rnk <= 100
     ), dcg AS (
-      SELECT CAST(SUM(CAST(ROUND((POWER(2, g) - 1) / LOG2(rnk + 1), 10)
+      SELECT CAST(SUM(CAST(FLOOR(((POWER(2, g) - 1) / LOG2(rnk + 1)) * 1e10 + 0.5) / 1e10
                            AS DECIMAL(28,10))) AS DOUBLE) AS v
       FROM rel
     ), grades AS (
@@ -163,16 +161,15 @@ def q_average_precision(spark, sf_dir):
     ), spine AS (
       SELECT CAST(r.range AS BIGINT) + 1 AS pos FROM range(0, 100) r
     ), ideal AS (
-      SELECT CAST(SUM(CAST(ROUND(
-               (POWER(2, CASE WHEN s.pos <= g.n2 THEN 2
+      SELECT CAST(SUM(CAST(FLOOR(((POWER(2, CASE WHEN s.pos <= g.n2 THEN 2
                               WHEN s.pos <= g.n2 + g.n1 THEN 1
-                              ELSE 0 END) - 1) / LOG2(s.pos + 1), 10)
+                              ELSE 0 END) - 1) / LOG2(s.pos + 1)) * 1e10 + 0.5) / 1e10
                AS DECIMAL(28,10))) AS DOUBLE) AS v
       FROM spine s, grades g
     )
-    SELECT ROUND(d.v, 6) AS dcg_100,
-           ROUND(i.v, 6) AS idcg_100,
-           ROUND(d.v / i.v, 6) AS ndcg_100
+    SELECT (d.v) AS dcg_100,
+           (i.v) AS idcg_100,
+           (d.v / i.v) AS ndcg_100
     FROM dcg d, ideal i
     """,
     desc="NDCG@100 of the price ranking with graded relevance "
@@ -185,7 +182,7 @@ def q_average_precision(spark, sf_dir):
          "relevant positions; NDCG discounts by position, the "
          "metric search and recommendation report). Ranks reuse "
          "the two-level prefix-sum construction; discount terms "
-         "quantize ROUND(,10)->DECIMAL before both sums; the "
+         "quantize the 1e-10 grid ->DECIMAL before both sums; the "
          "IDCG needs no sort at all — just grade counts.",
     tags=["stats", "window", "agg", "cross"],
 )
@@ -195,7 +192,7 @@ def q_ndcg_at_100(spark, sf_dir):
     orders = tables.load(spark, sf_dir, "orders")
     scored = orders.select(
         col("o_orderkey").alias("k"),
-        F.round(col("o_totalprice") * 100).cast("long").alias("c"),
+        dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long").alias("c"),
         (col("o_orderpriority") == "1-URGENT").cast("int").alias("urgent"),
         (col("o_orderpriority") == "2-HIGH").cast("int").alias("high"),
     ).withColumn("bkt", F.floor(-col("c") / 20000).cast("long"))
@@ -221,9 +218,7 @@ def q_ndcg_at_100(spark, sf_dir):
         "urgent", "high", (col("n_in") + col("n_off")).alias("rnk")
     )
     g = 2 * col("urgent") + col("high")
-    dterm = F.round(
-        (F.pow(F.lit(2.0), g) - 1) / (F.log(2.0, col("rnk") + 1)), 10
-    ).cast("decimal(28,10)")
+    dterm = (dfloor(((F.pow(F.lit(2.0), g) - 1) / (F.log(2.0, col("rnk") + 1))) * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10)).cast("decimal(28,10)")
     dcg = ranked.filter(col("rnk") <= 100).agg(
         F.sum(dterm).cast("double").alias("dcg")
     )
@@ -236,14 +231,12 @@ def q_ndcg_at_100(spark, sf_dir):
         .when(col("pos") <= col("n2") + col("n1"), 1)
         .otherwise(0)
     )
-    iterm = F.round(
-        (F.pow(F.lit(2.0), ig) - 1) / F.log(2.0, col("pos") + 1), 10
-    ).cast("decimal(28,10)")
+    iterm = (dfloor(((F.pow(F.lit(2.0), ig) - 1) / F.log(2.0, col("pos") + 1)) * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10)).cast("decimal(28,10)")
     ideal = spine.crossJoin(broadcast(grades)).agg(
         F.sum(iterm).cast("double").alias("idcg")
     )
     return dcg.crossJoin(broadcast(ideal)).select(
-        F.round(col("dcg"), 6).alias("dcg_100"),
-        F.round(col("idcg"), 6).alias("idcg_100"),
-        F.round(col("dcg") / col("idcg"), 6).alias("ndcg_100"),
+        (col("dcg")).alias("dcg_100"),
+        (col("idcg")).alias("idcg_100"),
+        (col("dcg") / col("idcg")).alias("ndcg_100"),
     )

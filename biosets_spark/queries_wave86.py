@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -46,8 +46,8 @@ from .queries import q
       FROM cells c, tot t GROUP BY t.nt, t.p
     )
     SELECT CAST(nt AS BIGINT) AS n_orders,
-           ROUND(p, 6) AS pooled_rate,
-           ROUND(num / SQRT(p * (1 - p) * wvar), 6) AS z_trend,
+           (p) AS pooled_rate,
+           (num / SQRT(p * (1 - p) * wvar)) AS z_trend,
            ABS(num / SQRT(p * (1 - p) * wvar)) > 1.959964
              AS trend_5pct
     FROM stat
@@ -89,8 +89,8 @@ def q_cochran_armitage(spark, sf_dir):
     z = col("num") / F.sqrt(col("p") * (1 - col("p")) * col("wvar"))
     return stat.select(
         col("nt").cast("long").alias("n_orders"),
-        F.round(col("p"), 6).alias("pooled_rate"),
-        F.round(z, 6).alias("z_trend"),
+        (col("p")).alias("pooled_rate"),
+        (z).alias("z_trend"),
         (F.abs(z) > 1.959964).alias("trend_5pct"),
     )
 
@@ -100,8 +100,8 @@ def q_cochran_armitage(spark, sf_dir):
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             CAST(ROUND(CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2)))
-                             AS DOUBLE) / COUNT(*) * 100) AS BIGINT) AS mc
+             CAST(FLOOR((CAST(SUM(CAST(FLOOR((value) * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2)))
+                             AS DOUBLE) / COUNT(*) * 100) + 0.5) AS BIGINT) AS mc
       FROM events GROUP BY event_type, CAST(ts AS DATE)
     ), med AS (
       SELECT quantile_cont(mc, 0.5) AS md FROM daily
@@ -114,18 +114,17 @@ def q_cochran_armitage(spark, sf_dir):
       SELECT SUM(a) AS at_, SUM(b) AS bt, SUM(a + b) AS nt FROM cells
     ), chi AS (
       SELECT t.nt,
-             CAST(SUM(CAST(ROUND(
-               POWER(c.a - (c.a + c.b) * (CAST(t.at_ AS DOUBLE) / t.nt), 2)
+             CAST(SUM(CAST(FLOOR((POWER(c.a - (c.a + c.b) * (CAST(t.at_ AS DOUBLE) / t.nt), 2)
                  / ((c.a + c.b) * (CAST(t.at_ AS DOUBLE) / t.nt))
                + POWER(c.b - (c.a + c.b) * (CAST(t.bt AS DOUBLE) / t.nt), 2)
-                 / ((c.a + c.b) * (CAST(t.bt AS DOUBLE) / t.nt)), 8)
+                 / ((c.a + c.b) * (CAST(t.bt AS DOUBLE) / t.nt))) * 1e8 + 0.5) / 1e8
                AS DECIMAL(28,8))) AS DOUBLE) AS chi2,
              COUNT(*) AS k
       FROM cells c, tot t GROUP BY t.nt
     )
     SELECT CAST(nt AS BIGINT) AS n_days,
            CAST(k AS BIGINT) AS n_groups,
-           ROUND(chi2, 6) AS chi2,
+           (chi2) AS chi2,
            chi2 > 9.487729 AS reject_equal_medians_5pct
     FROM chi
     """,
@@ -138,7 +137,7 @@ def q_cochran_armitage(spark, sf_dir):
          "(q_levene_bf checks them) and q_mann_whitney handles only "
          "two groups. The pooled median is an exact percentile of "
          "identical integers; all cells are exact counts; each "
-         "group's chi-square contribution quantizes ROUND(,8)->"
+         "group's chi-square contribution quantizes the 1e-8 grid ->"
          "DECIMAL before the cross-group sum.",
     tags=["events", "stats", "agg", "cross"],
 )
@@ -147,10 +146,8 @@ def q_moods_median(spark, sf_dir):
     daily = (
         ev.groupBy("event_type", col("ts").cast("date").alias("day"))
         .agg(
-            F.round(
-                F.sum(F.round("value", 2).cast("decimal(18,2)"))
-                .cast("double") / F.count("*") * 100
-            ).cast("long").alias("mc")
+            dfloor((F.sum((dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).cast("decimal(18,2)"))
+                .cast("double") / F.count("*") * 100) + F.lit(0.5)).cast("long").alias("mc")
         )
     )
     med = daily.agg(F.expr("percentile(mc, 0.5)").alias("md"))
@@ -169,11 +166,8 @@ def q_moods_median(spark, sf_dir):
     pa = col("at_").cast("double") / col("nt")
     pb = col("bt").cast("double") / col("nt")
     nr = col("a") + col("b")
-    term = F.round(
-        F.pow(col("a") - nr * pa, 2) / (nr * pa)
-        + F.pow(col("b") - nr * pb, 2) / (nr * pb),
-        8,
-    ).cast("decimal(28,8)")
+    term = (dfloor((F.pow(col("a") - nr * pa, 2) / (nr * pa)
+        + F.pow(col("b") - nr * pb, 2) / (nr * pb)) * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)).cast("decimal(28,8)")
     chi = cells.crossJoin(broadcast(tot)).groupBy("nt").agg(
         F.sum(term).cast("double").alias("chi2"),
         F.count("*").alias("k"),
@@ -181,6 +175,6 @@ def q_moods_median(spark, sf_dir):
     return chi.select(
         col("nt").cast("long").alias("n_days"),
         col("k").cast("long").alias("n_groups"),
-        F.round(col("chi2"), 6).alias("chi2"),
+        (col("chi2")).alias("chi2"),
         (col("chi2") > 9.487729).alias("reject_equal_medians_5pct"),
     )

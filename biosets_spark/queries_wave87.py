@@ -22,14 +22,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 _DAILY2_SQL = """
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
              COUNT(*) AS x,
-             CAST(ROUND(CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2)))
-                             AS DOUBLE) / COUNT(*) * 100) AS BIGINT) AS y
+             CAST(FLOOR((CAST(SUM(CAST(FLOOR((value) * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2)))
+                             AS DOUBLE) / COUNT(*) * 100) + 0.5) AS BIGINT) AS y
       FROM events GROUP BY event_type, CAST(ts AS DATE)
     )
 """
@@ -56,11 +56,11 @@ _DAILY2_SQL = """
     )
     SELECT CAST(wd.n AS BIGINT) AS n_weekday,
            CAST(we.n AS BIGINT) AS n_weekend,
-           ROUND(wd.r, 6) AS r_weekday,
-           ROUND(we.r, 6) AS r_weekend,
-           ROUND((0.5 * LN((1 + wd.r) / (1 - wd.r))
+           (wd.r) AS r_weekday,
+           (we.r) AS r_weekend,
+           ((0.5 * LN((1 + wd.r) / (1 - wd.r))
                   - 0.5 * LN((1 + we.r) / (1 - we.r)))
-                 / SQRT(1.0 / (wd.n - 3) + 1.0 / (we.n - 3)), 6)
+                 / SQRT(1.0 / (wd.n - 3) + 1.0 / (we.n - 3)))
              AS z_fisher,
            ABS((0.5 * LN((1 + wd.r) / (1 - wd.r))
                 - 0.5 * LN((1 + we.r) / (1 - we.r)))
@@ -88,10 +88,8 @@ def q_fisher_z_diff(spark, sf_dir):
         ev.groupBy("event_type", col("ts").cast("date").alias("day"))
         .agg(
             F.count("*").alias("x"),
-            F.round(
-                F.sum(F.round("value", 2).cast("decimal(18,2)"))
-                .cast("double") / F.count("*") * 100
-            ).cast("long").alias("y"),
+            dfloor((F.sum((dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).cast("decimal(18,2)"))
+                .cast("double") / F.count("*") * 100) + F.lit(0.5)).cast("long").alias("y"),
         )
     )
     tagged = daily.select(
@@ -128,9 +126,9 @@ def q_fisher_z_diff(spark, sf_dir):
     return j.select(
         col("n1").cast("long").alias("n_weekday"),
         col("n2").cast("long").alias("n_weekend"),
-        F.round(col("r1"), 6).alias("r_weekday"),
-        F.round(col("r2"), 6).alias("r_weekend"),
-        F.round(zf, 6).alias("z_fisher"),
+        (col("r1")).alias("r_weekday"),
+        (col("r2")).alias("r_weekend"),
+        (zf).alias("z_fisher"),
         (F.abs(zf) > 1.959964).alias("differ_5pct"),
     )
 
@@ -154,16 +152,16 @@ def q_fisher_z_diff(spark, sf_dir):
       FROM stats
     ), parts AS (
       SELECT t.k, t.sw,
-             CAST(SUM(CAST(ROUND(s.w * POWER(s.m - t.mbar, 2), 8)
+             CAST(SUM(CAST(FLOOR((s.w * POWER(s.m - t.mbar, 2)) * 1e8 + 0.5) / 1e8
                            AS DECIMAL(38,8))) AS DOUBLE) / (t.k - 1) AS num,
-             CAST(SUM(CAST(ROUND(POWER(1 - s.w / t.sw, 2) / (s.n - 1), 10)
+             CAST(SUM(CAST(FLOOR((POWER(1 - s.w / t.sw, 2) / (s.n - 1)) * 1e10 + 0.5) / 1e10
                            AS DECIMAL(28,10))) AS DOUBLE) AS hsum
       FROM stats s, tot t GROUP BY t.k, t.sw
     )
     SELECT CAST(k AS BIGINT) AS n_groups,
-           ROUND(num / (1 + 2.0 * (k - 2) / (k * k - 1) * hsum), 6)
+           (num / (1 + 2.0 * (k - 2) / (k * k - 1) * hsum))
              AS welch_f,
-           ROUND((k * k - 1.0) / (3 * hsum), 6) AS df2,
+           FLOOR(((k * k - 1.0) / (3 * hsum)) * 1e6 + 0.5) / 1e6 AS df2,
            num / (1 + 2.0 * (k - 2) / (k * k - 1) * hsum) > 2.65
              AS reject_equal_means_5pct
     FROM parts
@@ -186,10 +184,8 @@ def q_welch_anova(spark, sf_dir):
     daily = (
         ev.groupBy("event_type", col("ts").cast("date").alias("day"))
         .agg(
-            F.round(
-                F.sum(F.round("value", 2).cast("decimal(18,2)"))
-                .cast("double") / F.count("*") * 100
-            ).cast("long").alias("y")
+            dfloor((F.sum((dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).cast("decimal(18,2)"))
+                .cast("double") / F.count("*") * 100) + F.lit(0.5)).cast("long").alias("y")
         )
     )
     yd = col("y").cast("decimal(38,0)")
@@ -216,16 +212,14 @@ def q_welch_anova(spark, sf_dir):
     parts = stats.crossJoin(broadcast(tot)).groupBy("k", "sw").agg(
         F.try_divide(
             F.sum(
-                F.round(col("w") * F.pow(col("m") - col("mbar"), 2), 8)
+                (dfloor((col("w") * F.pow(col("m") - col("mbar"), 2)) * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8))
                 .cast("decimal(38,8)")
             ).cast("double"), F.max("k") - 1
         ).alias("num"),
         F.sum(
-            F.round(
-                F.try_divide(
+            (dfloor((F.try_divide(
                     F.pow(1 - F.try_divide(col("w"), col("sw")), 2),
-                    col("n") - 1), 10
-            ).cast("decimal(28,10)")
+                    col("n") - 1)) * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10)).cast("decimal(28,10)")
         ).cast("double").alias("hsum"),
     )
     kd = col("k").cast("double")
@@ -235,7 +229,7 @@ def q_welch_anova(spark, sf_dir):
     )
     return parts.select(
         col("k").cast("long").alias("n_groups"),
-        F.round(f_star, 6).alias("welch_f"),
-        F.round(F.try_divide(kd * kd - 1, 3 * col("hsum")), 6).alias("df2"),
+        (f_star).alias("welch_f"),
+        (dfloor((F.try_divide(kd * kd - 1, 3 * col("hsum"))) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("df2"),
         (f_star > 2.65).alias("reject_equal_means_5pct"),
     )

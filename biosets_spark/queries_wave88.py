@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -31,13 +31,13 @@ from .queries import q
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             CAST(ROUND(CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2)))
-                             AS DOUBLE) / COUNT(*) * 100) AS BIGINT) AS y
+             CAST(FLOOR((CAST(SUM(CAST(FLOOR((value) * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2)))
+                             AS DOUBLE) / COUNT(*) * 100) + 0.5) AS BIGINT) AS y
       FROM events GROUP BY event_type, CAST(ts AS DATE)
     ), market AS (
       SELECT CAST(ts AS DATE) AS day,
-             CAST(ROUND(CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2)))
-                             AS DOUBLE) / COUNT(*) * 100) AS BIGINT) AS m
+             CAST(FLOOR((CAST(SUM(CAST(FLOOR((value) * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2)))
+                             AS DOUBLE) / COUNT(*) * 100) + 0.5) AS BIGINT) AS m
       FROM events GROUP BY CAST(ts AS DATE)
     ), joined AS (
       SELECT d.event_type, d.y, mk.m
@@ -51,9 +51,9 @@ from .queries import q
       FROM joined GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_days,
-           ROUND((n * sym - sy * sm) / (n * smm - sm * sm), 6) AS beta,
-           ROUND((sy - (n * sym - sy * sm) / (n * smm - sm * sm) * sm)
-                 / n / 100, 4) AS alpha_value
+           ((n * sym - sy * sm) / (n * smm - sm * sm)) AS beta,
+           ((sy - (n * sym - sy * sm) / (n * smm - sm * sm) * sm)
+                 / n / 100) AS alpha_value
     FROM mom ORDER BY event_type
     """,
     desc="CAPM-style beta of each event type's daily mean against "
@@ -73,10 +73,8 @@ from .queries import q
 def q_capm_beta(spark, sf_dir):
     ev = tables.load(spark, sf_dir, "events")
     mc = (
-        F.round(
-            F.sum(F.round("value", 2).cast("decimal(18,2)"))
-            .cast("double") / F.count("*") * 100
-        ).cast("long")
+        dfloor((F.sum((dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).cast("decimal(18,2)"))
+            .cast("double") / F.count("*") * 100) + F.lit(0.5)).cast("long")
     )
     daily = ev.groupBy("event_type", col("ts").cast("date").alias("day")).agg(
         mc.alias("y")
@@ -106,8 +104,8 @@ def q_capm_beta(spark, sf_dir):
     return mom.select(
         "event_type",
         col("n").cast("long").alias("n_days"),
-        F.round(beta, 6).alias("beta"),
-        F.round(alpha, 4).alias("alpha_value"),
+        (beta).alias("beta"),
+        (alpha).alias("alpha_value"),
     ).orderBy("event_type")
 
 
@@ -116,7 +114,7 @@ def q_capm_beta(spark, sf_dir):
     oracle="""
     WITH vals AS (
       SELECT c.c_mktsegment AS seg, o.o_orderdate AS day,
-             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+             SUM(CAST(FLOOR((o.o_totalprice * 100) + 0.5) AS BIGINT)) AS cents
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY 1, 2
     ), cum AS (
@@ -137,7 +135,7 @@ def q_capm_beta(spark, sf_dir):
       FROM dd
     )
     SELECT seg AS c_mktsegment, day AS trough_day,
-           ROUND(drawdown, 6) AS max_drawdown
+           (drawdown) AS max_drawdown
     FROM scored WHERE rnk = 1 ORDER BY seg
     """,
     desc="Maximum drawdown of each segment's cumulative daily revenue "
@@ -171,7 +169,7 @@ def q_max_drawdown(spark, sf_dir):
             col("o_orderdate").alias("day"),
         )
         .agg(
-            F.sum(F.round(col("o_totalprice") * 100).cast("long"))
+            F.sum(dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long"))
             .alias("cents")
         )
     )
@@ -194,7 +192,7 @@ def q_max_drawdown(spark, sf_dir):
         .select(
             col("seg").alias("c_mktsegment"),
             col("day").alias("trough_day"),
-            F.round(col("drawdown"), 6).alias("max_drawdown"),
+            (col("drawdown")).alias("max_drawdown"),
         )
         .orderBy("c_mktsegment")
     )

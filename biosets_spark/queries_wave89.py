@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 _SIZES = (5, 10, 15)
 
@@ -34,8 +34,8 @@ _SIZES = (5, 10, 15)
     oracle="""
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS day,
-             CAST(ROUND(CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2)))
-                             AS DOUBLE) / COUNT(*) * 100) AS BIGINT) AS mc
+             CAST(FLOOR((CAST(SUM(CAST(FLOOR((value) * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2)))
+                             AS DOUBLE) / COUNT(*) * 100) + 0.5) AS BIGINT) AS mc
       FROM events GROUP BY CAST(ts AS DATE)
     ), idx AS (
       SELECT mc, ROW_NUMBER() OVER (ORDER BY day) - 1 AS i FROM daily
@@ -52,7 +52,7 @@ _SIZES = (5, 10, 15)
       SELECT s.sz, s.blk, b.mu,
              SUM(s.mc - b.mu) OVER (PARTITION BY s.sz, s.blk ORDER BY s.pos
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w,
-             CAST(ROUND(POWER(s.mc - b.mu, 2), 6) AS DECIMAL(38,6)) AS sq
+             CAST(FLOOR((POWER(s.mc - b.mu, 2)) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6)) AS sq
       FROM sized s JOIN blocks b ON s.sz = b.sz AND s.blk = b.blk
     ), rs AS (
       SELECT sz, blk,
@@ -61,7 +61,7 @@ _SIZES = (5, 10, 15)
       FROM walks GROUP BY sz, blk
     ), per_size AS (
       SELECT sz,
-             LN(CAST(SUM(CAST(ROUND(ratio, 8) AS DECIMAL(28,8))) AS DOUBLE)
+             LN(CAST(SUM(CAST(FLOOR((ratio) * 1e8 + 0.5) / 1e8 AS DECIMAL(28,8))) AS DOUBLE)
                 / COUNT(*)) AS y,
              LN(CAST(sz AS DOUBLE)) AS x
       FROM rs GROUP BY sz
@@ -71,7 +71,7 @@ _SIZES = (5, 10, 15)
       FROM per_size
     )
     SELECT CAST(k AS BIGINT) AS n_sizes,
-           ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+           ((k * sxy - sx * sy) / (k * sxx - sx * sx))
              AS hurst_h,
            (k * sxy - sx * sy) / (k * sxx - sx * sx) > 0.65
              AS long_memory
@@ -99,10 +99,8 @@ def q_hurst_exponent(spark, sf_dir):
     daily = (
         ev.groupBy(col("ts").cast("date").alias("day"))
         .agg(
-            F.round(
-                F.sum(F.round("value", 2).cast("decimal(18,2)"))
-                .cast("double") / F.count("*") * 100
-            ).cast("long").alias("mc")
+            dfloor((F.sum((dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).cast("decimal(18,2)"))
+                .cast("double") / F.count("*") * 100) + F.lit(0.5)).cast("long").alias("mc")
         )
     )
     # ~30-row table: a driver-side index assignment avoids even the
@@ -143,7 +141,7 @@ def q_hurst_exponent(spark, sf_dir):
         .withColumn("w", F.sum(col("mc") - col("mu")).over(w_walk))
         .withColumn(
             "sq",
-            F.round(F.pow(col("mc") - col("mu"), 2), 6)
+            (dfloor((F.pow(col("mc") - col("mu"), 2)) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
             .cast("decimal(38,6)"),
         )
     )
@@ -160,7 +158,7 @@ def q_hurst_exponent(spark, sf_dir):
     )
     per_size = rs.groupBy("sz").agg(
         F.log(
-            F.sum(F.round(col("ratio"), 8).cast("decimal(28,8)"))
+            F.sum((dfloor((col("ratio")) * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)).cast("decimal(28,8)"))
             .cast("double") / F.count("*")
         ).alias("y"),
     ).select("sz", F.log(col("sz").cast("double")).alias("x"), "y")
@@ -176,7 +174,7 @@ def q_hurst_exponent(spark, sf_dir):
     )
     return fit.select(
         col("k").cast("long").alias("n_sizes"),
-        F.round(h, 6).alias("hurst_h"),
+        (h).alias("hurst_h"),
         (h > 0.65).alias("long_memory"),
     )
 
@@ -186,19 +184,19 @@ def q_hurst_exponent(spark, sf_dir):
     oracle="""
     WITH rev AS (
       SELECT l_suppkey,
-             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents
+             SUM(CAST(FLOOR((l_extendedprice * 100) + 0.5) AS BIGINT)) AS cents
       FROM lineitem GROUP BY l_suppkey
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_suppliers,
-           ROUND(POWER(CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE), 2)
+           (POWER(CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE), 2)
                  / (COUNT(*)
                     * CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents)
-                           AS DOUBLE)), 6) AS jain_index,
-           CAST(ROUND(COUNT(*)
+                           AS DOUBLE))) AS jain_index,
+           CAST(FLOOR((COUNT(*)
                  * POWER(CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE), 2)
                  / (COUNT(*)
                     * CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents)
-                           AS DOUBLE))) AS BIGINT) AS effective_suppliers
+                           AS DOUBLE))) + 0.5) AS BIGINT) AS effective_suppliers
     FROM rev
     """,
     desc="Jain's fairness index of revenue across suppliers: "
@@ -216,7 +214,7 @@ def q_hurst_exponent(spark, sf_dir):
 def q_jain_fairness(spark, sf_dir):
     li = tables.load(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_suppkey").agg(
-        F.sum(F.round(col("l_extendedprice") * 100).cast("long"))
+        F.sum(dfloor((col("l_extendedprice") * 100) + F.lit(0.5)).cast("long"))
         .alias("cents")
     )
     cd = col("cents").cast("decimal(38,0)")
@@ -228,6 +226,6 @@ def q_jain_fairness(spark, sf_dir):
     jain = F.pow(col("s1"), 2) / (col("n") * col("s2"))
     return agg.select(
         col("n").cast("long").alias("n_suppliers"),
-        F.round(jain, 6).alias("jain_index"),
-        F.round(col("n") * jain).cast("long").alias("effective_suppliers"),
+        (jain).alias("jain_index"),
+        dfloor((col("n") * jain) + F.lit(0.5)).cast("long").alias("effective_suppliers"),
     )

@@ -18,7 +18,7 @@ from pyspark.sql.functions import broadcast, col, lit
 
 from . import tables
 from .operators import text as T
-from .queries import dsum, q
+from .queries import dfloor, dsum, q
 
 from .oracle_fragments import TOKS_SQL as _TOKS_SQL
 
@@ -187,8 +187,7 @@ def q_idle_rich_customers(spark, sf_dir):
     tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM counts),
     surprise AS (
       SELECT toks.doc_id,
-             CAST(ROUND(-LN(CAST(counts.c AS DOUBLE) / (SELECT total FROM tot)),
-                        8) AS DECIMAL(18,8)) AS s
+             CAST(FLOOR((-LN(CAST(counts.c AS DOUBLE) / (SELECT total FROM tot))) * 1e8 + 0.5) / 1e8 AS DECIMAL(18,8)) AS s
       FROM toks JOIN counts ON toks.tok = counts.tok
     ),
     doc AS (
@@ -197,7 +196,7 @@ def q_idle_rich_customers(spark, sf_dir):
              CAST(SUM(s) AS DOUBLE) AS sum_surprise
       FROM surprise GROUP BY doc_id
     )
-    SELECT doc_id, n_tokens, ROUND(sum_surprise / n_tokens, 4) AS xent
+    SELECT doc_id, n_tokens, (sum_surprise / n_tokens) AS xent
     FROM doc
     ORDER BY sum_surprise / n_tokens DESC, doc_id
     LIMIT 20
@@ -217,7 +216,7 @@ def q_unigram_surprise(spark, sf_dir):
     return (
         scored.orderBy(col("xent").desc(), "doc_id")
         .limit(20)
-        .select("doc_id", "n_tokens", F.round(col("xent"), 4).alias("xent"))
+        .select("doc_id", "n_tokens", (col("xent")).alias("xent"))
     )
 
 
@@ -226,11 +225,11 @@ def q_unigram_surprise(spark, sf_dir):
     oracle="""
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(CAST(SUM(CAST(ROUND(CASE WHEN n_chars > 0 THEN
+           (CAST(SUM(CAST(FLOOR((CASE WHEN n_chars > 0 THEN
                      CAST(LENGTH(REGEXP_REPLACE(text, '[^ -~]', '', 'g'))
                           AS DOUBLE) / CAST(n_chars AS DOUBLE)
-                   ELSE 1.0 END, 8) AS DECIMAL(18,8))) AS DOUBLE)
-                 / COUNT(*), 6) AS mean_ascii_ratio
+                   ELSE 1.0 END) * 1e8 + 0.5) / 1e8 AS DECIMAL(18,8))) AS DOUBLE)
+                 / COUNT(*)) AS mean_ascii_ratio
     FROM documents
     GROUP BY lang
     ORDER BY lang
@@ -246,13 +245,13 @@ def q_unigram_surprise(spark, sf_dir):
 )
 def q_script_ratio(spark, sf_dir):
     docs = tables.load(spark, sf_dir, "documents").select("lang", "text", "n_chars")
-    ratio = F.round(T.ascii_ratio(col("text"), col("n_chars")), 8).cast("decimal(18,8)")
+    ratio = (dfloor((T.ascii_ratio(col("text"), col("n_chars"))) * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)).cast("decimal(18,8)")
     return (
         docs.select("lang", ratio.alias("_r"))
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.sum("_r").cast("double") / F.count("*"), 6).alias("mean_ascii_ratio"),
+            (F.sum("_r").cast("double") / F.count("*")).alias("mean_ascii_ratio"),
         )
         .orderBy("lang")
     )
@@ -269,8 +268,8 @@ def q_script_ratio(spark, sf_dir):
     top AS (SELECT c FROM counts ORDER BY c DESC, tok DESC LIMIT 100)
     SELECT CAST((SELECT SUM(c) FROM top) AS BIGINT) AS head_tokens,
            CAST((SELECT SUM(c) FROM counts) AS BIGINT) AS total_tokens,
-           ROUND(CAST((SELECT SUM(c) FROM top) AS DOUBLE)
-                 / CAST((SELECT SUM(c) FROM counts) AS DOUBLE), 6)
+           (CAST((SELECT SUM(c) FROM top) AS DOUBLE)
+                 / CAST((SELECT SUM(c) FROM counts) AS DOUBLE))
              AS head_coverage
     """,
     desc="Zipf head coverage: fraction of all corpus tokens accounted "
@@ -296,7 +295,5 @@ def q_head_coverage(spark, sf_dir):
     return head.crossJoin(broadcast(total)).select(
         "head_tokens",
         "total_tokens",
-        F.round(
-            col("head_tokens").cast("double") / col("total_tokens").cast("double"), 6
-        ).alias("head_coverage"),
+        (col("head_tokens").cast("double") / col("total_tokens").cast("double")).alias("head_coverage"),
     )

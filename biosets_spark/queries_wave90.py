@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 _BUDGET = 10_000
 
@@ -34,7 +34,7 @@ _BUDGET = 10_000
     oracle=f"""
     WITH vals AS (
       SELECT c.c_mktsegment AS seg,
-             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+             CAST(FLOOR((o.o_totalprice * 100) + 0.5) AS BIGINT) AS cents
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     ), mom AS (
       SELECT seg, COUNT(*) AS n,
@@ -47,19 +47,19 @@ _BUDGET = 10_000
       FROM mom
     ), tot AS (
       SELECT SUM(n) AS nt,
-             CAST(SUM(CAST(ROUND(n * sd, 4) AS DECIMAL(38,4))) AS DOUBLE)
+             CAST(SUM(CAST(FLOOR((n * sd) * 1e4 + 0.5) / 1e4 AS DECIMAL(38,4))) AS DOUBLE)
                AS sns
       FROM strata
     )
     SELECT s.seg AS c_mktsegment,
            CAST(s.n AS BIGINT) AS stratum_size,
-           ROUND(s.sd / 100, 2) AS stratum_sd,
-           CAST(ROUND({_BUDGET} * s.n * s.sd / t.sns) AS BIGINT)
+           (s.sd / 100) AS stratum_sd,
+           CAST(FLOOR(({_BUDGET} * s.n * s.sd / t.sns) + 0.5) AS BIGINT)
              AS neyman_n,
-           CAST(ROUND({_BUDGET} * CAST(s.n AS DOUBLE) / t.nt) AS BIGINT)
+           CAST(FLOOR(({_BUDGET} * CAST(s.n AS DOUBLE) / t.nt) + 0.5) AS BIGINT)
              AS proportional_n,
-           ROUND(s.n * s.sd / t.sns
-                 - CAST(s.n AS DOUBLE) / t.nt, 6) AS share_shift
+           (s.n * s.sd / t.sns
+                 - CAST(s.n AS DOUBLE) / t.nt) AS share_shift
     FROM strata s, tot t ORDER BY s.seg
     """,
     desc=f"Neyman allocation of a {_BUDGET}-row stratified sample of "
@@ -71,7 +71,7 @@ _BUDGET = 10_000
          "the rates q_stratified_sample then applies when sampling "
          "a corpus too big to scan twice. Per-stratum sds use exact "
          "decimal moments (sample sd, n-1); the N*S terms quantize "
-         "ROUND(,4)->DECIMAL before the normalizing sum; "
+         "the 1e-4 grid ->DECIMAL before the normalizing sum; "
          "allocations round on identical doubles.",
     tags=["stats", "join", "agg", "cross"],
 )
@@ -83,7 +83,7 @@ def q_neyman_allocation(spark, sf_dir):
         col("o_custkey") == col("c_custkey"),
     ).select(
         col("c_mktsegment").alias("seg"),
-        F.round(col("o_totalprice") * 100).cast("long").alias("cents"),
+        dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long").alias("cents"),
     )
     cd = col("cents").cast("decimal(38,0)")
     mom = vals.groupBy("seg").agg(
@@ -99,22 +99,20 @@ def q_neyman_allocation(spark, sf_dir):
     strata = mom.select("seg", "n", sd.alias("sd"))
     tot = strata.agg(
         F.sum("n").alias("nt"),
-        F.sum(F.round(col("n") * col("sd"), 4).cast("decimal(38,4)"))
+        F.sum((dfloor((col("n") * col("sd")) * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).cast("decimal(38,4)"))
         .cast("double").alias("sns"),
     )
     j = strata.crossJoin(broadcast(tot))
     return j.select(
         col("seg").alias("c_mktsegment"),
         col("n").cast("long").alias("stratum_size"),
-        F.round(col("sd") / 100, 2).alias("stratum_sd"),
-        F.round(F.try_divide(_BUDGET * col("n") * col("sd"), col("sns")))
+        (col("sd") / 100).alias("stratum_sd"),
+        dfloor((F.try_divide(_BUDGET * col("n") * col("sd"), col("sns"))) + F.lit(0.5))
         .cast("long").alias("neyman_n"),
-        F.round(_BUDGET * col("n").cast("double") / col("nt")).cast("long")
+        dfloor((_BUDGET * col("n").cast("double") / col("nt")) + F.lit(0.5)).cast("long")
         .alias("proportional_n"),
-        F.round(
-            F.try_divide(col("n") * col("sd"), col("sns"))
-            - col("n").cast("double") / col("nt"), 6
-        ).alias("share_shift"),
+        (F.try_divide(col("n") * col("sd"), col("sns"))
+            - col("n").cast("double") / col("nt")).alias("share_shift"),
     ).orderBy("c_mktsegment")
 
 
@@ -128,17 +126,17 @@ def q_neyman_allocation(spark, sf_dir):
     ), terms AS (
       SELECT c.lang, c.n, t.nt, t.k,
              (1.0 / t.k) / (CAST(c.n AS DOUBLE) / t.nt) AS factor,
-             CAST(ROUND((1.0 / t.k)
-                        * LN((1.0 / t.k) / (CAST(c.n AS DOUBLE) / t.nt)), 10)
+             CAST(FLOOR(((1.0 / t.k)
+                        * LN((1.0 / t.k) / (CAST(c.n AS DOUBLE) / t.nt))) * 1e10 + 0.5) / 1e10
                   AS DECIMAL(28,10)) AS klt
       FROM counts c, tot t
     )
     SELECT lang,
            CAST(n AS BIGINT) AS n_docs,
-           ROUND(CAST(n AS DOUBLE) / nt, 6) AS current_share,
-           ROUND(1.0 / k, 6) AS target_share,
-           ROUND(factor, 6) AS resample_factor,
-           ROUND(CAST(SUM(klt) OVER () AS DOUBLE), 6) AS kl_gap_total
+           (CAST(n AS DOUBLE) / nt) AS current_share,
+           (1.0 / k) AS target_share,
+           (factor) AS resample_factor,
+           (CAST(SUM(klt) OVER () AS DOUBLE)) AS kl_gap_total
     FROM terms ORDER BY lang
     """,
     desc="Corpus language-mixture gap: for a uniform language target, "
@@ -149,7 +147,7 @@ def q_neyman_allocation(spark, sf_dir):
          "minimizes, giving q_mix_resample its per-slice rates and "
          "q_mix_temperature a 'how far from balanced' scalar (gap 0 "
          "= balanced). Counts are exact integers, shares exact "
-         "ratios, each KL term quantized ROUND(,10)->DECIMAL before "
+         "ratios, each KL term quantized the 1e-10 grid ->DECIMAL before "
          "the total (repeated per row over the tiny language "
          "table via a partition-free SUM OVER an already-collapsed "
          "5-row frame — bounded by the language count).",
@@ -162,7 +160,7 @@ def q_mixture_gap(spark, sf_dir):
     j = counts.crossJoin(broadcast(tot))
     share = col("n").cast("double") / col("nt")
     target = 1.0 / col("k")
-    klt = F.round(target * F.log(target / share), 10).cast("decimal(28,10)")
+    klt = (dfloor((target * F.log(target / share)) * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10)).cast("decimal(28,10)")
     terms = j.select(
         "lang", "n", "nt", "k",
         share.alias("share"), target.alias("target"),
@@ -174,10 +172,10 @@ def q_mixture_gap(spark, sf_dir):
         .select(
             "lang",
             col("n").cast("long").alias("n_docs"),
-            F.round(col("share"), 6).alias("current_share"),
-            F.round(col("target"), 6).alias("target_share"),
-            F.round(col("factor"), 6).alias("resample_factor"),
-            F.round(col("kl_gap"), 6).alias("kl_gap_total"),
+            (col("share")).alias("current_share"),
+            (col("target")).alias("target_share"),
+            (col("factor")).alias("resample_factor"),
+            (col("kl_gap")).alias("kl_gap_total"),
         )
         .orderBy("lang")
     )

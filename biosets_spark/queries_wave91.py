@@ -24,14 +24,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
     "q_youden_cutpoint",
     oracle="""
     WITH scored AS (
-      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+      SELECT CAST(FLOOR((o_totalprice * 100) + 0.5) AS BIGINT) AS c,
              CAST(o_orderpriority = '1-URGENT' AS INTEGER) AS y
       FROM orders
     ), tot AS (
@@ -52,11 +52,11 @@ from .queries import q
     ), best AS (
       SELECT *, ROW_NUMBER() OVER (ORDER BY j DESC, c) AS rnk FROM scoredj
     )
-    SELECT ROUND(CAST(c AS DOUBLE) / 100, 2) AS optimal_cut,
-           ROUND(CAST(tp AS DOUBLE) / np, 6) AS tpr_at_cut,
-           ROUND(CAST(fp AS DOUBLE) / nn, 6) AS fpr_at_cut,
-           ROUND(j, 6) AS youden_j,
-           ROUND(j, 6) AS ks_distance
+    SELECT (CAST(c AS DOUBLE) / 100) AS optimal_cut,
+           (CAST(tp AS DOUBLE) / np) AS tpr_at_cut,
+           (CAST(fp AS DOUBLE) / nn) AS fpr_at_cut,
+           (j) AS youden_j,
+           (j) AS ks_distance
     FROM best WHERE rnk = 1
     """,
     desc="Youden-optimal cutpoint for 'price predicts urgency': the "
@@ -80,7 +80,7 @@ def q_youden_cutpoint(spark, sf_dir):
 
     orders = tables.load(spark, sf_dir, "orders")
     scored = orders.select(
-        F.round(col("o_totalprice") * 100).cast("long").alias("c"),
+        dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long").alias("c"),
         (col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
     )
     tot = scored.agg(
@@ -129,11 +129,11 @@ def q_youden_cutpoint(spark, sf_dir):
     # the argmax itself: a TakeOrdered(1), not a window
     best = j.orderBy(col("j").desc(), "c").limit(1)
     return best.select(
-        F.round(col("c").cast("double") / 100, 2).alias("optimal_cut"),
-        F.round(col("tp").cast("double") / col("np_"), 6).alias("tpr_at_cut"),
-        F.round(col("fp").cast("double") / col("nn"), 6).alias("fpr_at_cut"),
-        F.round(col("j"), 6).alias("youden_j"),
-        F.round(col("j"), 6).alias("ks_distance"),
+        (col("c").cast("double") / 100).alias("optimal_cut"),
+        (col("tp").cast("double") / col("np_")).alias("tpr_at_cut"),
+        (col("fp").cast("double") / col("nn")).alias("fpr_at_cut"),
+        (col("j")).alias("youden_j"),
+        (col("j")).alias("ks_distance"),
     )
 
 
@@ -141,7 +141,7 @@ def q_youden_cutpoint(spark, sf_dir):
     "q_hosmer_lemeshow",
     oracle="""
     WITH scored AS (
-      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+      SELECT CAST(FLOOR((o_totalprice * 100) + 0.5) AS BIGINT) AS c,
              CAST(o_orderpriority = '1-URGENT' AS INTEGER) AS y
       FROM orders
     ), mx AS (SELECT MAX(c) AS mc FROM scored),
@@ -152,15 +152,15 @@ def q_youden_cutpoint(spark, sf_dir):
       FROM scored s, mx m
     ), bins AS (
       SELECT bin, COUNT(*) AS n, SUM(y) AS o,
-             CAST(SUM(CAST(ROUND(p, 10) AS DECIMAL(28,10))) AS DOUBLE) AS e
+             CAST(SUM(CAST(FLOOR((p) * 1e10 + 0.5) / 1e10 AS DECIMAL(28,10))) AS DOUBLE) AS e
       FROM probs GROUP BY bin
     ), terms AS (
-      SELECT CAST(ROUND(POWER(o - e, 2)
-                        / (e * (1 - e / n)), 8) AS DECIMAL(28,8)) AS t
+      SELECT CAST(FLOOR((POWER(o - e, 2)
+                        / (e * (1 - e / n))) * 1e8 + 0.5) / 1e8 AS DECIMAL(28,8)) AS t
       FROM bins WHERE e > 0 AND e < n
     )
     SELECT CAST((SELECT COUNT(*) FROM bins) AS BIGINT) AS n_bins,
-           ROUND(CAST(SUM(t) AS DOUBLE), 6) AS hl_chi2,
+           (CAST(SUM(t) AS DOUBLE)) AS hl_chi2,
            CAST(SUM(t) AS DOUBLE) > 15.507313 AS reject_calibrated_5pct
     FROM terms
     """,
@@ -173,8 +173,8 @@ def q_youden_cutpoint(spark, sf_dir):
          "q_brier_decomposition's reliability term stop short of: "
          "it answers 'is the miscalibration statistically real or "
          "bin noise'. Probabilities are exact integer ratios; E "
-         "sums ROUND(,10)-quantized terms; each bin's HL term "
-         "quantizes ROUND(,8)->DECIMAL before the 10-term sum; "
+         "sums the 1e-10 grid -quantized terms; each bin's HL term "
+         "quantizes the 1e-8 grid ->DECIMAL before the 10-term sum; "
          "degenerate bins (E = 0 or E = n) drop by the standard "
          "convention.",
     tags=["stats", "agg", "cross"],
@@ -182,7 +182,7 @@ def q_youden_cutpoint(spark, sf_dir):
 def q_hosmer_lemeshow(spark, sf_dir):
     orders = tables.load(spark, sf_dir, "orders")
     scored = orders.select(
-        F.round(col("o_totalprice") * 100).cast("long").alias("c"),
+        dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long").alias("c"),
         (col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
     )
     mx = scored.agg(F.max("c").alias("mc"))
@@ -194,13 +194,10 @@ def q_hosmer_lemeshow(spark, sf_dir):
     bins = probs.groupBy("bin").agg(
         F.count("*").alias("n"),
         F.sum("y").alias("o"),
-        F.sum(F.round(col("p"), 10).cast("decimal(28,10)")).cast("double")
+        F.sum((dfloor((col("p")) * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10)).cast("decimal(28,10)")).cast("double")
         .alias("e"),
     )
-    term = F.round(
-        F.pow(col("o") - col("e"), 2) / (col("e") * (1 - col("e") / col("n"))),
-        8,
-    ).cast("decimal(28,8)")
+    term = (dfloor((F.pow(col("o") - col("e"), 2) / (col("e") * (1 - col("e") / col("n")))) * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)).cast("decimal(28,8)")
     n_bins = bins.agg(F.count("*").alias("n_bins"))
     hl = (
         bins.filter((col("e") > 0) & (col("e") < col("n")))
@@ -208,6 +205,6 @@ def q_hosmer_lemeshow(spark, sf_dir):
     )
     return hl.crossJoin(broadcast(n_bins)).select(
         col("n_bins").cast("long").alias("n_bins"),
-        F.round(col("hl"), 6).alias("hl_chi2"),
+        (col("hl")).alias("hl_chi2"),
         (col("hl") > 15.507313).alias("reject_calibrated_5pct"),
     )

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 _CELLS_SQL = """
     WITH cells AS (
@@ -47,15 +47,15 @@ _CELLS_SQL = """
     "q_mantel_haenszel",
     oracle=_CELLS_SQL + """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
-           ROUND(CAST(SUM(CAST(ROUND(CAST(a AS DOUBLE) * d
-                                     / (a + b + c + d), 8)
-                               AS DECIMAL(28,8))) AS DOUBLE)
-                 / CAST(SUM(CAST(ROUND(CAST(b AS DOUBLE) * c
-                                       / (a + b + c + d), 8)
-                                 AS DECIMAL(28,8))) AS DOUBLE), 6)
+           ((CAST(SUM(CAST(FLOOR(CAST(a AS DOUBLE) * d
+                                     / (a + b + c + d) * 1e8 + 0.5)
+                               AS DECIMAL(28,0))) AS DOUBLE) / 1e8)
+                 / (CAST(SUM(CAST(FLOOR(CAST(b AS DOUBLE) * c
+                                       / (a + b + c + d) * 1e8 + 0.5)
+                                 AS DECIMAL(28,0))) AS DOUBLE) / 1e8))
              AS or_mh,
-           ROUND(CAST(SUM(a) AS DOUBLE) * SUM(d)
-                 / (CAST(SUM(b) AS DOUBLE) * SUM(c)), 6) AS or_pooled_naive
+           (CAST(SUM(a) AS DOUBLE) * SUM(d)
+                 / (CAST(SUM(b) AS DOUBLE) * SUM(c))) AS or_pooled_naive
     FROM cells
     """,
     desc="Mantel-Haenszel common odds ratio for discount->return "
@@ -67,7 +67,7 @@ _CELLS_SQL = """
          "confounding (q_odds_ratio reports per-group ORs; MH "
          "pools them correctly). One combinable (stratum, 2x2) "
          "cell agg over the fact join; each stratum's ad/n and "
-         "bc/n terms quantize ROUND(,8)->DECIMAL before the "
+         "bc/n terms quantize the 1e-8 grid ->DECIMAL before the "
          "cross-stratum sums; both ORs are single closed forms.",
     tags=["stats", "join", "agg"],
 )
@@ -87,21 +87,18 @@ def q_mantel_haenszel(spark, sf_dir):
         )
     )
     n = col("a") + col("b") + col("c") + col("d")
-    num = F.round(col("a").cast("double") * col("d") / n, 8).cast(
-        "decimal(28,8)"
-    )
-    den = F.round(col("b").cast("double") * col("c") / n, 8).cast(
-        "decimal(28,8)"
-    )
+    num = F.floor(
+        col("a").cast("double") * col("d") / n * F.lit(1e8) + F.lit(0.5)
+    ).cast("decimal(28,0)")
+    den = F.floor(
+        col("b").cast("double") * col("c") / n * F.lit(1e8) + F.lit(0.5)
+    ).cast("decimal(28,0)")
     return cells.agg(
         F.count("*").cast("long").alias("n_strata"),
-        F.round(
-            F.sum(num).cast("double") / F.sum(den).cast("double"), 6
-        ).alias("or_mh"),
-        F.round(
-            F.sum("a").cast("double") * F.sum("d")
-            / (F.sum("b").cast("double") * F.sum("c")), 6
-        ).alias("or_pooled_naive"),
+        ((F.sum(num).cast("double") / F.lit(1e8))
+            / (F.sum(den).cast("double") / F.lit(1e8))).alias("or_mh"),
+        (F.sum("a").cast("double") * F.sum("d")
+            / (F.sum("b").cast("double") * F.sum("c"))).alias("or_pooled_naive"),
     )
 
 
@@ -116,21 +113,21 @@ def q_mantel_haenszel(spark, sf_dir):
       FROM cells
     ), pooled AS (
       SELECT COUNT(*) AS k,
-             CAST(SUM(CAST(ROUND(w * lor, 10) AS DECIMAL(28,10)))
+             CAST(SUM(CAST(FLOOR((w * lor) * 1e10 + 0.5) / 1e10 AS DECIMAL(28,10)))
                   AS DOUBLE)
-               / CAST(SUM(CAST(ROUND(w, 10) AS DECIMAL(28,10)))
+               / CAST(SUM(CAST(FLOOR((w) * 1e10 + 0.5) / 1e10 AS DECIMAL(28,10)))
                       AS DOUBLE) AS mu
       FROM studies
     ), qstat AS (
       SELECT p.k, p.mu,
-             CAST(SUM(CAST(ROUND(s.w * POWER(s.lor - p.mu, 2), 10)
+             CAST(SUM(CAST(FLOOR((s.w * POWER(s.lor - p.mu, 2)) * 1e10 + 0.5) / 1e10
                            AS DECIMAL(28,10))) AS DOUBLE) AS q
       FROM studies s, pooled p GROUP BY p.k, p.mu
     )
     SELECT CAST(k AS BIGINT) AS n_strata,
-           ROUND(EXP(mu), 6) AS pooled_or_fixed,
-           ROUND(q, 6) AS cochran_q,
-           ROUND(GREATEST((q - (k - 1)) / q, 0), 6) AS i_squared,
+           (EXP(mu)) AS pooled_or_fixed,
+           (q) AS cochran_q,
+           (GREATEST((q - (k - 1)) / q, 0)) AS i_squared,
            q > 9.487729 AS heterogeneous_5pct
     FROM qstat
     """,
@@ -144,7 +141,7 @@ def q_mantel_haenszel(spark, sf_dir):
          "quotes q_mantel_haenszel's pooled number (high I^2 means "
          "report strata separately). Cells are exact integers; "
          "weights, weighted log ORs and Q terms quantize "
-         "ROUND(,10)->DECIMAL before every cross-stratum sum; all "
+         "the 1e-10 grid ->DECIMAL before every cross-stratum sum; all "
          "outputs are single closed forms.",
     tags=["stats", "join", "agg", "cross"],
 )
@@ -173,23 +170,23 @@ def q_meta_heterogeneity(spark, sf_dir):
     pooled = studies.agg(
         F.count("*").alias("k"),
         (
-            F.sum(F.round(col("w") * col("lor"), 10).cast("decimal(28,10)"))
+            F.sum((dfloor((col("w") * col("lor")) * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10)).cast("decimal(28,10)"))
             .cast("double")
-            / F.sum(F.round(col("w"), 10).cast("decimal(28,10)"))
+            / F.sum((dfloor((col("w")) * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10)).cast("decimal(28,10)"))
             .cast("double")
         ).alias("mu"),
     )
     qstat = studies.crossJoin(broadcast(pooled)).groupBy("k", "mu").agg(
         F.sum(
-            F.round(col("w") * F.pow(col("lor") - col("mu"), 2), 10)
+            (dfloor((col("w") * F.pow(col("lor") - col("mu"), 2)) * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10))
             .cast("decimal(28,10)")
         ).cast("double").alias("q")
     )
     i2 = F.greatest((col("q") - (col("k") - 1)) / col("q"), F.lit(0.0))
     return qstat.select(
         col("k").cast("long").alias("n_strata"),
-        F.round(F.exp(col("mu")), 6).alias("pooled_or_fixed"),
-        F.round(col("q"), 6).alias("cochran_q"),
-        F.round(i2, 6).alias("i_squared"),
+        (F.exp(col("mu"))).alias("pooled_or_fixed"),
+        (col("q")).alias("cochran_q"),
+        (i2).alias("i_squared"),
         (col("q") > 9.487729).alias("heterogeneous_5pct"),
     )

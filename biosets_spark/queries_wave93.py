@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 # two-sided normal quantiles for alpha * i / 5, i = 1..5, alpha = .05
 _BH_LADDER = (2.575829, 2.326348, 2.170090, 2.053749, 1.959964)
@@ -32,8 +32,8 @@ _BH_LADDER = (2.575829, 2.326348, 2.170090, 2.053749, 1.959964)
 _MK_SQL = """
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             ROUND(CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2)))
-                        AS DOUBLE) / COUNT(*), 6) AS m
+             FLOOR((CAST(SUM(CAST(FLOOR((value) * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2)))
+                        AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS m
       FROM events GROUP BY event_type, CAST(ts AS DATE)
     ), pairs AS (
       SELECT a.event_type,
@@ -73,7 +73,7 @@ _MK_SQL = """
              AS n_raw_5pct,
            CAST(COUNT(*) FILTER (WHERE ABS(z) > 2.575829) AS BIGINT)
              AS n_bonferroni_5pct,
-           ROUND(MAX(ABS(z)), 6) AS max_abs_z
+           FLOOR((MAX(ABS(z))) * 1e6 + 0.5) / 1e6 AS max_abs_z
     FROM zs
     """,
     desc="Bonferroni family-wise summary of the five Mann-Kendall "
@@ -97,7 +97,7 @@ def q_bonferroni_family(spark, sf_dir):
         .alias("n_raw_5pct"),
         F.count(F.when(F.abs(col("z")) > 2.575829, 1)).cast("long")
         .alias("n_bonferroni_5pct"),
-        F.round(F.max(F.abs(col("z"))), 6).alias("max_abs_z"),
+        (dfloor((F.max(F.abs(col("z")))) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("max_abs_z"),
     )
 
 
@@ -107,10 +107,8 @@ def _mk_zs(spark, sf_dir):
         tables.load(spark, sf_dir, "events")
         .groupBy("event_type", col("ts").cast("date").alias("day"))
         .agg(
-            F.round(
-                F.sum(F.round("value", 2).cast("decimal(18,2)"))
-                .cast("double") / F.count("*"), 6
-            ).alias("m")
+            (dfloor((F.sum((dfloor((col("value")) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).cast("decimal(18,2)"))
+                .cast("double") / F.count("*")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("m")
         )
     )
     a, b = daily.alias("a"), daily.alias("b")
@@ -169,8 +167,8 @@ def _mk_zs(spark, sf_dir):
     )
     SELECT r.event_type,
            CAST(r.i AS INTEGER) AS abs_z_rank,
-           ROUND(r.az, 6) AS abs_z,
-           ROUND(CAST(l.thr AS DOUBLE), 6) AS bh_threshold,
+           (r.az) AS abs_z,
+           (CAST(l.thr AS DOUBLE)) AS bh_threshold,
            COALESCE(r.i <= h.imax, FALSE) AS bh_discovery_5pct
     FROM ranked r
     JOIN ladder l ON r.i = l.i
@@ -217,8 +215,8 @@ def q_bh_fdr(spark, sf_dir):
         .select(
             "event_type",
             col("i").cast("int").alias("abs_z_rank"),
-            F.round(col("az"), 6).alias("abs_z"),
-            F.round(col("thr"), 6).alias("bh_threshold"),
+            (col("az")).alias("abs_z"),
+            (col("thr")).alias("bh_threshold"),
             F.coalesce(col("i") <= col("imax"), F.lit(False))
             .alias("bh_discovery_5pct"),
         )

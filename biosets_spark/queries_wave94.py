@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 _TAU = 30
 
@@ -55,19 +55,19 @@ _DELAYS_SQL = """
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1_at
       FROM dist
     ), terms AS (
-      SELECT CAST(ROUND(d1 - d * (CAST(n1_at AS DOUBLE) / n_at), 8)
+      SELECT CAST(FLOOR((d1 - d * (CAST(n1_at AS DOUBLE) / n_at)) * 1e8 + 0.5) / 1e8
                   AS DECIMAL(28,8)) AS oe,
-             CAST(ROUND(CASE WHEN n_at > 1
+             CAST(FLOOR((CASE WHEN n_at > 1
                THEN d * (CAST(n1_at AS DOUBLE) / n_at)
                     * (1 - CAST(n1_at AS DOUBLE) / n_at)
                     * (n_at - d) / (n_at - 1.0)
-               ELSE 0 END, 8) AS DECIMAL(28,8)) AS v
+               ELSE 0 END) * 1e8 + 0.5) / 1e8 AS DECIMAL(28,8)) AS v
       FROM risk
     )
     SELECT CAST((SELECT COUNT(*) FROM delays) AS BIGINT) AS n_orders,
-           ROUND(CAST(SUM(oe) AS DOUBLE), 6) AS u_stat,
-           ROUND(CAST(SUM(oe) AS DOUBLE)
-                 / SQRT(CAST(SUM(v) AS DOUBLE)), 6) AS z_logrank,
+           (CAST(SUM(oe) AS DOUBLE)) AS u_stat,
+           (CAST(SUM(oe) AS DOUBLE)
+                 / SQRT(CAST(SUM(v) AS DOUBLE))) AS z_logrank,
            ABS(CAST(SUM(oe) AS DOUBLE)
                / SQRT(CAST(SUM(v) AS DOUBLE))) > 1.959964
              AS differ_5pct
@@ -84,7 +84,7 @@ _DELAYS_SQL = """
          "are exact integer day diffs; risk sets are descending "
          "cumulative counts over the tiny distinct-delay table "
          "(~120 values, the value-range-bounded CDF construction); "
-         "every O-E and V term quantizes ROUND(,8)->DECIMAL before "
+         "every O-E and V term quantizes the 1e-8 grid ->DECIMAL before "
          "the cross-time sums.",
     tags=["stats", "join", "window", "agg", "cross"],
 )
@@ -123,15 +123,12 @@ def q_log_rank_test(spark, sf_dir):
         out_rows, "t long, d long, d1 long, n_at long, n1_at long"
     )
     p1 = col("n1_at").cast("double") / col("n_at")
-    oe = F.round(col("d1") - col("d") * p1, 8).cast("decimal(28,8)")
-    v = F.round(
-        F.when(
+    oe = (dfloor((col("d1") - col("d") * p1) * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)).cast("decimal(28,8)")
+    v = (dfloor((F.when(
             col("n_at") > 1,
             col("d") * p1 * (1 - p1)
             * (col("n_at") - col("d")) / (col("n_at") - 1.0),
-        ).otherwise(F.lit(0.0)),
-        8,
-    ).cast("decimal(28,8)")
+        ).otherwise(F.lit(0.0))) * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)).cast("decimal(28,8)")
     n_orders = delays.agg(F.count("*").alias("n_orders"))
     agg = risk.agg(
         F.sum(oe).cast("double").alias("u"),
@@ -140,8 +137,8 @@ def q_log_rank_test(spark, sf_dir):
     z = col("u") / F.sqrt(col("vv"))
     return agg.crossJoin(broadcast(n_orders)).select(
         col("n_orders").cast("long").alias("n_orders"),
-        F.round(col("u"), 6).alias("u_stat"),
-        F.round(z, 6).alias("z_logrank"),
+        (col("u")).alias("u_stat"),
+        (z).alias("z_logrank"),
         (F.abs(z) > 1.959964).alias("differ_5pct"),
     )
 
@@ -151,10 +148,10 @@ def q_log_rank_test(spark, sf_dir):
     oracle=_DELAYS_SQL + f"""
     SELECT urgent,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(CAST(SUM(LEAST(t, {_TAU})) AS DOUBLE) / COUNT(*), 6)
+           (CAST(SUM(LEAST(t, {_TAU})) AS DOUBLE) / COUNT(*))
              AS rmst_30d,
-           ROUND(CAST(SUM(CASE WHEN t > {_TAU} THEN 1 ELSE 0 END)
-                      AS DOUBLE) / COUNT(*), 6) AS frac_beyond_tau
+           (CAST(SUM(CASE WHEN t > {_TAU} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*)) AS frac_beyond_tau
     FROM delays GROUP BY urgent ORDER BY urgent
     """,
     desc="Restricted mean survival time of shipping delay at tau = "
@@ -188,14 +185,10 @@ def q_rmst(spark, sf_dir):
         delays.groupBy("urgent")
         .agg(
             F.count("*").cast("long").alias("n_orders"),
-            F.round(
-                F.sum(F.least(col("t"), F.lit(_TAU))).cast("double")
-                / F.count("*"), 6
-            ).alias("rmst_30d"),
-            F.round(
-                F.count(F.when(col("t") > _TAU, 1)).cast("double")
-                / F.count("*"), 6
-            ).alias("frac_beyond_tau"),
+            (F.sum(F.least(col("t"), F.lit(_TAU))).cast("double")
+                / F.count("*")).alias("rmst_30d"),
+            (F.count(F.when(col("t") > _TAU, 1)).cast("double")
+                / F.count("*")).alias("frac_beyond_tau"),
         )
         .orderBy("urgent")
     )

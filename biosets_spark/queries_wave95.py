@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -41,11 +41,11 @@ from .queries import q
       SELECT o.o_custkey,
              SUM(CASE WHEN date_diff('day', DATE '1970-01-01',
                                     CAST(o.o_orderdate AS DATE)) <= s.mid
-                      THEN CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                      THEN CAST(FLOOR((o.o_totalprice * 100) + 0.5) AS BIGINT)
                       ELSE 0 END) AS x,
              SUM(CASE WHEN date_diff('day', DATE '1970-01-01',
                                     CAST(o.o_orderdate AS DATE)) > s.mid
-                      THEN CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                      THEN CAST(FLOOR((o.o_totalprice * 100) + 0.5) AS BIGINT)
                       ELSE 0 END) AS y
       FROM orders o, split s
       GROUP BY o.o_custkey
@@ -59,16 +59,16 @@ from .queries import q
       FROM cust
     )
     SELECT CAST(n AS BIGINT) AS n_customers,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           ((n * sxy - sx * sy) / (n * sxx - sx * sx))
              AS cuped_theta,
-           ROUND(POWER(n * sxy - sx * sy, 2)
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           (POWER(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
              AS rho_squared,
-           ROUND(1 - POWER(n * sxy - sx * sy, 2)
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           (1 - POWER(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
              AS variance_ratio,
-           ROUND(1 / (1 - POWER(n * sxy - sx * sy, 2)
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy))), 6)
+           (1 / (1 - POWER(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy))))
              AS effective_n_multiplier
     FROM mom
     """,
@@ -91,9 +91,9 @@ def q_cuped_adjustment(spark, sf_dir):
     o = tables.load(spark, sf_dir, "orders")
     epoch = F.datediff(col("o_orderdate"), F.lit("1970-01-01").cast("date"))
     split = o.agg(
-        F.floor((F.min(epoch) + F.max(epoch)) / 2).cast("long").alias("mid")
+        dfloor((F.min(epoch) + F.max(epoch)) / 2).cast("long").alias("mid")
     )
-    cents = F.round(col("o_totalprice") * 100).cast("long")
+    cents = dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long")
     cust = (
         o.crossJoin(broadcast(split))
         .groupBy("o_custkey")
@@ -119,10 +119,10 @@ def q_cuped_adjustment(spark, sf_dir):
     rho2 = F.pow(cov_n, 2) / (varx_n * vary_n)
     return mom.select(
         col("n").cast("long").alias("n_customers"),
-        F.round(cov_n / varx_n, 6).alias("cuped_theta"),
-        F.round(rho2, 6).alias("rho_squared"),
-        F.round(1 - rho2, 6).alias("variance_ratio"),
-        F.round(1 / (1 - rho2), 6).alias("effective_n_multiplier"),
+        (cov_n / varx_n).alias("cuped_theta"),
+        (rho2).alias("rho_squared"),
+        (1 - rho2).alias("variance_ratio"),
+        (1 / (1 - rho2)).alias("effective_n_multiplier"),
     )
 
 
@@ -131,14 +131,14 @@ def q_cuped_adjustment(spark, sf_dir):
     oracle="""
     WITH vals AS (
       SELECT c.c_mktsegment AS seg,
-             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+             CAST(FLOOR((o.o_totalprice * 100) + 0.5) AS BIGINT) AS cents
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     ), cuts AS (
       SELECT seg, quantile_cont(CAST(cents AS DOUBLE), 0.99) AS p99
       FROM vals GROUP BY seg
     ), clamped AS (
       SELECT v.seg, v.cents,
-             CAST(ROUND(LEAST(CAST(v.cents AS DOUBLE), c.p99), 4)
+             CAST(FLOOR((LEAST(CAST(v.cents AS DOUBLE), c.p99)) * 1e4 + 0.5) / 1e4
                   AS DECIMAL(38,4)) AS w
       FROM vals v JOIN cuts c ON v.seg = c.seg
     ), mom AS (
@@ -146,18 +146,18 @@ def q_cuped_adjustment(spark, sf_dir):
              CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS s1,
              CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DOUBLE) AS s2,
              CAST(SUM(w) AS DOUBLE) AS w1,
-             CAST(SUM(CAST(ROUND(CAST(w AS DOUBLE) * CAST(w AS DOUBLE), 4)
+             CAST(SUM(CAST(FLOOR((CAST(w AS DOUBLE) * CAST(w AS DOUBLE)) * 1e4 + 0.5) / 1e4
                            AS DECIMAL(38,4))) AS DOUBLE) AS w2
       FROM clamped GROUP BY seg
     )
     SELECT seg AS c_mktsegment,
            CAST(n AS BIGINT) AS n_orders,
-           ROUND((s2 / n - POWER(s1 / n, 2)) / 10000, 2) AS raw_variance,
-           ROUND((w2 / n - POWER(w1 / n, 2)) / 10000, 2)
+           ((s2 / n - POWER(s1 / n, 2)) / 10000) AS raw_variance,
+           ((w2 / n - POWER(w1 / n, 2)) / 10000)
              AS winsorized_variance,
-           ROUND((w2 / n - POWER(w1 / n, 2))
-                 / (s2 / n - POWER(s1 / n, 2)), 6) AS variance_ratio,
-           ROUND((s1 / n - w1 / n) / (s1 / n), 6) AS mean_shift_frac
+           ((w2 / n - POWER(w1 / n, 2))
+                 / (s2 / n - POWER(s1 / n, 2))) AS variance_ratio,
+           ((s1 / n - w1 / n) / (s1 / n)) AS mean_shift_frac
     FROM mom ORDER BY seg
     """,
     desc="Winsorization variance gain per segment: clamp order value "
@@ -171,7 +171,7 @@ def q_cuped_adjustment(spark, sf_dir):
          "tail index predicts. The p99 cut is the exact "
          "continuous percentile of integer cents (engine-identical "
          "interpolation, the q_winsorize pattern); clamped values "
-         "and their squares quantize ROUND(,4)->DECIMAL before "
+         "and their squares quantize the 1e-4 grid ->DECIMAL before "
          "every sum; ratios are single closed forms.",
     tags=["stats", "join", "agg"],
 )
@@ -183,14 +183,14 @@ def q_winsor_variance_gain(spark, sf_dir):
         col("o_custkey") == col("c_custkey"),
     ).select(
         col("c_mktsegment").alias("seg"),
-        F.round(col("o_totalprice") * 100).cast("long").alias("cents"),
+        dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long").alias("cents"),
     )
     cuts = vals.groupBy(col("seg").alias("seg_c")).agg(
         F.expr("percentile(cast(cents as double), 0.99)").alias("p99")
     )
     clamped = vals.join(broadcast(cuts), col("seg") == col("seg_c")).select(
         "seg", "cents",
-        F.round(F.least(col("cents").cast("double"), col("p99")), 4)
+        (dfloor((F.least(col("cents").cast("double"), col("p99"))) * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4))
         .cast("decimal(38,4)").alias("w"),
     )
     cd = col("cents").cast("decimal(38,0)")
@@ -200,7 +200,7 @@ def q_winsor_variance_gain(spark, sf_dir):
         F.sum(cd).cast("double").alias("s1"),
         F.sum(cd * col("cents")).cast("double").alias("s2"),
         F.sum("w").cast("double").alias("w1"),
-        F.sum(F.round(wdd * wdd, 4).cast("decimal(38,4)")).cast("double")
+        F.sum((dfloor((wdd * wdd) * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).cast("decimal(38,4)")).cast("double")
         .alias("w2"),
     )
     nd = col("n").cast("double")
@@ -209,13 +209,11 @@ def q_winsor_variance_gain(spark, sf_dir):
     return mom.select(
         col("seg").alias("c_mktsegment"),
         col("n").cast("long").alias("n_orders"),
-        F.round(raw_v / 10000, 2).alias("raw_variance"),
-        F.round(win_v / 10000, 2).alias("winsorized_variance"),
+        (raw_v / 10000).alias("raw_variance"),
+        (win_v / 10000).alias("winsorized_variance"),
         # try_divide: a constant segment has zero raw variance and a
         # zero-mean one no shift denominator -> NULL, matching the
         # oracle's x/0 = NULL
-        F.round(F.try_divide(win_v, raw_v), 6).alias("variance_ratio"),
-        F.round(
-            F.try_divide(col("s1") / nd - col("w1") / nd, col("s1") / nd), 6
-        ).alias("mean_shift_frac"),
+        (F.try_divide(win_v, raw_v)).alias("variance_ratio"),
+        (F.try_divide(col("s1") / nd - col("w1") / nd, col("s1") / nd)).alias("mean_shift_frac"),
     ).orderBy("c_mktsegment")

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -32,7 +32,7 @@ from .queries import q
     oracle="""
     WITH vals AS (
       SELECT c.c_mktsegment AS seg,
-             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+             CAST(FLOOR((o.o_totalprice * 100) + 0.5) AS BIGINT) AS cents
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     ), grp AS (
       SELECT seg, COUNT(*) AS n,
@@ -45,25 +45,25 @@ from .queries import q
       FROM grp
     ), tot AS (
       SELECT COUNT(*) AS k,
-             CAST(SUM(CAST(ROUND(m, 6) AS DECIMAL(28,6))) AS DOUBLE)
+             CAST(SUM(CAST(FLOOR((m) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE)
                / COUNT(*) AS grand,
-             CAST(SUM(CAST(ROUND(se2, 6) AS DECIMAL(28,6))) AS DOUBLE)
+             CAST(SUM(CAST(FLOOR((se2) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE)
                / COUNT(*) AS mean_se2
       FROM stats
     ), tau AS (
       SELECT t.k, t.grand, t.mean_se2,
              GREATEST(
-               CAST(SUM(CAST(ROUND(POWER(s.m - t.grand, 2), 6)
+               CAST(SUM(CAST(FLOOR((POWER(s.m - t.grand, 2)) * 1e6 + 0.5) / 1e6
                              AS DECIMAL(38,6))) AS DOUBLE) / (t.k - 1)
                - t.mean_se2, 0) AS tau2
       FROM stats s, tot t GROUP BY t.k, t.grand, t.mean_se2
     )
     SELECT s.seg AS c_mktsegment,
            CAST(s.n AS BIGINT) AS n_orders,
-           ROUND(s.m / 100, 2) AS raw_mean,
-           ROUND(t.tau2 / (t.tau2 + s.se2), 6) AS shrink_weight,
-           ROUND((t.tau2 / (t.tau2 + s.se2) * s.m
-                  + (1 - t.tau2 / (t.tau2 + s.se2)) * t.grand) / 100, 2)
+           (s.m / 100) AS raw_mean,
+           (t.tau2 / (t.tau2 + s.se2)) AS shrink_weight,
+           ((t.tau2 / (t.tau2 + s.se2) * s.m
+                  + (1 - t.tau2 / (t.tau2 + s.se2)) * t.grand) / 100)
              AS shrunk_mean
     FROM stats s, tau t ORDER BY s.seg
     """,
@@ -79,7 +79,7 @@ from .queries import q
          "large segments the weights sit near 1 (the audit's "
          "honest reading: shrinkage matters when cells are small). "
          "Exact decimal moments per group; group means, se^2 and "
-         "squared deviations quantize ROUND(,6)->DECIMAL before "
+         "squared deviations quantize the 1e-6 grid ->DECIMAL before "
          "cross-group sums; every output is one closed form.",
     tags=["stats", "join", "agg", "cross"],
 )
@@ -91,7 +91,7 @@ def q_eb_shrinkage(spark, sf_dir):
         col("o_custkey") == col("c_custkey"),
     ).select(
         col("c_mktsegment").alias("seg"),
-        F.round(col("o_totalprice") * 100).cast("long").alias("cents"),
+        dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long").alias("cents"),
     )
     cd = col("cents").cast("decimal(38,0)")
     grp = vals.groupBy("seg").agg(
@@ -109,9 +109,9 @@ def q_eb_shrinkage(spark, sf_dir):
     stats = grp.select("seg", "n", m.alias("m"), se2.alias("se2"))
     tot = stats.agg(
         F.count("*").alias("k"),
-        (F.sum(F.round(col("m"), 6).cast("decimal(28,6)")).cast("double")
+        (F.sum((dfloor((col("m")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("decimal(28,6)")).cast("double")
          / F.count("*")).alias("grand"),
-        (F.sum(F.round(col("se2"), 6).cast("decimal(28,6)")).cast("double")
+        (F.sum((dfloor((col("se2")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("decimal(28,6)")).cast("double")
          / F.count("*")).alias("mean_se2"),
     )
     tau = stats.crossJoin(broadcast(tot)).groupBy(
@@ -120,7 +120,7 @@ def q_eb_shrinkage(spark, sf_dir):
         F.greatest(
             F.try_divide(
                 F.sum(
-                    F.round(F.pow(col("m") - col("grand"), 2), 6)
+                    (dfloor((F.pow(col("m") - col("grand"), 2)) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
                     .cast("decimal(38,6)")
                 ).cast("double"), F.max("k") - 1) - F.max("mean_se2"),
             F.lit(0.0),
@@ -131,9 +131,9 @@ def q_eb_shrinkage(spark, sf_dir):
     return j.select(
         col("seg").alias("c_mktsegment"),
         col("n").cast("long").alias("n_orders"),
-        F.round(col("m") / 100, 2).alias("raw_mean"),
-        F.round(w, 6).alias("shrink_weight"),
-        F.round((w * col("m") + (1 - w) * col("grand")) / 100, 2)
+        (col("m") / 100).alias("raw_mean"),
+        (w).alias("shrink_weight"),
+        ((w * col("m") + (1 - w) * col("grand")) / 100)
         .alias("shrunk_mean"),
     ).orderBy("c_mktsegment")
 
@@ -145,23 +145,23 @@ def q_eb_shrinkage(spark, sf_dir):
       SELECT source, COUNT(*) AS n FROM documents GROUP BY source
     ), wq AS (
       SELECT source, n,
-             CAST(ROUND(POWER(CAST(n AS DOUBLE), 0.7), 8)
+             CAST(FLOOR((POWER(CAST(n AS DOUBLE), 0.7)) * 1e8 + 0.5) / 1e8
                   AS DECIMAL(24,8)) AS w
       FROM src
     ), per_doc AS (
       SELECT source, n, CAST(w AS DOUBLE) / n AS wd FROM wq
     )
     SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
-           ROUND(POWER(CAST(SUM(CAST(ROUND(wd * n, 8) AS DECIMAL(28,8)))
+           (POWER(CAST(SUM(CAST(FLOOR((wd * n) * 1e8 + 0.5) / 1e8 AS DECIMAL(28,8)))
                             AS DOUBLE), 2)
-                 / CAST(SUM(CAST(ROUND(wd * wd * n, 10)
-                                 AS DECIMAL(28,10))) AS DOUBLE), 1)
+                 / CAST(SUM(CAST(FLOOR((wd * wd * n) * 1e10 + 0.5) / 1e10
+                                 AS DECIMAL(28,10))) AS DOUBLE))
              AS kish_ess,
-           ROUND(POWER(CAST(SUM(CAST(ROUND(wd * n, 8) AS DECIMAL(28,8)))
+           (POWER(CAST(SUM(CAST(FLOOR((wd * n) * 1e8 + 0.5) / 1e8 AS DECIMAL(28,8)))
                             AS DOUBLE), 2)
-                 / CAST(SUM(CAST(ROUND(wd * wd * n, 10)
+                 / CAST(SUM(CAST(FLOOR((wd * wd * n) * 1e10 + 0.5) / 1e10
                                  AS DECIMAL(28,10))) AS DOUBLE)
-                 / SUM(n), 6) AS ess_fraction
+                 / SUM(n)) AS ess_fraction
     FROM per_doc
     """,
     desc="Kish's effective sample size of the temperature-weighted "
@@ -183,20 +183,20 @@ def q_kish_ess(spark, sf_dir):
     docs = tables.load(spark, sf_dir, "documents").select("source")
     src = docs.groupBy("source").agg(F.count("*").alias("n"))
     w = (
-        F.round(F.pow(col("n").cast("double"), F.lit(0.7)), 8)
+        (dfloor((F.pow(col("n").cast("double"), F.lit(0.7))) * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8))
         .cast("decimal(24,8)")
     )
     per_src = src.select(
         "n", (w.cast("double") / col("n")).alias("wd")
     )
     sw = F.sum(
-        F.round(col("wd") * col("n"), 8).cast("decimal(28,8)")
+        (dfloor((col("wd") * col("n")) * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)).cast("decimal(28,8)")
     ).cast("double")
     sw2 = F.sum(
-        F.round(col("wd") * col("wd") * col("n"), 10).cast("decimal(28,10)")
+        (dfloor((col("wd") * col("wd") * col("n")) * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10)).cast("decimal(28,10)")
     ).cast("double")
     return per_src.agg(
         F.sum("n").cast("long").alias("n_docs"),
-        F.round(F.pow(sw, 2) / sw2, 1).alias("kish_ess"),
-        F.round(F.pow(sw, 2) / sw2 / F.sum("n"), 6).alias("ess_fraction"),
+        (F.pow(sw, 2) / sw2).alias("kish_ess"),
+        (F.pow(sw, 2) / sw2 / F.sum("n")).alias("ess_fraction"),
     )

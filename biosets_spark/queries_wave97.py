@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -34,7 +34,7 @@ from .queries import q
              CAST(f.v AS BIGINT) AS v
       FROM lineitem, LATERAL (VALUES
         ('quantity', CAST(l_quantity AS BIGINT)),
-        ('tax_bp',   CAST(ROUND(l_tax * 10000) AS BIGINT))
+        ('tax_bp',   CAST(FLOOR((l_tax * 10000) + 0.5) AS BIGINT))
       ) AS f(name, v)
     ), mom AS (
       SELECT name, exposed, COUNT(*) AS n,
@@ -47,9 +47,9 @@ from .queries import q
       FROM mom
     )
     SELECT e.name AS covariate,
-           ROUND(e.m, 4) AS mean_exposed,
-           ROUND(u.m, 4) AS mean_unexposed,
-           ROUND((e.m - u.m) / SQRT((e.var_ + u.var_) / 2), 6) AS smd,
+           (e.m) AS mean_exposed,
+           (u.m) AS mean_unexposed,
+           ((e.m - u.m) / SQRT((e.var_ + u.var_) / 2)) AS smd,
            ABS((e.m - u.m) / SQRT((e.var_ + u.var_) / 2)) < 0.1
              AS balanced
     FROM stats e JOIN stats u
@@ -82,7 +82,7 @@ def q_covariate_balance(spark, sf_dir):
                 ),
                 F.struct(
                     F.lit("tax_bp").alias("name"),
-                    F.round(col("l_tax") * 10000).cast("long").alias("v"),
+                    dfloor((col("l_tax") * 10000) + F.lit(0.5)).cast("long").alias("v"),
                 ),
             )
         ).alias("f"),
@@ -109,9 +109,9 @@ def q_covariate_balance(spark, sf_dir):
     smd = (col("m1") - col("m0")) / F.sqrt((col("v1") + col("v0")) / 2)
     return j.select(
         col("ne").alias("covariate"),
-        F.round(col("m1"), 4).alias("mean_exposed"),
-        F.round(col("m0"), 4).alias("mean_unexposed"),
-        F.round(smd, 6).alias("smd"),
+        (col("m1")).alias("mean_exposed"),
+        (col("m0")).alias("mean_unexposed"),
+        (smd).alias("smd"),
         (F.abs(smd) < 0.1).alias("balanced"),
     ).orderBy("covariate")
 
@@ -139,15 +139,15 @@ def q_covariate_balance(spark, sf_dir):
                                    + 1.0 / c - 1.0 / (c + d))) AS rr_lo
       FROM cells
     )
-    SELECT ROUND(rr, 6) AS risk_ratio,
-           ROUND(rr_lo, 6) AS rr_ci_lower,
-           ROUND(CASE WHEN rr >= 1
+    SELECT (rr) AS risk_ratio,
+           (rr_lo) AS rr_ci_lower,
+           (CASE WHEN rr >= 1
                       THEN rr + SQRT(rr * (rr - 1))
-                      ELSE 1 / rr + SQRT((1 / rr) * (1 / rr - 1)) END, 6)
+                      ELSE 1 / rr + SQRT((1 / rr) * (1 / rr - 1)) END)
              AS e_value_point,
-           ROUND(CASE WHEN rr_lo >= 1
+           (CASE WHEN rr_lo >= 1
                       THEN rr_lo + SQRT(rr_lo * (rr_lo - 1))
-                      ELSE 1 END, 6) AS e_value_ci
+                      ELSE 1 END) AS e_value_ci
     FROM rr
     """,
     desc="VanderWeele's E-value for the discount->return risk ratio: "
@@ -190,8 +190,8 @@ def q_e_value(spark, sf_dir):
         rr_lo >= 1, rr_lo + F.sqrt(rr_lo * (rr_lo - 1))
     ).otherwise(F.lit(1.0))
     return cells.select(
-        F.round(rr, 6).alias("risk_ratio"),
-        F.round(rr_lo, 6).alias("rr_ci_lower"),
-        F.round(ev_point, 6).alias("e_value_point"),
-        F.round(ev_ci, 6).alias("e_value_ci"),
+        (rr).alias("risk_ratio"),
+        (rr_lo).alias("rr_ci_lower"),
+        (ev_point).alias("e_value_point"),
+        (ev_ci).alias("e_value_ci"),
     )

@@ -12,7 +12,7 @@ erroneous pricing that q_price_index's between-year view and
 q_round_price_bias's digit forensics both miss).
 
 Determinism discipline: daily revenues are exact integer cents;
-log returns quantize ROUND(,8)->DECIMAL(28,8) before per-segment
+log returns quantize the 1e-8 grid ->DECIMAL(28,8) before per-segment
 moment sums; unit prices are exact cents/quantity ratios quantized
 before per-part sums; CV ordering breaks ties on partkey.
 """
@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 
 @q(
@@ -31,29 +31,29 @@ from .queries import q
     oracle="""
     WITH daily AS (
       SELECT c.c_mktsegment AS seg, o.o_orderdate AS day,
-             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+             SUM(CAST(FLOOR((o.o_totalprice * 100) + 0.5) AS BIGINT)) AS cents
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY 1, 2
     ), rets AS (
       SELECT seg,
-             CAST(ROUND(LN(CAST(cents AS DOUBLE)
+             CAST(FLOOR((LN(CAST(cents AS DOUBLE)
                            / LAG(cents) OVER (PARTITION BY seg
-                                              ORDER BY day)), 8)
+                                              ORDER BY day))) * 1e8 + 0.5) / 1e8
                   AS DECIMAL(28,8)) AS r
       FROM daily
     ), mom AS (
       SELECT seg, COUNT(r) AS n,
              CAST(SUM(r) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(ROUND(CAST(r AS DOUBLE) * CAST(r AS DOUBLE), 10)
+             CAST(SUM(CAST(FLOOR((CAST(r AS DOUBLE) * CAST(r AS DOUBLE)) * 1e10 + 0.5) / 1e10
                            AS DECIMAL(28,10))) AS DOUBLE) AS s2
       FROM rets WHERE r IS NOT NULL GROUP BY seg
     )
     SELECT seg AS c_mktsegment,
            CAST(n AS BIGINT) AS n_returns,
-           ROUND(s1 / n, 6) AS mean_log_return,
-           ROUND(SQRT(s2 / n - POWER(s1 / n, 2)), 6) AS volatility,
-           ROUND((s1 / n) / SQRT(s2 / n - POWER(s1 / n, 2))
-                 * SQRT(365.0), 6) AS sharpe_annualized
+           (s1 / n) AS mean_log_return,
+           (SQRT(s2 / n - POWER(s1 / n, 2))) AS volatility,
+           ((s1 / n) / SQRT(s2 / n - POWER(s1 / n, 2))
+                 * SQRT(365.0)) AS sharpe_annualized
     FROM mom ORDER BY seg
     """,
     desc="Sharpe ratio of each segment's daily revenue growth: "
@@ -65,8 +65,8 @@ from .queries import q
          "divides it out — the summary companion to q_capm_beta's "
          "decomposition and q_max_drawdown's worst case). Daily "
          "revenues are exact integer cents; each log return "
-         "quantizes ROUND(,8)->DECIMAL(28,8) and its square "
-         "ROUND(,10)->DECIMAL before the per-segment sums; the "
+         "quantizes the 1e-8 grid ->DECIMAL(28,8) and its square "
+         "the 1e-10 grid ->DECIMAL before the per-segment sums; the "
          "lag window partitions by segment over the tiny daily "
          "table; Sharpe is one closed form.",
     tags=["stats", "window", "join", "agg"],
@@ -85,20 +85,18 @@ def q_sharpe_revenue(spark, sf_dir):
             col("c_mktsegment").alias("seg"), col("o_orderdate").alias("day")
         )
         .agg(
-            F.sum(F.round(col("o_totalprice") * 100).cast("long"))
+            F.sum(dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long"))
             .alias("cents")
         )
     )
     w = Window.partitionBy("seg").orderBy("day")
-    r = F.round(
-        F.log(col("cents").cast("double") / F.lag("cents").over(w)), 8
-    ).cast("decimal(28,8)")
+    r = (dfloor((F.log(col("cents").cast("double") / F.lag("cents").over(w))) * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)).cast("decimal(28,8)")
     rets = daily.select("seg", r.alias("r")).filter(col("r").isNotNull())
     rd = col("r").cast("double")
     mom = rets.groupBy("seg").agg(
         F.count("r").alias("n"),
         F.sum("r").cast("double").alias("s1"),
-        F.sum(F.round(rd * rd, 10).cast("decimal(28,10)")).cast("double")
+        F.sum((dfloor((rd * rd) * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10)).cast("decimal(28,10)")).cast("double")
         .alias("s2"),
     )
     nd = col("n").cast("double")
@@ -107,9 +105,9 @@ def q_sharpe_revenue(spark, sf_dir):
     return mom.select(
         col("seg").alias("c_mktsegment"),
         col("n").cast("long").alias("n_returns"),
-        F.round(mean, 6).alias("mean_log_return"),
-        F.round(vol, 6).alias("volatility"),
-        F.round(mean / vol * F.sqrt(F.lit(365.0)), 6)
+        (mean).alias("mean_log_return"),
+        (vol).alias("volatility"),
+        (mean / vol * F.sqrt(F.lit(365.0)))
         .alias("sharpe_annualized"),
     ).orderBy("c_mktsegment")
 
@@ -119,13 +117,13 @@ def q_sharpe_revenue(spark, sf_dir):
     oracle="""
     WITH units AS (
       SELECT l_partkey,
-             CAST(ROUND(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                        / l_quantity, 4) AS DECIMAL(28,4)) AS up
+             CAST(FLOOR((CAST(FLOOR((l_extendedprice * 100) + 0.5) AS BIGINT)
+                        / l_quantity) * 1e4 + 0.5) / 1e4 AS DECIMAL(28,4)) AS up
       FROM lineitem WHERE l_quantity > 0
     ), mom AS (
       SELECT l_partkey, COUNT(*) AS n,
              CAST(SUM(up) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(ROUND(CAST(up AS DOUBLE) * CAST(up AS DOUBLE), 4)
+             CAST(SUM(CAST(FLOOR((CAST(up AS DOUBLE) * CAST(up AS DOUBLE)) * 1e4 + 0.5) / 1e4
                            AS DECIMAL(38,4))) AS DOUBLE) AS s2
       FROM units GROUP BY l_partkey HAVING COUNT(*) >= 5
     ), scored AS (
@@ -135,8 +133,8 @@ def q_sharpe_revenue(spark, sf_dir):
       FROM mom
     )
     SELECT l_partkey, CAST(n AS BIGINT) AS n_sales,
-           ROUND(mean_unit_price, 2) AS mean_unit_price,
-           ROUND(cv, 6) AS price_cv
+           (mean_unit_price) AS mean_unit_price,
+           (cv) AS price_cv
     FROM scored ORDER BY cv DESC, l_partkey LIMIT 15
     """,
     desc="Same-part price dispersion: the coefficient of variation "
@@ -147,7 +145,7 @@ def q_sharpe_revenue(spark, sf_dir):
          "that q_price_index's between-period basket and "
          "q_round_price_bias's digit forensics are both blind to "
          "(and a data-quality screen before any per-part elasticity "
-         "model). Unit prices quantize ROUND(,4)->DECIMAL before "
+         "model). Unit prices quantize the 1e-4 grid ->DECIMAL before "
          "per-part sums (order-free); CV is one closed form per "
          "part; ordering breaks ties on partkey; one combinable "
          "agg over the fact table.",
@@ -155,10 +153,7 @@ def q_sharpe_revenue(spark, sf_dir):
 )
 def q_price_dispersion(spark, sf_dir):
     li = tables.load(spark, sf_dir, "lineitem")
-    up = F.round(
-        F.round(col("l_extendedprice") * 100).cast("long") / col("l_quantity"),
-        4,
-    ).cast("decimal(28,4)")
+    up = (dfloor((dfloor((col("l_extendedprice") * 100) + F.lit(0.5)).cast("long") / col("l_quantity")) * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).cast("decimal(28,4)")
     units = li.filter(col("l_quantity") > 0).select(
         "l_partkey", up.alias("up")
     )
@@ -168,7 +163,7 @@ def q_price_dispersion(spark, sf_dir):
         .agg(
             F.count("*").alias("n"),
             F.sum("up").cast("double").alias("s1"),
-            F.sum(F.round(ud * ud, 4).cast("decimal(38,4)")).cast("double")
+            F.sum((dfloor((ud * ud) * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).cast("decimal(38,4)")).cast("double")
             .alias("s2"),
         )
         .filter(col("n") >= 5)
@@ -180,8 +175,8 @@ def q_price_dispersion(spark, sf_dir):
         mom.select(
             "l_partkey",
             col("n").cast("long").alias("n_sales"),
-            F.round(mean / 100, 2).alias("mean_unit_price"),
-            F.round(cv, 6).alias("price_cv"),
+            (mean / 100).alias("mean_unit_price"),
+            (cv).alias("price_cv"),
             cv.alias("_cv"),
         )
         .orderBy(col("_cv").desc(), "l_partkey")

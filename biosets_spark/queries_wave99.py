@@ -13,7 +13,7 @@ model).
 
 Determinism discipline: all type counts are exact integers and
 Chao1/coverage single closed forms; daily revenues are exact cents
-with ln terms quantized ROUND(,8)->DECIMAL before the OLS sums; day
+with ln terms quantized the 1e-8 grid ->DECIMAL before the OLS sums; day
 indices are exact epoch-day integers; slope, doubling time and R^2
 are closing closed forms.
 """
@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from . import tables
-from .queries import q
+from .queries import dfloor, q
 
 from .oracle_fragments import TOKS_SQL as _TOKS_SQL
 _LN2 = 0.6931471805599453
@@ -49,9 +49,9 @@ _LN2 = 0.6931471805599453
            CAST(v AS BIGINT) AS observed_types,
            CAST(f1 AS BIGINT) AS singletons,
            CAST(f2 AS BIGINT) AS doubletons,
-           ROUND(v + CAST(f1 AS DOUBLE) * f1
-                     / NULLIF(2.0 * f2, 0), 1) AS chao1_estimate,
-           ROUND(1 - CAST(f1 AS DOUBLE) / n, 6) AS good_coverage
+           (v + CAST(f1 AS DOUBLE) * f1
+                     / NULLIF(2.0 * f2, 0)) AS chao1_estimate,
+           (1 - CAST(f1 AS DOUBLE) / n) AS good_coverage
     FROM stats ORDER BY source
     """,
     desc="Chao1 vocabulary-richness estimate per source: observed "
@@ -89,13 +89,10 @@ def q_chao1_richness(spark, sf_dir):
         col("v").cast("long").alias("observed_types"),
         col("f1").cast("long").alias("singletons"),
         col("f2").cast("long").alias("doubletons"),
-        F.round(
-            col("v")
+        (col("v")
             + col("f1").cast("double") * col("f1")
-            / F.nullif((2.0 * col("f2")).cast("double"), F.lit(0.0)),
-            1,
-        ).alias("chao1_estimate"),
-        F.round(1 - col("f1").cast("double") / col("n"), 6)
+            / F.nullif((2.0 * col("f2")).cast("double"), F.lit(0.0))).alias("chao1_estimate"),
+        (1 - col("f1").cast("double") / col("n"))
         .alias("good_coverage"),
     ).orderBy("source")
 
@@ -107,33 +104,34 @@ def q_chao1_richness(spark, sf_dir):
       SELECT c.c_mktsegment AS seg,
              date_diff('day', DATE '1970-01-01',
                        CAST(o.o_orderdate AS DATE)) AS x,
-             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+             SUM(CAST(FLOOR((o.o_totalprice * 100) + 0.5) AS BIGINT)) AS cents
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY 1, 2
     ), lp AS (
       SELECT seg, x,
-             CAST(ROUND(LN(CAST(cents AS DOUBLE)), 8) AS DECIMAL(28,8)) AS y
+             CAST(FLOOR((LN(CAST(cents AS DOUBLE))) * 1e8 + 0.5) / 1e8 AS DECIMAL(28,8)) AS y
       FROM daily
     ), mom AS (
       SELECT seg, COUNT(*) AS n,
              CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
              CAST(SUM(y) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(ROUND(x * CAST(y AS DOUBLE), 6)
-                           AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(FLOOR(x * CAST(y AS DOUBLE) * 1e6 + 0.5)
+                           AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS sxy,
              CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(ROUND(CAST(y AS DOUBLE) * CAST(y AS DOUBLE), 8)
-                           AS DECIMAL(38,8))) AS DOUBLE) AS syy
+             CAST(SUM(CAST(FLOOR(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+                                 * 1e8 + 0.5)
+                           AS DECIMAL(38,0))) AS DOUBLE) / 1e8 AS syy
       FROM lp GROUP BY seg
     )
     SELECT seg AS c_mktsegment,
            CAST(n AS BIGINT) AS n_days,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 8)
+           ((n * sxy - sx * sy) / (n * sxx - sx * sx))
              AS daily_log_slope,
-           ROUND({_LN2} / NULLIF((n * sxy - sx * sy)
-                                 / (n * sxx - sx * sx), 0), 1)
+           ({_LN2} / NULLIF((n * sxy - sx * sy)
+                                 / (n * sxx - sx * sx), 0))
              AS doubling_time_days,
-           ROUND(POWER(n * sxy - sx * sy, 2)
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           (POWER(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
              AS r_squared
     FROM mom ORDER BY seg
     """,
@@ -146,7 +144,8 @@ def q_chao1_richness(spark, sf_dir):
          "executives quote, and near-zero R^2 (as flat synthetic "
          "revenue produces) is the honest 'no trend' verdict. Daily "
          "cents are exact integer sums; ln terms quantize "
-         "ROUND(,8)->DECIMAL and cross-products quantize before "
+         "the 1e-8 grid ->DECIMAL and cross-products quantize onto the "
+         "engine-identical FLOOR(x*K+0.5) integer grid before "
          "the per-segment sums (q_ols_normal_eq discipline); slope, "
          "doubling time and R^2 are single closed forms.",
     tags=["stats", "join", "agg"],
@@ -162,23 +161,25 @@ def q_doubling_time(spark, sf_dir):
         )
         .groupBy(col("c_mktsegment").alias("seg"), epoch.alias("x"))
         .agg(
-            F.sum(F.round(col("o_totalprice") * 100).cast("long"))
+            F.sum(dfloor((col("o_totalprice") * 100) + F.lit(0.5)).cast("long"))
             .alias("cents")
         )
     )
-    y = F.round(F.log(col("cents").cast("double")), 8).cast("decimal(28,8)")
+    y = (dfloor((F.log(col("cents").cast("double"))) * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)).cast("decimal(28,8)")
     lp = daily.select("seg", "x", y.alias("y"))
     yd = col("y").cast("double")
     mom = lp.groupBy("seg").agg(
         F.count("*").alias("n"),
         F.sum(col("x").cast("decimal(38,0)")).cast("double").alias("sx"),
         F.sum("y").cast("double").alias("sy"),
-        F.sum(F.round(col("x") * yd, 6).cast("decimal(38,6)"))
-        .cast("double").alias("sxy"),
+        (F.sum(F.floor(col("x") * yd * F.lit(1e6) + F.lit(0.5))
+               .cast("decimal(38,0)"))
+         .cast("double") / F.lit(1e6)).alias("sxy"),
         F.sum(col("x").cast("decimal(38,0)") * col("x")).cast("double")
         .alias("sxx"),
-        F.sum(F.round(yd * yd, 8).cast("decimal(38,8)")).cast("double")
-        .alias("syy"),
+        (F.sum(F.floor(yd * yd * F.lit(1e8) + F.lit(0.5))
+               .cast("decimal(38,0)"))
+         .cast("double") / F.lit(1e8)).alias("syy"),
     )
     nd = col("n").cast("double")
     # try_divide: a segment with one active day has zero x-variance;
@@ -195,8 +196,8 @@ def q_doubling_time(spark, sf_dir):
     return mom.select(
         col("seg").alias("c_mktsegment"),
         col("n").cast("long").alias("n_days"),
-        F.round(slope, 8).alias("daily_log_slope"),
-        F.round(_LN2 / F.nullif(slope, F.lit(0.0)), 1)
+        (slope).alias("daily_log_slope"),
+        (_LN2 / F.nullif(slope, F.lit(0.0)))
         .alias("doubling_time_days"),
-        F.round(r2, 6).alias("r_squared"),
+        (r2).alias("r_squared"),
     ).orderBy("c_mktsegment")

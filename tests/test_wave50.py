@@ -44,7 +44,7 @@ def test_heaps_law_curve_matches_bruteforce(spark):
     beta = (n * sum(a * b for a, b in zip(lx, ly)) - sum(lx) * sum(ly)) / (
         n * sum(a * a for a in lx) - sum(lx) ** 2)
     for r in rows:
-        assert abs(r["heaps_beta"] - round(beta, 6)) < 1e-5
+        assert abs(r["heaps_beta"] - (beta)) < 1e-05
     # curve is monotone: vocabulary never shrinks as docs accumulate
     vocabs = [r["cum_vocab"] for r in rows]
     assert vocabs == sorted(vocabs)
@@ -72,7 +72,7 @@ def test_word_adaptation_matches_bruteforce(spark):
         t = r["tok"]
         assert r["doc_freq"] == df[t]
         adapt = df2[t] / df[t]
-        assert abs(r["adaptation"] - round(adapt, 6)) < 1e-9
+        assert abs(r["adaptation"] - (adapt)) < 1e-06
         assert abs(r["adaptation_lift"]
-                   - round(adapt / (df[t] / n_docs), 6)) < 1e-5
+                   - (adapt / (df[t] / n_docs))) < 1e-05
         assert 0 <= r["adaptation"] <= 1

@@ -38,7 +38,7 @@ def test_retention_half_life_matches_bruteforce(spark):
         n * sum(x * x for x in xs) - sum(xs) ** 2)
     hl = round(-math.log(2) / slope, 4)
     for r in rows:
-        assert abs(r["retention"] - round(curve[r["day_offset"]] / cohort, 6)) < 1e-9
+        assert abs(r["retention"] - (curve[r["day_offset"]] / cohort)) < 1e-06
         assert abs(r["half_life_days"] - hl) < 1e-3
 
 

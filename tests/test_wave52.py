@@ -40,9 +40,9 @@ def test_price_index_matches_bruteforce(spark):
     assert row["n_common_parts"] == len(common)
     lasp = l_num / l_den
     paas = p_num / p_den
-    assert abs(row["laspeyres"] - round(lasp, 6)) < 1e-6
-    assert abs(row["paasche"] - round(paas, 6)) < 1e-6
-    assert abs(row["fisher"] - round(math.sqrt(lasp * paas), 6)) < 1e-6
+    assert abs(row["laspeyres"] - (lasp)) < 1e-06
+    assert abs(row["paasche"] - (paas)) < 1e-06
+    assert abs(row["fisher"] - (math.sqrt(lasp * paas))) < 1e-06
     # Fisher lies between its two factors
     lo, hi = sorted([row["laspeyres"], row["paasche"]])
     assert lo - 1e-9 <= row["fisher"] <= hi + 1e-9
@@ -68,7 +68,7 @@ def test_power_analysis_matches_closed_form(spark):
              + zb * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2))) ** 2
             / (p2 - p1) ** 2)
         assert r["n_current"] == n
-        assert abs(r["base_rate"] - round(p1, 6)) < 1e-9
+        assert abs(r["base_rate"] - (p1)) < 1e-06
         assert r["n_per_arm"] == n_arm
         assert r["underpowered_today"] == (n_arm / n >= 1)
         # a 10% relative lift on a small base rate needs MANY samples

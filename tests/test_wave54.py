@@ -20,9 +20,9 @@ def test_threshold_sweep_consistency(spark):
         tp = sum(1 for c, pos in cents if pos and c > r["threshold_cents"])
         fp = sum(1 for c, pos in cents if not pos and c > r["threshold_cents"])
         assert (r["tp"], r["fp"]) == (tp, fp)
-        assert abs(r["precision"] - round(tp / (tp + fp), 6)) < 1e-9
-        assert abs(r["recall"] - round(tp / p, 6)) < 1e-9
-        assert abs(r["f1"] - round(2 * tp / (tp + fp + p), 6)) < 1e-9
+        assert abs(r["precision"] - (tp / (tp + fp))) < 1e-06
+        assert abs(r["recall"] - (tp / p)) < 1e-06
+        assert abs(r["f1"] - (2 * tp / (tp + fp + p))) < 1e-06
     # recall is monotone non-increasing as the threshold rises
     recalls = [r["recall"] for r in rows]
     assert recalls == sorted(recalls, reverse=True)
@@ -44,7 +44,7 @@ def test_calibration_bins_train_test_split(spark):
         assert 0 <= r["predicted_rate"] <= 1
         assert 0 <= r["observed_rate"] <= 1
         assert abs(r["calibration_gap"]
-                   - round(r["observed_rate"] - r["predicted_rate"], 6)) < 2e-6
+                   - (r["observed_rate"] - r["predicted_rate"])) < 2e-06
         # a histogram model fit on 80% of iid data is well-calibrated
         # on the rest: gaps stay small on this synthetic set
         assert abs(r["calibration_gap"]) < 0.2

@@ -33,11 +33,11 @@ def test_simpson_paradox_matches_bruteforce(spark):
     diffs = {s: diff([k for k in cells if k[0] == s]) for s in strata}
     n_rev = sum(1 for d in diffs.values()
                 if d != 0 and math.copysign(1, d) == -math.copysign(1, pooled))
-    assert abs(row["pooled_diff"] - round(pooled, 6)) < 1e-9
+    assert abs(row["pooled_diff"] - (pooled)) < 1e-06
     assert row["n_strata"] == len(strata)
     assert row["n_reversed"] == n_rev
-    assert abs(row["min_stratum_diff"] - round(min(diffs.values()), 6)) < 1e-9
-    assert abs(row["max_stratum_diff"] - round(max(diffs.values()), 6)) < 1e-9
+    assert abs(row["min_stratum_diff"] - (min(diffs.values()))) < 1e-06
+    assert abs(row["max_stratum_diff"] - (max(diffs.values()))) < 1e-06
     assert row["full_reversal"] == (n_rev == len(strata))
 
 
@@ -61,6 +61,6 @@ def test_recency_value_matches_bruteforce(spark):
         assert r["n_orders"] == n
         assert abs(r["lifetime_value"] - cents / 100) < 1e-6
         assert abs(r["decayed_value"] - dec) < 1e-4
-        assert abs(r["recency_ratio"] - round(dec / (cents / 100), 6)) < 1e-6
+        assert abs(r["recency_ratio"] - (dec / (cents / 100))) < 1e-06
         # decay only shrinks
         assert 0 < r["recency_ratio"] < 1

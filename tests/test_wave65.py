@@ -26,7 +26,7 @@ def test_dedup_truncation_matches_bruteforce(spark):
             for r in got] == expect
     for r in got:
         assert abs(r["kept_fraction"]
-                   - round(r["len_short"] / r["len_long"], 6)) < 1e-9
+                   - (r["len_short"] / r["len_long"])) < 1e-06
         assert 0 < r["kept_fraction"] < 1
     # the synthetic corpus plants truncation dups — the query must find some
     assert len(got) > 0
@@ -45,10 +45,10 @@ def test_embedding_norms_matches_bruteforce(spark):
         r = rows[lbl]
         assert r["n_vectors"] == len(norms)
         mean = sum(round(n, 8) for n in norms) / len(norms)
-        assert abs(r["mean_norm"] - round(mean, 6)) < 1e-6
-        assert abs(r["min_norm"] - round(min(norms), 6)) < 1e-6
-        assert abs(r["max_norm"] - round(max(norms), 6)) < 1e-6
+        assert abs(r["mean_norm"] - (mean)) < 1e-06
+        assert abs(r["min_norm"] - (min(norms))) < 1e-06
+        assert abs(r["max_norm"] - (max(norms))) < 1e-06
         assert r["n_degenerate"] == sum(1 for n in norms if n < 1e-6)
         assert abs(r["norm_spread"]
-                   - round(max(norms) / min(norms), 6)) < 1e-5
+                   - (max(norms) / min(norms))) < 1e-05
         assert r["min_norm"] <= r["mean_norm"] <= r["max_norm"]

@@ -37,7 +37,7 @@ def test_skipgram_pmi_matches_bruteforce(spark):
     for row, (np_, w1, w2, cp) in zip(got, scored[:20]):
         assert (row["w1"], row["w2"]) == (w1, w2)
         assert row["pair_count"] == cp
-        assert abs(row["pmi"] - round(-np_, 6)) < 1e-6
+        assert abs(row["pmi"] - (-np_)) < 1e-06
 
 
 def test_char_trigram_profile_matches_bruteforce(spark):
@@ -56,6 +56,6 @@ def test_char_trigram_profile_matches_bruteforce(spark):
             r = by_key[(lang, rnk)]
             assert r["tri"] == tri
             assert r["n_occurrences"] == c
-            assert abs(r["share"] - round(c / nt, 6)) < 1e-9
+            assert abs(r["share"] - (c / nt)) < 1e-06
     # 5 langs x 5 rows
     assert len(got) == 5 * len(by_lang)

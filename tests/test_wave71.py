@@ -74,10 +74,10 @@ def test_sprt_monitor_matches_bruteforce(spark):
                          + (n - k) * math.log((1 - p1) / (1 - p0)), 8)
             cs.append((day, cum))
         r = rows[et]
-        assert abs(r["baseline_rate"] - round(p0, 6)) < 1e-9
-        assert abs(r["final_llr"] - round(cs[-1][1], 6)) < 1e-6
-        assert abs(r["max_llr"] - round(max(c for _, c in cs), 6)) < 1e-6
-        assert abs(r["min_llr"] - round(min(c for _, c in cs), 6)) < 1e-6
+        assert abs(r["baseline_rate"] - (p0)) < 1e-06
+        assert abs(r["final_llr"] - (cs[-1][1])) < 1e-06
+        assert abs(r["max_llr"] - (max(c for _, c in cs))) < 1e-06
+        assert abs(r["min_llr"] - (min(c for _, c in cs))) < 1e-06
         crossed = [d for d, c in cs if abs(c) > A]
         up = [d for d, c in cs if c > A]
         dn = [d for d, c in cs if c < -A]

@@ -30,11 +30,11 @@ def test_theil_decomposition_identity(spark):
     for seg, vals in by_seg.items():
         r = rows[seg]
         assert r["n_orders"] == len(vals)
-        assert abs(r["value_share"] - round(sum(vals) / st, 6)) < 1e-9
-        assert abs(r["theil_within"] - round(theil(vals), 6)) < 1e-5
+        assert abs(r["value_share"] - (sum(vals) / st)) < 1e-06
+        assert abs(r["theil_within"] - (theil(vals))) < 1e-05
         m_g = sum(vals) / len(vals)
         bt = sum(vals) / st * math.log(m_g / mu)
-        assert abs(r["between_term"] - round(bt, 6)) < 1e-5
+        assert abs(r["between_term"] - (bt)) < 1e-05
     # the decomposition identity: share-weighted within + between = global T
     t_global = theil(all_vals)
     t_rebuilt = sum(
@@ -70,8 +70,8 @@ def test_jarque_bera_matches_bruteforce(spark):
         jb = n / 6 * (skew ** 2 + kurt ** 2 / 4)
         r = rows[et]
         assert r["n_days"] == n
-        assert abs(r["skewness"] - round(skew, 6)) < 1e-5
-        assert abs(r["excess_kurtosis"] - round(kurt, 6)) < 1e-5
-        assert abs(r["jarque_bera"] - round(jb, 6)) < 1e-4
+        assert abs(r["skewness"] - (skew)) < 1e-05
+        assert abs(r["excess_kurtosis"] - (kurt)) < 1e-05
+        assert abs(r["jarque_bera"] - (jb)) < 0.0001
         assert r["reject_normal_5pct"] == (jb > 5.991465)
         assert r["jarque_bera"] >= 0

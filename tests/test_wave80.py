@@ -29,10 +29,10 @@ def test_cpk_matches_bruteforce(spark):
         cp = (1.2 * mu - 0.8 * mu) / (6 * sd)
         cpk = min(1.2 * mu - mu, mu - 0.8 * mu) / (3 * sd)
         r = rows[et]
-        assert abs(r["center"] - round(mu / 100, 2)) < 1e-6
-        assert abs(r["stddev"] - round(sd / 100, 4)) < 1e-4
-        assert abs(r["cp"] - round(cp, 6)) < 1e-5
-        assert abs(r["cpk"] - round(cpk, 6)) < 1e-5
+        assert abs(r["center"] - (mu / 100)) < 0.01
+        assert abs(r["stddev"] - (sd / 100)) < 0.0001
+        assert abs(r["cp"] - (cp)) < 1e-05
+        assert abs(r["cpk"] - (cpk)) < 1e-05
         assert r["capable_4sigma"] == (cpk >= 1.33)
         # with symmetric self-centered specs Cp == Cpk
         assert abs(r["cp"] - r["cpk"]) < 1e-5
@@ -56,7 +56,7 @@ def test_trimmed_mean_matches_bruteforce(spark):
         assert r["n_orders"] == n
         assert r["n_trimmed_each_side"] == k
         assert abs(r["trimmed_mean"]
-                   - round(sum(mid) / len(mid) / 100, 4)) < 1e-3
-        assert abs(r["raw_mean"] - round(sum(vals) / n / 100, 4)) < 1e-3
+                   - (sum(mid) / len(mid) / 100)) < 0.001
+        assert abs(r["raw_mean"] - (sum(vals) / n / 100)) < 0.001
         # trimming a right-skewed distribution pulls the mean down
         assert r["trimmed_mean"] != r["raw_mean"]

@@ -36,9 +36,9 @@ def test_fleiss_kappa_matches_bruteforce(spark):
     pe = p_yes ** 2 + (1 - p_yes) ** 2
     kappa = (p_bar - pe) / (1 - pe)
     assert row["n_docs"] == n
-    assert abs(row["share_yes"] - round(p_yes, 6)) < 1e-9
-    assert abs(row["observed_agreement"] - round(p_bar, 6)) < 1e-6
-    assert abs(row["fleiss_kappa"] - round(kappa, 6)) < 1e-5
+    assert abs(row["share_yes"] - (p_yes)) < 1e-06
+    assert abs(row["observed_agreement"] - (p_bar)) < 1e-06
+    assert abs(row["fleiss_kappa"] - (kappa)) < 1e-05
     assert -1 <= row["fleiss_kappa"] <= 1
 
 
@@ -68,7 +68,7 @@ def test_icc_matches_bruteforce(spark):
     icc = (msb - msw) / (msb + 6 * msw)
     assert row["n_weeks"] == k
     assert row["n_days"] == nt
-    assert abs(row["ms_between"] - round(msb, 6)) < 1e-4
-    assert abs(row["ms_within"] - round(msw, 6)) < 1e-4
-    assert abs(row["icc1"] - round(icc, 6)) < 1e-5
+    assert abs(row["ms_between"] - (msb)) < 0.0001
+    assert abs(row["ms_within"] - (msw)) < 0.0001
+    assert abs(row["icc1"] - (icc)) < 1e-05
     assert -1 <= row["icc1"] <= 1

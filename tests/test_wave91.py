@@ -29,10 +29,10 @@ def test_youden_matches_bruteforce(spark):
         key = (-j, c)
         if best is None or key < best[0]:
             best = (key, c, tp, fp, j)
-    assert abs(row["optimal_cut"] - round(best[1] / 100, 2)) < 1e-9
-    assert abs(row["tpr_at_cut"] - round(best[2] / np_, 6)) < 1e-9
-    assert abs(row["fpr_at_cut"] - round(best[3] / nn, 6)) < 1e-9
-    assert abs(row["youden_j"] - round(best[4], 6)) < 1e-9
+    assert abs(row["optimal_cut"] - (best[1] / 100)) < 0.01
+    assert abs(row["tpr_at_cut"] - (best[2] / np_)) < 1e-06
+    assert abs(row["fpr_at_cut"] - (best[3] / nn)) < 1e-06
+    assert abs(row["youden_j"] - (best[4])) < 1e-06
     assert row["youden_j"] == row["ks_distance"]
     assert -1 <= row["youden_j"] <= 1
 
@@ -55,6 +55,6 @@ def test_hosmer_lemeshow_matches_bruteforce(spark):
         if 0 < e < n:
             hl += round((o - e) ** 2 / (e * (1 - e / n)), 8)
     assert row["n_bins"] == len(bins)
-    assert abs(row["hl_chi2"] - round(hl, 6)) < 1e-5
+    assert abs(row["hl_chi2"] - (hl)) < 1e-05
     assert row["reject_calibrated_5pct"] == (hl > 15.507313)
     assert row["hl_chi2"] >= 0

@@ -50,8 +50,8 @@ def test_log_rank_matches_bruteforce(spark):
             v += round(d * p1 * (1 - p1) * (n_at - d) / (n_at - 1), 8)
     z = u / math.sqrt(v)
     assert row["n_orders"] == len(delays)
-    assert abs(row["u_stat"] - round(u, 6)) < 1e-6
-    assert abs(row["z_logrank"] - round(z, 6)) < 1e-5
+    assert abs(row["u_stat"] - (u)) < 1e-06
+    assert abs(row["z_logrank"] - (z)) < 1e-05
     assert row["differ_5pct"] == (abs(z) > 1.959964)
 
 
@@ -67,7 +67,7 @@ def test_rmst_matches_bruteforce(spark):
         frac = sum(1 for t in ts if t > 30) / n
         r = rows[urgent]
         assert r["n_orders"] == n
-        assert abs(r["rmst_30d"] - round(rmst, 6)) < 1e-9
-        assert abs(r["frac_beyond_tau"] - round(frac, 6)) < 1e-9
+        assert abs(r["rmst_30d"] - (rmst)) < 1e-06
+        assert abs(r["frac_beyond_tau"] - (frac)) < 1e-06
         # RMST is truncated at tau by construction
         assert r["rmst_30d"] <= 30

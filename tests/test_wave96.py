@@ -39,9 +39,9 @@ def test_eb_shrinkage_matches_bruteforce(spark):
         shrunk = w * m + (1 - w) * grand
         r = rows[seg]
         assert r["n_orders"] == n
-        assert abs(r["raw_mean"] - round(m / 100, 2)) < 1e-6
-        assert abs(r["shrink_weight"] - round(w, 6)) < 1e-5
-        assert abs(r["shrunk_mean"] - round(shrunk / 100, 2)) < 1e-1
+        assert abs(r["raw_mean"] - (m / 100)) < 0.01
+        assert abs(r["shrink_weight"] - (w)) < 1e-05
+        assert abs(r["shrunk_mean"] - (shrunk / 100)) < 0.1
         # shrunk mean lies between raw and grand
         lo, hi = sorted([m, grand])
         assert lo / 100 - 0.02 <= r["shrunk_mean"] <= hi / 100 + 0.02
@@ -61,7 +61,7 @@ def test_kish_ess_matches_bruteforce(spark):
         sw2 += round(wd * wd * n, 10)
     ess = sw * sw / sw2
     assert row["n_docs"] == nt
-    assert abs(row["kish_ess"] - round(ess, 1)) < 0.2
-    assert abs(row["ess_fraction"] - round(ess / nt, 6)) < 1e-5
+    assert abs(row["kish_ess"] - (ess)) < 0.2
+    assert abs(row["ess_fraction"] - (ess / nt)) < 1e-05
     # weighting can only lose effective sample
     assert 0 < row["ess_fraction"] <= 1

@@ -31,12 +31,12 @@ def test_chao1_matches_bruteforce(spark):
         assert r["doubletons"] == f2
         if f2 > 0:
             assert abs(r["chao1_estimate"]
-                       - round(v + f1 * f1 / (2 * f2), 1)) < 1e-6
+                       - (v + f1 * f1 / (2 * f2))) < 0.1
             # Chao1 is a lower bound ABOVE the observed count
             assert r["chao1_estimate"] >= v
         else:
             assert r["chao1_estimate"] is None
-        assert abs(r["good_coverage"] - round(1 - f1 / n, 6)) < 1e-9
+        assert abs(r["good_coverage"] - (1 - f1 / n)) < 1e-06
         assert 0 <= r["good_coverage"] <= 1
 
 
@@ -70,9 +70,9 @@ def test_doubling_time_matches_bruteforce(spark):
         )
         r = rows[seg]
         assert r["n_days"] == n
-        assert abs(r["daily_log_slope"] - round(slope, 8)) < 1e-7
+        assert abs(r["daily_log_slope"] - (slope)) < 1e-07
         assert abs(r["doubling_time_days"]
-                   - round(math.log(2) / slope, 1)) < 1
-        assert abs(r["r_squared"] - round(r2, 6)) < 1e-4
+                   - (math.log(2) / slope)) < 1
+        assert abs(r["r_squared"] - (r2)) < 0.0001
         # flat synthetic revenue: exponential growth explains ~nothing
         assert 0 <= r["r_squared"] <= 1
