@@ -400,3 +400,78 @@ def test_vacuum_keep_last_zero_rejected(spark, tmp_path):
         sink.vacuum_table(path, keep_last=-3)
     # table still fully readable
     assert sink.read_snapshot(spark, path).count() == 4
+
+
+def test_concurrent_writers_serialize_no_lost_commit(spark, tmp_path):
+    """r9 (verdict task #6): two real merge_into_parquet writers racing
+    on one table — the advisory lock must serialize them so BOTH
+    commits land with distinct consecutive versions and the final
+    snapshot contains both writers' rows (no lost update: each commit
+    rewrites from the other's committed snapshot, not from a stale
+    read)."""
+    import threading
+
+    path = str(tmp_path / "tbl")
+    sink.create_table(spark, path, _target(spark))
+
+    errors = []
+
+    def writer(key, price):
+        try:
+            sink.merge_into_parquet(
+                spark, path,
+                spark.createDataFrame([(key, price)],
+                                      "k long, new_price double"),
+                on="k",
+                not_matched_insert={"status": F.lit("N"),
+                                    "price": col("__s.new_price")})
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(100 + i, float(i)))
+               for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    log = sink._table_log_read(path)
+    versions = [v["version"] for v in log["versions"]]
+    assert versions == [0, 1, 2, 3, 4]  # serialized, none lost
+    assert log["current"] == 4
+    rows = {r.k for r in sink.read_snapshot(spark, path).collect()}
+    assert rows == {1, 2, 3, 4, 100, 101, 102, 103}  # all four inserts
+
+
+def test_lock_deadline_honored_on_persistent_stat_failure(
+        spark, tmp_path, monkeypatch):
+    """r9 regression pin for commit 3131439: when the lock file exists
+    but every mtime stat fails (e.g. another host keeps recreating
+    it), acquisition must still honor the deadline and raise
+    TimeoutError — not spin forever."""
+    import os
+    import time
+
+    from biosets_spark.sources.sink import _table_commit_lock
+
+    path = str(tmp_path / "tbl")
+    sink.create_table(spark, path, _target(spark))
+    lock_path = os.path.join(path, "_table_log.json.lock")
+    with open(lock_path, "w") as f:
+        f.write("held")
+
+    real_getmtime = os.path.getmtime
+
+    def failing_getmtime(p):
+        if p == lock_path:
+            raise OSError("transient stat failure")
+        return real_getmtime(p)
+
+    monkeypatch.setattr(os.path, "getmtime", failing_getmtime)
+    t0 = time.monotonic()
+    with pytest.raises(TimeoutError, match="commit lock"):
+        with _table_commit_lock(path, timeout=0.5):
+            pass  # pragma: no cover
+    elapsed = time.monotonic() - t0
+    assert elapsed < 10  # bounded by the deadline, not spinning
+    os.unlink(lock_path)
