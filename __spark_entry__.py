@@ -4,9 +4,11 @@ entry(spark)   -> flagship query DataFrame at sf0.001
 queries()      -> {name: fn(spark, sf_dir) -> DataFrame} per SURVEY §2
 oracle_sql()   -> {name: DuckDB-runnable ANSI SQL} for value-hash compare
 
-Query implementations live in biosets_spark/queries.py (relational
-inventory) and biosets_spark/queries_ext.py (dedup / similarity / text
-/ events extensions); this module is a thin adapter.
+Query implementations live in the biosets_spark/queries/ package
+(base relational inventory in __init__.py; dedup / similarity / text
+/ events / advanced waves in ext.py, more.py, wave3..wave100.py,
+loaded in registration order by the package manifest); this module is
+a thin adapter.
 """
 
 from __future__ import annotations
@@ -19,107 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from biosets_spark import queries as _q  # noqa: E402
-from biosets_spark import queries_ext  # noqa: E402,F401  (registers extension queries)
-from biosets_spark import queries_more  # noqa: E402,F401  (registers second-wave queries)
-from biosets_spark import queries_wave3  # noqa: E402,F401
-from biosets_spark import queries_wave4  # noqa: E402,F401
-from biosets_spark import queries_wave5  # noqa: E402,F401
-from biosets_spark import queries_wave6  # noqa: E402,F401
-from biosets_spark import queries_wave7  # noqa: E402,F401
-from biosets_spark import queries_wave8  # noqa: E402,F401
-from biosets_spark import queries_wave9  # noqa: E402,F401
-from biosets_spark import queries_wave10  # noqa: E402,F401
-from biosets_spark import queries_wave11  # noqa: E402,F401
-from biosets_spark import queries_wave12  # noqa: E402,F401
-from biosets_spark import queries_wave13  # noqa: E402,F401
-from biosets_spark import queries_wave14  # noqa: E402,F401
-from biosets_spark import queries_wave15  # noqa: E402,F401
-from biosets_spark import queries_wave16  # noqa: E402,F401
-from biosets_spark import queries_wave17  # noqa: E402,F401
-from biosets_spark import queries_wave18  # noqa: E402,F401
-from biosets_spark import queries_wave19  # noqa: E402,F401
-from biosets_spark import queries_wave20  # noqa: E402,F401
-from biosets_spark import queries_wave21  # noqa: E402,F401
-from biosets_spark import queries_wave22  # noqa: E402,F401
-from biosets_spark import queries_wave23  # noqa: E402,F401
-from biosets_spark import queries_wave24  # noqa: E402,F401
-from biosets_spark import queries_wave25  # noqa: E402,F401
-from biosets_spark import queries_wave26  # noqa: E402,F401
-from biosets_spark import queries_wave27  # noqa: E402,F401
-from biosets_spark import queries_wave28  # noqa: E402,F401
-from biosets_spark import queries_wave29  # noqa: E402,F401
-from biosets_spark import queries_wave30  # noqa: E402,F401
-from biosets_spark import queries_wave31  # noqa: E402,F401
-from biosets_spark import queries_wave32  # noqa: E402,F401
-from biosets_spark import queries_wave33  # noqa: E402,F401
-from biosets_spark import queries_wave34  # noqa: E402,F401
-from biosets_spark import queries_wave35  # noqa: E402,F401
-from biosets_spark import queries_wave36  # noqa: E402,F401
-from biosets_spark import queries_wave37  # noqa: E402,F401
-from biosets_spark import queries_wave38  # noqa: E402,F401
-from biosets_spark import queries_wave39  # noqa: E402,F401
-from biosets_spark import queries_wave40  # noqa: E402,F401
-from biosets_spark import queries_wave41  # noqa: E402,F401
-from biosets_spark import queries_wave42  # noqa: E402,F401
-from biosets_spark import queries_wave43  # noqa: E402,F401
-from biosets_spark import queries_wave44  # noqa: E402,F401
-from biosets_spark import queries_wave45  # noqa: E402,F401
-from biosets_spark import queries_wave46  # noqa: E402,F401
-from biosets_spark import queries_wave47  # noqa: E402,F401
-from biosets_spark import queries_wave48  # noqa: E402,F401
-from biosets_spark import queries_wave49  # noqa: E402,F401
-from biosets_spark import queries_wave50  # noqa: E402,F401
-from biosets_spark import queries_wave51  # noqa: E402,F401
-from biosets_spark import queries_wave52  # noqa: E402,F401
-from biosets_spark import queries_wave53  # noqa: E402,F401
-from biosets_spark import queries_wave54  # noqa: E402,F401
-from biosets_spark import queries_wave55  # noqa: E402,F401
-from biosets_spark import queries_wave56  # noqa: E402,F401
-from biosets_spark import queries_wave57  # noqa: E402,F401
-from biosets_spark import queries_wave58  # noqa: E402,F401
-from biosets_spark import queries_wave59  # noqa: E402,F401
-from biosets_spark import queries_wave60  # noqa: E402,F401
-from biosets_spark import queries_wave61  # noqa: E402,F401
-from biosets_spark import queries_wave62  # noqa: E402,F401
-from biosets_spark import queries_wave63  # noqa: E402,F401
-from biosets_spark import queries_wave64  # noqa: E402,F401
-from biosets_spark import queries_wave65  # noqa: E402,F401
-from biosets_spark import queries_wave66  # noqa: E402,F401
-from biosets_spark import queries_wave67  # noqa: E402,F401
-from biosets_spark import queries_wave68  # noqa: E402,F401
-from biosets_spark import queries_wave69  # noqa: E402,F401
-from biosets_spark import queries_wave70  # noqa: E402,F401
-from biosets_spark import queries_wave71  # noqa: E402,F401
-from biosets_spark import queries_wave72  # noqa: E402,F401
-from biosets_spark import queries_wave73  # noqa: E402,F401
-from biosets_spark import queries_wave74  # noqa: E402,F401
-from biosets_spark import queries_wave75  # noqa: E402,F401
-from biosets_spark import queries_wave76  # noqa: E402,F401
-from biosets_spark import queries_wave77  # noqa: E402,F401
-from biosets_spark import queries_wave78  # noqa: E402,F401
-from biosets_spark import queries_wave79  # noqa: E402,F401
-from biosets_spark import queries_wave80  # noqa: E402,F401
-from biosets_spark import queries_wave81  # noqa: E402,F401
-from biosets_spark import queries_wave82  # noqa: E402,F401
-from biosets_spark import queries_wave83  # noqa: E402,F401
-from biosets_spark import queries_wave84  # noqa: E402,F401
-from biosets_spark import queries_wave85  # noqa: E402,F401
-from biosets_spark import queries_wave86  # noqa: E402,F401
-from biosets_spark import queries_wave87  # noqa: E402,F401
-from biosets_spark import queries_wave88  # noqa: E402,F401
-from biosets_spark import queries_wave89  # noqa: E402,F401
-from biosets_spark import queries_wave90  # noqa: E402,F401
-from biosets_spark import queries_wave91  # noqa: E402,F401
-from biosets_spark import queries_wave92  # noqa: E402,F401
-from biosets_spark import queries_wave93  # noqa: E402,F401
-from biosets_spark import queries_wave94  # noqa: E402,F401
-from biosets_spark import queries_wave95  # noqa: E402,F401
-from biosets_spark import queries_wave96  # noqa: E402,F401
-from biosets_spark import queries_wave97  # noqa: E402,F401
-from biosets_spark import queries_wave98  # noqa: E402,F401
-from biosets_spark import queries_wave99  # noqa: E402,F401
-from biosets_spark import queries_wave100  # noqa: E402,F401
+from biosets_spark import queries as _q  # noqa: E402  (importing the package registers the full inventory via its manifest)
 from biosets_spark.session import apply_session_conf  # noqa: E402
 
 

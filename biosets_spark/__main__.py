@@ -31,20 +31,9 @@ def main() -> None:
         parser.print_help()
         return
 
-    # importing the wave modules registers the full inventory
-    import importlib
-
+    # importing the queries package registers the full inventory
+    # (its manifest loads every wave in registration order)
     from . import queries as _q
-
-    for mod in (
-        "queries_ext", "queries_more", "queries_wave3", "queries_wave4",
-        "queries_wave5", "queries_wave6", "queries_wave7", "queries_wave8",
-        "queries_wave9", "queries_wave10", "queries_wave11", "queries_wave12",
-        "queries_wave13", "queries_wave14", "queries_wave15", "queries_wave16",
-        "queries_wave17", "queries_wave18", "queries_wave19", "queries_wave20",
-        "queries_wave21",
-    ):
-        importlib.import_module(f"biosets_spark.{mod}")
 
     if args.cmd == "list":
         for name, query in sorted(_q.QUERIES.items()):

@@ -282,7 +282,7 @@ def portable_mix60(h: Column, salt: int) -> Column:
     [0, 2^60): the left shift masks its operand to 39 bits first, so
     ``(x & (2^39-1)) << 21 < 2^60`` in any engine, and right shifts
     of non-negative values are logical everywhere. DuckDB twin:
-    ``queries_wave13._mix60_sql``.
+    ``queries.wave13._mix60_sql``.
     """
     x = h.bitwiseXOR(lit(mix60_salt(salt)))
     x = x.bitwiseXOR(F.shiftrightunsigned(x, 29))

@@ -5,7 +5,7 @@ A plain rank/percent_rank window `PARTITION BY g ORDER BY v` funnels
 every row of a group through ONE task — with a low-cardinality
 partition key (5 market segments, 3 order statuses) that is a
 single-task sort of the whole table, the classic 100 TB window
-killer (documented at q_percent_rank, queries_wave10.py).
+killer (documented at q_percent_rank, queries/wave10.py).
 
 This helper computes exact midranks without any global or
 whole-group window:
@@ -26,7 +26,7 @@ whole-group window:
 midrank(v) = rank_lt(v) + (cnt(v) + 1) / 2; to stay integer-exact we
 return the DOUBLED midrank `mr2 = 2*(cum_lt) + cnt + 1` so rank sums
 accumulate in DECIMAL with no halves. Used by q_mann_whitney
-(queries_wave34.py), q_auc_roc (queries_wave40.py) and
+(queries/wave34.py), q_auc_roc (queries/wave40.py) and
 q_spearman_corr's rank maps; it is the named scale path for exact
 ranks over skewed/low-cardinality partitions wherever a rank window
 would serialize a group.

@@ -12,7 +12,7 @@ engine exposes the idiomatic Spark equivalents (SURVEY §1.4/§2.9):
 - stateful dedup (``dropDuplicatesWithinWatermark``).
 
 The batch twins of these queries (same semantics over the static
-events table) are oracle-checked in queries_ext.py; the streaming
+events table) are oracle-checked in queries/ext.py; the streaming
 planners here are exercised by tests/test_streaming.py with
 Trigger.AvailableNow against a memory sink.
 """

@@ -244,7 +244,7 @@ def test_portable_mix60_cross_engine(spark):
     from pyspark.sql.functions import col
 
     from biosets_spark.operators.dedup import portable_hash60, portable_mix60
-    from biosets_spark.queries_wave13 import _mix60_sql
+    from biosets_spark.queries.wave13 import _mix60_sql
 
     words = [f"shingle {i} text" for i in range(50)]
     df = spark.createDataFrame([(w,) for w in words], "s string")

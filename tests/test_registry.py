@@ -123,13 +123,13 @@ def test_no_wave_redeclares_oracle_fragments():
     # differential gate). Frozen ratchet: the list may only SHRINK —
     # any new file inlining the literal must import the fragment.
     inline_grandfathered = {
-        "queries_ext.py", "queries_wave3.py", "queries_wave4.py",
-        "queries_wave5.py", "queries_wave10.py", "queries_wave12.py",
-        "queries_wave13.py", "queries_wave20.py", "queries_wave22.py",
-        "queries_wave23.py", "queries_wave53.py",
+        "ext.py", "wave3.py", "wave4.py",
+        "wave5.py", "wave10.py", "wave12.py",
+        "wave13.py", "wave20.py", "wave22.py",
+        "wave23.py", "wave53.py",
     }
     offenders = []
-    for path in sorted(glob.glob(os.path.join(root, "queries*.py"))):
+    for path in sorted(glob.glob(os.path.join(root, "queries", "*.py"))):
         src = open(path).read()
         base = os.path.basename(path)
         if re.search(r"_TOKS_SQL\s*=\s*[\"(]", src):

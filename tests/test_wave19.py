@@ -12,7 +12,7 @@ import math
 
 from pyspark.sql import functions as F
 
-import biosets_spark.queries_wave19  # noqa: F401  (registers the wave)
+import biosets_spark.queries.wave19  # noqa: F401  (registers the wave)
 from biosets_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
 

@@ -3,7 +3,7 @@ association-rule lift, interval-overlap aggregation."""
 
 from __future__ import annotations
 
-import biosets_spark.queries_wave20  # noqa: F401  (registers the wave)
+import biosets_spark.queries.wave20  # noqa: F401  (registers the wave)
 from biosets_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
 

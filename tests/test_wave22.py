@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-import biosets_spark.queries_wave22  # noqa: F401  (registers the wave)
+import biosets_spark.queries.wave22  # noqa: F401  (registers the wave)
 from biosets_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
 
@@ -42,7 +42,7 @@ def test_funnel_latency_positive_and_ordered(spark):
 
 
 def test_referential_audit_rows(spark):
-    import biosets_spark.queries_wave23  # noqa: F401
+    import biosets_spark.queries.wave23  # noqa: F401
 
     rows = {r["check_name"]: r["n_violations"]
             for r in QUERIES["q_referential_audit"].fn(spark, SF_SMOKE).collect()}
@@ -55,7 +55,7 @@ def test_referential_audit_rows(spark):
 
 
 def test_crosslingual_dup_unordered_pairs(spark):
-    import biosets_spark.queries_wave23  # noqa: F401
+    import biosets_spark.queries.wave23  # noqa: F401
 
     rows = QUERIES["q_crosslingual_dup"].fn(spark, SF_SMOKE).collect()
     assert rows

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import math
 
-import biosets_spark.queries_wave25  # noqa: F401  (registers the wave)
+import biosets_spark.queries.wave25  # noqa: F401  (registers the wave)
 from biosets_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
 

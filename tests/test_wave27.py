@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-import biosets_spark.queries_wave27  # noqa: F401  (registers the wave)
+import biosets_spark.queries.wave27  # noqa: F401  (registers the wave)
 from biosets_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
 

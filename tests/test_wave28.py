@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import math
 
-import biosets_spark.queries_wave28  # noqa: F401  (registers the wave)
+import biosets_spark.queries.wave28  # noqa: F401  (registers the wave)
 from biosets_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
 
@@ -48,7 +48,7 @@ def test_survival_km_matches_product_form(spark):
 
 
 def test_bootstrap_ci_brackets_true_mean(spark):
-    import biosets_spark.queries_wave29  # noqa: F401
+    import biosets_spark.queries.wave29  # noqa: F401
 
     from pyspark.sql import functions as F
 
@@ -67,7 +67,7 @@ def test_bootstrap_ci_brackets_true_mean(spark):
 
 
 def test_bootstrap_deterministic(spark):
-    import biosets_spark.queries_wave29  # noqa: F401
+    import biosets_spark.queries.wave29  # noqa: F401
 
     a = QUERIES["q_bootstrap_ci"].fn(spark, SF_SMOKE).collect()
     b = QUERIES["q_bootstrap_ci"].fn(spark, SF_SMOKE).collect()
@@ -75,7 +75,7 @@ def test_bootstrap_deterministic(spark):
 
 
 def test_welch_ttest_formula(spark):
-    import biosets_spark.queries_wave30  # noqa: F401
+    import biosets_spark.queries.wave30  # noqa: F401
 
     r = QUERIES["q_welch_ttest"].fn(spark, SF_SMOKE).collect()[0]
     assert r["n0"] > 0 and r["n1"] > 0
@@ -87,7 +87,7 @@ def test_welch_ttest_formula(spark):
 def test_ols_normal_eq_against_numpy(spark):
     import numpy as np
 
-    import biosets_spark.queries_wave30  # noqa: F401
+    import biosets_spark.queries.wave30  # noqa: F401
 
     r = QUERIES["q_ols_normal_eq"].fn(spark, SF_SMOKE).collect()[0]
     li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-import biosets_spark.queries_wave31  # noqa: F401  (registers the wave)
+import biosets_spark.queries.wave31  # noqa: F401  (registers the wave)
 from biosets_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
 
@@ -67,7 +67,7 @@ def test_weighted_median_definition(spark):
 
 
 def test_gini_bounds_and_uniform_case(spark):
-    import biosets_spark.queries_wave32  # noqa: F401
+    import biosets_spark.queries.wave32  # noqa: F401
 
     rows = QUERIES["q_gini_revenue"].fn(spark, SF_SMOKE).collect()
     assert len(rows) == 5
@@ -82,7 +82,7 @@ def test_gini_bounds_and_uniform_case(spark):
 
 
 def test_decile_lift_consistency(spark):
-    import biosets_spark.queries_wave32  # noqa: F401
+    import biosets_spark.queries.wave32  # noqa: F401
 
     rows = QUERIES["q_decile_lift"].fn(spark, SF_SMOKE).collect()
     assert rows
@@ -98,7 +98,7 @@ def test_decile_lift_consistency(spark):
 
 
 def test_autocorrelation_bounds(spark):
-    import biosets_spark.queries_wave33  # noqa: F401
+    import biosets_spark.queries.wave33  # noqa: F401
 
     rows = QUERIES["q_autocorrelation"].fn(spark, SF_SMOKE).collect()
     assert len(rows) == 5
@@ -109,7 +109,7 @@ def test_autocorrelation_bounds(spark):
 
 
 def test_theil_sen_robustness(spark):
-    import biosets_spark.queries_wave33  # noqa: F401
+    import biosets_spark.queries.wave33  # noqa: F401
 
     rows = QUERIES["q_theil_sen"].fn(spark, SF_SMOKE).collect()
     assert len(rows) == 5

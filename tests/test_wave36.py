@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from collections import Counter
 
-import biosets_spark.queries_wave36  # noqa: F401  (registers the wave)
+import biosets_spark.queries.wave36  # noqa: F401  (registers the wave)
 from biosets_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
 
@@ -29,7 +29,7 @@ def test_shard_assignment_partitions_all_docs(spark):
 
 
 def test_cohens_kappa_matches_confusion_matrix(spark):
-    import biosets_spark.queries_wave12  # noqa: F401
+    import biosets_spark.queries.wave12  # noqa: F401
 
     (row,) = QUERIES["q_cohens_kappa"].fn(spark, SF_SMOKE).collect()
     conf = QUERIES["q_langid_confusion"].fn(spark, SF_SMOKE).collect()

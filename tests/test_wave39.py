@@ -2,9 +2,9 @@
 
 from __future__ import annotations
 
-import biosets_spark.queries_wave39  # noqa: F401  (registers the wave)
+import biosets_spark.queries.wave39  # noqa: F401  (registers the wave)
 from biosets_spark.queries import QUERIES
-from biosets_spark.queries_wave39 import _DEPTH, _MAX_ORDER
+from biosets_spark.queries.wave39 import _DEPTH, _MAX_ORDER
 from tests.conftest import SF_SMOKE
 
 

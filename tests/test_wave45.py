@@ -8,7 +8,7 @@ from collections import Counter
 
 import hashlib
 
-import biosets_spark.queries_wave45  # noqa: F401  (registers the wave)
+import biosets_spark.queries.wave45  # noqa: F401  (registers the wave)
 from biosets_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
 

@@ -7,7 +7,7 @@ import hashlib
 import math
 from collections import defaultdict
 
-import biosets_spark.queries_wave56  # noqa: F401  (registers the wave)
+import biosets_spark.queries.wave56  # noqa: F401  (registers the wave)
 from biosets_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
 

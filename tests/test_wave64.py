@@ -7,7 +7,7 @@ import math
 import re
 from collections import defaultdict
 
-import biosets_spark.queries_wave64 as w64  # noqa: F401  (registers the wave)
+import biosets_spark.queries.wave64 as w64  # noqa: F401  (registers the wave)
 from biosets_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
 

@@ -7,7 +7,7 @@ import re
 import statistics
 from collections import Counter, defaultdict
 
-import biosets_spark.queries_wave70 as w70  # noqa: F401  (registers the wave)
+import biosets_spark.queries.wave70 as w70  # noqa: F401  (registers the wave)
 from biosets_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
 

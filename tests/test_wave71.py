@@ -7,7 +7,7 @@ import math
 import re
 from collections import Counter, defaultdict
 
-import biosets_spark.queries_wave71 as w71  # noqa: F401  (registers the wave)
+import biosets_spark.queries.wave71 as w71  # noqa: F401  (registers the wave)
 from biosets_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
 

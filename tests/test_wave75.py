@@ -5,7 +5,7 @@ from __future__ import annotations
 import math
 from collections import Counter, defaultdict
 
-import biosets_spark.queries_wave75 as w75  # noqa: F401  (registers the wave)
+import biosets_spark.queries.wave75 as w75  # noqa: F401  (registers the wave)
 from biosets_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
 

@@ -6,7 +6,7 @@ import math
 import re
 from collections import defaultdict
 
-import biosets_spark.queries_wave76 as w76  # noqa: F401  (registers the wave)
+import biosets_spark.queries.wave76 as w76  # noqa: F401  (registers the wave)
 from biosets_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
 

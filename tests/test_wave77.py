@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from collections import defaultdict
 
-import biosets_spark.queries_wave77 as w77  # noqa: F401  (registers the wave)
+import biosets_spark.queries.wave77 as w77  # noqa: F401  (registers the wave)
 from biosets_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
 

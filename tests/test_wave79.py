@@ -6,7 +6,7 @@ import math
 import re
 from collections import Counter, defaultdict
 
-import biosets_spark.queries_wave79 as w79  # noqa: F401  (registers the wave)
+import biosets_spark.queries.wave79 as w79  # noqa: F401  (registers the wave)
 from biosets_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
 

@@ -6,7 +6,7 @@ import math
 import re
 from collections import defaultdict
 
-import biosets_spark.queries_wave81 as w81  # noqa: F401  (registers the wave)
+import biosets_spark.queries.wave81 as w81  # noqa: F401  (registers the wave)
 from biosets_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
 

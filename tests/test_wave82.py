@@ -6,7 +6,7 @@ import math
 import statistics
 from collections import defaultdict
 
-import biosets_spark.queries_wave82 as w82  # noqa: F401  (registers the wave)
+import biosets_spark.queries.wave82 as w82  # noqa: F401  (registers the wave)
 from biosets_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
 

@@ -6,7 +6,7 @@ import datetime
 import math
 from collections import defaultdict
 
-import biosets_spark.queries_wave83 as w83  # noqa: F401  (registers the wave)
+import biosets_spark.queries.wave83 as w83  # noqa: F401  (registers the wave)
 from biosets_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
 
