@@ -26,8 +26,10 @@ reads one file HEADER (schema negotiation), never data rows.
 Supported: null, boolean, int, long, float, double, bytes, string,
 record, enum, array, map, fixed, unions of [null, T] (any order), and
 the common logical types (date, timestamp-millis/micros, decimal on
-bytes/fixed). Codecs: `null` and `deflate` (raw zlib, per spec);
-`snappy`/`zstandard` raise with an actionable message. General unions
+bytes/fixed). Codecs: `null`, `deflate` (raw zlib), `bzip2` and `xz`
+(both stdlib) are always available; `snappy` (with the spec's CRC32
+suffix) and `zstandard` are import-gated on their libraries and raise
+with an actionable message when absent. General unions
 of multiple non-null branches are rejected up front (restructure as a
 struct of nullables — same guidance as the engine's list-join-key
 rejection).
@@ -244,15 +246,57 @@ def parse_header(raw: bytes):
     return schema, codec, sync, c.pos
 
 
+def _gated_codec_lib(codec: str):
+    """Import the optional third-party codec library, or raise the
+    actionable message (python-snappy / zstandard aren't stdlib and
+    may be absent from a cluster's Python; bzip2/xz/deflate never hit
+    this path — they are stdlib)."""
+    try:
+        if codec == "snappy":
+            import snappy
+            return snappy
+        if codec == "zstandard":
+            import zstandard
+            return zstandard
+    except ImportError as exc:
+        raise ValueError(
+            f"avro_py: codec {codec!r} needs its decompressor library "
+            "(python-snappy / zstandard), not available here — re-encode "
+            "with deflate or null, or install spark-avro on the cluster"
+        ) from exc
+    raise ValueError(f"avro_py: unknown avro codec {codec!r}")
+
+
 def _decompress(block: bytes, codec: str) -> bytes:
     if codec == "null":
         return block
     if codec == "deflate":  # raw deflate, no zlib header (spec)
         return zlib.decompress(block, -15)
+    if codec == "bzip2":  # standard bzip2 stream (spec)
+        import bz2
+        return bz2.decompress(block)
+    if codec == "xz":  # standard xz stream (spec)
+        import lzma
+        return lzma.decompress(block, format=lzma.FORMAT_XZ)
+    if codec == "snappy":
+        # Spec: snappy-compressed bytes then a 4-byte big-endian CRC32
+        # of the UNCOMPRESSED data.
+        snappy = _gated_codec_lib("snappy")
+        if len(block) < 4:
+            raise ValueError("avro_py: snappy block shorter than its CRC32 suffix")
+        data = snappy.uncompress(block[:-4])
+        if zlib.crc32(data) & 0xFFFFFFFF != int.from_bytes(block[-4:], "big"):
+            raise ValueError("avro_py: snappy block CRC32 mismatch (corrupt file)")
+        return data
+    if codec == "zstandard":
+        zstandard = _gated_codec_lib("zstandard")
+        # decompressobj handles frames without a content-size header
+        # (the common case for streamed writers)
+        return zstandard.ZstdDecompressor().decompressobj().decompress(block)
     raise ValueError(
-        f"avro_py: codec {codec!r} needs its decompressor library "
-        "(python-snappy / zstandard), not available here — re-encode "
-        "with deflate or null, or install spark-avro on the cluster"
+        f"avro_py: unknown avro codec {codec!r} — this reader speaks "
+        "null/deflate/bzip2/xz natively and snappy/zstandard via their "
+        "libraries; re-encode or install spark-avro on the cluster"
     )
 
 
@@ -505,6 +549,19 @@ def _flush_block(f, buf, n, codec, sync):
     if codec == "deflate":
         comp = zlib.compressobj(9, zlib.DEFLATED, -15)
         data = comp.compress(data) + comp.flush()
+    elif codec == "bzip2":
+        import bz2
+        data = bz2.compress(data)
+    elif codec == "xz":
+        import lzma
+        data = lzma.compress(data, format=lzma.FORMAT_XZ)
+    elif codec == "snappy":
+        snappy = _gated_codec_lib("snappy")
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        data = snappy.compress(data) + crc.to_bytes(4, "big")
+    elif codec == "zstandard":
+        zstandard = _gated_codec_lib("zstandard")
+        data = zstandard.ZstdCompressor().compress(data)
     elif codec != "null":
         raise ValueError(f"avro_py: unsupported write codec {codec!r}")
     f.write(_zigzag(n) + _zigzag(len(data)) + data + sync)

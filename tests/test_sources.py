@@ -960,3 +960,91 @@ def test_read_csv_xz_loud_and_load_dataset_path_works(spark, tmp_path):
     j.write_bytes(lzma.compress(b"junk\na,b\n5,6\n"))
     df = read_csv(spark, [str(j)], skip_rows=1)
     assert [(r.a, r.b) for r in df.collect()] == [(5, 6)]
+
+
+def test_avro_stdlib_codecs_bzip2_xz(spark, tmp_path):
+    """r8 verdict task #8 (extended): the Avro spec's bzip2 and xz
+    codecs are stdlib in Python (bz2 / lzma), so the pure-Python
+    container codec supports them for real — full write->read
+    roundtrip, including through the distributed read path."""
+    from biosets_spark.sources import avro_py as A
+    from biosets_spark.sources.readers import read_files
+
+    schema = {"type": "record", "name": "R", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "body", "type": ["null", "string"]}]}
+    rows = [(i, ("lorem " * 20) + str(i) if i % 3 else None)
+            for i in range(500)]
+    fb = str(tmp_path / "b.avro")
+    fx = str(tmp_path / "x.avro")
+    A.write_container(fb, schema, rows, codec="bzip2", records_per_block=128)
+    A.write_container(fx, schema, rows, codec="xz", records_per_block=128)
+    for f in (fb, fx):
+        back = list(A.iter_records(open(f, "rb").read()))
+        assert len(back) == 500
+        assert back[7] == {"id": 7, "body": ("lorem " * 20) + "7"}
+        assert back[3]["body"] is None
+    # compression actually happened (repetitive text shrinks a lot)
+    import os as _os
+    raw_estimate = sum(len(b or "") for _, b in rows)
+    assert _os.path.getsize(fb) < raw_estimate // 4
+    df = read_files(spark, [fb, fx])
+    assert df.count() == 1000
+    assert df.filter("body IS NULL").count() == 334
+
+
+def test_avro_gated_codecs_snappy_zstandard(tmp_path):
+    """r8 verdict task #8: snappy/zstandard are import-gated on their
+    libraries. When present: full roundtrip (snappy blocks carry the
+    spec's big-endian CRC32-of-uncompressed suffix). When absent: the
+    pinned actionable error, on BOTH the write and the read path."""
+    import pytest
+
+    from biosets_spark.sources import avro_py as A
+
+    schema = {"type": "record", "name": "R", "fields": [
+        {"name": "x", "type": "long"}]}
+    for codec, mod in (("snappy", "snappy"), ("zstandard", "zstandard")):
+        f = str(tmp_path / f"{codec}.avro")
+        try:
+            __import__(mod)
+            have = True
+        except ImportError:
+            have = False
+        if have:
+            A.write_container(f, schema, [(i,) for i in range(100)],
+                              codec=codec, records_per_block=32)
+            back = list(A.iter_records(open(f, "rb").read()))
+            assert [r["x"] for r in back] == list(range(100))
+        else:
+            with pytest.raises(ValueError,
+                               match="needs its decompressor library"):
+                A.write_container(f, schema, [(1,)], codec=codec)
+            # a header CLAIMING the codec also fails actionably on read
+            g = str(tmp_path / f"hdr_{codec}.avro")
+            A.write_container(g, schema, [(1,)], codec="null")
+            raw = open(g, "rb").read()
+            # swap the length-prefixed codec value in the metadata map
+            # (zigzag(len) is 2*len for small positive lengths)
+            patched = raw.replace(
+                b"\x08null", bytes([2 * len(codec)]) + codec.encode(), 1)
+            assert patched != raw
+            with pytest.raises(ValueError,
+                               match="needs its decompressor library"):
+                list(A.iter_records(patched))
+
+
+def test_avro_unknown_codec_rejected(tmp_path):
+    """A codec name outside the Avro spec set fails with the
+    re-encode guidance, not the install-a-library message."""
+    import pytest
+
+    from biosets_spark.sources import avro_py as A
+
+    schema = {"type": "record", "name": "R", "fields": [
+        {"name": "x", "type": "long"}]}
+    g = str(tmp_path / "weird.avro")
+    A.write_container(g, schema, [(1,)], codec="null")
+    raw = open(g, "rb").read().replace(b"\x08null", b"\x08lz4!", 1)
+    with pytest.raises(ValueError, match="unknown avro codec"):
+        list(A.iter_records(raw))
