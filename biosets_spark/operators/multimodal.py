@@ -703,6 +703,139 @@ def decode_webp_dims(raw: bytes):
     raise ValueError("no VP8/VP8L/VP8X chunk found")
 
 
+@_valueerror_surface
+def decode_flac_info(raw: bytes):
+    """FLAC -> (sample_rate, n_channels, bits_per_sample, n_samples)
+    from the mandatory STREAMINFO metadata block — header-only, no
+    codec (the FLAC container spec REQUIRES STREAMINFO first, so one
+    34-byte parse covers every conformant file)."""
+    if raw[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload (missing fLaC magic)")
+    if len(raw) < 8 + 34:
+        raise ValueError("truncated FLAC header")
+    btype = raw[4] & 0x7F
+    blen = int.from_bytes(raw[5:8], "big")
+    if btype != 0 or blen < 34:
+        raise ValueError("first FLAC metadata block is not STREAMINFO")
+    # STREAMINFO bit layout after the 10 min/max block/frame-size
+    # bytes: sample rate (20) | channels-1 (3) | bits-1 (5) |
+    # total samples (36) packed big-endian in 8 bytes
+    packed = int.from_bytes(raw[8 + 10:8 + 18], "big")
+    sample_rate = packed >> 44
+    n_channels = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    n_samples = packed & ((1 << 36) - 1)
+    if sample_rate == 0:
+        raise ValueError("FLAC STREAMINFO with zero sample rate")
+    return int(sample_rate), int(n_channels), int(bits), int(n_samples)
+
+
+_MP3_BITRATE_V1L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112,
+                     128, 160, 192, 224, 256, 320, 0)
+_MP3_BITRATE_V2L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64,
+                     80, 96, 112, 128, 144, 160, 0)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}
+
+
+@_valueerror_surface
+def decode_mp3_info(raw: bytes):
+    """MP3 -> (sample_rate, n_channels, bitrate_kbps, n_frames)
+    header-only: skip any ID3v2 tag, find the first Layer-III frame
+    sync, decode its header fields, and read the Xing/Info frame
+    count when the encoder wrote one (n_frames = 0 means no Xing tag
+    — CBR duration then follows from file size / bitrate). Decoding
+    audio samples still needs pyav and stays import-gated."""
+    pos = 0
+    if raw[:3] == b"ID3" and len(raw) >= 10:
+        # syncsafe 28-bit tag size
+        sz = ((raw[6] & 0x7F) << 21 | (raw[7] & 0x7F) << 14
+              | (raw[8] & 0x7F) << 7 | (raw[9] & 0x7F))
+        pos = 10 + sz
+    end = min(len(raw) - 4, pos + 64 * 1024)
+    while pos <= end:
+        if raw[pos] == 0xFF and (raw[pos + 1] & 0xE0) == 0xE0:
+            version = (raw[pos + 1] >> 3) & 0x3   # 3=MPEG1, 2=MPEG2, 0=2.5
+            layer = (raw[pos + 1] >> 1) & 0x3     # 1 = Layer III
+            br_idx = (raw[pos + 2] >> 4) & 0xF
+            sr_idx = (raw[pos + 2] >> 2) & 0x3
+            mode = (raw[pos + 3] >> 6) & 0x3
+            if version != 1 and layer == 1 and sr_idx != 3 and br_idx not in (0, 15):
+                table = _MP3_BITRATE_V1L3 if version == 3 else _MP3_BITRATE_V2L3
+                sample_rate = _MP3_RATES[version][sr_idx]
+                bitrate = table[br_idx]
+                n_channels = 1 if mode == 3 else 2
+                n_frames = 0
+                # Xing/Info header sits after the side info
+                side = (17 if mode == 3 else 32) if version == 3 else \
+                       (9 if mode == 3 else 17)
+                tag_at = pos + 4 + side
+                tag = raw[tag_at:tag_at + 4]
+                if tag in (b"Xing", b"Info") and raw[tag_at + 7] & 0x1:
+                    n_frames = int.from_bytes(
+                        raw[tag_at + 8:tag_at + 12], "big")
+                return sample_rate, n_channels, bitrate, n_frames
+        pos += 1
+    raise ValueError("no MPEG Layer-III frame sync found")
+
+
+@_valueerror_surface
+def decode_mp4_info(raw: bytes):
+    """MP4/ISO-BMFF -> (major_brand, duration_ms, width, height)
+    header-only: walk the top-level box tree to ftyp (brand) and
+    moov/mvhd (timescale+duration, version 0 and 1), then the first
+    trak/tkhd carrying a non-zero visual size (16.16 fixed point).
+    width/height are 0 for audio-only files. Frame decode still
+    needs pyav and stays import-gated."""
+    import struct as _s
+
+    def walk(start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            sz = _s.unpack_from(">I", raw, pos)[0]
+            typ = raw[pos + 4:pos + 8]
+            hdr = 8
+            if sz == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    raise ValueError("truncated largesize box")
+                sz = _s.unpack_from(">Q", raw, pos + 8)[0]
+                hdr = 16
+            elif sz == 0:  # box extends to end of enclosing scope
+                sz = end - pos
+            if sz < hdr or pos + sz > end:
+                raise ValueError(f"invalid box size {sz} at {pos}")
+            yield typ, pos + hdr, pos + sz
+            pos += sz
+
+    brand, duration_ms, width, height = None, 0, 0, 0
+    moov = None
+    for typ, body, bend in walk(0, len(raw)):
+        if typ == b"ftyp":
+            brand = raw[body:body + 4].decode("latin-1")
+        elif typ == b"moov":
+            moov = (body, bend)
+    if brand is None:
+        raise ValueError("not an ISO-BMFF payload (no ftyp box)")
+    if moov is None:
+        raise ValueError("no moov box (streaming-fragmented file?)")
+    for typ, body, bend in walk(*moov):
+        if typ == b"mvhd":
+            ver = raw[body]
+            if ver == 1:
+                scale, dur = _s.unpack_from(">IQ", raw, body + 4 + 16)
+            else:
+                scale, dur = _s.unpack_from(">II", raw, body + 4 + 8)
+            duration_ms = int(dur * 1000 // scale) if scale else 0
+        elif typ == b"trak" and not width:
+            for t2, b2, _e2 in walk(body, bend):
+                if t2 == b"tkhd":
+                    off = b2 + 4 + (32 if raw[b2] == 1 else 20) + 52
+                    w_fx, h_fx = _s.unpack_from(">II", raw, off)
+                    if w_fx and h_fx:
+                        width, height = w_fx >> 16, h_fx >> 16
+    return brand, duration_ms, width, height
+
+
 def _decode_image(payload: bytes, fake: bool):
     if fake:
         # deterministic fake: "decode" = payload length pseudo-pixels

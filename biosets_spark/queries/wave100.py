@@ -342,3 +342,99 @@ def q_multimodal_jpeg_dims(spark, sf_dir):
         schema="doc_id long, n_bytes long, width int, height int, "
                "n_components int",
     ).orderBy("doc_id")
+
+
+@q(
+    "q_multimodal_av_info",
+    oracle="""
+    SELECT doc_id,
+           CAST(22050 + doc_id % 5 * 4410 AS INT) AS flac_rate,
+           CAST(1 + doc_id % 2 AS INT) AS flac_channels,
+           CAST(1000 * (doc_id + 1) AS BIGINT) AS flac_samples,
+           'isom' AS brand,
+           CAST((10 + doc_id % 50) * 1000 AS BIGINT) AS video_ms,
+           CAST(320 + doc_id % 8 * 160 AS INT) AS width,
+           CAST(240 + doc_id % 6 * 120 AS INT) AS height
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+    desc="Audio/video header-only metadata (r9): per doc a conformant "
+         "FLAC container (STREAMINFO first, per spec) and an ISO-BMFF "
+         "MP4 (ftyp + moov/mvhd/trak/tkhd, mvhd version 0 or 1 by doc "
+         "parity, an audio-only trak before the visual one) are "
+         "synthesized and parsed back through decode_flac_info / "
+         "decode_mp4_info — covering the dominant audio and video "
+         "container metadata cases with NO codec dependency. The "
+         "oracle recomputes every synthesized field arithmetically, "
+         "so a parser that mis-walks boxes, mis-shifts the packed "
+         "STREAMINFO fields, or reads the wrong mvhd version layout "
+         "diverges. Same 100 TB plumbing contract as "
+         "q_multimodal_jpeg_dims: one Arrow-batched mapInPandas, "
+         "payload bytes never shuffled or collected.",
+    tags=["multimodal", "binary"],
+)
+def q_multimodal_av_info(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents") \
+        .filter(col("doc_id") < 200).select("doc_id")
+
+    def batches(it):
+        import struct
+
+        import pandas as pd
+
+        from ..operators.multimodal import decode_flac_info, decode_mp4_info
+
+        def make_flac(d):
+            rate = 22050 + d % 5 * 4410
+            ch = 1 + d % 2
+            n_samples = 1000 * (d + 1)
+            packed = ((rate << 44) | ((ch - 1) << 41) | (15 << 36)
+                      | n_samples)
+            si = (b"\x10\x00\x10\x00" + b"\x00\x00\x00" * 2
+                  + packed.to_bytes(8, "big") + b"\x00" * 16)
+            return (b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big")
+                    + si + b"\xff\xf8")
+
+        def box(typ, payload):
+            return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+        def make_mp4(d):
+            w, h = 320 + d % 8 * 160, 240 + d % 6 * 120
+            dur_s, scale = 10 + d % 50, 90000
+            if d % 2:
+                mvhd = (b"\x01\x00\x00\x00" + b"\x00" * 16
+                        + struct.pack(">IQ", scale, dur_s * scale)
+                        + b"\x00" * 80)
+            else:
+                mvhd = (b"\x00" * 4 + b"\x00" * 8
+                        + struct.pack(">II", scale, dur_s * scale)
+                        + b"\x00" * 80)
+            tkhd_a = b"\x00" * 4 + b"\x00" * 20 + b"\x00" * 52 + b"\x00" * 8
+            tkhd_v = (b"\x00" * 4 + b"\x00" * 20 + b"\x00" * 52
+                      + struct.pack(">II", w << 16, h << 16))
+            moov = box(b"moov", box(b"mvhd", mvhd)
+                       + box(b"trak", box(b"tkhd", tkhd_a))
+                       + box(b"trak", box(b"tkhd", tkhd_v)))
+            return (box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+                    + moov + box(b"mdat", b"\x00" * 16))
+
+        for pdf in it:
+            ids = [int(d) for d in pdf["doc_id"]]
+            flac = [decode_flac_info(make_flac(d)) for d in ids]
+            mp4 = [decode_mp4_info(make_mp4(d)) for d in ids]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "flac_rate": [f[0] for f in flac],
+                "flac_channels": [f[1] for f in flac],
+                "flac_samples": [f[3] for f in flac],
+                "brand": [m[0] for m in mp4],
+                "video_ms": [m[1] for m in mp4],
+                "width": [m[2] for m in mp4],
+                "height": [m[3] for m in mp4],
+            })
+
+    return docs.mapInPandas(
+        batches,
+        schema="doc_id long, flac_rate int, flac_channels int, "
+               "flac_samples long, brand string, video_ms long, "
+               "width int, height int",
+    ).orderBy("doc_id")

@@ -1604,3 +1604,121 @@ def test_decode_webp_dims_variants():
         decode_webp_dims(b"RIFF\x00\x00\x00\x00WAVE")
     with pytest.raises(ValueError, match="no VP8"):
         decode_webp_dims(b"RIFF" + struct.pack("<I", 4) + b"WEBP")
+
+
+def _make_flac(rate=44100, ch=2, bits=16, n_samples=441000):
+    packed = (rate << 44) | ((ch - 1) << 41) | ((bits - 1) << 36) | n_samples
+    streaminfo = (b"\x10\x00\x10\x00"          # min/max blocksize
+                  + b"\x00\x00\x00" * 2        # min/max framesize
+                  + packed.to_bytes(8, "big")
+                  + b"\x00" * 16)              # md5 of raw samples
+    return (b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big")
+            + streaminfo + b"\xff\xf8rest-of-stream")
+
+
+def test_decode_flac_info():
+    """FLAC STREAMINFO header parse: rate/channels/bits/samples from
+    the mandatory first metadata block, no codec."""
+    import pytest
+
+    from biosets_spark.operators.multimodal import decode_flac_info
+
+    assert decode_flac_info(_make_flac()) == (44100, 2, 16, 441000)
+    assert decode_flac_info(_make_flac(96000, 8, 24, 7)) == (96000, 8, 24, 7)
+    # 36-bit total-samples field edge
+    big = _make_flac(n_samples=(1 << 36) - 1)
+    assert decode_flac_info(big)[3] == (1 << 36) - 1
+    with pytest.raises(ValueError, match="fLaC magic"):
+        decode_flac_info(b"OggS" + b"\x00" * 40)
+    with pytest.raises(ValueError, match="STREAMINFO"):
+        decode_flac_info(b"fLaC" + bytes([0x84]) + b"\x00\x00\x22"
+                         + b"\x00" * 34)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_flac_info(b"fLaC\x80\x00\x00")
+
+
+def _make_mp3(version=3, br_idx=9, sr_idx=0, mode=1, n_frames=0,
+              id3_pad=0):
+    hdr = bytes([
+        0xFF,
+        0xE0 | (version << 3) | (1 << 1) | 1,   # sync + version + LayerIII
+        (br_idx << 4) | (sr_idx << 2),
+        (mode << 6),
+    ])
+    side = (17 if mode == 3 else 32) if version == 3 else \
+           (9 if mode == 3 else 17)
+    body = b"\x00" * side
+    if n_frames:
+        body += b"Xing" + (1).to_bytes(4, "big") + n_frames.to_bytes(4, "big")
+    frame = hdr + body + b"\x00" * 64
+    if id3_pad:
+        sz = id3_pad
+        syncsafe = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                          (sz >> 7) & 0x7F, sz & 0x7F])
+        return b"ID3\x04\x00\x00" + syncsafe + b"\x00" * sz + frame
+    return frame
+
+
+def test_decode_mp3_info():
+    """MP3 frame-header parse: version/bitrate/samplerate/channels plus
+    the Xing frame count, with ID3v2 skip — header-only."""
+    import pytest
+
+    from biosets_spark.operators.multimodal import decode_mp3_info
+
+    # MPEG1 Layer III, 128 kbps, 44.1 kHz, joint stereo
+    assert decode_mp3_info(_make_mp3()) == (44100, 2, 128, 0)
+    # mono + Xing frame count + ID3v2 tag in front
+    assert decode_mp3_info(_make_mp3(mode=3, n_frames=9000, id3_pad=300)) \
+        == (44100, 1, 128, 9000)
+    # MPEG2 table differs: index 9 is 80 kbps, sr_idx 0 -> 22050
+    assert decode_mp3_info(_make_mp3(version=2)) == (22050, 2, 80, 0)
+    with pytest.raises(ValueError, match="frame sync"):
+        decode_mp3_info(b"\x00" * 256)
+
+
+def _mp4_box(typ, payload):
+    return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+
+def _make_mp4(w=1920, h=1080, dur_s=60, timescale=1000, v1=False,
+              audio_only=False):
+    import struct
+    if v1:
+        mvhd = (b"\x01\x00\x00\x00" + b"\x00" * 16
+                + struct.pack(">IQ", timescale, dur_s * timescale)
+                + b"\x00" * 80)
+    else:
+        mvhd = (b"\x00" * 4 + b"\x00" * 8
+                + struct.pack(">II", timescale, dur_s * timescale)
+                + b"\x00" * 80)
+    tkhd_v = (b"\x00" * 4 + b"\x00" * 20 + b"\x00" * 52
+              + struct.pack(">II", w << 16, h << 16))
+    tkhd_a = b"\x00" * 4 + b"\x00" * 20 + b"\x00" * 52 + b"\x00" * 8
+    traks = _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd_a))
+    if not audio_only:
+        traks += _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd_v))
+    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd) + traks)
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov + _mp4_box(b"mdat", b"\x00" * 32)
+
+
+def test_decode_mp4_info():
+    """ISO-BMFF box walk: brand + mvhd duration (v0 and v1) + first
+    visual trak dimensions; audio-only files report 0x0."""
+    import pytest
+
+    from biosets_spark.operators.multimodal import decode_mp4_info
+
+    assert decode_mp4_info(_make_mp4()) == ("isom", 60000, 1920, 1080)
+    assert decode_mp4_info(_make_mp4(v1=True, dur_s=7, timescale=90000)) \
+        == ("isom", 7000, 1920, 1080)
+    assert decode_mp4_info(_make_mp4(audio_only=True)) \
+        == ("isom", 60000, 0, 0)
+    with pytest.raises(ValueError, match="ftyp"):
+        decode_mp4_info(b"\x00\x00\x00\x08free" * 4)
+    with pytest.raises(ValueError, match="moov"):
+        decode_mp4_info(_mp4_box(b"ftyp", b"isom\x00\x00\x02\x00"))
+    with pytest.raises(ValueError, match="invalid box size"):
+        decode_mp4_info(_mp4_box(b"ftyp", b"isom")
+                        + b"\x00\x00\x00\x03moov")
