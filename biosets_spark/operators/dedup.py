@@ -24,6 +24,12 @@ from pyspark.sql.functions import col, lit
 
 from .joins import pin_intermediate
 
+# Candidate-id sets up to this size broadcast in the LSH verification
+# prune (long ids: 2M ~ 16 MB serialized, inside the session's 32 MB
+# autoBroadcastJoinThreshold); larger sets fall back to a shuffled
+# semi-join.
+_BROADCAST_ID_LIMIT = 2_000_000
+
 
 def normalize_text(c: Column) -> Column:
     """Lowercase, collapse whitespace — the canonical form for exact /
@@ -215,33 +221,77 @@ def minhash_lsh_pairs(
     """MinHash-LSH near-duplicate pairs, verified with true Jaccard.
 
     b bands of r=num_perm/b rows; docs sharing any band bucket are
-    candidates; candidates verified by exact shingle Jaccard. The
-    bucket join shuffles only (band, band_hash, id).
+    candidates; candidates verified by exact shingle Jaccard.
+
+    Shuffle contract (r9, measured at 1M docs): signatures are
+    per-row expressions (transform + array_min — no aggregate
+    exchange), so the only corpus-proportional shuffle is the bucket
+    self-join on (band, band_hash, id); the verification stage is
+    pruned to candidate docs first (broadcast semi-join when the
+    candidate-id set is provably small), so its volume scales with
+    the near-dup mass, not the corpus. Document bodies never shuffle.
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
-    # one shingle pass feeds both the signature aggregate and the
-    # verification join
-    sh = pin_intermediate(shingle_table(df, text_col, id_col, shingle_n).cache())
-    # single string hash, then k cheap long re-hashes (see minhash_signatures)
-    mins = [F.min(F.xxhash64(col("_h0"), lit(i))).alias(f"mh_{i}") for i in range(num_perm)]
-    sig = sh.withColumn("_h0", F.xxhash64(col("_sh"))).groupBy("_id").agg(*mins)
+    # one shingle-ARRAY pass feeds both the signature computation and
+    # the (pruned) verification explode
+    base = pin_intermediate(
+        df.select(col(id_col).alias("_id"),
+                  shingles(col(text_col), shingle_n).alias("_arr"))
+        .filter(col("_arr").isNotNull())
+        .cache()
+    )
+    # Per-ROW signatures via transform + array_min: min over
+    # xxhash64(xxhash64(shingle), i) — the identical hash chain the
+    # former explode + groupBy(min) aggregate computed, but with NO
+    # exchange (the r9 1M-doc probe measured the signature aggregate
+    # at ~580 MB of shuffle; per-row it is zero). Same arithmetic,
+    # same signatures, same buckets.
+    h0s = F.transform(col("_arr"), lambda s: F.xxhash64(s))
+    mins = [
+        F.array_min(F.transform(col("_h0s"), lambda h: F.xxhash64(h, lit(i)))).alias(f"mh_{i}")
+        for i in range(num_perm)
+    ]
+    sig = base.withColumn("_h0s", h0s).select("_id", *mins)
     band_cols = [
         F.struct(lit(bi).alias("band"), F.xxhash64(*[col(f"mh_{bi * r + j}") for j in range(r)]).alias("bh"))
         for bi in range(bands)
     ]
     buckets = sig.select("_id", F.explode(F.array(*band_cols)).alias("bk"))
     a, b = buckets.alias("a"), buckets.alias("b")
-    cands = (
+    cands = pin_intermediate(
         a.join(b, (col("a.bk") == col("b.bk")) & (col("a._id") < col("b._id")))
         .select(col("a._id").alias("id_a"), col("b._id").alias("id_b"))
         .distinct()
+        .cache()
     )
-    counts = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    # Prune the shingle table to candidate docs BEFORE the verification
+    # joins: LSH exists because candidates are rare, so the exact-Jaccard
+    # stage should shuffle candidates' shingles, not the corpus's (the
+    # r9 1M-doc probe measured 2.2 GB of verification shuffle without
+    # this — ~10x the candidate shingle volume). One cheap job counts
+    # the distinct candidate ids; a provably-small set broadcasts (longs
+    # only: 2M ids ~ 16 MB, inside the 32 MB session threshold) so the
+    # corpus-sized side never shuffles at all, and a pathological
+    # candidate set falls back to a shuffled semi-join.
+    cand_ids = (
+        cands.select(col("id_a").alias("_id"))
+        .unionByName(cands.select(col("id_b").alias("_id")))
+        .distinct()
+    )
+    if cand_ids.limit(_BROADCAST_ID_LIMIT + 1).count() <= _BROADCAST_ID_LIMIT:
+        pruned = base.join(F.broadcast(cand_ids), "_id", "left_semi")
+    else:
+        pruned = base.join(cand_ids, "_id", "left_semi")
+    pruned = pin_intermediate(pruned.cache())
+    shv = pruned.select("_id", F.explode(col("_arr")).alias("_sh"))
+    # shingles() is array_distinct, so the array size equals the
+    # exploded per-doc row count the former aggregate produced
+    counts = pruned.select("_id", F.size(col("_arr")).alias("_n"))
     common = (
-        cands.join(sh.alias("sa"), cands.id_a == col("sa._id"))
-        .join(sh.alias("sb"), (cands.id_b == col("sb._id")) & (col("sa._sh") == col("sb._sh")))
+        cands.join(shv.alias("sa"), cands.id_a == col("sa._id"))
+        .join(shv.alias("sb"), (cands.id_b == col("sb._id")) & (col("sa._sh") == col("sb._sh")))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("common"))
     )
