@@ -29,6 +29,10 @@ from .joins import pin_intermediate
 # autoBroadcastJoinThreshold); larger sets fall back to a shuffled
 # semi-join.
 _BROADCAST_ID_LIMIT = 2_000_000
+# Corpora at or below this many docs skip the verification prune: the
+# full-table join is cheaper than the prune's extra join/broadcast
+# until the shingle table dwarfs the candidate set.
+_PRUNE_MIN_DOCS = 100_000
 
 
 def normalize_text(c: Column) -> Column:
@@ -223,18 +227,20 @@ def minhash_lsh_pairs(
     b bands of r=num_perm/b rows; docs sharing any band bucket are
     candidates; candidates verified by exact shingle Jaccard.
 
-    Shuffle contract (r9, measured at 1M docs): signatures are
-    per-row expressions (transform + array_min — no aggregate
-    exchange), so the only corpus-proportional shuffle is the bucket
+    Shuffle contract (r9, measured at 1M docs): the corpus-
+    proportional shuffles are the signature aggregate (one
+    num_perm-long row per doc after map-side combine) and the bucket
     self-join on (band, band_hash, id); the verification stage is
     pruned to candidate docs first (broadcast semi-join when the
-    candidate-id set is provably small), so its volume scales with
-    the near-dup mass, not the corpus. Document bodies never shuffle.
+    candidate-id set is provably small, skipped entirely below
+    _PRUNE_MIN_DOCS where the prune overhead exceeds the win), so its
+    volume scales with the near-dup mass, not the corpus — 2229 MB ->
+    1336 MB total at 1M docs. Document bodies never shuffle.
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
-    # one shingle-ARRAY pass feeds both the signature computation and
+    # one shingle-ARRAY pass feeds both the signature aggregate and
     # the (pruned) verification explode
     base = pin_intermediate(
         df.select(col(id_col).alias("_id"),
@@ -242,53 +248,60 @@ def minhash_lsh_pairs(
         .filter(col("_arr").isNotNull())
         .cache()
     )
-    # Per-ROW signatures via transform + array_min: min over
-    # xxhash64(xxhash64(shingle), i) — the identical hash chain the
-    # former explode + groupBy(min) aggregate computed, but with NO
-    # exchange (the r9 1M-doc probe measured the signature aggregate
-    # at ~580 MB of shuffle; per-row it is zero). Same arithmetic,
-    # same signatures, same buckets.
-    h0s = F.transform(col("_arr"), lambda s: F.xxhash64(s))
-    mins = [
-        F.array_min(F.transform(col("_h0s"), lambda h: F.xxhash64(h, lit(i)))).alias(f"mh_{i}")
-        for i in range(num_perm)
-    ]
-    sig = base.withColumn("_h0s", h0s).select("_id", *mins)
+    sh = base.select("_id", F.explode(col("_arr")).alias("_sh"))
+    # single string hash, then k cheap long re-hashes (see
+    # minhash_signatures). Explode + groupBy(min): the partial
+    # aggregate combines map-side, so the exchange carries one
+    # num_perm-long row per doc per input partition — ~0.5 KB/doc at
+    # k=64. A per-row formulation (array_min over transform, probed in
+    # r9) removes even that exchange but falls out of whole-stage
+    # codegen at k=64 (5x wall at sf0.1) with no wall win at 1M docs,
+    # so the aggregate stays.
+    mins = [F.min(F.xxhash64(col("_h0"), lit(i))).alias(f"mh_{i}") for i in range(num_perm)]
+    sig = sh.withColumn("_h0", F.xxhash64(col("_sh"))).groupBy("_id").agg(*mins)
     band_cols = [
         F.struct(lit(bi).alias("band"), F.xxhash64(*[col(f"mh_{bi * r + j}") for j in range(r)]).alias("bh"))
         for bi in range(bands)
     ]
     buckets = sig.select("_id", F.explode(F.array(*band_cols)).alias("bk"))
     a, b = buckets.alias("a"), buckets.alias("b")
-    cands = pin_intermediate(
+    cands = (
         a.join(b, (col("a.bk") == col("b.bk")) & (col("a._id") < col("b._id")))
         .select(col("a._id").alias("id_a"), col("b._id").alias("id_b"))
         .distinct()
-        .cache()
     )
     # Prune the shingle table to candidate docs BEFORE the verification
     # joins: LSH exists because candidates are rare, so the exact-Jaccard
     # stage should shuffle candidates' shingles, not the corpus's (the
     # r9 1M-doc probe measured 2.2 GB of verification shuffle without
-    # this — ~10x the candidate shingle volume). One cheap job counts
-    # the distinct candidate ids; a provably-small set broadcasts (longs
-    # only: 2M ids ~ 16 MB, inside the 32 MB session threshold) so the
-    # corpus-sized side never shuffles at all, and a pathological
-    # candidate set falls back to a shuffled semi-join.
-    cand_ids = (
-        cands.select(col("id_a").alias("_id"))
-        .unionByName(cands.select(col("id_b").alias("_id")))
-        .distinct()
-    )
-    if cand_ids.limit(_BROADCAST_ID_LIMIT + 1).count() <= _BROADCAST_ID_LIMIT:
-        pruned = base.join(F.broadcast(cand_ids), "_id", "left_semi")
+    # this — ~10x the candidate shingle volume). One decision job counts
+    # the candidate pairs (and fills the cands/base caches the main job
+    # reuses); a provably-small id set broadcasts (longs only: 2M ids ~
+    # 16 MB, inside the 32 MB session threshold) so the corpus-sized
+    # side never shuffles at all, and a pathological candidate set falls
+    # back to a shuffled semi-join. Small corpora skip pruning entirely
+    # — full-table verification is cheaper than the prune's extra
+    # join/broadcast at bench scale (measured: +1.7 s at 5k docs,
+    # -1.5 GB shuffle at 1M docs).
+    n_docs = base.count()  # one lightweight job; fills the base cache
+    if n_docs <= _PRUNE_MIN_DOCS:
+        verif = base
     else:
-        pruned = base.join(cand_ids, "_id", "left_semi")
-    pruned = pin_intermediate(pruned.cache())
-    shv = pruned.select("_id", F.explode(col("_arr")).alias("_sh"))
+        cands = pin_intermediate(cands.cache())
+        n_pairs_probe = cands.limit(_BROADCAST_ID_LIMIT // 2 + 1).count()
+        cand_ids = (
+            cands.select(col("id_a").alias("_id"))
+            .unionByName(cands.select(col("id_b").alias("_id")))
+            .distinct()
+        )
+        if 2 * n_pairs_probe <= _BROADCAST_ID_LIMIT:
+            verif = base.join(F.broadcast(cand_ids), "_id", "left_semi")
+        else:
+            verif = base.join(cand_ids, "_id", "left_semi")
+    shv = verif.select("_id", F.explode(col("_arr")).alias("_sh"))
     # shingles() is array_distinct, so the array size equals the
-    # exploded per-doc row count the former aggregate produced
-    counts = pruned.select("_id", F.size(col("_arr")).alias("_n"))
+    # exploded per-doc row count — no counting aggregate needed
+    counts = verif.select("_id", F.size(col("_arr")).alias("_n"))
     common = (
         cands.join(shv.alias("sa"), cands.id_a == col("sa._id"))
         .join(shv.alias("sb"), (cands.id_b == col("sb._id")) & (col("sa._sh") == col("sb._sh")))
