@@ -438,3 +438,57 @@ def q_multimodal_av_info(spark, sf_dir):
                "flac_samples long, brand string, video_ms long, "
                "width int, height int",
     ).orderBy("doc_id")
+
+
+@q(
+    "q_table_skipping",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderkey >= 100 AND o_orderkey < 2000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    desc="File-level data skipping on the versioned table (r9): orders "
+         "is committed as a snapshot table clustered on o_orderkey "
+         "(repartitionByRange + sortWithinPartitions -> 8 files with "
+         "disjoint key ranges; sources/sink.py writes the per-file "
+         "min/max index from the parquet FOOTERS at commit, no data "
+         "scan), then read back through read_snapshot_where, which "
+         "consults the index and schedules tasks only for files whose "
+         "bounds intersect [100, 2000) — Delta-style skipping, the "
+         "layer that matters at 100k-file scale where per-file footer "
+         "opens dominate planning. The oracle computes the same "
+         "filtered aggregate straight from orders, so a prune that "
+         "drops a file it should have kept (or keeps rows it should "
+         "have filtered) diverges. Soundness contract: pruning changes "
+         "file counts, never results.",
+    tags=["table", "skipping", "agg"],
+)
+def q_table_skipping(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import sink as S
+
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"biosets_q_table_skipping_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    clustered = orders.repartitionByRange(8, "o_orderkey") \
+        .sortWithinPartitions("o_orderkey")
+    S.create_table(spark, path, clustered)
+    pruned = S.read_snapshot_where(
+        spark, path,
+        [("o_orderkey", ">=", 100), ("o_orderkey", "<", 2000)])
+    return (
+        pruned.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"),
+             dsum("o_totalprice", "total_price"))
+        .orderBy("o_orderstatus")
+    )

@@ -313,6 +313,7 @@ def compact_parquet(
 
 TABLE_LOG = "_table_log.json"
 SNAPSHOT_DIR = "_snapshots"
+STATS_DIR = "_stats"
 
 
 def _table_log_read(path: str) -> dict:
@@ -437,6 +438,7 @@ def create_table(spark: SparkSession, path: str, df: DataFrame,
             raise FileExistsError(f"versioned table already exists at {path!r}")
         _clear_aborted_snapshot(path, 0)  # an aborted create's orphan v0
         df.write.mode("errorifexists").parquet(_snapshot_path(path, 0))
+        write_table_stats(path, 0)  # file-skipping index (footer-only)
         entry = {
             "version": 0,
             "timestamp": datetime.datetime.now(datetime.timezone.utc).isoformat(),
@@ -550,6 +552,7 @@ def merge_into_parquet(
         _clear_aborted_snapshot(path, new_version)  # aborted prior commit
         merged.write.mode("errorifexists").parquet(
             _snapshot_path(path, new_version))
+        write_table_stats(path, new_version)
         rows = spark.read.parquet(_snapshot_path(path, new_version)).count()
         entry = {
             "version": new_version,
@@ -601,6 +604,10 @@ def vacuum_table(path: str, keep_last: int = 2) -> list[int]:
         for v in live[:-keep_last]:
             shutil.rmtree(_snapshot_path(path, v["version"]),
                           ignore_errors=True)
+            try:
+                os.remove(_stats_path(path, v["version"]))
+            except FileNotFoundError:
+                pass
             v["vacuumed"] = True
             dropped.append(v["version"])
         if dropped:
@@ -734,6 +741,7 @@ def compact_table(
             out = df.repartition(n_files)
         out.write.mode("errorifexists").parquet(
             _snapshot_path(path, new_version))
+        write_table_stats(path, new_version)
         entry = {
             "version": new_version,
             "timestamp": datetime.datetime.now(
@@ -789,3 +797,229 @@ def read_change_feed(
             f"no change-carrying versions in range {from_version}..{hi}"
             " (compact-only ranges have no logical changes)")
     return out
+
+
+# ------------------------------------------------------- data skipping
+
+def _stats_path(path: str, version: int) -> str:
+    return os.path.join(path, STATS_DIR, f"v{version:07d}.json")
+
+
+def _stat_encode(v):
+    """JSON-safe tagged encoding for a parquet column statistic. Only
+    orderable, faithfully-roundtrippable types participate in pruning;
+    anything else returns None and the column is left unprunable."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bool) or v is None:
+        return None  # booleans: not worth pruning; None: no stat
+    if isinstance(v, int):
+        return ["i", v]
+    if isinstance(v, float):
+        return ["f", v]
+    if isinstance(v, str):
+        return ["s", v]
+    if isinstance(v, datetime.datetime):
+        return ["ts", v.isoformat()]
+    if isinstance(v, datetime.date):
+        return ["d", v.isoformat()]
+    if isinstance(v, decimal.Decimal):
+        return ["dec", str(v)]
+    return None
+
+
+def _stat_decode(tagged):
+    import datetime
+    import decimal
+
+    tag, v = tagged
+    if tag in ("i", "f", "s"):
+        return v
+    if tag == "ts":
+        return datetime.datetime.fromisoformat(v)
+    if tag == "d":
+        return datetime.date.fromisoformat(v)
+    if tag == "dec":
+        return decimal.Decimal(v)
+    raise ValueError(f"unknown stat tag {tag!r}")
+
+
+def collect_file_stats(snapshot_dir: str) -> dict:
+    """Per-FILE column min/max from the parquet FOOTERS of a snapshot
+    directory — no data pages are read. Shape:
+
+        {file_basename: {column: {"min": tagged, "max": tagged}}}
+
+    A column appears for a file only when EVERY row group in that file
+    carries usable min/max statistics (a single stats-less row group
+    makes the file unprunable on that column — pruning must never be
+    a guess). This is the Delta-style file-skipping index, derived
+    from metadata parquet already wrote for free."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    out = {}
+    for f in sorted(_glob.glob(os.path.join(snapshot_dir, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        cols: dict = {}
+        complete: set = set()
+        for rg_i in range(md.num_row_groups):
+            rg = md.row_group(rg_i)
+            for c_i in range(rg.num_columns):
+                cc = rg.column(c_i)
+                name = cc.path_in_schema
+                if "." in name:  # nested leaf: skip (filters are top-level)
+                    continue
+                st = cc.statistics
+                if (st is None or not st.has_min_max
+                        or st.min is None or st.max is None):
+                    cols.pop(name, None)
+                    complete.add(name)  # poisoned: never re-add
+                    continue
+                if name in complete and name not in cols:
+                    continue
+                lo, hi = _stat_encode(st.min), _stat_encode(st.max)
+                if lo is None or hi is None or lo[0] != hi[0]:
+                    cols.pop(name, None)
+                    complete.add(name)
+                    continue
+                prev = cols.get(name)
+                if prev is None:
+                    cols[name] = {"min": lo, "max": hi}
+                else:
+                    if _stat_decode(lo) < _stat_decode(prev["min"]):
+                        prev["min"] = lo
+                    if _stat_decode(hi) > _stat_decode(prev["max"]):
+                        prev["max"] = hi
+                complete.add(name)
+        out[os.path.basename(f)] = cols
+    return out
+
+
+def write_table_stats(path: str, version: int) -> dict:
+    """Collect and persist the file-skipping index for a committed
+    snapshot (atomic JSON sidecar under ``_stats/``)."""
+    stats = collect_file_stats(_snapshot_path(path, version))
+    os.makedirs(os.path.join(path, STATS_DIR), exist_ok=True)
+    tmp = _stats_path(path, version) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, _stats_path(path, version))
+    return stats
+
+
+def _load_table_stats(path: str, version: int) -> dict | None:
+    p = _stats_path(path, version)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+_PRUNE_OPS = {"=", "==", "<", "<=", ">", ">=", "in"}
+
+
+def _file_may_match(col_stats: dict, op: str, value) -> bool:
+    """Can ANY row in a file with these [min, max] bounds satisfy
+    ``col op value``? SQL comparison semantics: NULL rows never
+    satisfy a comparison, so min/max of the non-null values are a
+    sound bound regardless of nulls in the file."""
+    lo = _stat_decode(col_stats["min"])
+    hi = _stat_decode(col_stats["max"])
+    try:
+        if op in ("=", "=="):
+            return lo <= value <= hi
+        if op == "<":
+            return lo < value
+        if op == "<=":
+            return lo <= value
+        if op == ">":
+            return hi > value
+        if op == ">=":
+            return hi >= value
+        if op == "in":
+            return any(lo <= v <= hi for v in value)
+    except TypeError:
+        return True  # cross-type comparison: cannot prove, keep
+    return True
+
+
+def prune_snapshot_files(path: str, version: int,
+                         filters: list[tuple]) -> tuple[list[str], int]:
+    """Apply the file-skipping index: returns (kept absolute file
+    paths, total file count). ``filters`` is a conjunction of
+    ``(column, op, value)`` with op in =, ==, <, <=, >, >=, in.
+    Files without stats for a filtered column are conservatively
+    kept; an unknown op raises (a typo must not silently disable
+    pruning)."""
+    for _, op, _v in filters:
+        if op not in _PRUNE_OPS:
+            raise ValueError(f"unsupported prune op {op!r} (use {sorted(_PRUNE_OPS)})")
+    stats = _load_table_stats(path, version)
+    if stats is None:
+        stats = write_table_stats(path, version)  # backfill older tables
+    snap = _snapshot_path(path, version)
+    kept = []
+    for fname, cols in stats.items():
+        ok = True
+        for c, op, v in filters:
+            cs = cols.get(c)
+            if cs is None:
+                continue  # no stats: cannot prune on this column
+            if not _file_may_match(cs, op, v):
+                ok = False
+                break
+        if ok:
+            kept.append(os.path.join(snap, fname))
+    return kept, len(stats)
+
+
+def read_snapshot_where(
+    spark: SparkSession,
+    path: str,
+    filters: list[tuple],
+    version: int | None = None,
+    as_of: str | None = None,
+) -> DataFrame:
+    """``read_snapshot`` with Delta-style data skipping: consults the
+    per-file min/max index to schedule tasks ONLY for files whose
+    bounds can satisfy the (conjunctive) ``filters``, then applies the
+    same filters as residual predicates (Spark additionally prunes row
+    groups inside the kept files via the pushed-down parquet stats —
+    this layer removes whole files from planning, which is what
+    matters at 100k-file scale where per-file footer opens dominate).
+    At read of a never-indexed version the index is backfilled once
+    from the parquet footers (metadata-only, no data scan)."""
+    from pyspark.sql import functions as F
+
+    # resolve version exactly like read_snapshot (incl. vacuum guard)
+    full = read_snapshot(spark, path, version=version, as_of=as_of)
+    log = _table_log_read(path)
+    if as_of is not None:
+        version = [v for v in log["versions"]
+                   if v["timestamp"] <= as_of][-1]["version"]
+    if version is None:
+        version = log["current"]
+
+    def residual(df: DataFrame) -> DataFrame:
+        import operator as _op
+
+        cmp = {"<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge}
+        for c, op, v in filters:
+            if op in ("=", "=="):
+                df = df.filter(F.col(c) == F.lit(v))
+            elif op == "in":
+                df = df.filter(F.col(c).isin(list(v)))
+            else:
+                df = df.filter(cmp[op](F.col(c), F.lit(v)))
+        return df
+
+    kept, total = prune_snapshot_files(path, version, filters)
+    if len(kept) == total:
+        return residual(full)
+    if not kept:  # every file provably empty for these filters
+        return residual(full.limit(0))
+    return residual(
+        spark.read.schema(full.schema).parquet(*kept))
