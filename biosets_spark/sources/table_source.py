@@ -104,13 +104,34 @@ def _read_files_arrow(files: list[str], target_schema=None):
 
 
 class _SnapshotReader(DataSourceReader):
-    def __init__(self, snapshot_dir: str):
+    def __init__(self, snapshot_dir: str, table_path: str | None = None,
+                 version: int | None = None,
+                 skip_filters: list | None = None):
         self.snapshot_dir = snapshot_dir
+        self.table_path = table_path
+        self.version = version
+        self.skip_filters = skip_filters
 
     def partitions(self):
         # one task per part-file: the same parallelism a native
         # parquet scan of the snapshot would get
-        return [_FilesPartition([f]) for f in _parquet_files(self.snapshot_dir)]
+        files = _parquet_files(self.snapshot_dir)
+        if self.skip_filters:
+            # file-level data skipping via the _stats/ footer index
+            # (sink.prune_snapshot_files). The option is a COARSE
+            # pre-filter: kept files may still contain non-matching
+            # rows, so the caller composes the same predicate with
+            # .filter(...) — identical contract to partition pruning.
+            from .sink import prune_snapshot_files
+
+            kept, _total = prune_snapshot_files(
+                self.table_path, self.version,
+                [tuple(f) for f in self.skip_filters])
+            keep = {os.path.basename(k) for k in kept}
+            files = [f for f in files if os.path.basename(f) in keep]
+        # a fully-pruned scan still needs one (empty) partition — some
+        # plan shapes reject a zero-partition relation
+        return [_FilesPartition([f]) for f in files] or [_FilesPartition([])]
 
     def read(self, partition):
         yield from _read_files_arrow(partition.files)
@@ -222,8 +243,17 @@ class BiosetsTableDataSource(DataSource):
                 "batch change-feed reads go through "
                 "sources.sink.read_change_feed; the biosets_table batch "
                 "format reads snapshots")
+        sf = next((v for k, v in self.options.items()
+                   if k.lower() == "skipfilters"), None)
+        ver = self._resolved_version()
         return _SnapshotReader(
-            _snapshot_path(self._path(), self._resolved_version()))
+            _snapshot_path(self._path(), ver),
+            table_path=self._path(), version=ver,
+            # JSON list of [column, op, value] conjuncts, e.g.
+            # .option("skipFilters", '[["k", ">=", 100]]') — values are
+            # JSON scalars (numbers/strings); see sink.read_snapshot_where
+            # for the Python-native API with date/decimal support
+            skip_filters=json.loads(sf) if sf else None)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         if not self._read_cdf():

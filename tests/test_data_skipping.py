@@ -134,3 +134,31 @@ def test_merge_and_compact_write_stats_and_vacuum_drops_them(spark, tmp_path):
     assert not os.path.exists(S._stats_path(path, 0))
     assert not os.path.exists(S._stats_path(path, 1))
     assert os.path.exists(S._stats_path(path, 2))
+
+
+def test_datasource_skipfilters_option(spark, table):
+    """spark.read.format('biosets_table').option('skipFilters', ...):
+    the option is a coarse file pre-filter (kept files may hold
+    non-matching rows), composed with .filter for exact results."""
+    import json as _json
+
+    from biosets_spark.sources.table_source import register
+
+    register(spark)
+    full = S.read_snapshot(spark, table)
+    got = (
+        spark.read.format("biosets_table")
+        .option("skipFilters", _json.dumps([["k", ">=", 75]]))
+        .load(table)
+    )
+    # superset contract: exactly the rows of the one kept file
+    assert got.count() == 25
+    exact = sorted(got.filter("k >= 75").collect())
+    assert exact == sorted(full.filter("k >= 75").collect())
+    # fully-pruned scan: empty result, schema intact, no plan error
+    none = (
+        spark.read.format("biosets_table")
+        .option("skipFilters", _json.dumps([["k", ">", 10000]]))
+        .load(table)
+    )
+    assert none.count() == 0 and none.columns == full.columns
