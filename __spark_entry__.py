@@ -248,11 +248,12 @@ _DEFER_NEXT_WINDOW_TAGGED: tuple = ()
 #
 # R9 HANDOFF: EXECUTED — the 50 r8 greens are tagged 8 (the 13
 # re-sampled tag-2 names re-tagged in place), _ROUND bumped to 9,
-# defer list stays empty. The r9 window is entirely re-verification
-# spare rows: the 37 remaining tag-2 names front the checked tail
-# (ascending-tag sort), then the oldest tag-3 rows fill the ~13
-# remaining slots. Expected CORRECTNESS_r09 = 37 tag-2 + ~13 tag-3
-# re-verifications, all previously judge-reverified green in r8.
+# defer list stays empty. Mid-round, r9 added THREE debut queries
+# (q_multimodal_jpeg_dims, q_multimodal_av_info, q_table_skipping —
+# each oracle-green locally at sf0.001 + sf0.01 + degenerate), which
+# front the window per the debut rule. Expected CORRECTNESS_r09 =
+# 3 debuts + 37 tag-2 + ~10 tag-3 re-verifications; the tag-2 cohort
+# (the oldest driver rows) fully drains this round.
 #
 # R10 HANDOFF: tag the r9 greens as 9, bump _ROUND to 10. The r10
 # window continues draining tag-3 (ascending-tag sort does this
