@@ -1,5 +1,6 @@
 from . import (
     asof,
+    cluster,
     concat,
     dedup,
     events,
@@ -18,7 +19,7 @@ from . import (
 )
 
 __all__ = [
-    "asof", "concat", "dedup", "events", "graph", "joins", "labels",
+    "asof", "cluster", "concat", "dedup", "events", "graph", "joins", "labels",
     "merge", "multimodal", "pii", "pipeline", "ranking", "similarity", "skew",
     "split", "text",
 ]
