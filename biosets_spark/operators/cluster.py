@@ -165,6 +165,50 @@ def kmeans_fit(
     return assign_cells(v, cents).drop("_v"), cents
 
 
+def prune_farthest(
+    assigned: DataFrame,
+    frac_num: int = 1,
+    frac_den: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Prototypicality pruning (the Sorscher et al. 2022 'Beyond
+    neural scaling laws' recipe, arXiv:2206.14486): within each
+    k-means cell, drop the ``frac_num/frac_den`` fraction of examples
+    FARTHEST from their centroid — the outlier tail of each cluster.
+
+    Input is ``kmeans_fit``'s assignment (needs ``_cell`` and the
+    exact integer ``_dist``); adds ``_keep`` (false for the pruned
+    tail). The per-cell prune count is exact integer arithmetic
+    ``(n_c * frac_num) // frac_den`` and the farthest-first order is
+    total (``_dist`` DESC, id DESC), so the kept SET is deterministic
+    and engine-portable — no float rank, no sampled quantile.
+
+    Scale: one window over the cell partitioning the assignment
+    already has (cells are the partition key — thousands of them at
+    real k, so no single-partition window), plus a broadcast of the
+    k-row per-cell counts.
+    """
+    if not (0 <= frac_num < frac_den):
+        raise ValueError(
+            f"prune fraction must be in [0, 1): got {frac_num}/{frac_den}")
+    from pyspark.sql import Window
+
+    counts = assigned.groupBy("_cell").agg(F.count("*").alias("_nc"))
+    w = Window.partitionBy("_cell").orderBy(
+        col("_dist").desc(), col(id_col).desc())
+    return (
+        assigned.withColumn("_rank", F.row_number().over(w))
+        .join(F.broadcast(counts), "_cell")
+        .withColumn(
+            "_keep",
+            # positive-int floor-div (SQL `div` truncates; operands are
+            # non-negative, so it equals the oracle's `//`)
+            col("_rank") > F.expr(f"(_nc * {int(frac_num)}) div {int(frac_den)}"),
+        )
+        .drop("_rank", "_nc")
+    )
+
+
 def _semantic_assigned(
     df: DataFrame, k: int, id_col: str, vec_col: str, seed: int
 ) -> DataFrame:

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
 from .. import tables
-from ..operators.cluster import kmeans_fit, semantic_dedup_stats
+from ..operators.cluster import kmeans_fit, prune_farthest, semantic_dedup_stats
 from . import q
 
 
@@ -170,3 +170,88 @@ def q_dedup_semantic(spark, sf_dir):
     emb = tables.load(spark, sf_dir, "embeddings")
     return semantic_dedup_stats(
         emb, k=16, threshold_num=42, threshold_den=100)
+
+
+@q(
+    "q_prototype_prune",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT) + 2097152) AS vec
+      FROM embeddings
+    ),
+    ini AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '42')) - 1 AS cell,
+             vec
+      FROM v ORDER BY md5(CAST(vec_id AS VARCHAR) || '42') LIMIT 8
+    ),
+    vc AS (SELECT vec_id, generate_subscripts(vec, 1) AS pos, unnest(vec) AS c FROM v),
+    cc0 AS (SELECT cell, generate_subscripts(vec, 1) AS pos, unnest(vec) AS c FROM ini),
+    d1 AS (
+      SELECT vc.vec_id, cc0.cell, SUM((vc.c - cc0.c) * (vc.c - cc0.c)) AS dist
+      FROM vc JOIN cc0 USING (pos) GROUP BY 1, 2
+    ),
+    a1 AS (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+      FROM d1
+    ),
+    m1 AS (
+      SELECT a1.cell, vc.pos,
+             CAST((2 * SUM(vc.c) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS c
+      FROM a1 JOIN vc USING (vec_id) WHERE a1.rn = 1
+      GROUP BY 1, 2
+    ),
+    cc1 AS (
+      SELECT cc0.cell, cc0.pos, COALESCE(m1.c, cc0.c) AS c
+      FROM cc0 LEFT JOIN m1 ON m1.cell = cc0.cell AND m1.pos = cc0.pos
+    ),
+    d2 AS (
+      SELECT vc.vec_id, cc1.cell, SUM((vc.c - cc1.c) * (vc.c - cc1.c)) AS dist
+      FROM vc JOIN cc1 USING (pos) GROUP BY 1, 2
+    ),
+    a2 AS (
+      SELECT vec_id, cell, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+      FROM d2
+    ),
+    fin AS (SELECT vec_id, cell, dist FROM a2 WHERE rn = 1),
+    rk AS (
+      SELECT vec_id, cell, dist,
+             ROW_NUMBER() OVER (PARTITION BY cell ORDER BY dist DESC, vec_id DESC) AS r,
+             COUNT(*) OVER (PARTITION BY cell) AS nc
+      FROM fin
+    )
+    SELECT CAST(cell AS INTEGER) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN r <= nc // 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+           CAST(SUM(CASE WHEN r > nc // 4 THEN dist ELSE 0 END) AS BIGINT) AS inertia_kept
+    FROM rk GROUP BY cell ORDER BY cell
+    """,
+    desc="Prototypicality data pruning (Sorscher et al. 2022, arXiv:"
+         "2206.14486): fit k-means (k=8, exact grid), then drop the "
+         "farthest quartile of each cell — the per-cluster outlier "
+         "tail. Prune counts are exact integer floor-division and the "
+         "farthest-first order is total (dist DESC, id DESC) over "
+         "EXACT integer distances, so the kept set is deterministic "
+         "and engine-portable. Output: per cell, size, pruned count, "
+         "and the exact inertia of the kept examples. Scale: one "
+         "window over the cell partitioning (thousands of cells at "
+         "real k — never a single-partition window) plus a broadcast "
+         "k-row count table.",
+    tags=["cluster", "prune", "window"],
+)
+def q_prototype_prune(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    assigned, _cents = kmeans_fit(emb, k=8, iters=1)
+    pruned = prune_farthest(assigned, frac_num=1, frac_den=4)
+    return (
+        pruned.groupBy(col("_cell").alias("cell"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(~col("_keep"), 1).otherwise(0)).alias("n_pruned"),
+            F.sum(F.when(col("_keep"), col("_dist")).otherwise(0)).alias("inertia_kept"),
+        )
+        .orderBy("cell")
+    )

@@ -7,6 +7,7 @@ import pytest
 from biosets_spark.operators.cluster import (
     OFFSET,
     kmeans_fit,
+    prune_farthest,
     semantic_dedup_stats,
     semantic_dup_pairs,
 )
@@ -96,6 +97,32 @@ def test_semantic_stats_keep_lowest_id(spark):
     s = {r["cell"]: (r["n_docs"], r["n_pairs"], r["n_pruned"])
          for r in semantic_dedup_stats(df, k=1).collect()}
     assert s == {0: (4, 3, 2)}
+
+
+def test_prune_farthest_drops_exact_outlier_tail(spark):
+    # one blob at the origin + two far outliers: k=1 cell, prune 1/4
+    # of 8 = 2 rows — exactly the two farthest by (dist DESC, id DESC)
+    rows = [(i, (i * 1e-4, 0.0)) for i in range(6)]
+    rows += [(100, (0.9, 0.9)), (101, (-0.9, -0.9))]
+    df = _emb(spark, rows)
+    assigned, _ = kmeans_fit(df, k=1, iters=1)
+    out = prune_farthest(assigned, frac_num=1, frac_den=4)
+    dropped = sorted(r["vec_id"] for r in out.collect() if not r["_keep"])
+    assert dropped == [100, 101]
+
+
+def test_prune_fraction_zero_keeps_all(spark):
+    df = _emb(spark, [(i, (i * 0.1, 0.0)) for i in range(5)])
+    assigned, _ = kmeans_fit(df, k=1, iters=1)
+    out = prune_farthest(assigned, frac_num=0, frac_den=4)
+    assert all(r["_keep"] for r in out.collect())
+
+
+def test_prune_fraction_validation(spark):
+    df = _emb(spark, [(1, (1.0, 0.0))])
+    assigned, _ = kmeans_fit(df, k=1, iters=0)
+    with pytest.raises(ValueError, match="fraction"):
+        prune_farthest(assigned, frac_num=4, frac_den=4)
 
 
 def test_semantic_pairs_are_within_cell_only(spark):
