@@ -248,13 +248,14 @@ _DEFER_NEXT_WINDOW_TAGGED: tuple = ()
 #
 # R9 HANDOFF: EXECUTED — the 50 r8 greens are tagged 8 (the 13
 # re-sampled tag-2 names re-tagged in place), _ROUND bumped to 9,
-# defer list stays empty. Mid-round, r9 added SIX debut queries
+# defer list stays empty. Mid-round, r9 added SEVEN debut queries
 # (q_multimodal_jpeg_dims, q_multimodal_av_info, q_table_skipping,
-# q_kmeans_lloyd, q_dedup_semantic, q_prototype_prune — each
-# oracle-green locally at sf0.001 + sf0.01 + sf0.1 + degenerate),
-# which front the window per the debut rule. Expected CORRECTNESS_r09
-# = 6 debuts + 37 tag-2 + ~7 tag-3 re-verifications; the tag-2 cohort
-# (the oldest driver rows) fully drains this round.
+# q_kmeans_lloyd, q_dedup_semantic, q_prototype_prune,
+# q_pipeline_curated_corpus — each oracle-green locally at sf0.001 +
+# sf0.01 + sf0.1 + degenerate), which front the window per the debut
+# rule. Expected CORRECTNESS_r09 = 7 debuts + 37 tag-2 + ~6 tag-3
+# re-verifications; the tag-2 cohort (the oldest driver rows) fully
+# drains this round.
 #
 # R10 HANDOFF: tag the r9 greens as 9, bump _ROUND to 10. The r10
 # window continues draining tag-3 (ascending-tag sort does this

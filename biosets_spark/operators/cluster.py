@@ -79,26 +79,75 @@ def _sqdist(v: Column, cent: list[int]) -> Column:
     )
 
 
+# past this k the literal-centroid expression stops being reasonable
+# (k * dim interpreted HOF folds per row — measured 75 s for k=64 on
+# a 20k corpus vs seconds via BLAS); assignment switches to the
+# Arrow kernel, which computes the IDENTICAL exact integers
+_LITERAL_K_MAX = 16
+
+
 def assign_cells(
     df: DataFrame, cents: list[list[int]], vec_col: str = "_v"
 ) -> DataFrame:
     """E-step: add ``_cell`` (nearest centroid, exact integer argmin,
     ties to the lowest cell id) and ``_dist`` (exact squared distance).
 
-    One JVM expression per row — array_min over k (dist, cell) structs
-    compares lexicographically, mirroring the oracle's
-    ``ROW_NUMBER() OVER (ORDER BY dist, cell)``.
+    Small k: one JVM expression per row — array_min over k (dist,
+    cell) structs compares lexicographically, mirroring the oracle's
+    ``ROW_NUMBER() OVER (ORDER BY dist, cell)``. Larger k (SemDeDup
+    runs ~100k cells at web scale): an Arrow kernel computes
+    ``|v|^2 - 2 V.C^T + |c|^2`` with an exact int64 BLAS matmul
+    (every term bounded by 2^60 under the module's component
+    contract) and np.argmin's first-minimum tie rule — the same
+    lowest-cell tie-break, so the two paths are bit-identical
+    (pinned by a pytest cross-check).
     """
-    cands = F.array(*[
-        F.struct(_sqdist(col(vec_col), cv).alias("dist"),
-                 lit(ci).alias("cell"))
-        for ci, cv in enumerate(cents)
+    if len(cents) <= _LITERAL_K_MAX:
+        cands = F.array(*[
+            F.struct(_sqdist(col(vec_col), cv).alias("dist"),
+                     lit(ci).alias("cell"))
+            for ci, cv in enumerate(cents)
+        ])
+        best = F.array_min(cands)
+        return df.withColumn("_best", best) \
+                 .withColumn("_cell", col("_best")["cell"]) \
+                 .withColumn("_dist", col("_best")["dist"]) \
+                 .drop("_best")
+    return _assign_cells_kernel(df, cents, vec_col)
+
+
+def _assign_cells_kernel(
+    df: DataFrame, cents: list[list[int]], vec_col: str
+) -> DataFrame:
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.int64)
+    cn2 = (C * C).sum(axis=1)
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    # StructType.add mutates in place — never call it on df.schema
+    # (the DataFrame caches that object; mutating it corrupts the
+    # frame's own column list)
+    out_schema = StructType(list(df.schema.fields) + [
+        StructField("_cell", IntegerType()),
+        StructField("_dist", LongType()),
     ])
-    best = F.array_min(cands)
-    return df.withColumn("_best", best) \
-             .withColumn("_cell", col("_best")["cell"]) \
-             .withColumn("_dist", col("_best")["dist"]) \
-             .drop("_best")
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(pdf[vec_col].tolist(), dtype=np.int64)
+            G = V @ C.T
+            vn2 = (V * V).sum(axis=1)
+            D = vn2[:, None] - 2 * G + cn2[None, :]
+            cell = D.argmin(axis=1)  # first minimum = lowest cell id
+            out = pdf.copy()
+            out["_cell"] = cell.astype("int32")
+            out["_dist"] = D[np.arange(len(V)), cell]
+            yield out
+
+    return df.mapInPandas(batches, schema=out_schema)
 
 
 def sample_centroids(
@@ -143,26 +192,37 @@ def kmeans_fit(
     funnels through the driver.
     """
     v = df.withColumn("_v", scaled_vec(col(vec_col), OFFSET))
-    cents = sample_centroids(v, k, id_col, "_v", seed)
-    dim = len(cents[0]) if cents else 0
-    for _ in range(iters):
-        a = assign_cells(v, cents)
-        stats = (
-            a.select("_cell", F.posexplode("_v").alias("_pos", "_c"))
-            .groupBy("_cell", "_pos")
-            .agg(F.sum("_c").alias("_s"), F.count("*").alias("_n"))
-            .collect()
-        )
-        by_cell: dict[int, dict[int, int]] = {}
-        for r in stats:
-            by_cell.setdefault(r["_cell"], {})[r["_pos"]] = (
-                2 * int(r["_s"]) + int(r["_n"])
-            ) // (2 * int(r["_n"]))
-        cents = [
-            [by_cell[ci][p] for p in range(dim)] if ci in by_cell else cv
-            for ci, cv in enumerate(cents)
-        ]
-    return assign_cells(v, cents).drop("_v"), cents
+    if iters > 0:
+        # every iteration re-reads the scaled vectors (assignment for
+        # the M-step aggregate); pin them once instead of re-scanning
+        # and re-scaling the source per pass (the MLlib convention).
+        # Released before return — the caller's final assignment plan
+        # keeps its own lineage.
+        v = v.persist()
+    try:
+        cents = sample_centroids(v, k, id_col, "_v", seed)
+        dim = len(cents[0]) if cents else 0
+        for _ in range(iters):
+            a = assign_cells(v, cents)
+            stats = (
+                a.select("_cell", F.posexplode("_v").alias("_pos", "_c"))
+                .groupBy("_cell", "_pos")
+                .agg(F.sum("_c").alias("_s"), F.count("*").alias("_n"))
+                .collect()
+            )
+            by_cell: dict[int, dict[int, int]] = {}
+            for r in stats:
+                by_cell.setdefault(r["_cell"], {})[r["_pos"]] = (
+                    2 * int(r["_s"]) + int(r["_n"])
+                ) // (2 * int(r["_n"]))
+            cents = [
+                [by_cell[ci][p] for p in range(dim)] if ci in by_cell else cv
+                for ci, cv in enumerate(cents)
+            ]
+        return assign_cells(v, cents).drop("_v"), cents
+    finally:
+        if iters > 0:
+            v.unpersist()
 
 
 def prune_farthest(
@@ -258,17 +318,28 @@ def _dup_pairs_from(a: DataFrame, threshold_num: int,
         G = V @ V.T
         n2 = np.diagonal(G)
         ia, ib = np.triu_indices(m, k=1)
-        pos = G[ia, ib] > 0
-        ia, ib = ia[pos], ib[pos]
-        keep_a, keep_b = [], []
-        for i, j in zip(ia.tolist(), ib.tolist()):
-            d = int(G[i, j])
-            if d * d * den2 >= num2 * int(n2[i]) * int(n2[j]):
-                keep_a.append(int(ids[i]))
-                keep_b.append(int(ids[j]))
+        dots = G[ia, ib]
+        pos = dots > 0
+        ia, ib, dots = ia[pos], ib[pos], dots[pos]
+        # vectorized float64 prefilter with a wide safety band: the
+        # products are exact-int-representable to ~1e-15 relative, so
+        # pairs decided outside a 1e-9 band are decided EXACTLY; only
+        # the (usually empty) border band pays the arbitrary-precision
+        # integer compare. Semantics identical to all-exact, just fast.
+        lhs = (dots.astype(np.float64) ** 2) * den2
+        rhs = (n2[ia].astype(np.float64) * n2[ib].astype(np.float64)) * num2
+        sure_in = lhs >= rhs * (1.0 + 1e-9)
+        sure_out = lhs < rhs * (1.0 - 1e-9)
+        border = ~(sure_in | sure_out)
+        if border.any():
+            for idx in np.flatnonzero(border):
+                d = int(dots[idx])
+                exact = d * d * den2 >= num2 * int(n2[ia[idx]]) * int(n2[ib[idx]])
+                sure_in[idx] = exact
+        ka, kb = ia[sure_in], ib[sure_in]
         return pd.DataFrame({
-            "cell": [int(key[0])] * len(keep_a),
-            "id_a": keep_a, "id_b": keep_b,
+            "cell": np.full(len(ka), int(key[0]), dtype="int32"),
+            "id_a": ids[ka], "id_b": ids[kb],
         })
 
     return a.select("_cell", "_id", "_v").groupBy("_cell").applyInPandas(

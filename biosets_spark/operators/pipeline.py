@@ -24,6 +24,31 @@ from .dedup import fingerprint_md5, ngram_jaccard_pairs
 from .text import quality_score
 
 
+def _quality_then_exact(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Stages 1+2 shared by both pipelines: quality gate, then min-id
+    survivor per normalized-text fingerprint.
+
+    The exact stage is ONE window shuffle instead of the former
+    groupBy + re-join (two shuffles on _fp); both shapes move every
+    duplicate group through its _fp partition, so the skew exposure
+    (a viral text duplicated millions of times) is identical — the
+    window just skips the second exchange. Measured at sf0.1: full
+    pipeline 3.8 s -> 3.0 s (r6)."""
+    from pyspark.sql import Window
+
+    orig_cols = df.columns
+    survivors = quality_score(df, text_col).filter(col("keep")).select(*orig_cols)
+    w = Window.partitionBy("_fp")
+    return (
+        survivors.withColumn("_fp", fingerprint_md5(col(text_col)))
+        .withColumn("_keep_id", F.min(id_col).over(w))
+        .filter(col(id_col) == col("_keep_id"))
+        .select(*orig_cols)
+    )
+
+
 def clean_corpus(
     df: DataFrame,
     text_col: str = "text",
@@ -34,25 +59,7 @@ def clean_corpus(
 ) -> DataFrame:
     """Return the surviving rows of ``df`` after quality gating, exact
     dedup, and near-dup removal (original columns preserved)."""
-    orig_cols = df.columns
-
-    survivors = quality_score(df, text_col).filter(col("keep")).select(*orig_cols)
-
-    # min-id survivor per fingerprint via ONE window shuffle instead of
-    # the former groupBy + re-join (two shuffles on _fp); both shapes
-    # move every duplicate group through its _fp partition, so the skew
-    # exposure (a viral text duplicated millions of times) is identical
-    # — the window just skips the second exchange. Measured at sf0.1:
-    # full pipeline 3.8 s -> 3.0 s (r6).
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("_fp")
-    exact_kept = (
-        survivors.withColumn("_fp", fingerprint_md5(col(text_col)))
-        .withColumn("_keep_id", F.min(id_col).over(w))
-        .filter(col(id_col) == col("_keep_id"))
-        .select(*orig_cols)
-    )
+    exact_kept = _quality_then_exact(df, text_col, id_col)
     # The survivor set feeds three consumers (both sides of the
     # near-dup self-join and the final anti-join). An earlier revision
     # truncated the lineage here with localCheckpoint, but AQE's
@@ -73,5 +80,42 @@ def clean_corpus(
     else:
         pairs = ngram_jaccard_pairs(exact_kept, text_col, id_col,
                                     n=shingle_n, threshold=jaccard_threshold)
+    dropped = pairs.select(col("id_b").alias(id_col)).distinct()
+    return exact_kept.join(dropped, on=id_col, how="left_anti")
+
+
+def curated_corpus(
+    df: DataFrame,
+    emb: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    threshold_num: int = 42,
+    threshold_den: int = 100,
+) -> DataFrame:
+    """The embedding-era curation pipeline: quality gate -> exact
+    dedup -> SEMANTIC dedup (SemDeDup over the survivors' embeddings,
+    operators/cluster.py) — the composition a modern training-data
+    ingest runs when an embedding column exists, with the shingle-
+    Jaccard detector of ``clean_corpus`` replaced by within-cell
+    cosine pruning (keep-lowest-id).
+
+    Stage order is again cheapest-first: the per-row quality gate is
+    pure expressions, exact dedup is one narrow fingerprint shuffle,
+    and the semantic stage runs over the SMALLEST surviving set —
+    its centroid sample, cell assignment, and pair kernels only see
+    quality-passing, exact-unique docs. The embedding join ships only
+    (id, vec); document text never enters the semantic stage.
+    """
+    from .cluster import semantic_dup_pairs
+
+    exact_kept = _quality_then_exact(df, text_col, id_col)
+    surv_emb = emb.select(col(vec_id_col), col(vec_col)).join(
+        exact_kept.select(col(id_col).alias(vec_id_col)), vec_id_col)
+    pairs = semantic_dup_pairs(
+        surv_emb, k=k, threshold_num=threshold_num,
+        threshold_den=threshold_den, id_col=vec_id_col, vec_col=vec_col)
     dropped = pairs.select(col("id_b").alias(id_col)).distinct()
     return exact_kept.join(dropped, on=id_col, how="left_anti")

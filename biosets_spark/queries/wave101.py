@@ -255,3 +255,79 @@ def q_prototype_prune(spark, sf_dir):
         )
         .orderBy("cell")
     )
+
+
+from .wave3 import QUALITY_EXACT_SQL  # noqa: E402
+
+_CURATED_ORACLE = QUALITY_EXACT_SQL + """,
+    v AS (
+      SELECT e.vec_id,
+             list_transform(CAST(e.embedding AS DOUBLE[]),
+               x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS vec
+      FROM embeddings e JOIN exact ON e.vec_id = exact.doc_id
+    ),
+    ini AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '42')) - 1 AS cell,
+             vec
+      FROM v ORDER BY md5(CAST(vec_id AS VARCHAR) || '42') LIMIT 16
+    ),
+    vc AS (SELECT vec_id, generate_subscripts(vec, 1) AS pos, unnest(vec) AS c FROM v),
+    cc AS (SELECT cell, generate_subscripts(vec, 1) AS pos, unnest(vec) AS c FROM ini),
+    d1 AS (
+      SELECT vc.vec_id, cc.cell, SUM((vc.c - cc.c) * (vc.c - cc.c)) AS dist
+      FROM vc JOIN cc USING (pos) GROUP BY 1, 2
+    ),
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d1)
+      WHERE rn = 1
+    ),
+    ac AS (SELECT vc.vec_id, asg.cell, vc.pos, vc.c FROM vc JOIN asg USING (vec_id)),
+    pp AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             SUM(CAST(a.c AS HUGEINT) * b.c) AS dot,
+             SUM(CAST(a.c AS HUGEINT) * a.c) AS na2,
+             SUM(CAST(b.c AS HUGEINT) * b.c) AS nb2
+      FROM ac a JOIN ac b
+        ON a.cell = b.cell AND a.pos = b.pos AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    dropped AS (
+      SELECT DISTINCT id_b FROM pp
+      WHERE dot > 0 AND dot * dot * 10000 >= 1764 * na2 * nb2
+    ),
+    final AS (
+      SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM final GROUP BY lang ORDER BY lang
+"""
+
+
+@q(
+    "q_pipeline_curated_corpus",
+    oracle=_CURATED_ORACLE,
+    desc="the embedding-era curation pipeline: quality gate -> exact "
+         "dedup (min-id per normalized fingerprint, shared stages "
+         "with q_pipeline_clean_corpus) -> SEMANTIC dedup (SemDeDup "
+         "over the SURVIVORS' embeddings: 16 cells, cosine >= 0.42, "
+         "keep-lowest-id). Survivors per language. Stage order is "
+         "cheapest-first; the semantic stage's centroid sample, cell "
+         "assignment, and per-cell pair kernels see only the pruned "
+         "survivor set, and the embedding join ships (id, vec) only "
+         "— text never enters the semantic stage.",
+    tags=["pipeline", "dedup", "cluster", "quality"],
+)
+def q_pipeline_curated_corpus(spark, sf_dir):
+    from ..operators.pipeline import curated_corpus
+
+    docs = tables.load(spark, sf_dir, "documents")
+    emb = tables.load(spark, sf_dir, "embeddings")
+    final = curated_corpus(docs, emb, k=16)
+    return final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    ).orderBy("lang")

@@ -377,7 +377,11 @@ def q_window_range_frame(spark, sf_dir):
     )
 
 
-_PIPELINE_ORACLE = """
+# Shared by q_pipeline_clean_corpus (below) and wave101's
+# q_pipeline_curated_corpus: stages 1+2 of the corpus pipelines —
+# quality gate, then min-id survivor per normalized fingerprint.
+# Continues an open WITH chain (callers append their own CTEs).
+QUALITY_EXACT_SQL = """
 WITH feats AS (
   SELECT *,
          len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) AS n_tok,
@@ -399,7 +403,9 @@ exact AS (
     SELECT *, MIN(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS keep_id
     FROM quality
   ) WHERE doc_id = keep_id
-),
+)"""
+
+_PIPELINE_ORACLE = QUALITY_EXACT_SQL + """,
 toks AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') t FROM exact),
 sh AS (
   SELECT DISTINCT doc_id,

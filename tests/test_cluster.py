@@ -125,6 +125,64 @@ def test_prune_fraction_validation(spark):
         prune_farthest(assigned, frac_num=4, frac_den=4)
 
 
+def test_assignment_kernel_matches_literal_path(spark):
+    # the large-k BLAS kernel must produce bit-identical (_cell,
+    # _dist) to the literal-centroid JVM expression — same exact
+    # integers, same lowest-cell tie-break
+    from biosets_spark.operators.cluster import (
+        _assign_cells_kernel,
+        assign_cells,
+        sample_centroids,
+        scaled_vec,
+    )
+    from pyspark.sql.functions import col
+
+    rows = [(i, ((i % 17) * 0.07 - 0.5, (i % 13) * 0.05 - 0.3,
+                 (i % 7) * 0.11 - 0.4)) for i in range(120)]
+    df = _emb(spark, rows)
+    v = df.select(col("vec_id").alias("_id"),
+                  scaled_vec(col("embedding")).alias("_v"))
+    cents = sample_centroids(v, 32, "_id", "_v")
+    lit_map = {r["_id"]: (r["_cell"], r["_dist"])
+               for r in assign_cells(v, cents).collect()}
+    ker_map = {r["_id"]: (r["_cell"], r["_dist"])
+               for r in _assign_cells_kernel(v, cents, "_v").collect()}
+    assert lit_map == ker_map
+    # modular vectors produce exact duplicates -> exact distance ties;
+    # both paths must break them toward the lowest cell
+    assert len(lit_map) == 120
+
+
+def test_semantic_pairs_large_k_kernel_path(spark):
+    # k > 64 routes assignment through the BLAS kernel; planted exact
+    # duplicates must still pair up
+    rows = [(i, (0.3 + (i % 40) * 0.01, 0.7 - (i % 40) * 0.01))
+            for i in range(100)]
+    rows += [(500, (0.123456, 0.654321)), (501, (0.123456, 0.654321))]
+    df = _emb(spark, rows)
+    pairs = {(r.id_a, r.id_b) for r in semantic_dup_pairs(
+        df, k=80, threshold_num=999999, threshold_den=1000000).collect()}
+    assert (500, 501) in pairs
+
+
+def test_curated_corpus_drops_semantic_dups(spark):
+    # docs 1 and 2 pass quality with DIFFERENT texts (exact dedup
+    # keeps both) but identical embeddings -> the semantic stage drops
+    # the higher id; doc 3 is semantically distinct and survives
+    from biosets_spark.operators.pipeline import curated_corpus
+
+    good = ("this is a perfectly reasonable document with enough "
+            "tokens to pass the quality gate without trouble")
+    docs = spark.createDataFrame(
+        [(1, good + " one"), (2, good + " two"), (3, good + " three")],
+        "doc_id long, text string")
+    emb = _emb(spark, [(1, (1.0, 0.0)), (2, (1.0, 0.0)),
+                       (3, (0.0, 1.0))])
+    kept = sorted(r["doc_id"] for r in curated_corpus(
+        docs, emb, k=1, threshold_num=99, threshold_den=100).collect())
+    assert kept == [1, 3]
+
+
 def test_semantic_pairs_are_within_cell_only(spark):
     # two identical vectors forced into DIFFERENT cells by k=2
     # centroids sampled from two well-separated groups: SemDeDup's
