@@ -606,6 +606,19 @@ class BioDataset:
 
         return self._wrap(clean_corpus(self.df, text_col, id_col, **kwargs))
 
+    def curated_corpus(self, emb, text_col: str = "text",
+                       id_col: str = "doc_id", **kwargs) -> "BioDataset":
+        """The embedding-era cleaning pipeline: quality gate -> exact
+        dedup -> SemDeDup semantic dedup over ``emb`` (an embeddings
+        DataFrame or BioDataset joined on the id). Keyword args pass
+        through (k, threshold_num, threshold_den, vec_id_col,
+        vec_col); see operators/pipeline.py:curated_corpus."""
+        from .operators.pipeline import curated_corpus
+
+        edf = emb.df if isinstance(emb, BioDataset) else emb
+        return self._wrap(curated_corpus(self.df, edf, text_col,
+                                         id_col, **kwargs))
+
     def quality_scores(self, text_col: str = "text", **kwargs) -> "BioDataset":
         """Per-row quality heuristics + a boolean ``keep`` gate
         (operators/text.py:quality_score) — pure expressions, no
