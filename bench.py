@@ -43,9 +43,29 @@ def parse_sf(sf_dir: str) -> float | None:
     return float(m.group(1)) if m else None
 
 
+def mem_bandwidth_gbps() -> float | None:
+    """Single-thread STREAM-triad canary (~0.5 s): walls measured in a
+    memory-bandwidth-starved host window (r9 diagnosis: 0.1-0.8 GB/s
+    vs a healthy node's 50-200) measure the neighbor, not the engine —
+    stamping the bandwidth into the artifact lets any reader qualify
+    the run. None if numpy is unavailable."""
+    try:
+        import numpy as np
+
+        n = 50_000_000
+        a = np.ones(n)
+        b = np.ones(n)
+        t0 = time.time()
+        a + 2.0 * b
+        return round((3 * n * 8) / (time.time() - t0) / 1e9, 2)
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = parse_sf(sf_dir)
+    bw_pre = mem_bandwidth_gbps()
     spark = get_spark("biosets-spark-bench")
 
     # warm-up: JVM, codegen, parquet footer caches, and the Python
@@ -73,6 +93,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "bw_gbps_pre": bw_pre,
+        "bw_gbps_post": mem_bandwidth_gbps(),
     }
     if failed:
         # a crashing query SHRINKS the headline total (its runtime
