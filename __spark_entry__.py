@@ -59,7 +59,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Current build round (bump each round; drives the defer-age invariant
 # in tests/test_registry.py).
-_ROUND = 9
+_ROUND = 10
 
 # Queries that already have GREEN driver CORRECTNESS rows, tagged with
 # the round their (latest) green row landed. The tag drives the
@@ -76,22 +76,22 @@ _DRIVER_CHECKED_TAGGED: dict[str, int] = {
     "q_forecast_revenue": 8, "q_distinct_agg": 8, "q_rollup": 8, "q_cube": 8,
     "q_quantiles": 8, "q_join_agg": 8, "q_top_orders": 8,
     "q_left_join_histogram": 8, "q_semi_join": 8, "q_anti_join": 8,
-    "q_full_outer": 2, "q_meta_left_join": 2, "q_set_intersect": 2,
-    "q_set_except": 2, "q_union_promote": 2, "q_window_topk_per_group": 2,
-    "q_window_running_sum": 2, "q_window_lag_gap": 2, "q_ntile_kfold": 2,
-    "q_string_funcs": 2, "q_date_funcs": 2, "q_math_funcs": 2,
-    "q_json_funcs": 2, "q_array_funcs": 2, "q_label_encode": 2,
-    "q_label_binary": 2, "q_label_decode_roundtrip": 2, "q_dedup_exact": 2,
-    "q_dedup_fingerprint": 2, "q_dedup_ngram_jaccard": 2,
-    "q_dedup_minhash_lsh": 2, "q_dedup_simhash": 2, "q_knn_bruteforce": 2,
-    "q_knn_pairs": 2, "q_knn_lsh": 2, "q_text_tokens": 2, "q_text_quality": 2,
-    "q_lang_distribution": 2, "q_events_hourly": 2, "q_events_sessions": 2,
-    "q_events_dedup_stateful": 2, "q_multimodal_binary": 2, "q_knn_ivf": 2,
-    "q_asof_join": 2, "q_cross_join": 2, "q_range_join": 2,
-    "q_flatten_struct": 2,
+    "q_full_outer": 9, "q_meta_left_join": 9, "q_set_intersect": 9,
+    "q_set_except": 9, "q_union_promote": 9, "q_window_topk_per_group": 9,
+    "q_window_running_sum": 9, "q_window_lag_gap": 9, "q_ntile_kfold": 9,
+    "q_string_funcs": 9, "q_date_funcs": 9, "q_math_funcs": 9,
+    "q_json_funcs": 9, "q_array_funcs": 9, "q_label_encode": 9,
+    "q_label_binary": 9, "q_label_decode_roundtrip": 9, "q_dedup_exact": 9,
+    "q_dedup_fingerprint": 9, "q_dedup_ngram_jaccard": 9,
+    "q_dedup_minhash_lsh": 9, "q_dedup_simhash": 9, "q_knn_bruteforce": 9,
+    "q_knn_pairs": 9, "q_knn_lsh": 9, "q_text_tokens": 9, "q_text_quality": 9,
+    "q_lang_distribution": 9, "q_events_hourly": 9, "q_events_sessions": 9,
+    "q_events_dedup_stateful": 9, "q_multimodal_binary": 9, "q_knn_ivf": 9,
+    "q_asof_join": 9, "q_cross_join": 9, "q_range_join": 9,
+    "q_flatten_struct": 9,
     # --- r3 window (48 green, CORRECTNESS_r03.json) ---
-    "q_dedup_ngram_jaccard_bounded": 3, "q_slice_offset": 3, "q_pivot": 3,
-    "q_having": 3, "q_grouping_sets": 3, "q_join_renamed_keys": 3,
+    "q_dedup_ngram_jaccard_bounded": 9, "q_slice_offset": 9, "q_pivot": 9,
+    "q_having": 9, "q_grouping_sets": 9, "q_join_renamed_keys": 9,
     "q_join_multi_key": 3, "q_sort_nulls": 3, "q_union_type_promotion": 3,
     "q_join_salted": 3, "q_events_funnel": 3, "q_events_retention": 3,
     "q_text_langid": 3, "q_text_quality_score": 3, "q_text_bpe_tokens": 3,
@@ -200,6 +200,12 @@ _DRIVER_CHECKED_TAGGED: dict[str, int] = {
     "q_sharpe_revenue": 8, "q_price_dispersion": 8, "q_chao1_richness": 8,
     "q_doubling_time": 8, "q_bom_explosion": 8, "q_merge_upsert": 8,
     "q_event_interval_join": 8,
+    # --- r9 window (50/50 green, CORRECTNESS_r09.json: 7 debuts
+    # below; plus 37 tag-2 + 6 tag-3 re-samples re-tagged 9 in their
+    # original blocks above per the post-drain policy) ---
+    "q_multimodal_jpeg_dims": 9, "q_multimodal_av_info": 9,
+    "q_table_skipping": 9, "q_kmeans_lloyd": 9, "q_dedup_semantic": 9,
+    "q_prototype_prune": 9, "q_pipeline_curated_corpus": 9,
 }
 
 _DRIVER_CHECKED = frozenset(_DRIVER_CHECKED_TAGGED)
@@ -257,9 +263,14 @@ _DEFER_NEXT_WINDOW_TAGGED: tuple = ()
 # re-verifications; the tag-2 cohort (the oldest driver rows) fully
 # drains this round.
 #
-# R10 HANDOFF: tag the r9 greens as 9, bump _ROUND to 10. The r10
-# window continues draining tag-3 (ascending-tag sort does this
-# automatically). Any r9 debut queries front automatically.
+# R10 HANDOFF: EXECUTED — the 50 r9 greens are tagged 9 (7 debuts
+# added to the mapping, 37 tag-2 + 6 tag-3 re-samples re-tagged in
+# place), _ROUND bumped to 10, defer list stays empty. The r10 window
+# continues draining tag-3 (ascending-tag sort does this
+# automatically); any r10 debut queries front automatically.
+#
+# R11 HANDOFF: tag the r10 greens as 10, bump _ROUND to 11. The r11
+# window continues draining the oldest tags automatically.
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)
 
