@@ -337,6 +337,12 @@ def _dup_pairs_from(a: DataFrame, threshold_num: int,
                 exact = d * d * den2 >= num2 * int(n2[ia[idx]]) * int(n2[ib[idx]])
                 sure_in[idx] = exact
         ka, kb = ia[sure_in], ib[sure_in]
+        # strict id order: with duplicate _id values the sorted triu
+        # pairing could emit id_a == id_b rows, which the strict
+        # a.vec_id < b.vec_id oracle excludes — mask them out so the
+        # id-uniqueness contract is enforced here, not assumed
+        strict = ids[ka] < ids[kb]
+        ka, kb = ka[strict], kb[strict]
         return pd.DataFrame({
             "cell": np.full(len(ka), int(key[0]), dtype="int32"),
             "id_a": ids[ka], "id_b": ids[kb],
@@ -360,11 +366,16 @@ def semantic_dup_pairs(
     same-cell pairs with ``cos(a, b) >= threshold_num/threshold_den``
     (id_a < id_b).
 
-    The threshold test is exact (module docstring): squared-compare in
-    DECIMAL(38,0) on grid integers, so the pair SET cannot drift
-    between engines no matter how close a pair sits to the threshold.
-    Pairs that cross cell boundaries are not compared — that recall
-    loss is SemDeDup's documented trade for killing the O(n^2) join.
+    The threshold test is exact (module docstring): squared-compare on
+    grid integers — Python arbitrary-precision ints engine-side,
+    HUGEINT (int128) in the DuckDB oracles. Note the oracle-side
+    bound: ``den2 * dot^2`` exceeds int128 once ``threshold_den``
+    approaches ~1e4 at this grid scale, so oracles (and any new
+    callers wanting oracle parity) must keep ``threshold_den`` small
+    (the shipped den=100 is safely inside int128); the engine itself
+    has no overflow bound. Pairs that cross cell boundaries are not
+    compared — that recall loss is SemDeDup's documented trade for
+    killing the O(n^2) join.
     """
     a = _semantic_assigned(df, k, id_col, vec_col, seed)
     return _dup_pairs_from(a, threshold_num, threshold_den)

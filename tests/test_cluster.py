@@ -191,5 +191,10 @@ def test_semantic_pairs_are_within_cell_only(spark):
                       (3, (1.0, -0.05))])
     pairs = semantic_dup_pairs(df, k=2, threshold_num=99,
                                threshold_den=100)
-    for r in pairs.collect():
+    rows = pairs.collect()
+    pairs_set = {(r.id_a, r.id_b) for r in rows}
+    # the near-identical 1/3 pair lands in different cells, so the
+    # within-cell-only contract must suppress it
+    assert (1, 3) not in pairs_set and (3, 1) not in pairs_set
+    for r in rows:
         assert r.cell is not None
