@@ -3,11 +3,21 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
   {"metric": "total_query_seconds", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+   "queries": {name: sec, ...}, "sf": 0.1, "anchors_warm": {...}}
 
 Each query is timed to full materialization (collect of the final —
 small — result). Session startup is excluded; a warm-up query primes
 the JVM/codegen caches first.
+
+The artifact additionally carries a WARM-ANCHOR block for the six
+BASELINE.md anchor queries: each runs 3x (the inventory pass counts
+as rep 1), and the block records all reps, the median of the warm
+reps, and the ratio vs the round-1 baseline, with a memory-bandwidth
+stamp per anchor. Rationale (r9 postmortem): single cold reps on a
+bandwidth-starved host measured the neighbor, not the engine — the
+warm-anchor block makes the 2x-of-baseline gate adjudicable from the
+committed artifact alone even through host noise. `--anchors-warm`
+runs ONLY that block (fast iteration / spot re-measurement).
 """
 
 from __future__ import annotations
@@ -30,6 +40,18 @@ from biosets_spark.session import get_spark  # noqa: E402
 
 # the headline set: every registered query (oracle-checked + rows-only)
 SKIP: set[str] = set()
+
+# BASELINE.md round-1 anchors (sf0.1 sec/query): the six queries the
+# 2x gate is adjudicated against. Values are the measured r1 walls
+# from the BASELINE.md table.
+ANCHORS: dict[str, float] = {
+    "q_pricing_summary": 1.7,
+    "q_join_agg": 1.7,
+    "q_top_orders": 1.2,
+    "q_dedup_minhash_lsh": 2.1,
+    "q_knn_pairs": 2.6,
+    "q_events_sessions": 0.7,
+}
 
 
 def parse_sf(sf_dir: str) -> float | None:
@@ -55,15 +77,67 @@ def mem_bandwidth_gbps() -> float | None:
         n = 50_000_000
         a = np.ones(n)
         b = np.ones(n)
+        tmp = np.empty(n)
+        out = np.empty(n)
+        # warm-up pass touches every page of tmp/out so the timed
+        # region has no first-touch page faults and no fresh
+        # temporaries — the old unfused `a + 2.0*b` moved ~5 arrays
+        # while crediting 3, systematically understating GB/s
+        np.multiply(b, 2.0, out=tmp)
+        np.add(a, tmp, out=out)
         t0 = time.time()
-        a + 2.0 * b
-        return round((3 * n * 8) / (time.time() - t0) / 1e9, 2)
+        np.multiply(b, 2.0, out=tmp)
+        np.add(a, tmp, out=out)
+        # 5 streams of n*8: read b + write tmp, read a + read tmp +
+        # write out (write-allocate ignored) — an order-of-magnitude
+        # indicator, not lab-grade STREAM
+        return round((5 * n * 8) / (time.time() - t0) / 1e9, 2)
     except Exception:
         return None
 
 
+def run_anchors_warm(
+    spark, sf_dir: str, first_rep: dict[str, float] | None = None
+) -> dict[str, dict]:
+    """Run each BASELINE.md anchor to 3 total reps and report the
+    median of the WARM reps (2-3) plus the ratio vs baseline.
+
+    `first_rep` supplies rep 1 when the inventory pass already ran the
+    anchors (the default full-bench path); standalone `--anchors-warm`
+    measures all 3 reps itself. Per-anchor bandwidth stamps let a
+    reader discard reps taken in a starved host window."""
+    block: dict[str, dict] = {}
+    for name, baseline in ANCHORS.items():
+        query = _q.QUERIES[name]
+        reps: list[float] = []
+        if first_rep and name in first_rep and first_rep[name] >= 0:
+            reps.append(first_rep[name])
+        bw = mem_bandwidth_gbps()
+        while len(reps) < 3:
+            t0 = time.time()
+            query.fn(spark, sf_dir).collect()
+            reps.append(round(time.time() - t0, 3))
+        warm_reps = sorted(reps[1:])
+        # median of the warm reps (mean of the middle two when even)
+        mid = len(warm_reps) // 2
+        warm = (
+            warm_reps[mid]
+            if len(warm_reps) % 2
+            else round((warm_reps[mid - 1] + warm_reps[mid]) / 2, 3)
+        )
+        block[name] = {
+            "reps": reps,
+            "warm_sec": warm,
+            "baseline_sec": baseline,
+            "ratio": round(warm / baseline, 2),
+            "bw_gbps": bw,
+        }
+    return block
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    anchors_only = "--anchors-warm" in sys.argv[1:]
     sf = parse_sf(sf_dir)
     bw_pre = mem_bandwidth_gbps()
     spark = get_spark("biosets-spark-bench")
@@ -73,6 +147,18 @@ def main() -> None:
     # one-time worker startup)
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     spark.range(0, 1024, 1, 32).mapInPandas(lambda it: it, "id long").count()
+
+    if anchors_only:
+        payload = {
+            "metric": "anchors_warm_only",
+            "sf": sf,
+            "bw_gbps_pre": bw_pre,
+            "anchors_warm": run_anchors_warm(spark, sf_dir),
+            "bw_gbps_post": mem_bandwidth_gbps(),
+        }
+        line = json.dumps(payload)
+        print(line)
+        return
 
     timings: dict[str, float] = {}
     for name, query in _q.QUERIES.items():
@@ -94,6 +180,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "bw_gbps_pre": bw_pre,
+        "anchors_warm": run_anchors_warm(spark, sf_dir, first_rep=timings),
         "bw_gbps_post": mem_bandwidth_gbps(),
     }
     if failed:
