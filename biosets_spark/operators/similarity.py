@@ -482,16 +482,90 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def _py_norm(v: list[float]) -> float:
+    """The norm() expression's exact IEEE sequence driver-side:
+    sequential x*x left-fold, then sqrt."""
+    import math
+
+    acc = 0.0
+    for x in v:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def _seq_dots(V, P):
+    """``V (n x d) @ P.T (d x m)`` with functions/vectors.dot()'s
+    exact IEEE op order: elementwise products, then a strictly
+    sequential per-dimension accumulation (vectorized across rows and
+    planes, scalar-sequential across dims) — bit-identical to the
+    interpreted HOF fold, ~100x faster (the fold is CodegenFallback,
+    evaluated per element with closure dispatch; the r9 k-means k=64
+    demotion measured the same wall)."""
+    import numpy as np
+
+    n, d = V.shape
+    acc = np.zeros((n, P.shape[0]))
+    for j in range(d):
+        acc += V[:, j:j + 1] * P[None, :, j]
+    return acc
+
+
+def _seq_sqnorms(V):
+    """Row |v|^2 with the sequential-fold op order of norm()."""
+    import numpy as np
+
+    acc = np.zeros(len(V))
+    for j in range(V.shape[1]):
+        x = V[:, j]
+        acc += x * x
+    return acc
+
+
 def lsh_signatures(
     df: DataFrame,
     dim: int,
     n_planes: int = 16,
     vec_col: str = "embedding",
     seed: int = 42,
+    kernel: bool = False,
 ) -> DataFrame:
     """Random-hyperplane (SRP) LSH bucket id per row: bit i = sign of
-    <v, plane_i>. JVM expressions only; planes are literal arrays."""
+    <v, plane_i>.
+
+    Default path: JVM expressions, planes as literal arrays — zero
+    Python, right for bench-scale tables. ``kernel=True`` computes the
+    identical signatures in one Arrow batch kernel (``_seq_dots`` —
+    bit-identical IEEE fold order, plus Spark's NaN>=0 convention) —
+    the scale path: the expression path's n_planes interpreted HOF
+    folds per row are a measured wall at 1M rows (r10 probe), the
+    kernel is one vectorized pass."""
     planes = _hyperplanes(dim, n_planes, seed)
+    if kernel:
+        import numpy as np
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        P = np.asarray(planes, dtype=np.float64)
+        out_schema = StructType(
+            list(df.schema.fields) + [StructField("_bucket", LongType())])
+
+        def batches(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                D = _seq_dots(V, P)
+                # Spark's comparison semantics make NaN >= 0 TRUE
+                # (NaN sorts greatest); numpy says False — mask to
+                # match so both paths agree even on inf/NaN inputs
+                bits = (D >= 0) | np.isnan(D)
+                sig = np.zeros(len(V), dtype=np.int64)
+                for i in range(P.shape[0]):
+                    sig |= bits[:, i].astype(np.int64) << i
+                out = pdf.copy()
+                out["_bucket"] = sig
+                yield out
+
+        return df.mapInPandas(batches, schema=out_schema)
     sig = None
     for i, p in enumerate(planes):
         pv = F.array(*[lit(float(x)) for x in p])
@@ -509,9 +583,13 @@ def lsh_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    kernel: bool = False,
 ) -> DataFrame:
     """Approximate top-k: probe only the query's SRP bucket, exact
-    cosine within it. Recall grows with multi-probe (flip one bit)."""
+    cosine within it. Recall grows with multi-probe (flip one bit).
+    ``kernel=True`` routes signature computation through the Arrow
+    kernel (bit-identical; the 1M-row scale path — r10 probe: 12.9 s
+    -> 1.7 s)."""
     import numpy as np
 
     planes = _hyperplanes(dim, n_planes, seed)
@@ -521,7 +599,7 @@ def lsh_knn(
         if float(np.dot(qarr, np.asarray(p))) >= 0:
             qsig |= 1 << i
     probe = [qsig] + [qsig ^ (1 << i) for i in range(n_planes)]  # multi-probe radius 1
-    bucketed = lsh_signatures(df, dim, n_planes, vec_col, seed)
+    bucketed = lsh_signatures(df, dim, n_planes, vec_col, seed, kernel=kernel)
     qv = F.array(*[lit(float(x)) for x in query_vec])
     return (
         bucketed.filter(col("_bucket").isin(probe))
@@ -529,6 +607,61 @@ def lsh_knn(
         .orderBy(col("sim").desc(), col("neighbor_id"))
         .limit(k)
     )
+
+
+# past this cell count the literal-centroid argmax expression stops
+# being reasonable (n_cells interpreted HOF folds per row — measured
+# 124.7 s for 256 cells over 1M x 64 in the r10 probe vs ~2 s via the
+# Arrow kernel, which computes the IDENTICAL IEEE doubles)
+_IVF_LITERAL_CELLS_MAX = 16
+
+
+def _ivf_assign_kernel(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str,
+) -> DataFrame:
+    """Large-n_cells assignment: one Arrow pass computing the same
+    doubles as the literal argmax expression — ``_seq_dots`` preserves
+    the HOF fold order, sims divide in the same operand order, and the
+    argmax reproduces array_max's struct ordering exactly (max sim;
+    NaN greatest; exact ties -> HIGHEST cell id), so the two paths are
+    bit-identical (pinned by a pytest cross-check)."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.asarray([cv for _, cv in cents], dtype=np.float64)
+    cell_ids = np.asarray([ci for ci, _ in cents], dtype=np.int64)
+    cnorm = np.asarray([_py_norm(cv) for _, cv in cents])
+    m = len(cents)
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("_cell", IntegerType())])
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            rn = np.sqrt(_seq_sqnorms(V))
+            denom = rn[:, None] * cnorm[None, :]
+            if (denom == 0.0).any():
+                # the literal path divides under ANSI semantics, which
+                # raises DIVIDE_BY_ZERO on a zero-norm vector or
+                # centroid — mirror it so the two paths never diverge
+                raise ArithmeticError(
+                    "zero-norm vector or centroid: cosine undefined "
+                    "(matches Spark ANSI DIVIDE_BY_ZERO)")
+            sim = _seq_dots(V, C) / denom
+            # array_max semantics: np.argmax already treats NaN as the
+            # maximum and returns its FIRST index, so argmax over the
+            # cell-reversed array = highest cell among maxima (normal
+            # ties AND NaN ties alike), matching Spark's struct order
+            best = (m - 1) - np.argmax(sim[:, ::-1], axis=1)
+            out = pdf.copy()
+            out["_cell"] = cell_ids[best].astype("int32")
+            yield out
+
+    return df.mapInPandas(batches, schema=out_schema)
 
 
 def ivf_build(
@@ -546,6 +679,13 @@ def ivf_build(
     and DuckDB/ANSI SQL: ``md5(CAST(id AS VARCHAR) || '<seed>')``), so
     the coarse index is reproducible by the differential oracle AND a
     different seed yields a different centroid sample.
+
+    Assignment path splits on ``_IVF_LITERAL_CELLS_MAX``: small
+    n_cells rides the JVM literal argmax expression (the oracle-parity
+    path the q_knn_ivf differential pins); larger n_cells switches to
+    the Arrow kernel, which computes the identical doubles and argmax
+    (see ``_ivf_assign_kernel``) without the per-cell interpreted HOF
+    fold (r10 probe: 124.7 s -> ~2 s at 1M x 64, 256 cells).
     """
     cents = [
         (i, [float(x) for x in r[vec_col]])
@@ -556,6 +696,8 @@ def ivf_build(
             .collect()
         )
     ]
+    if len(cents) > _IVF_LITERAL_CELLS_MAX:
+        return _ivf_assign_kernel(df, cents, vec_col), cents
     # argmax via array_max over (sim, cell) structs — linear expression
     # size (a nested when-chain would duplicate the tree exponentially).
     # The row norm is computed ONCE per row (withColumn) instead of
@@ -565,14 +707,6 @@ def ivf_build(
     # performs — bit-identical IEEE ops, so sim values (and therefore
     # assignments and the differential oracle) are unchanged. Measured
     # at sf0.1: recall-audit chain 3.0 s -> 1.8 s (r6).
-    import math
-
-    def _py_norm(v: list[float]) -> float:
-        acc = 0.0
-        for x in v:
-            acc = acc + x * x
-        return math.sqrt(acc)
-
     cands = F.array(*[
         F.struct(
             (dot(col(vec_col), F.array(*[lit(x) for x in cv]))

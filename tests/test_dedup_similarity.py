@@ -318,3 +318,51 @@ def test_knn_all_blocked_matches_single_block(embeddings):
         (r.qid, r.rank, r.nid)
         for r in S.knn_all(embeddings, k=3, max_index_rows=10).collect())
     assert blocked == single
+
+
+def test_lsh_signature_kernel_matches_expression(embeddings):
+    # the Arrow kernel must produce bit-identical bucket ids to the
+    # JVM literal-expression path (same IEEE fold order)
+    expr = {r.vec_id: r._bucket for r in
+            S.lsh_signatures(embeddings, dim=16, n_planes=16).collect()}
+    kern = {r.vec_id: r._bucket for r in
+            S.lsh_signatures(embeddings, dim=16, n_planes=16,
+                             kernel=True).collect()}
+    assert expr == kern
+
+
+def test_ivf_assign_kernel_matches_literal(embeddings):
+    # same centroid sample either way (driver-side); force both
+    # assignment paths over it and compare cells exactly
+    _, cents = S.ivf_build(embeddings, n_cells=8)
+    lit_a = {r.vec_id: r._cell for r in
+             S.ivf_build(embeddings, n_cells=8)[0].collect()}
+    kern = {r.vec_id: r._cell for r in
+            S._ivf_assign_kernel(embeddings, cents, "embedding").collect()}
+    assert lit_a == kern
+
+
+def test_ivf_assign_kernel_tie_breaks_to_highest_cell(spark):
+    # two identical centroids -> every row ties exactly; array_max's
+    # struct ordering picks the HIGHEST cell, the kernel must too
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.5, 0.5])],
+        "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 1.0]), (1, [1.0, 1.0]), (2, [-1.0, 0.0])]
+    kern = {r.vec_id: r._cell for r in
+            S._ivf_assign_kernel(df, cents, "embedding").collect()}
+    assert kern == {1: 1, 2: 1}
+
+
+def test_ivf_assign_zero_norm_raises_on_both_paths(spark):
+    # zero-norm vector: under ANSI semantics the literal path raises
+    # DIVIDE_BY_ZERO; the kernel must mirror it (never silently
+    # assign), so the two paths cannot diverge on degenerate input
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        S.ivf_build(df, n_cells=2)[0].collect()
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    with pytest.raises(Exception, match="zero-norm|DIVIDE_BY_ZERO"):
+        S._ivf_assign_kernel(df, cents, "embedding").collect()
