@@ -111,8 +111,15 @@ def count_exchanges(plan: str) -> int:
 
 
 def audit_plan_text(plan: str, allow_nested_loop: bool = False,
-                    wide_scan_cols: int = 10) -> list[dict]:
-    """Audit a physical-plan string; see module docstring for codes."""
+                    wide_scan_cols: int = 10,
+                    allow_global_window: bool = False) -> list[dict]:
+    """Audit a physical-plan string; see module docstring for codes.
+
+    ``allow_global_window``: pass True ONLY when the window's input is
+    an aggregate whose cardinality is key-bounded (e.g. a final
+    ranking over per-source totals — |sources| rows at ANY corpus
+    scale). A single task over such a frame is the correct plan; the
+    flag exists so whole-table global windows still fail the audit."""
     findings: list[dict] = []
     if "CartesianProduct" in plan:
         findings.append({
@@ -133,7 +140,8 @@ def audit_plan_text(plan: str, allow_nested_loop: bool = False,
             "detail": "row-at-a-time Python UDF (BatchEvalPython); use "
                       "built-in expressions or Arrow-batched pandas UDFs",
         })
-    if any(_is_global_window(line) for line in plan.splitlines()):
+    if not allow_global_window and any(
+            _is_global_window(line) for line in plan.splitlines()):
         findings.append({
             "code": "global-window",
             "detail": "Window with empty partition spec and a sort order: "
@@ -205,11 +213,13 @@ def _top_level_fields(s: str) -> int:
 
 
 def audit_plan(df: DataFrame, allow_nested_loop: bool = False,
-               wide_scan_cols: int = 10) -> list[dict]:
+               wide_scan_cols: int = 10,
+               allow_global_window: bool = False) -> list[dict]:
     """Run the 100 TB anti-pattern checks against a DataFrame's
     physical plan. Returns a list of findings (empty = clean)."""
     return audit_plan_text(
         executed_plan_string(df),
         allow_nested_loop=allow_nested_loop,
         wide_scan_cols=wide_scan_cols,
+        allow_global_window=allow_global_window,
     )

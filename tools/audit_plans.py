@@ -33,6 +33,10 @@ from biosets_spark.plans.audit import (  # noqa: E402
 from biosets_spark.session import get_spark  # noqa: E402
 
 EXPECTED_NESTED_LOOP = {"cross", "range"}  # tags that legitimately nested-loop
+# tags whose global window runs over a key-bounded aggregate (a final
+# ranking over per-group totals — tiny at ANY corpus scale); the
+# whole-table-through-one-task rule still applies to everything else
+EXPECTED_GLOBAL_WINDOW = {"tiny-global-window"}
 
 _CODE_LABEL = {
     "cartesian-product": "CartesianProduct",
@@ -61,7 +65,9 @@ def main() -> None:
             problems += 1
             continue
         allow_nl = bool(set(query.tags) & EXPECTED_NESTED_LOOP)
-        findings = audit_plan_text(plan, allow_nested_loop=allow_nl)
+        allow_gw = bool(set(query.tags) & EXPECTED_GLOBAL_WINDOW)
+        findings = audit_plan_text(plan, allow_nested_loop=allow_nl,
+                                   allow_global_window=allow_gw)
         flags = [
             _CODE_LABEL.get(f["code"], f["code"])
             if f["code"] != "wide-scan"
