@@ -612,8 +612,13 @@ def lsh_knn(
 # past this cell count the literal-centroid argmax expression stops
 # being reasonable (n_cells interpreted HOF folds per row — measured
 # 124.7 s for 256 cells over 1M x 64 in the r10 probe vs ~2 s via the
-# Arrow kernel, which computes the IDENTICAL IEEE doubles)
-_IVF_LITERAL_CELLS_MAX = 16
+# Arrow kernel, which computes the IDENTICAL IEEE doubles; even at
+# n_cells=16 over the 2k-row sf0.1 table the kernel halves
+# q_ann_recall_audit's warm wall, 2.7 s -> 1.3 s). Both paths are
+# oracle-parity — the kernel is pinned bit-identical by pytest — so
+# the threshold is purely a perf crossover, kept >0 so tiny cell
+# counts avoid the Arrow batch overhead.
+_IVF_LITERAL_CELLS_MAX = 8
 
 
 def _ivf_assign_kernel(
