@@ -366,3 +366,14 @@ def test_ivf_assign_zero_norm_raises_on_both_paths(spark):
     cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
     with pytest.raises(Exception, match="zero-norm|DIVIDE_BY_ZERO"):
         S._ivf_assign_kernel(df, cents, "embedding").collect()
+
+
+def test_knn_bruteforce_kernel_matches_expression(embeddings):
+    q = [float(x) for x in
+         embeddings.filter(F.col("vec_id") == 0).first().embedding]
+    expr = [(r.neighbor_id, r.sim) for r in
+            S.knn_bruteforce(embeddings, q, k=10, exclude_self=0).collect()]
+    kern = [(r.neighbor_id, r.sim) for r in
+            S.knn_bruteforce(embeddings, q, k=10, exclude_self=0,
+                             kernel=True).collect()]
+    assert expr == kern  # bit-identical sims, same order
