@@ -77,6 +77,82 @@ def knn_bruteforce(
     return out.orderBy(col("sim").desc(), col("neighbor_id")).limit(k)
 
 
+def knn_batch(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Resolve MANY query vectors against the corpus in ONE scan:
+    an Arrow kernel scores every (row, query) pair (``_seq_dots`` —
+    bit-identical IEEE doubles to the cosine() expression) and keeps
+    each query's LOCAL top-k per batch, so the only shuffled rows are
+    ``k x n_batches x n_queries`` (id, sim) triples into a tiny final
+    exact merge — never the corpus. The per-query-window formulation
+    this replaces shuffled n_rows x n_queries triples.
+
+    ``queries`` is a driver-side list of (qid, vector) — model-sized,
+    like IVF centroids. Ordering: sim DESC, neighbor id ASC, exact at
+    every tie (local truncation uses the same total order as the
+    merge). Zero-norm vectors raise like ANSI division."""
+    import numpy as np
+
+    Q = np.asarray([v for _, v in queries], dtype=np.float64)
+    qn = np.asarray([_py_norm([float(x) for x in v]) for _, v in queries])
+    qids = np.asarray([qid for qid, _ in queries], dtype=np.int64)
+    if (qn == 0.0).any():
+        raise ArithmeticError("zero-norm query vector: cosine undefined")
+
+    src = df.select(col(id_col).alias("_nid"), col(vec_col))
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            ids = pdf["_nid"].to_numpy()
+            rn = np.sqrt(_seq_sqnorms(V))
+            if (rn == 0.0).any():
+                raise ArithmeticError(
+                    "zero-norm corpus vector: cosine undefined "
+                    "(matches Spark ANSI DIVIDE_BY_ZERO)")
+            sim = _seq_dots(V, Q) / (rn[:, None] * qn[None, :])
+            out_q, out_i, out_s = [], [], []
+            for j in range(len(qids)):
+                top = np.lexsort((ids, -sim[:, j]))[:k]
+                out_q.append(np.full(len(top), qids[j], dtype=np.int64))
+                out_i.append(ids[top])
+                out_s.append(sim[top, j])
+            yield pd.DataFrame({
+                "qid": np.concatenate(out_q),
+                "_nid": np.concatenate(out_i),
+                "sim": np.concatenate(out_s),
+            })
+
+    local = src.mapInPandas(
+        batches, schema="qid long, _nid long, sim double")
+    # exact final merge: per qid, sort the (k x n_batches) survivors
+    # by the same (sim desc, id asc) order and keep k
+    agg = local.groupBy("qid").agg(
+        F.slice(
+            F.array_sort(F.collect_list(
+                F.struct((-col("sim")).alias("_ns"), col("_nid")))),
+            1, k,
+        ).alias("_top"))
+    return (
+        agg.select("qid", F.posexplode("_top").alias("_pos", "_t"))
+        .select(
+            "qid",
+            col("_t._nid").alias("neighbor_id"),
+            (col("_pos") + 1).alias("rnk"),
+            (-col("_t._ns")).alias("sim"),
+        )
+    )
+
+
 def _require_integral_id(df: DataFrame, id_col: str, op: str) -> None:
     """The grid kernels' mapInPandas output schemas emit ids as
     ``long``; a string/decimal id would silently coerce or fail

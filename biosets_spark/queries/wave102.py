@@ -43,8 +43,8 @@ _NORM_SQL = (
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           COUNT(DISTINCT {_NORM_SQL.format(c='text')}) AS n_distinct_norm,
-           CAST(COUNT(*) - COUNT(DISTINCT {_NORM_SQL.format(c='text')})
+           COUNT(DISTINCT md5({_NORM_SQL.format(c='text')})) AS n_distinct_norm,
+           CAST(COUNT(*) - COUNT(DISTINCT md5({_NORM_SQL.format(c='text')}))
                 AS DOUBLE) / COUNT(*) AS norm_dup_rate
     FROM documents
     GROUP BY lang
@@ -60,7 +60,7 @@ _NORM_SQL = (
 )
 def q_text_normalize(spark, sf_dir):
     d = tables.load(spark, sf_dir, "documents")
-    n = d.select("lang", _NORM_SPARK(col("text")).alias("norm"))
+    n = d.select("lang", F.md5(_NORM_SPARK(col("text"))).alias("norm"))
     return (
         n.groupBy("lang")
         .agg(

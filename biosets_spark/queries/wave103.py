@@ -12,12 +12,10 @@ single division is double-over-exact-ints.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast, col
+from pyspark.sql.functions import col
 
 from .. import tables
-from ..functions.vectors import cosine
 from ..operators import similarity as S
 from . import q
 from .wave102 import _NORM_SPARK, _NORM_SQL
@@ -46,27 +44,24 @@ from .wave102 import _NORM_SPARK, _NORM_SQL
     ORDER BY qid, rnk
     """,
     desc="batch kNN: 10 query vectors resolved against the corpus in "
-         "ONE scan (broadcast the tiny query table, score every "
-         "(row, query) pair, rank per query) — the retrieval shape a "
-         "serving pipeline uses instead of one job per query. Scale: "
-         "the corpus is read once; only (qid, id, sim) triples enter "
-         "the per-query top-k window.",
-    tags=["similarity", "cross"],
+         "ONE scan — an Arrow kernel scores all pairs (bit-identical "
+         "to the cosine expression) and keeps each query's LOCAL "
+         "top-3 per batch, so only k x batches x queries triples "
+         "reach the tiny exact merge; the corpus never shuffles. The "
+         "retrieval shape a serving pipeline uses instead of one job "
+         "per query.",
+    tags=["similarity"],
 )
 def q_knn_batch(spark, sf_dir):
     emb = tables.load(spark, sf_dir, "embeddings")
-    qs = emb.filter(col("vec_id") < 10).select(
-        col("vec_id").alias("qid"), col("embedding").alias("qv"))
-    corpus = emb.filter(col("vec_id") >= 10).select(
-        col("vec_id").alias("neighbor_id"), "embedding")
-    scored = corpus.crossJoin(broadcast(qs)).select(
-        "qid", "neighbor_id",
-        cosine(col("embedding"), col("qv")).alias("sim"))
-    w = Window.partitionBy("qid").orderBy(
-        col("sim").desc(), col("neighbor_id"))
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(col("vec_id") < 10)
+        .orderBy("vec_id").collect()
+    ]
+    corpus = emb.filter(col("vec_id") >= 10)
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(col("rnk") <= 3)
+        S.knn_batch(corpus, qs, k=3)
         .select("qid", "neighbor_id", "rnk")
         .orderBy("qid", "rnk")
     )
@@ -119,7 +114,7 @@ def q_ivf_cell_balance(spark, sf_dir):
     SELECT source,
            COUNT(*) AS n_docs,
            CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
-           CAST(COUNT(*) - COUNT(DISTINCT {_NORM_SQL.format(c='text')})
+           CAST(COUNT(*) - COUNT(DISTINCT md5({_NORM_SQL.format(c='text')}))
                 AS BIGINT) AS n_norm_dups,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars,
@@ -142,7 +137,7 @@ def q_corpus_report(spark, sf_dir):
         d.select(
             "source", "n_chars",
             F.md5(col("text")).alias("_fp"),
-            _NORM_SPARK(col("text")).alias("_norm"),
+            F.md5(_NORM_SPARK(col("text"))).alias("_norm"),
         )
         .groupBy("source")
         .agg(

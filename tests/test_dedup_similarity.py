@@ -377,3 +377,15 @@ def test_knn_bruteforce_kernel_matches_expression(embeddings):
             S.knn_bruteforce(embeddings, q, k=10, exclude_self=0,
                              kernel=True).collect()]
     assert expr == kern  # bit-identical sims, same order
+
+
+def test_knn_batch_matches_per_query_bruteforce(embeddings):
+    rows = embeddings.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    qs = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in rows]
+    corpus = embeddings.filter(F.col("vec_id") >= 3)
+    batch = {(r.qid, r.rnk): (r.neighbor_id, r.sim) for r in
+             S.knn_batch(corpus, qs, k=4).collect()}
+    for qid, vec in qs:
+        single = S.knn_bruteforce(corpus, vec, k=4).collect()
+        for i, r in enumerate(single):
+            assert batch[(qid, i + 1)] == (r.neighbor_id, r.sim)
