@@ -106,7 +106,10 @@ def main() -> int:
     lines.append(f"- verdict: {'GREEN' if ok else 'RED'}")
     block = "\n".join(lines) + "\n"
     print(block)
-    (REPO / "tools" / "certify_out.md").write_text(block)
+    if not (only or skip_pytest):
+        # only a FULL run may refresh the committed summary — a
+        # partial re-check must not masquerade as certification
+        (REPO / "tools" / "certify_out.md").write_text(block)
     return 0 if ok else 1
 
 
