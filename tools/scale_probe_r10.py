@@ -153,6 +153,22 @@ def main():
             r.neighbor_id for r in
             ivf_knn(assigned, cents, query, k=10, n_probe=np_).collect()]))
 
+    # batch retrieval: 100 query vectors in ONE corpus scan — the
+    # shuffle contract is k x batches x queries (id, sim) triples
+    # into the final merge, never the corpus
+    from biosets_spark.operators.similarity import knn_batch
+
+    qrows = emb.filter(F.col("vec_id") < 100).orderBy("vec_id").collect()
+    qs = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+          for r in qrows]
+    rows = probe("knn_batch 100 queries k=10", lambda: knn_batch(
+        emb, qs, k=10).count())
+    top1 = {r.qid: r.neighbor_id for r in
+            knn_batch(emb, qs, k=10).filter(F.col("rnk") == 1).collect()}
+    self_hits = sum(1 for qid, nid in top1.items() if qid == nid)
+    print(f"  rows={rows}; top-1 self-hit {self_hits}/100 "
+          f"(each query vector exists in the corpus)")
+
 
 if __name__ == "__main__":
     main()
