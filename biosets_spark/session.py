@@ -83,6 +83,18 @@ def get_spark(
         # of whole-stage codegen into interpreted mode (measured 2x on
         # the minhash signature stage); 400 keeps them compiled
         .config("spark.sql.codegen.maxFields", "400")
+        # RocksDB state store: streaming state lives off-heap on disk
+        # instead of the HDFS-backed store's JVM heap maps — the
+        # production choice for large state, and measured faster even
+        # at bench scale (r10 probe, 1M events: stateful dedup 29.4 s
+        # -> 13.4 s, sessionization 18.2 -> 13.2 s, windowed counts
+        # 28.8 -> 22.0 s). Heap state at 100 TB arrival rates is an
+        # OOM, not a tuning knob.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -116,6 +128,14 @@ def apply_session_conf(spark: SparkSession) -> SparkSession:
         # whole-stage codegen; the 100-field default drops them to
         # interpreted mode (measured 2x on the signature stage)
         spark.conf.set("spark.sql.codegen.maxFields", "400")
+        # RocksDB streaming state (see get_spark): read at query start,
+        # so it only affects streams begun AFTER this call — existing
+        # checkpointed queries keep their provider
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     except Exception:
         pass
     return spark
