@@ -151,3 +151,123 @@ def q_corpus_report(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@q(
+    "q_change_feed_diff",
+    oracle="""
+    WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    src AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 1 THEN 'D' ELSE 'U' END AS op,
+             o_totalprice + 10.0 AS new_price
+      FROM orders WHERE o_orderkey % 3 = 0 OR o_orderkey % 7 = 1
+      UNION ALL
+      SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM orders),
+             'I', o_totalprice * 2
+      FROM orders WHERE o_orderkey % 11 = 2
+    ),
+    merged AS (
+      SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+             CASE WHEN t.o_orderkey IS NULL THEN 'N'
+                  ELSE t.o_orderstatus END AS o_orderstatus,
+             CASE WHEN t.o_orderkey IS NULL THEN s.new_price
+                  WHEN s.o_orderkey IS NOT NULL AND s.op = 'U' THEN s.new_price
+                  ELSE t.o_totalprice END AS o_totalprice
+      FROM t FULL JOIN src s ON t.o_orderkey = s.o_orderkey
+      WHERE NOT (t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+                 AND s.op = 'D')
+    ),
+    ins AS (
+      SELECT m.o_orderkey FROM merged m LEFT JOIN t USING (o_orderkey)
+      WHERE t.o_orderkey IS NULL
+    ),
+    del AS (
+      SELECT t.o_orderkey FROM t LEFT JOIN merged m USING (o_orderkey)
+      WHERE m.o_orderkey IS NULL
+    ),
+    upd AS (
+      SELECT t.o_orderkey FROM t JOIN merged m USING (o_orderkey)
+      WHERE t.o_orderstatus IS DISTINCT FROM m.o_orderstatus
+         OR t.o_totalprice IS DISTINCT FROM m.o_totalprice
+    )
+    SELECT * FROM (
+      SELECT 'delete' AS change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM del
+      UNION ALL
+      SELECT 'insert', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(o_orderkey) AS BIGINT) FROM ins
+      UNION ALL
+      SELECT 'update_postimage', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(o_orderkey) AS BIGINT) FROM upd
+      UNION ALL
+      SELECT 'update_preimage', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(o_orderkey) AS BIGINT) FROM upd
+    ) ORDER BY change_type
+    """,
+    desc="change-data-feed classification of the q_merge_upsert CDC "
+         "batch: the row-level diff (insert / delete / "
+         "update_preimage / update_postimage, Delta-CDF shape) the "
+         "versioned table's feed writer persists per commit, checked "
+         "relationally via sources.sink.frame_changes — one full "
+         "outer join on the key, presence sentinels, null-safe "
+         "inequality across data columns. All four change types are "
+         "always present in the output (zero rows -> count 0), so "
+         "the shape is stable at every sf.",
+    tags=["merge", "cdf", "join", "cross"],
+)
+def q_change_feed_diff(spark, sf_dir):
+    from pyspark.sql.functions import broadcast
+
+    from ..operators.merge import merge_into
+    from ..sources.sink import frame_changes
+
+    orders = tables.load(spark, sf_dir, "orders")
+    target = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    updates = orders.where(
+        (col("o_orderkey") % 3 == 0) | (col("o_orderkey") % 7 == 1)
+    ).select(
+        "o_orderkey",
+        F.when(col("o_orderkey") % 7 == 1, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        (col("o_totalprice") + 10.0).alias("new_price"),
+    )
+    mx = orders.agg(F.max("o_orderkey").alias("__max_key"))
+    inserts = (
+        orders.where(col("o_orderkey") % 11 == 2)
+        .crossJoin(broadcast(mx))
+        .select(
+            (col("o_orderkey") + col("__max_key")).alias("o_orderkey"),
+            F.lit("I").alias("op"),
+            (col("o_totalprice") * 2).alias("new_price"),
+        )
+    )
+    source = updates.unionByName(inserts)
+    merged = merge_into(
+        target, source, on="o_orderkey",
+        matched_update={"o_totalprice": col("__s.new_price")},
+        matched_delete=col("__s.op") == "D",
+        matched_condition=col("__s.op") == "U",
+        not_matched_insert={
+            "o_orderstatus": F.lit("N"),
+            "o_totalprice": col("__s.new_price"),
+        },
+    )
+    changes = frame_changes(target, merged, on="o_orderkey")
+    agg = changes.groupBy(col("_change_type").alias("change_type")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+    types = spark.createDataFrame(
+        [("delete",), ("insert",), ("update_postimage",),
+         ("update_preimage",)],
+        "change_type string")
+    return (
+        types.join(agg, "change_type", "left")
+        .select(
+            "change_type",
+            F.coalesce(col("n_rows"), F.lit(0)).alias("n_rows"),
+            "key_sum",
+        )
+        .orderBy("change_type")
+    )

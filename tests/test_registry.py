@@ -43,8 +43,11 @@ def test_oracles_reference_known_tables_only():
         ctes = {m.lower() for m in re.findall(
             r"([a-zA-Z_][a-zA-Z0-9_]*)\s*(?:\([^()]*\))?\s+AS\s*\(",
             sql, re.IGNORECASE)}
-        refs = set(re.findall(r"\b(?:FROM|JOIN)\s+([a-zA-Z_][a-zA-Z0-9_]*)\b",
-                              sql, re.IGNORECASE))
+        # (?<!DISTINCT ) keeps `x IS DISTINCT FROM y` from reading as a
+        # table reference to y
+        refs = set(re.findall(
+            r"(?<!DISTINCT )\b(?:FROM|JOIN)\s+([a-zA-Z_][a-zA-Z0-9_]*)\b",
+            sql, re.IGNORECASE))
         unknown = {
             r for r in refs
             if r.lower() not in known and r.lower() not in ctes
