@@ -24,22 +24,26 @@ from .dedup import fingerprint_md5, ngram_jaccard_pairs
 from .text import quality_score
 
 
-def _quality_then_exact(
-    df: DataFrame, text_col: str, id_col: str
-) -> DataFrame:
-    """Stages 1+2 shared by both pipelines: quality gate, then min-id
-    survivor per normalized-text fingerprint.
+def _quality_survivors(df: DataFrame, text_col: str) -> DataFrame:
+    """Stage 1: the per-row quality gate (pure expressions, no
+    shuffle), original columns preserved."""
+    orig_cols = df.columns
+    return quality_score(df, text_col).filter(col("keep")).select(*orig_cols)
 
-    The exact stage is ONE window shuffle instead of the former
-    groupBy + re-join (two shuffles on _fp); both shapes move every
-    duplicate group through its _fp partition, so the skew exposure
-    (a viral text duplicated millions of times) is identical — the
-    window just skips the second exchange. Measured at sf0.1: full
-    pipeline 3.8 s -> 3.0 s (r6)."""
+
+def _exact_survivors(
+    survivors: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Stage 2: min-id survivor per normalized-text fingerprint.
+
+    ONE window shuffle instead of the former groupBy + re-join (two
+    shuffles on _fp); both shapes move every duplicate group through
+    its _fp partition, so the skew exposure (a viral text duplicated
+    millions of times) is identical — the window just skips the second
+    exchange. Measured at sf0.1: full pipeline 3.8 s -> 3.0 s (r6)."""
     from pyspark.sql import Window
 
-    orig_cols = df.columns
-    survivors = quality_score(df, text_col).filter(col("keep")).select(*orig_cols)
+    orig_cols = survivors.columns
     w = Window.partitionBy("_fp")
     return (
         survivors.withColumn("_fp", fingerprint_md5(col(text_col)))
@@ -47,6 +51,13 @@ def _quality_then_exact(
         .filter(col(id_col) == col("_keep_id"))
         .select(*orig_cols)
     )
+
+
+def _quality_then_exact(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Stages 1+2 shared by both pipelines."""
+    return _exact_survivors(_quality_survivors(df, text_col), text_col, id_col)
 
 
 def clean_corpus(
@@ -119,3 +130,54 @@ def curated_corpus(
         threshold_den=threshold_den, id_col=vec_id_col, vec_col=vec_col)
     dropped = pairs.select(col("id_b").alias(id_col)).distinct()
     return exact_kept.join(dropped, on=id_col, how="left_anti")
+
+
+def corpus_funnel(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = 4,
+    use_lsh: bool = False,
+) -> DataFrame:
+    """Per-stage survivor counts through the cleaning pipeline:
+    (stage, stage_name, n_docs) for raw -> quality -> exact_dedup ->
+    near_dedup — the funnel report a pipeline owner reads before
+    committing a filter configuration (a stage that drops 60% of a
+    source is a finding, not a cleaning step).
+
+    Counts are declared over the same stage frames clean_corpus
+    runs, so the numbers ARE the pipeline's decisions, not a
+    re-implementation. Each stage count re-derives its upstream
+    lineage declaratively; AQE stage reuse materializes the shared
+    shuffle subtrees once, and at cluster scale a caller auditing a
+    huge corpus can cache the exact-dedup survivor set first."""
+    quality = _quality_survivors(df, text_col)
+    exact_kept = _exact_survivors(quality, text_col, id_col)
+    if use_lsh:
+        from .dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(exact_kept, text_col, id_col,
+                                  threshold=jaccard_threshold,
+                                  shingle_n=shingle_n)
+    else:
+        pairs = ngram_jaccard_pairs(exact_kept, text_col, id_col,
+                                    n=shingle_n,
+                                    threshold=jaccard_threshold)
+    dropped = pairs.select(col("id_b").alias(id_col)).distinct()
+    final = exact_kept.join(dropped, on=id_col, how="left_anti")
+
+    def stage(i: int, name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(i).alias("stage"),
+            F.lit(name).alias("stage_name"),
+            "n_docs",
+        )
+
+    return (
+        stage(0, "raw", df)
+        .unionByName(stage(1, "quality", quality))
+        .unionByName(stage(2, "exact_dedup", exact_kept))
+        .unionByName(stage(3, "near_dedup", final))
+        .orderBy("stage")
+    )

@@ -271,3 +271,36 @@ def q_change_feed_diff(spark, sf_dir):
         )
         .orderBy("change_type")
     )
+
+
+def _funnel_oracle():
+    from .wave3 import NEAR_FINAL_SQL, QUALITY_EXACT_SQL
+
+    return QUALITY_EXACT_SQL + NEAR_FINAL_SQL + """
+    SELECT * FROM (
+      SELECT 0 AS stage, 'raw' AS stage_name,
+             CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      UNION ALL SELECT 1, 'quality', CAST(COUNT(*) AS BIGINT) FROM quality
+      UNION ALL SELECT 2, 'exact_dedup', CAST(COUNT(*) AS BIGINT) FROM exact
+      UNION ALL SELECT 3, 'near_dedup', CAST(COUNT(*) AS BIGINT) FROM final
+    ) ORDER BY stage
+    """
+
+
+@q(
+    "q_pipeline_funnel",
+    oracle=_funnel_oracle(),
+    desc="cleaning-pipeline funnel: survivor counts after each stage "
+         "(raw -> quality gate -> exact dedup -> near-dup removal) — "
+         "the report a pipeline owner reads before committing a "
+         "filter configuration. The counts are declared over the SAME "
+         "stage frames clean_corpus executes "
+         "(operators/pipeline.py:corpus_funnel), so the funnel IS the "
+         "pipeline's decisions.",
+    tags=["pipeline", "dedup", "quality"],
+)
+def q_pipeline_funnel(spark, sf_dir):
+    from ..operators.pipeline import corpus_funnel
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return corpus_funnel(docs, jaccard_threshold=0.5, shingle_n=4)

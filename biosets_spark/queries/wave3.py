@@ -405,7 +405,10 @@ exact AS (
   ) WHERE doc_id = keep_id
 )"""
 
-_PIPELINE_ORACLE = QUALITY_EXACT_SQL + """,
+# Stage 3 continuation (also imported by wave103's funnel): greedy
+# near-dup removal over the exact-stage survivors; ends at the
+# ``final`` CTE so callers append their own SELECT.
+NEAR_FINAL_SQL = """,
 toks AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') t FROM exact),
 sh AS (
   SELECT DISTINCT doc_id,
@@ -424,7 +427,9 @@ near AS (
   JOIN cnt ca ON pairs.id_a = ca.doc_id JOIN cnt cb ON pairs.id_b = cb.doc_id
   WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5
 ),
-final AS (SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_b FROM near))
+final AS (SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_b FROM near))"""
+
+_PIPELINE_ORACLE = QUALITY_EXACT_SQL + NEAR_FINAL_SQL + """
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS total_chars
 FROM final GROUP BY lang
 """
