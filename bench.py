@@ -113,10 +113,21 @@ def run_anchors_warm(
         if first_rep and name in first_rep and first_rep[name] >= 0:
             reps.append(first_rep[name])
         bw = mem_bandwidth_gbps()
+        failed = False
         while len(reps) < 3:
             t0 = time.time()
-            query.fn(spark, sf_dir).collect()
+            try:
+                query.fn(spark, sf_dir).collect()
+            except Exception as e:  # a broken anchor must not lose the
+                print(f"# ERROR anchor {name}: {type(e).__name__}: {e}",
+                      file=sys.stderr)  # whole artifact
+                failed = True
+                break
             reps.append(round(time.time() - t0, 3))
+        if failed or not reps:
+            block[name] = {"reps": reps, "error": True,
+                           "baseline_sec": baseline, "bw_gbps": bw}
+            continue
         warm_reps = sorted(reps[1:])
         # median of the warm reps (mean of the middle two when even)
         mid = len(warm_reps) // 2

@@ -60,6 +60,32 @@ def _quality_then_exact(
     return _exact_survivors(_quality_survivors(df, text_col), text_col, id_col)
 
 
+def _near_dedup_survivors(
+    exact_kept: DataFrame,
+    text_col: str,
+    id_col: str,
+    jaccard_threshold: float,
+    shingle_n: int,
+    use_lsh: bool,
+) -> DataFrame:
+    """Stage 3 shared by clean_corpus and corpus_funnel: greedy
+    near-dup removal (drop the higher id of every >=threshold pair).
+    One definition so the funnel's counts can never diverge from the
+    pipeline's actual decisions."""
+    if use_lsh:
+        from .dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(exact_kept, text_col, id_col,
+                                  threshold=jaccard_threshold,
+                                  shingle_n=shingle_n)
+    else:
+        pairs = ngram_jaccard_pairs(exact_kept, text_col, id_col,
+                                    n=shingle_n,
+                                    threshold=jaccard_threshold)
+    dropped = pairs.select(col("id_b").alias(id_col)).distinct()
+    return exact_kept.join(dropped, on=id_col, how="left_anti")
+
+
 def clean_corpus(
     df: DataFrame,
     text_col: str = "text",
@@ -82,17 +108,8 @@ def clean_corpus(
     # the survivor set to the parquet cache between stages remains the
     # fault-isolation option (plans/fingerprint.py), but is a caller
     # choice, not a default tax.
-
-    if use_lsh:
-        from .dedup import minhash_lsh_pairs
-
-        pairs = minhash_lsh_pairs(exact_kept, text_col, id_col,
-                                  threshold=jaccard_threshold, shingle_n=shingle_n)
-    else:
-        pairs = ngram_jaccard_pairs(exact_kept, text_col, id_col,
-                                    n=shingle_n, threshold=jaccard_threshold)
-    dropped = pairs.select(col("id_b").alias(id_col)).distinct()
-    return exact_kept.join(dropped, on=id_col, how="left_anti")
+    return _near_dedup_survivors(
+        exact_kept, text_col, id_col, jaccard_threshold, shingle_n, use_lsh)
 
 
 def curated_corpus(
@@ -154,18 +171,8 @@ def corpus_funnel(
     huge corpus can cache the exact-dedup survivor set first."""
     quality = _quality_survivors(df, text_col)
     exact_kept = _exact_survivors(quality, text_col, id_col)
-    if use_lsh:
-        from .dedup import minhash_lsh_pairs
-
-        pairs = minhash_lsh_pairs(exact_kept, text_col, id_col,
-                                  threshold=jaccard_threshold,
-                                  shingle_n=shingle_n)
-    else:
-        pairs = ngram_jaccard_pairs(exact_kept, text_col, id_col,
-                                    n=shingle_n,
-                                    threshold=jaccard_threshold)
-    dropped = pairs.select(col("id_b").alias(id_col)).distinct()
-    final = exact_kept.join(dropped, on=id_col, how="left_anti")
+    final = _near_dedup_survivors(
+        exact_kept, text_col, id_col, jaccard_threshold, shingle_n, use_lsh)
 
     def stage(i: int, name: str, frame: DataFrame) -> DataFrame:
         return frame.agg(F.count(F.lit(1)).alias("n_docs")).select(

@@ -61,6 +61,14 @@ def knn_bruteforce(
                     continue
                 V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
                 rn = np.sqrt(_seq_sqnorms(V))
+                if qn == 0.0 or (rn == 0.0).any():
+                    # the expression path raises ANSI DIVIDE_BY_ZERO
+                    # here; silent NaN sims would sort FIRST (Spark
+                    # orders NaN greatest) and return a zero-norm row
+                    # as the top neighbor
+                    raise ArithmeticError(
+                        "zero-norm vector: cosine undefined "
+                        "(matches Spark ANSI DIVIDE_BY_ZERO)")
                 sim = _seq_dots(V, qa)[:, 0] / (rn * qn)
                 yield pd.DataFrame({
                     "neighbor_id": pdf["neighbor_id"], "sim": sim})
@@ -104,6 +112,7 @@ def knn_batch(
     if (qn == 0.0).any():
         raise ArithmeticError("zero-norm query vector: cosine undefined")
 
+    _require_integral_id(df, id_col, "knn_batch")
     src = df.select(col(id_col).alias("_nid"), col(vec_col))
 
     def batches(it):

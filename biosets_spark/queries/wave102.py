@@ -219,7 +219,9 @@ def q_lsh_bucket_stats(spark, sf_dir):
            CAST(SUM(CASE WHEN s.n >= 2 AND
                  CAST((s.n * d.n_chars - s.sm) AS HUGEINT)
                    * (s.n * d.n_chars - s.sm) * (s.n - 1)
-                 > 4 * CAST(s.n AS HUGEINT) * (s.n * s.ss - s.sm * s.sm)
+                 > 4 * CAST(s.n AS HUGEINT)
+                     * (CAST(s.n AS HUGEINT) * s.ss
+                        - CAST(s.sm AS HUGEINT) * s.sm)
                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM documents d JOIN s USING (lang)
     GROUP BY d.lang
@@ -241,10 +243,17 @@ def q_doc_outliers_zscore(spark, sf_dir):
         F.sum(col("n_chars") * col("n_chars")).alias("ss"),
     )
     j = d.select("lang", "n_chars").join(broadcast(s), "lang")
-    a = col("n") * col("n_chars") - col("sm")
-    lhs = (a * a).cast("decimal(38,0)") * (col("n") - 1)
-    rhs = ((col("n") * col("ss") - col("sm") * col("sm"))
-           .cast("decimal(38,0)") * (lit(4) * col("n")))
+    # widen to DECIMAL(38,0) BEFORE every multiply that can exceed
+    # int64 (a ~ n * n_chars can reach 1e10 at 1M docs, a^2 ~ 1e20;
+    # n*ss and sm^2 brush 2^63 too) — the oracle widens to HUGEINT at
+    # the same points, so values stay identical and neither engine
+    # hits an ANSI overflow at corpus scale
+    dec = "decimal(38,0)"
+    a = (col("n") * col("n_chars") - col("sm")).cast(dec)
+    lhs = a * a * (col("n") - 1)
+    rhs = ((col("n").cast(dec) * col("ss")
+            - col("sm").cast(dec) * col("sm"))
+           * (lit(4) * col("n")))
     return (
         j.groupBy("lang")
         .agg(

@@ -389,3 +389,13 @@ def test_knn_batch_matches_per_query_bruteforce(embeddings):
         single = S.knn_bruteforce(corpus, vec, k=4).collect()
         for i, r in enumerate(single):
             assert batch[(qid, i + 1)] == (r.neighbor_id, r.sim)
+
+
+def test_knn_bruteforce_kernel_zero_norm_raises(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="zero-norm|DIVIDE_BY_ZERO"):
+        S.knn_bruteforce(df, [1.0, 0.0], k=2, kernel=True).collect()
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        S.knn_bruteforce(df, [1.0, 0.0], k=2).collect()

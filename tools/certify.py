@@ -62,6 +62,12 @@ def main() -> int:
         ("/tmp/sftiny", "degenerate"),
     ]
     if only:
+        labels = [l for _, l in stages]
+        if only not in labels:
+            # a typo'd --only must not run zero stages and print GREEN
+            print(f"unknown --only stage {only!r}; valid: {labels}",
+                  file=sys.stderr)
+            return 2
         stages = [(d, l) for d, l in stages if l == only]
 
     results = []
