@@ -59,7 +59,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Current build round (bump each round; drives the defer-age invariant
 # in tests/test_registry.py).
-_ROUND = 10
+_ROUND = 11
 
 # Queries that already have GREEN driver CORRECTNESS rows, tagged with
 # the round their (latest) green row landed. The tag drives the
@@ -92,21 +92,21 @@ _DRIVER_CHECKED_TAGGED: dict[str, int] = {
     # --- r3 window (48 green, CORRECTNESS_r03.json) ---
     "q_dedup_ngram_jaccard_bounded": 9, "q_slice_offset": 9, "q_pivot": 9,
     "q_having": 9, "q_grouping_sets": 9, "q_join_renamed_keys": 9,
-    "q_join_multi_key": 3, "q_sort_nulls": 3, "q_union_type_promotion": 3,
-    "q_join_salted": 3, "q_events_funnel": 3, "q_events_retention": 3,
-    "q_text_langid": 3, "q_text_quality_score": 3, "q_text_bpe_tokens": 3,
-    "q_window_first_last": 3, "q_events_sliding": 3,
-    "q_grouped_map_normalize": 3, "q_approx_distinct": 3,
-    "q_term_doc_freq": 3, "q_dedup_clusters": 3, "q_window_range_frame": 3,
-    "q_pipeline_clean_corpus": 3, "q_dedup_embedding": 3,
-    "q_exists_subquery": 3, "q_scalar_subquery": 3,
-    "q_not_exists_customers": 3, "q_knn_quantized": 3, "q_events_multires": 3,
-    "q_events_gapfill": 3, "q_stratified_sample": 3, "q_mix_resample": 3,
-    "q_pack_sequences": 3, "q_top_ngrams": 3, "q_contamination": 3,
-    "q_chunk_stats": 3, "q_quality_gopher": 3, "q_text_repetition": 3,
-    "q_text_entropy": 3, "q_pii_redact": 3, "q_bm25_topk": 3,
-    "q_volume_shipping": 3, "q_market_share": 3, "q_returned_items": 3,
-    "q_promo_effect": 3, "q_large_orders": 3, "q_order_priority_check": 3,
+    "q_join_multi_key": 10, "q_sort_nulls": 10, "q_union_type_promotion": 10,
+    "q_join_salted": 10, "q_events_funnel": 10, "q_events_retention": 10,
+    "q_text_langid": 10, "q_text_quality_score": 10, "q_text_bpe_tokens": 10,
+    "q_window_first_last": 10, "q_events_sliding": 10,
+    "q_grouped_map_normalize": 10, "q_approx_distinct": 10,
+    "q_term_doc_freq": 10, "q_dedup_clusters": 10, "q_window_range_frame": 10,
+    "q_pipeline_clean_corpus": 10, "q_dedup_embedding": 10,
+    "q_exists_subquery": 10, "q_scalar_subquery": 10,
+    "q_not_exists_customers": 10, "q_knn_quantized": 10, "q_events_multires": 10,
+    "q_events_gapfill": 10, "q_stratified_sample": 10, "q_mix_resample": 10,
+    "q_pack_sequences": 10, "q_top_ngrams": 10, "q_contamination": 10,
+    "q_chunk_stats": 10, "q_quality_gopher": 10, "q_text_repetition": 10,
+    "q_text_entropy": 10, "q_pii_redact": 10, "q_bm25_topk": 10,
+    "q_volume_shipping": 10, "q_market_share": 10, "q_returned_items": 10,
+    "q_promo_effect": 10, "q_large_orders": 3, "q_order_priority_check": 3,
     "q_product_profit": 3,
     # --- r4 window (50/50 green, CORRECTNESS_r04.json) ---
     "q_collect_list": 4, "q_quantize_embeddings": 4,
@@ -206,6 +206,14 @@ _DRIVER_CHECKED_TAGGED: dict[str, int] = {
     "q_multimodal_jpeg_dims": 9, "q_multimodal_av_info": 9,
     "q_table_skipping": 9, "q_kmeans_lloyd": 9, "q_dedup_semantic": 9,
     "q_prototype_prune": 9, "q_pipeline_curated_corpus": 9,
+    # --- r10 window (50/50 green, CORRECTNESS_r10.json: 11 debuts
+    # below; plus 39 tag-3 re-samples re-tagged 10 in their original
+    # blocks above per the post-drain policy) ---
+    "q_text_normalize": 10, "q_vocab_coverage": 10, "q_asof_tolerance": 10,
+    "q_lsh_bucket_stats": 10, "q_doc_outliers_zscore": 10,
+    "q_dedup_budget_allocation": 10, "q_knn_batch": 10,
+    "q_ivf_cell_balance": 10, "q_corpus_report": 10,
+    "q_change_feed_diff": 10, "q_pipeline_funnel": 10,
 }
 
 _DRIVER_CHECKED = frozenset(_DRIVER_CHECKED_TAGGED)
@@ -269,7 +277,13 @@ _DEFER_NEXT_WINDOW_TAGGED: tuple = ()
 # continues draining tag-3 (ascending-tag sort does this
 # automatically); any r10 debut queries front automatically.
 #
-# R11 HANDOFF: tag the r10 greens as 10, bump _ROUND to 11. The r11
+# R11 HANDOFF: EXECUTED — the 50 r10 greens are tagged 10 (11 debuts
+# added to the mapping, 39 tag-3 re-samples re-tagged in place),
+# _ROUND bumped to 11, defer list stays empty. The r11 window
+# continues draining the oldest tags (tag-3 remainder, then tag-4)
+# automatically.
+#
+# R12 HANDOFF: tag the r11 greens as 11, bump _ROUND to 12. The r12
 # window continues draining the oldest tags automatically.
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)
