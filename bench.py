@@ -43,7 +43,9 @@ SKIP: set[str] = set()
 
 # BASELINE.md round-1 anchors (sf0.1 sec/query): the six queries the
 # 2x gate is adjudicated against. Values are the measured r1 walls
-# from the BASELINE.md table.
+# from the BASELINE.md table; _check_anchor_baselines() re-parses that
+# table at startup so a re-baseline cannot silently diverge from the
+# literals the committed artifacts' ratios are computed against.
 ANCHORS: dict[str, float] = {
     "q_pricing_summary": 1.7,
     "q_join_agg": 1.7,
@@ -52,6 +54,33 @@ ANCHORS: dict[str, float] = {
     "q_knn_pairs": 2.6,
     "q_events_sessions": 0.7,
 }
+
+
+def _check_anchor_baselines() -> None:
+    """Cross-check ANCHORS against the BASELINE.md table (| q_name ...
+    | sf | wall | notes |). Raises on any drift so a re-baselined
+    BASELINE.md forces this dict to be updated in the same commit."""
+    import re as _re
+    from pathlib import Path as _Path
+
+    md = _Path(__file__).with_name("BASELINE.md")
+    if not md.exists():
+        return
+    table: dict[str, float] = {}
+    for m in _re.finditer(
+        r"^\|\s*(q_\w+)[^|]*\|\s*[\d.]+\s*\|\s*([\d.]+)\s*\|",
+        md.read_text(), _re.MULTILINE,
+    ):
+        table[m.group(1)] = float(m.group(2))
+    drift = {
+        n: (v, table[n]) for n, v in ANCHORS.items()
+        if n in table and abs(table[n] - v) > 1e-9
+    }
+    missing = [n for n in ANCHORS if n not in table]
+    if drift or missing:
+        raise RuntimeError(
+            f"ANCHORS out of sync with BASELINE.md: drift={drift} "
+            f"missing={missing} — update the ANCHORS dict to match")
 
 
 def parse_sf(sf_dir: str) -> float | None:
@@ -147,6 +176,7 @@ def run_anchors_warm(
 
 
 def main() -> None:
+    _check_anchor_baselines()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     anchors_only = "--anchors-warm" in sys.argv[1:]
     sf = parse_sf(sf_dir)

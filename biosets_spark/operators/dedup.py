@@ -33,6 +33,63 @@ _BROADCAST_ID_LIMIT = 2_000_000
 # full-table join is cheaper than the prune's extra join/broadcast
 # until the shingle table dwarfs the candidate set.
 _PRUNE_MIN_DOCS = 100_000
+# Default LSH bucket-size cap: buckets at or below this size get the
+# exact all-pairs self-join; hotter buckets (boilerplate mass) degrade
+# to star pairing. 1024 bounds one bucket's join output to ~524k pairs
+# — one task's worth of work regardless of corpus skew.
+_DEFAULT_MAX_BUCKET = 1024
+
+
+def _capped_bucket_pairs(buckets: DataFrame, key: str, cap: int,
+                         carry: list[str] | None = None) -> DataFrame:
+    """Candidate pairs from an LSH bucket table with a hot-bucket cap.
+
+    ``buckets`` has one row per (doc ``_id``, bucket ``key``); buckets
+    with <= ``cap`` members produce ALL intra-bucket pairs (the exact
+    LSH candidate set); buckets above the cap produce STAR pairs only
+    (every member paired with the bucket's min ``_id``) — O(n) rows
+    per hot bucket instead of O(n^2), so a corpus with 100k identical
+    boilerplate docs costs one linear task, not one quadratic one.
+
+    Star pairing preserves cluster CONNECTIVITY (every hot-bucket
+    member reaches the representative, so connected-component dedup
+    recovers the full group) but not pair COMPLETENESS: a pair of
+    non-representative members that shares only hot buckets is not
+    emitted directly, and if the representative fails downstream
+    verification against a member, that member's true pairs inside the
+    hot bucket are lost. That is the documented recall trade for
+    bounded per-task time; pass ``max_bucket_size=None`` at the caller
+    for the exact quadratic behaviour.
+
+    ``carry`` columns (e.g. the simhash signature) are propagated to
+    ``<name>_a`` / ``<name>_b`` on each pair; for star pairs the _a
+    side carries the representative's value via ``min_by``.
+    """
+    carry = carry or []
+    aggs = [F.count("*").alias("_bsz"), F.min("_id").alias("_bmin")]
+    aggs += [F.min_by(c, col("_id")).alias(f"_bmin_{c}") for c in carry]
+    # one thin row per distinct bucket; map-side combine keeps the
+    # exchange proportional to distinct buckets, and AQE broadcasts
+    # the stats side of the join below when it is small
+    stats = buckets.groupBy(key).agg(*aggs)
+    bkt = buckets.join(stats, key)
+    small = bkt.filter(col("_bsz") <= cap).select("_id", key, *carry)
+    a, b = small.alias("a"), small.alias("b")
+    pair_cols = [col("a._id").alias("id_a"), col("b._id").alias("id_b")]
+    pair_cols += [col(f"a.{c}").alias(f"{c}_a") for c in carry]
+    pair_cols += [col(f"b.{c}").alias(f"{c}_b") for c in carry]
+    pairs = a.join(
+        b, (col(f"a.{key}") == col(f"b.{key}")) & (col("a._id") < col("b._id"))
+    ).select(*pair_cols)
+    star_cols = [col("_bmin").alias("id_a"), col("_id").alias("id_b")]
+    star_cols += [col(f"_bmin_{c}").alias(f"{c}_a") for c in carry]
+    star_cols += [col(c).alias(f"{c}_b") for c in carry]
+    star = (
+        # _bmin is the bucket min, so id_a < id_b holds by construction
+        bkt.filter((col("_bsz") > cap) & (col("_id") != col("_bmin")))
+        .select(*star_cols)
+    )
+    return pairs.unionByName(star).distinct()
 
 
 def normalize_text(c: Column) -> Column:
@@ -221,6 +278,7 @@ def minhash_lsh_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_perm: int = 32, bands: int = 16, shingle_n: int = 4,
     threshold: float = 0.5,
+    max_bucket_size: int | None = _DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified with true Jaccard.
 
@@ -236,6 +294,16 @@ def minhash_lsh_pairs(
     _PRUNE_MIN_DOCS where the prune overhead exceeds the win), so its
     volume scales with the near-dup mass, not the corpus — 2229 MB ->
     1336 MB total at 1M docs. Document bodies never shuffle.
+
+    Skew contract (r11): the band-bucket self-join is quadratic PER
+    BUCKET, so a boilerplate corpus (100k identical docs -> one
+    bucket) would put O(n^2) work in one task. ``max_bucket_size``
+    (default 1024) caps that: hot buckets degrade to star pairing —
+    every member is paired with the bucket's min-id representative,
+    O(n) rows — which keeps connected-component dedup exact for the
+    hot group while bounding per-task time; see _capped_bucket_pairs
+    for the precise recall trade. ``None`` restores the unbounded
+    exact candidate set.
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
@@ -264,12 +332,15 @@ def minhash_lsh_pairs(
         for bi in range(bands)
     ]
     buckets = sig.select("_id", F.explode(F.array(*band_cols)).alias("bk"))
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cands = (
-        a.join(b, (col("a.bk") == col("b.bk")) & (col("a._id") < col("b._id")))
-        .select(col("a._id").alias("id_a"), col("b._id").alias("id_b"))
-        .distinct()
-    )
+    if max_bucket_size is not None:
+        cands = _capped_bucket_pairs(buckets, "bk", max_bucket_size)
+    else:
+        a, b = buckets.alias("a"), buckets.alias("b")
+        cands = (
+            a.join(b, (col("a.bk") == col("b.bk")) & (col("a._id") < col("b._id")))
+            .select(col("a._id").alias("id_a"), col("b._id").alias("id_b"))
+            .distinct()
+        )
     # Prune the shingle table to candidate docs BEFORE the verification
     # joins: LSH exists because candidates are rare, so the exact-Jaccard
     # stage should shuffle candidates' shingles, not the corpus's (the
@@ -410,15 +481,26 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3, shingle_n: int = 2,
-                  portable: bool = False) -> DataFrame:
+                  portable: bool = False,
+                  max_bucket_size: int | None = _DEFAULT_MAX_BUCKET) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
     Block on ``max_hamming + 1`` signature chunks — the pigeonhole
     guarantee: a pair within hamming h differs in at most h chunks, so
-    it shares at least one exact chunk; the blocking is therefore
-    LOSSLESS (the output is exactly all pairs within max_hamming).
-    Candidates verified with bit_count. (Fixed 4 chunks would silently
-    miss pairs for h > 3.)
+    it shares at least one exact chunk; the blocking is LOSSLESS for
+    chunk buckets at or below ``max_bucket_size`` (the output is
+    exactly all pairs within max_hamming). Candidates verified with
+    bit_count. (Fixed 4 chunks would silently miss pairs for h > 3.)
+
+    Skew contract (r11): a chunk bucket above ``max_bucket_size``
+    (default 1024 — e.g. 100k identical boilerplate docs, where EVERY
+    chunk bucket is the whole group) degrades to star pairing against
+    the bucket's min-id representative: O(n) candidate rows per hot
+    bucket instead of O(n^2). Hamming verification still applies to
+    every emitted pair, so precision is unchanged; recall within a hot
+    bucket is via the representative only (exact for identical-
+    signature mass, the overwhelmingly common hot case — see
+    _capped_bucket_pairs). ``None`` restores lossless-everywhere.
     """
     n_chunks = max_hamming + 1
     if n_chunks > 32:
@@ -441,13 +523,18 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         col("simhash"),
         F.explode(F.array(*[chunk_expr(i) for i in range(n_chunks)])).alias("ck"),
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cands = (
-        a.join(b, (col("a.ck") == col("b.ck")) & (col("a._id") < col("b._id")))
-        .select(col("a._id").alias("id_a"), col("b._id").alias("id_b"),
-                col("a.simhash").alias("sig_a"), col("b.simhash").alias("sig_b"))
-        .distinct()
-    )
+    if max_bucket_size is not None:
+        cands = _capped_bucket_pairs(chunks, "ck", max_bucket_size, carry=["simhash"])
+        cands = cands.select("id_a", "id_b", col("simhash_a").alias("sig_a"),
+                             col("simhash_b").alias("sig_b"))
+    else:
+        a, b = chunks.alias("a"), chunks.alias("b")
+        cands = (
+            a.join(b, (col("a.ck") == col("b.ck")) & (col("a._id") < col("b._id")))
+            .select(col("a._id").alias("id_a"), col("b._id").alias("id_b"),
+                    col("a.simhash").alias("sig_a"), col("b.simhash").alias("sig_b"))
+            .distinct()
+        )
     return (
         cands.withColumn("hamming", F.bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
         .filter(col("hamming") <= max_hamming)

@@ -267,6 +267,12 @@ def release_pinned_indexes() -> int:
         f = _PINNED_INDEX_FRAMES.pop()
         try:
             f.unpersist()
+            # a localCheckpoint'ed pin (corpus_funnel stage frames) is
+            # persisted outside the CacheManager — unpersist() is a
+            # no-op for it; release the underlying RDD blocks too
+            from .graph import free_local_checkpoint
+
+            free_local_checkpoint(f)
             n += 1
         except Exception:
             pass  # session already stopped; nothing to release

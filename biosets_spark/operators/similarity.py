@@ -39,7 +39,12 @@ def knn_bruteforce(
     ``kernel=True`` computes the sims in one Arrow pass with the
     identical IEEE fold order (``_seq_dots``; ~100M+ row corpora —
     the expression path's interpreted HOF fold is ~2 s/1M rows); the
-    top-k itself stays a TakeOrdered either way."""
+    top-k itself stays a TakeOrdered either way. ``exclude_self`` is
+    applied BEFORE either scoring path, so a degenerate (zero-norm)
+    row that is itself the excluded row can never raise in one path
+    while the other skips it."""
+    if exclude_self is not None:
+        df = df.filter(col(id_col) != exclude_self)
     if kernel:
         import numpy as np
         from pyspark.sql.types import DoubleType, StructField, StructType
@@ -80,8 +85,6 @@ def knn_bruteforce(
             col(id_col).alias("neighbor_id"),
             cosine(col(vec_col), qv).alias("sim"),
         )
-    if exclude_self is not None:
-        out = out.filter(col("neighbor_id") != exclude_self)
     return out.orderBy(col("sim").desc(), col("neighbor_id")).limit(k)
 
 
@@ -103,7 +106,11 @@ def knn_batch(
     ``queries`` is a driver-side list of (qid, vector) — model-sized,
     like IVF centroids. Ordering: sim DESC, neighbor id ASC, exact at
     every tie (local truncation uses the same total order as the
-    merge). Zero-norm vectors raise like ANSI division."""
+    merge). Zero-norm vectors raise like ANSI division, and so does
+    any NON-FINITE similarity (inf vector components produce NaN
+    sims, which the numpy lexsort ranks LAST while knn_bruteforce's
+    orderBy ranks NaN first under Spark's NaN-greatest semantics —
+    rejecting them keeps the cross-operator ordering claim exact)."""
     import numpy as np
 
     Q = np.asarray([v for _, v in queries], dtype=np.float64)
@@ -111,6 +118,9 @@ def knn_batch(
     qids = np.asarray([qid for qid, _ in queries], dtype=np.int64)
     if (qn == 0.0).any():
         raise ArithmeticError("zero-norm query vector: cosine undefined")
+    if not np.isfinite(Q).all():
+        raise ArithmeticError("non-finite query vector component: "
+                              "cosine ordering undefined")
 
     _require_integral_id(df, id_col, "knn_batch")
     src = df.select(col(id_col).alias("_nid"), col(vec_col))
@@ -129,6 +139,12 @@ def knn_batch(
                     "zero-norm corpus vector: cosine undefined "
                     "(matches Spark ANSI DIVIDE_BY_ZERO)")
             sim = _seq_dots(V, Q) / (rn[:, None] * qn[None, :])
+            if not np.isfinite(sim).all():
+                raise ArithmeticError(
+                    "non-finite similarity (inf vector component?): "
+                    "local top-k and merge would order NaN last while "
+                    "knn_bruteforce orders NaN first — rejected to "
+                    "keep the documented total order exact")
             out_q, out_i, out_s = [], [], []
             for j in range(len(qids)):
                 top = np.lexsort((ids, -sim[:, j]))[:k]

@@ -24,6 +24,21 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def _state_store_provider() -> str:
+    """Streaming state-store provider class: RocksDB by default (the
+    production choice for large state; measured 1.3-2.2x even at bench
+    scale, r10 probe). The BIOSETS_SPARK_STATE_PROVIDER env var
+    overrides it — the escape hatch for resuming a checkpoint written
+    under the HDFS-backed provider, which RocksDB cannot adopt
+    (provider class is read from the current conf at query restart,
+    so switching providers is checkpoint-breaking)."""
+    return os.environ.get(
+        "BIOSETS_SPARK_STATE_PROVIDER",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+
 def _resolve_driver_memory(extra_conf: dict | None) -> tuple[str, str, dict]:
     """Resolve driver memory once: extra_conf wins over the env default,
     and -Xms is derived from the SAME value as spark.driver.memory so
@@ -89,11 +104,12 @@ def get_spark(
         # at bench scale (r10 probe, 1M events: stateful dedup 29.4 s
         # -> 13.4 s, sessionization 18.2 -> 13.2 s, windowed counts
         # 28.8 -> 22.0 s). Heap state at 100 TB arrival rates is an
-        # OOM, not a tuning knob.
+        # OOM, not a tuning knob. CHECKPOINT-BREAKING for pre-existing
+        # HDFS-provider checkpoints — see _state_store_provider for
+        # the env escape hatch; extra_conf below also overrides.
         .config(
             "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
+            _state_store_provider(),
         )
     )
     for k, v in (extra_conf or {}).items():
@@ -128,13 +144,18 @@ def apply_session_conf(spark: SparkSession) -> SparkSession:
         # whole-stage codegen; the 100-field default drops them to
         # interpreted mode (measured 2x on the signature stage)
         spark.conf.set("spark.sql.codegen.maxFields", "400")
-        # RocksDB streaming state (see get_spark): read at query start,
-        # so it only affects streams begun AFTER this call — existing
-        # checkpointed queries keep their provider
+        # RocksDB streaming state (see get_spark): read at query
+        # (re)start, so it only affects streams STARTED after this
+        # call — already-running queries keep their provider. NOTE
+        # this is CHECKPOINT-BREAKING for restarts: a checkpoint
+        # written under the HDFS-backed provider cannot be resumed
+        # under RocksDB (Spark reads providerClass from the current
+        # conf at restart) — delete/rebuild old checkpoints, or pin
+        # the legacy provider via the BIOSETS_SPARK_STATE_PROVIDER
+        # env var (honored here and in get_spark).
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
+            _state_store_provider(),
         )
     except Exception:
         pass

@@ -203,17 +203,19 @@ def test_connected_components_nonconvergence_raises(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(6)], "id_a long, id_b long"
     )  # diameter 6 > max_iterations=2
-    # the distributed path must be forced: union-find solves any
-    # small graph in one pass regardless of diameter
+    # the distributed label path must be forced: union-find solves any
+    # small graph in one pass, and the star default converges a
+    # 7-node chain within 2-3 rounds regardless of diameter
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(
-            chain, max_iterations=2, small_graph_threshold=0
+            chain, max_iterations=2, small_graph_threshold=0,
+            algorithm="label",
         ).collect()
     # warn mode returns (partial) labels instead
     with pytest.warns(RuntimeWarning, match="did not converge"):
         out = connected_components(
             chain, max_iterations=2, on_nonconvergence="warn",
-            small_graph_threshold=0,
+            small_graph_threshold=0, algorithm="label",
         )
         assert out.count() == 7
     # the fast path solves the same chain exactly, no iteration bound
@@ -399,3 +401,114 @@ def test_knn_bruteforce_kernel_zero_norm_raises(spark):
         S.knn_bruteforce(df, [1.0, 0.0], k=2, kernel=True).collect()
     with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
         S.knn_bruteforce(df, [1.0, 0.0], k=2).collect()
+
+
+@pytest.fixture()
+def boilerplate_docs(spark):
+    """A pathological hot-bucket corpus: 60 identical boilerplate docs
+    plus a handful of distinct ones — every LSH band bucket / simhash
+    chunk bucket for the boilerplate group holds all 60 members."""
+    rows = [(i, BASE) for i in range(60)]
+    rows += [
+        (100, BASE.replace("lazy", "sleepy")),
+        (101, "completely different content about databases and indexes and btrees"),
+        (102, "another unrelated document describing airplanes and weather patterns"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_hot_bucket_cap_star_coverage(boilerplate_docs):
+    """Hot buckets (> max_bucket_size) degrade to star pairs against the
+    min-id representative: O(n) output, full cluster connectivity."""
+    capped = D.minhash_lsh_pairs(boilerplate_docs, threshold=0.5, max_bucket_size=16)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
+    # star shape: exactly one pair per non-representative member of the
+    # identical group (59 star pairs), all verified at jaccard 1.0, plus
+    # the near-dup 100 which shares only sub-cap buckets with doc 0
+    star = {(0, i) for i in range(1, 60)}
+    assert star <= set(pairs)
+    assert all(pairs[p] == 1.0 for p in star)
+    hot_members = set(range(60))
+    quad = {(a, b) for (a, b) in pairs if a in hot_members and b in hot_members and a != 0}
+    assert not quad, f"non-star intra-hot-bucket pairs leaked: {sorted(quad)[:5]}"
+    # connected components over the star pairs recover the full group
+    from biosets_spark.operators.graph import connected_components
+    edges = capped.select("id_a", "id_b")
+    comp = connected_components(edges)
+    labels = {r[0]: r[1] for r in comp.collect()}
+    assert len({labels[i] for i in range(60)}) == 1
+
+
+def test_minhash_cap_matches_uncapped_below_threshold(docs):
+    """On a corpus whose buckets are all below the cap, the capped plan
+    is pair-for-pair identical to the exact quadratic plan."""
+    capped = {(r.id_a, r.id_b, r.jaccard)
+              for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    exact = {(r.id_a, r.id_b, r.jaccard)
+             for r in D.minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=None).collect()}
+    assert capped == exact and capped
+
+
+def test_simhash_hot_bucket_cap_star_coverage(boilerplate_docs):
+    capped = D.simhash_pairs(boilerplate_docs, max_hamming=3, max_bucket_size=16)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in capped.collect()}
+    star = {(0, i) for i in range(1, 60)}
+    assert star <= set(pairs)
+    assert all(pairs[p] == 0 for p in star)
+    hot_members = set(range(60))
+    quad = {(a, b) for (a, b) in pairs if a in hot_members and b in hot_members and a != 0}
+    assert not quad
+    # uncapped emits the full quadratic set for comparison
+    full = D.simhash_pairs(boilerplate_docs, max_hamming=3, max_bucket_size=None)
+    n_full = full.filter((F.col("id_a") < 60) & (F.col("id_b") < 60)).count()
+    assert n_full == 60 * 59 // 2
+
+
+def test_simhash_cap_matches_uncapped_below_threshold(docs):
+    capped = {(r.id_a, r.id_b, r.hamming)
+              for r in D.simhash_pairs(docs, max_hamming=8).collect()}
+    exact = {(r.id_a, r.id_b, r.hamming)
+             for r in D.simhash_pairs(docs, max_hamming=8, max_bucket_size=None).collect()}
+    assert capped == exact and capped
+
+
+def test_connected_components_star_long_chain(spark):
+    """The star-contraction default converges a 10k-node path graph in
+    O(log n) rounds: max_iterations = 2*log2(n) would RAISE if it
+    needed more (label propagation needs ~10k rounds here)."""
+    import math
+
+    from biosets_spark.operators.graph import connected_components
+
+    n = 10_000
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    budget = 2 * math.ceil(math.log2(n))  # 28
+    comp = connected_components(
+        chain, max_iterations=budget, small_graph_threshold=0
+    )
+    assert comp.filter(F.col("component") != 0).count() == 0
+    assert comp.count() == n
+
+
+def test_connected_components_strategies_agree(spark):
+    """union-find, star, and label paths produce identical labels on a
+    mixed-shape graph (chain + clique + pair + self-loop node)."""
+    from biosets_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12),
+         (20, 21), (30, 30)],
+        "id_a long, id_b long",
+    )
+    results = []
+    for kw in (
+        dict(small_graph_threshold=100_000),                      # union-find
+        dict(small_graph_threshold=0, algorithm="star"),          # star
+        dict(small_graph_threshold=0, algorithm="label"),         # label
+    ):
+        comp = connected_components(pairs, **kw)
+        results.append({(r.node, r.component) for r in comp.collect()})
+    assert results[0] == results[1] == results[2]
+    assert (30, 30) in results[0]  # self-loop-only node kept, self-labeled

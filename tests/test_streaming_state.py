@@ -48,14 +48,16 @@ def long_stream_dir(tmp_path_factory):
     return str(root)
 
 
-def _drain_collect_state(spark, stream_df, name):
+def _drain_collect_state(spark, stream_df, name, ckpt_dir):
     """Run to completion one file per micro-batch; return the
-    numRowsTotal trajectory (one entry per micro-batch with state)."""
+    numRowsTotal trajectory (one entry per micro-batch with state).
+    ``ckpt_dir`` comes from pytest's tmp_path so concurrent checkouts
+    / parallel runs on one host never collide on a checkpoint."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", f"/tmp/ckpt_{name}")
+        .option("checkpointLocation", str(ckpt_dir))
         .trigger(availableNow=True)
         .start()
     )
@@ -69,13 +71,10 @@ def _drain_collect_state(spark, stream_df, name):
     return traj
 
 
-def test_dedup_state_plateaus_at_watermark_horizon(spark, long_stream_dir):
-    import shutil
-
-    shutil.rmtree("/tmp/ckpt_state_dedup", ignore_errors=True)
+def test_dedup_state_plateaus_at_watermark_horizon(spark, long_stream_dir, tmp_path):
     sdf = SI.read_stream(spark, long_stream_dir, max_files_per_trigger=1)
     dd = SI.dedup_within_watermark(sdf, keys=["event_id"], watermark="2 hours")
-    traj = _drain_collect_state(spark, dd, "state_dedup")
+    traj = _drain_collect_state(spark, dd, "state_dedup", tmp_path / "ckpt")
     assert len(traj) >= N_HOURS - 2, f"expected per-file batches, got {traj}"
     # plateau: state holds the watermark horizon plus eviction lag
     # (watermark advances at END of batch; cleanup applies the NEXT
@@ -92,14 +91,11 @@ def test_dedup_state_plateaus_at_watermark_horizon(spark, long_stream_dir):
         f"state still growing in the final third: {traj}")
 
 
-def test_windowed_agg_state_plateaus(spark, long_stream_dir):
-    import shutil
-
-    shutil.rmtree("/tmp/ckpt_state_win", ignore_errors=True)
+def test_windowed_agg_state_plateaus(spark, long_stream_dir, tmp_path):
     sdf = SI.read_stream(spark, long_stream_dir, max_files_per_trigger=1)
     agg = SI.windowed_counts(sdf, window="1 hour", watermark="2 hours",
                              keys=["user_id"])
-    traj = _drain_collect_state(spark, agg, "state_win")
+    traj = _drain_collect_state(spark, agg, "state_win", tmp_path / "ckpt")
     assert len(traj) >= N_HOURS - 2
     # state = (windows in horizon) x 7 users — tens of rows, not
     # N_HOURS x 7
