@@ -71,3 +71,251 @@ def q_fingerprint_cache_reuse(spark, sf_dir):
             "entry its first build just wrote")
     out = cache.materialize(second)  # served from the Parquet entry
     return out.orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (operators/pq.py): the vector-compression scale
+# path. All grid-exact (cluster.py discipline), so the oracles
+# reproduce every code and ADC score bit-for-bit.
+# ---------------------------------------------------------------------------
+
+# shared oracle CTE prefix: grid-scaled vectors, the md5-sampled
+# codebook rows, exploded (subspace, code, pos) codebook components,
+# and the per-(vector, subspace) argmin encoding. m=4 subspaces of
+# dsub=16 over the 64-dim embeddings, n_codes=8.
+_PQ_ENC_SQL = """
+    v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS vec
+      FROM embeddings
+    ),
+    ini AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '42')) - 1 AS code,
+             vec
+      FROM v ORDER BY md5(CAST(vec_id AS VARCHAR) || '42') LIMIT 8
+    ),
+    vc AS (SELECT vec_id, generate_subscripts(vec, 1) AS pos, unnest(vec) AS c FROM v),
+    cb AS (
+      SELECT code, (generate_subscripts(vec, 1) - 1) // 16 AS sub,
+             generate_subscripts(vec, 1) AS pos, unnest(vec) AS c
+      FROM ini
+    ),
+    dist AS (
+      SELECT vc.vec_id, cb.sub, cb.code,
+             SUM((vc.c - cb.c) * (vc.c - cb.c)) AS d
+      FROM vc JOIN cb USING (pos)
+      GROUP BY 1, 2, 3
+    ),
+    enc AS (
+      SELECT vec_id, sub, code
+      FROM (SELECT vec_id, sub, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d, code) AS rn
+            FROM dist)
+      WHERE rn = 1
+    )
+"""
+
+
+@q(
+    "q_pq_code_balance",
+    oracle="WITH " + _PQ_ENC_SQL + """
+    SELECT CAST(sub AS INTEGER) AS sub,
+           CAST(code AS INTEGER) AS code,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM enc
+    GROUP BY sub, code
+    ORDER BY sub, code
+    """,
+    desc="PQ codebook occupancy: every embedding encoded to m=4 codes "
+         "(argmin over 8 md5-sampled codebook entries per subspace, "
+         "EXACT integer grid distances, ties to the lowest code — one "
+         "Arrow pass, vectors never shuffle) and counted per "
+         "(subspace, code). The index-health check a PQ deployment "
+         "watches: a dead code wastes a centroid, a hot one degrades "
+         "ADC resolution. Oracle recomputes every assignment "
+         "bit-for-bit.",
+    tags=["vector", "quantize"],
+)
+def q_pq_code_balance(spark, sf_dir):
+    from ..operators import pq as PQ
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cbs = PQ.pq_codebooks(emb, m=4, n_codes=8)
+    enc = PQ.pq_encode(emb, cbs)
+    return (
+        enc.select(F.posexplode("pq_code").alias("sub0", "code"))
+        .select((col("sub0")).cast("int").alias("sub"),
+                col("code").cast("int").alias("code"))
+        .groupBy("sub", "code")
+        .agg(F.count("*").alias("n_vecs"))
+        .orderBy("sub", "code")
+    )
+
+
+@q(
+    "q_pq_knn",
+    oracle="WITH " + _PQ_ENC_SQL + """,
+    qsub AS (
+      SELECT (pos - 1) // 16 AS sub, pos, c FROM vc WHERE vec_id = 0
+    ),
+    dtable AS (
+      SELECT cb.sub, cb.code, SUM((qsub.c - cb.c) * (qsub.c - cb.c)) AS d
+      FROM qsub JOIN cb USING (pos)
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT enc.vec_id AS neighbor_id, SUM(dtable.d) AS adc_score
+      FROM enc JOIN dtable ON dtable.sub = enc.sub AND dtable.code = enc.code
+      WHERE enc.vec_id <> 0
+      GROUP BY 1
+    )
+    SELECT neighbor_id, CAST(adc_score AS BIGINT) AS adc_score
+    FROM scored
+    ORDER BY adc_score, neighbor_id
+    LIMIT 10
+    """,
+    desc="PQ asymmetric-distance top-10 for the vec_id-0 query: the "
+         "query's m x 8 integer distance table is computed driver-side "
+         "and rides into m element_at lookups on literal arrays — the "
+         "ADC scan reads ONLY the 4-smallint code column (16-64x less "
+         "IO than raw vectors), pure JVM, TakeOrdered keeps k. Scores "
+         "are exact longs, so the ranking (score ASC, id ASC) is "
+         "deterministic cross-engine including ties.",
+    tags=["vector", "quantize", "similarity"],
+)
+def q_pq_knn(spark, sf_dir):
+    from ..operators import pq as PQ
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cbs = PQ.pq_codebooks(emb, m=4, n_codes=8)
+    enc = PQ.pq_encode(emb, cbs)
+    qvec = [float(x) for x in
+            emb.filter(col("vec_id") == 0).first()["embedding"]]
+    return PQ.pq_adc_topk(enc, cbs, qvec, k=10, exclude_self=0)
+
+
+@q(
+    "q_pq_recall_audit",
+    oracle="WITH " + _PQ_ENC_SQL + """,
+    qsub AS (
+      SELECT (pos - 1) // 16 AS sub, pos, c FROM vc WHERE vec_id = 0
+    ),
+    dtable AS (
+      SELECT cb.sub, cb.code, SUM((qsub.c - cb.c) * (qsub.c - cb.c)) AS d
+      FROM qsub JOIN cb USING (pos)
+      GROUP BY 1, 2
+    ),
+    adc AS (
+      SELECT neighbor_id FROM (
+        SELECT enc.vec_id AS neighbor_id, SUM(dtable.d) AS adc_score
+        FROM enc JOIN dtable ON dtable.sub = enc.sub AND dtable.code = enc.code
+        WHERE enc.vec_id <> 0
+        GROUP BY 1
+      ) ORDER BY adc_score, neighbor_id LIMIT 10
+    ),
+    qv AS (SELECT pos, c FROM vc WHERE vec_id = 0),
+    exact AS (
+      SELECT neighbor_id FROM (
+        SELECT vc.vec_id AS neighbor_id,
+               SUM((vc.c - qv.c) * (vc.c - qv.c)) AS d
+        FROM vc JOIN qv USING (pos)
+        WHERE vc.vec_id <> 0
+        GROUP BY 1
+      ) ORDER BY d, neighbor_id LIMIT 10
+    )
+    SELECT CAST((SELECT COUNT(*) FROM adc JOIN exact USING (neighbor_id)) AS BIGINT) AS hits,
+           CAST(10 AS BIGINT) AS k
+    """,
+    desc="PQ recall audit: |ADC top-10 ∩ exact grid-L2 top-10| for the "
+         "vec_id-0 query, as exact integer counts — the quality gate a "
+         "deployment runs before trusting the compressed index (the "
+         "similarity-family convention of q_ann_recall_audit applied "
+         "to PQ). Both rankings are exact-integer-ordered, so the "
+         "intersection is deterministic cross-engine.",
+    tags=["vector", "quantize", "similarity"],
+)
+def q_pq_recall_audit(spark, sf_dir):
+    from ..operators import pq as PQ
+    from ..operators.cluster import scaled_vec
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cbs = PQ.pq_codebooks(emb, m=4, n_codes=8)
+    enc = PQ.pq_encode(emb, cbs)
+    qrow = emb.filter(col("vec_id") == 0).first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    adc = PQ.pq_adc_topk(enc, cbs, qvec, k=10, exclude_self=0) \
+        .select("neighbor_id")
+    # exact grid-L2 top-10 (same integer grid as the encoder)
+    import math
+
+    qg = [int(math.floor(x * 1_000_000 + 0.5)) for x in qvec]
+    qlit = F.array(*[F.lit(x) for x in qg])
+    exact = (
+        emb.filter(col("vec_id") != 0)
+        .select(col("vec_id").alias("neighbor_id"),
+                F.aggregate(
+                    F.zip_with(scaled_vec(col("embedding")), qlit,
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"), lambda acc, x: acc + x,
+                ).alias("d"))
+        .orderBy(col("d").asc(), col("neighbor_id"))
+        .limit(10)
+        .select("neighbor_id")
+    )
+    return adc.join(exact, "neighbor_id").agg(
+        F.count("*").alias("hits"), F.lit(10).cast("long").alias("k"))
+
+
+@q(
+    "q_pq_knn_rerank",
+    oracle="WITH " + _PQ_ENC_SQL + """,
+    qsub AS (
+      SELECT (pos - 1) // 16 AS sub, pos, c FROM vc WHERE vec_id = 0
+    ),
+    dtable AS (
+      SELECT cb.sub, cb.code, SUM((qsub.c - cb.c) * (qsub.c - cb.c)) AS d
+      FROM qsub JOIN cb USING (pos)
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT neighbor_id FROM (
+        SELECT enc.vec_id AS neighbor_id, SUM(dtable.d) AS adc_score
+        FROM enc JOIN dtable ON dtable.sub = enc.sub AND dtable.code = enc.code
+        WHERE enc.vec_id <> 0
+        GROUP BY 1
+      ) ORDER BY adc_score, neighbor_id LIMIT 100
+    ),
+    qv AS (SELECT pos, c FROM vc WHERE vec_id = 0)
+    SELECT neighbor_id, CAST(dist AS BIGINT) AS dist FROM (
+      SELECT vc.vec_id AS neighbor_id,
+             SUM((vc.c - qv.c) * (vc.c - qv.c)) AS dist
+      FROM vc JOIN qv USING (pos)
+      WHERE vc.vec_id IN (SELECT neighbor_id FROM short)
+      GROUP BY 1
+    )
+    ORDER BY dist, neighbor_id
+    LIMIT 10
+    """,
+    desc="PQ ADC+R retrieval (the production pattern): an ADC "
+         "shortlist of 100 from the compressed codes, then EXACT "
+         "grid-L2 re-ranking of just the shortlist against the raw "
+         "vectors (broadcast semi-join — only 100 vectors are ever "
+         "scored exactly). PQ's quantization floor limits "
+         "within-cluster ranking (probe: recall@10 0.10 raw ADC on "
+         "the clustered 1M corpus, 0.93 with this re-rank at "
+         "shortlist 1000, 1.3 s/query); exact long distances, "
+         "deterministic cross-engine.",
+    tags=["vector", "quantize", "similarity"],
+)
+def q_pq_knn_rerank(spark, sf_dir):
+    from ..operators import pq as PQ
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cbs = PQ.pq_codebooks(emb, m=4, n_codes=8)
+    enc = PQ.pq_encode(emb, cbs)
+    qvec = [float(x) for x in
+            emb.filter(col("vec_id") == 0).first()["embedding"]]
+    return PQ.pq_adc_rerank_topk(enc, cbs, qvec, emb, k=10, shortlist=100,
+                                 exclude_self=0)
