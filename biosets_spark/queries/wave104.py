@@ -319,3 +319,46 @@ def q_pq_knn_rerank(spark, sf_dir):
             emb.filter(col("vec_id") == 0).first()["embedding"]]
     return PQ.pq_adc_rerank_topk(enc, cbs, qvec, emb, k=10, shortlist=100,
                                  exclude_self=0)
+
+
+@q(
+    "q_components_user_chains",
+    oracle="""
+    SELECT CAST(MIN(event_id) AS BIGINT) AS component,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) > 1
+    ORDER BY component
+    """,
+    desc="connected components via the r11 star-contraction default "
+         "(alternating large-star/small-star, O(log n) rounds), forced "
+         "onto the DISTRIBUTED path (small_graph_threshold=0): edges "
+         "chain each user's events in (ts, event_id) order, so the "
+         "ground-truth components are exactly the multi-event users — "
+         "the oracle recovers each component's min event_id and size "
+         "with a plain GROUP BY, while the engine must actually "
+         "contract ~66-node chains. Complements the pytest pins "
+         "(10k-node path in <= 2 log2 n rounds) with a driver-checked "
+         "differential row.",
+    tags=["graph", "iterative"],
+)
+def q_components_user_chains(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.graph import connected_components
+
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select("user_id", "event_id", F.lag("event_id").over(w).alias("prev"))
+        .filter(col("prev").isNotNull())
+        .select(col("prev").alias("id_a"), col("event_id").alias("id_b"))
+    )
+    comp = connected_components(edges, small_graph_threshold=0,
+                                algorithm="star", max_iterations=24)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("component")
+    )
