@@ -59,7 +59,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Current build round (bump each round; drives the defer-age invariant
 # in tests/test_registry.py).
-_ROUND = 11
+_ROUND = 12
 
 # Queries that already have GREEN driver CORRECTNESS rows, tagged with
 # the round their (latest) green row landed. The tag drives the
@@ -106,25 +106,25 @@ _DRIVER_CHECKED_TAGGED: dict[str, int] = {
     "q_chunk_stats": 10, "q_quality_gopher": 10, "q_text_repetition": 10,
     "q_text_entropy": 10, "q_pii_redact": 10, "q_bm25_topk": 10,
     "q_volume_shipping": 10, "q_market_share": 10, "q_returned_items": 10,
-    "q_promo_effect": 10, "q_large_orders": 3, "q_order_priority_check": 3,
-    "q_product_profit": 3,
+    "q_promo_effect": 10, "q_large_orders": 11, "q_order_priority_check": 11,
+    "q_product_profit": 11,
     # --- r4 window (50/50 green, CORRECTNESS_r04.json) ---
-    "q_collect_list": 4, "q_quantize_embeddings": 4,
-    "q_important_suppliers": 4, "q_ship_delay_priority": 4,
-    "q_top_supplier": 4, "q_supplier_part_variety": 4,
-    "q_disjunctive_filter": 4, "q_excess_parts_suppliers": 4,
-    "q_waiting_suppliers": 4, "q_min_cost_supplier": 4, "q_vocab_stats": 4,
-    "q_token_pmi": 4, "q_mix_temperature": 4, "q_order_count_distribution": 4,
-    "q_small_quantity_revenue": 4, "q_idle_rich_customers": 4,
-    "q_unigram_surprise": 4, "q_script_ratio": 4, "q_head_coverage": 4,
-    "q_mann_whitney": 4, "q_shard_assignment": 4, "q_cohens_kappa": 4,
-    "q_k_anonymity": 4, "q_l_diversity": 4, "q_feature_hash_collisions": 4,
-    "q_partial_correlation": 4, "q_hhi_concentration": 4, "q_cohort_ltv": 4,
-    "q_abc_xyz": 4, "q_graph_assortativity": 4, "q_powerlaw_alpha": 4,
-    "q_heaps_law": 4, "q_word_adaptation": 4, "q_retention_half_life": 4,
-    "q_peak_concurrency": 4, "q_power_analysis": 4, "q_odds_ratio": 4,
-    "q_mcnemar_paired": 4, "q_threshold_sweep": 4, "q_calibration_bins": 4,
-    "q_stratified_effect": 4, "q_anova_oneway": 4, "q_diff_in_diff": 4,
+    "q_collect_list": 11, "q_quantize_embeddings": 11,
+    "q_important_suppliers": 11, "q_ship_delay_priority": 11,
+    "q_top_supplier": 11, "q_supplier_part_variety": 11,
+    "q_disjunctive_filter": 11, "q_excess_parts_suppliers": 11,
+    "q_waiting_suppliers": 11, "q_min_cost_supplier": 11, "q_vocab_stats": 11,
+    "q_token_pmi": 11, "q_mix_temperature": 11, "q_order_count_distribution": 11,
+    "q_small_quantity_revenue": 11, "q_idle_rich_customers": 11,
+    "q_unigram_surprise": 11, "q_script_ratio": 11, "q_head_coverage": 11,
+    "q_mann_whitney": 11, "q_shard_assignment": 11, "q_cohens_kappa": 11,
+    "q_k_anonymity": 11, "q_l_diversity": 11, "q_feature_hash_collisions": 11,
+    "q_partial_correlation": 11, "q_hhi_concentration": 11, "q_cohort_ltv": 11,
+    "q_abc_xyz": 11, "q_graph_assortativity": 11, "q_powerlaw_alpha": 11,
+    "q_heaps_law": 11, "q_word_adaptation": 11, "q_retention_half_life": 11,
+    "q_peak_concurrency": 11, "q_power_analysis": 11, "q_odds_ratio": 11,
+    "q_mcnemar_paired": 11, "q_threshold_sweep": 11, "q_calibration_bins": 11,
+    "q_stratified_effect": 11, "q_anova_oneway": 4, "q_diff_in_diff": 4,
     "q_capture_recapture": 4, "q_cramers_v": 4, "q_round_price_bias": 4,
     "q_skyline_orders": 4, "q_knee_point": 4, "q_control_chart": 4,
     "q_seasonal_strength": 4,
@@ -214,6 +214,12 @@ _DRIVER_CHECKED_TAGGED: dict[str, int] = {
     "q_dedup_budget_allocation": 10, "q_knn_batch": 10,
     "q_ivf_cell_balance": 10, "q_corpus_report": 10,
     "q_change_feed_diff": 10, "q_pipeline_funnel": 10,
+    # --- r11 window (50/50 green, CORRECTNESS_r11.json: 6 debuts
+    # below; plus 3 tag-3 + 41 tag-4 re-samples re-tagged 11 in their
+    # original blocks above per the post-drain policy) ---
+    "q_fingerprint_cache_reuse": 11, "q_pq_code_balance": 11,
+    "q_pq_knn": 11, "q_pq_recall_audit": 11, "q_pq_knn_rerank": 11,
+    "q_components_user_chains": 11,
 }
 
 _DRIVER_CHECKED = frozenset(_DRIVER_CHECKED_TAGGED)
@@ -283,7 +289,12 @@ _DEFER_NEXT_WINDOW_TAGGED: tuple = ()
 # continues draining the oldest tags (tag-3 remainder, then tag-4)
 # automatically.
 #
-# R12 HANDOFF: tag the r11 greens as 11, bump _ROUND to 12. The r12
+# R12 HANDOFF: EXECUTED — the 50 r11 greens are tagged 11 (6 debuts
+# added to the mapping, 3 tag-3 + 41 tag-4 re-samples re-tagged in
+# place), _ROUND bumped to 12, defer list stays empty. The r12 window
+# continues draining the oldest tags (tag-4 remainder) automatically.
+#
+# R13 HANDOFF: tag the r12 greens as 12, bump _ROUND to 13. The r13
 # window continues draining the oldest tags automatically.
 
 _DEFER_NEXT_WINDOW = tuple(n for n, _ in _DEFER_NEXT_WINDOW_TAGGED)
