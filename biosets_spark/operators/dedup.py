@@ -93,6 +93,25 @@ def _capped_bucket_pairs(buckets: DataFrame, key: str, cap: int,
     hot = pin_intermediate(hot.cache())
     if hot.limit(1).count() == 0:
         return plain_pairs(buckets).distinct()
+    # The star-degradation path changes the OUTPUT CONTRACT (pair
+    # completeness, see docstring) — surface a runtime signal so
+    # callers consuming pairs directly can tell it activated. The
+    # stats aggregate runs over the already-cached thin `hot` frame,
+    # so this costs one tiny job only on the degraded path.
+    stats = hot.agg(
+        F.count("*").alias("n"), F.max("_bsz").alias("mx")).first()
+    import warnings
+
+    warnings.warn(
+        f"LSH hot-bucket cap engaged on key '{key}': {stats['n']} "
+        f"bucket(s) above max_bucket_size={cap} (largest: "
+        f"{stats['mx']} members) degrade to star pairing — pair "
+        "recall inside those buckets is representative-only (cluster "
+        "connectivity preserved). Pass max_bucket_size=None for the "
+        "exact quadratic behaviour.",
+        RuntimeWarning,
+        stacklevel=3,
+    )
     small = buckets.join(hot.select(key), key, "left_anti")
     pairs = plain_pairs(small)
     star_cols = [col("_bmin").alias("id_a"), col("_id").alias("id_b")]

@@ -257,10 +257,15 @@ def release_pinned_indexes() -> int:
     since the last release (``zip_with_index`` partition layouts, and
     the dedup detectors' shingle/signature tables via
     ``pin_intermediate``). Safe to call any time AFTER the derived
-    results have been materialized (collect/write); a later
-    re-materialization of a still-lazy derived frame would recompute,
-    which is only guaranteed identical for deterministic sources.
-    Returns the number of frames released.
+    results have been materialized (collect/write). For plain
+    ``.cache()`` pins, a later re-materialization of a still-lazy
+    derived frame recomputes from source — guaranteed identical only
+    for deterministic sources. For ``localCheckpoint``-backed pins,
+    this ALSO frees the checkpoint's RDD blocks, and a checkpointed
+    RDD has truncated lineage: a consumer materialized after release
+    fails with missing-checkpoint-block errors instead of
+    recomputing — callers must fully materialize every derived frame
+    before releasing. Returns the number of frames released.
     """
     n = 0
     while _PINNED_INDEX_FRAMES:

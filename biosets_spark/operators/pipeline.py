@@ -165,23 +165,20 @@ def corpus_funnel(
 
     Counts are declared over the same stage frames clean_corpus
     runs, so the numbers ARE the pipeline's decisions, not a
-    re-implementation. Unlike clean_corpus (which stays fully
-    declarative — see its lineage note), the funnel localCheckpoints
-    the two shared stage frames: each feeds both its own count and
-    the next stage (quality additionally feeds the near-dup
-    detector's shingle pass through exact), so without the pin the
-    quality expressions and the fingerprint window re-run once per
-    consumer (r10 audit: 23 exchanges; 13 after — same output,
-    measured r11). Lazy checkpoint (eager=False): no jobs run at
-    plan-build time, the frames materialize once at the first
-    action. The pins are registered with pin_intermediate, freed by
-    release_pinned_indexes() like every operator-internal cache."""
-    from .joins import pin_intermediate
-
-    quality = pin_intermediate(
-        _quality_survivors(df, text_col).localCheckpoint(eager=False))
-    exact_kept = pin_intermediate(
-        _exact_survivors(quality, text_col, id_col).localCheckpoint(eager=False))
+    re-implementation. Fully declarative, like clean_corpus: an r11
+    revision localCheckpointed the two shared stage frames (each
+    feeds its own count plus the next stage) to cut re-derivation —
+    the audited plan went 23 -> 13 exchanges — but the checkpoint's
+    block serialization of the full text column cost more than the
+    exchange win, exactly the failure mode clean_corpus's lineage
+    note documents. A/B at sf0.1 (r12, 4 reps x 2 rounds each):
+    pinned cold 10.0 s / warm ~3.4 s vs plain cold 4.2 s / warm
+    ~3.3 s — the pin loses cold and is a wash warm, so it was
+    reverted. The re-derived stage expressions are cheap per-row
+    projections/filters; AQE's stage reuse covers the shuffle
+    subtrees."""
+    quality = _quality_survivors(df, text_col)
+    exact_kept = _exact_survivors(quality, text_col, id_col)
     final = _near_dedup_survivors(
         exact_kept, text_col, id_col, jaccard_threshold, shingle_n, use_lsh)
 

@@ -334,8 +334,9 @@ def q_pq_knn_rerank(spark, sf_dir):
     desc="connected components via the r11 star-contraction default "
          "(alternating large-star/small-star, O(log n) rounds), forced "
          "onto the DISTRIBUTED path (small_graph_threshold=0): each "
-         "user's first 8 events form a CHAIN in (ts, event_id) order "
-         "(real contraction depth) and the rest attach to the user's "
+         "user's first 2 events form a CHAIN head in (ts, event_id) "
+         "order (event 2 links to event 1 — bounded contraction "
+         "depth, see 7ca7b8d) and the rest attach to the user's "
          "first event (the star shape detectors emit), so the "
          "ground-truth components are exactly the multi-event users — "
          "the oracle recovers each component's min event_id and size "

@@ -464,6 +464,32 @@ def test_simhash_hot_bucket_cap_star_coverage(boilerplate_docs):
     assert n_full == 60 * 59 // 2
 
 
+def test_hot_bucket_cap_emits_runtime_warning(boilerplate_docs):
+    """The star-degradation path changes the pair contract — it must
+    announce itself (r12, per the r11 ADVICE): a RuntimeWarning with
+    hot-bucket count and max size fires at plan-build time."""
+    import warnings
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        D.minhash_lsh_pairs(boilerplate_docs, threshold=0.5, max_bucket_size=16)
+    msgs = [str(x.message) for x in rec if issubclass(x.category, RuntimeWarning)]
+    assert any("hot-bucket cap engaged" in m and "max_bucket_size=16" in m
+               for m in msgs), msgs
+
+
+def test_no_hot_bucket_warning_below_cap(docs):
+    """A corpus with no over-cap bucket takes the exact plan silently."""
+    import warnings
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        D.minhash_lsh_pairs(docs, threshold=0.5)
+        D.simhash_pairs(docs, max_hamming=8)
+    assert not [x for x in rec if issubclass(x.category, RuntimeWarning)
+                and "hot-bucket" in str(x.message)]
+
+
 def test_simhash_cap_matches_uncapped_below_threshold(docs):
     capped = {(r.id_a, r.id_b, r.hamming)
               for r in D.simhash_pairs(docs, max_hamming=8).collect()}
