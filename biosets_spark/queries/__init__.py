@@ -900,7 +900,7 @@ _MANIFEST = (
     "wave79", "wave80", "wave81", "wave82", "wave83", "wave84", "wave85",
     "wave86", "wave87", "wave88", "wave89", "wave90", "wave91", "wave92",
     "wave93", "wave94", "wave95", "wave96", "wave97", "wave98", "wave99",
-    "wave100", "wave101", "wave102", "wave103", "wave104",
+    "wave100", "wave101", "wave102", "wave103", "wave104", "wave105",
 )
 
 import importlib as _importlib  # noqa: E402
