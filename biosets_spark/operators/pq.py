@@ -46,16 +46,21 @@ from pyspark.sql.functions import col, lit
 from .cluster import SCALE  # 1e-6 grid, shared with kmeans/semantic
 
 
-def _scaled_rows(df: DataFrame, id_col: str, vec_col: str, n: int, seed: int):
+def _scaled_rows(df: DataFrame, id_col: str, vec_col: str, n: int, seed: int,
+                 pre_scaled: bool = False):
     """The md5-ordered deterministic sample, grid-scaled (the
     ivf_build / sample_centroids permutation — identical SQL twin:
-    ORDER BY md5(CAST(id AS VARCHAR) || '<seed>') LIMIT n)."""
+    ORDER BY md5(CAST(id AS VARCHAR) || '<seed>') LIMIT n).
+    ``pre_scaled``: ``vec_col`` already holds exact grid longs (e.g.
+    IVF residuals) — no snap."""
     rows = (
         df.select(id_col, vec_col)
         .orderBy(F.md5(F.concat(col(id_col).cast("string"), lit(str(seed)))))
         .limit(n)
         .collect()
     )
+    if pre_scaled:
+        return [[int(x) for x in r[vec_col]] for r in rows]
     return [
         [int(__import__("math").floor(float(x) * SCALE + 0.5)) for x in r[vec_col]]
         for r in rows
@@ -69,12 +74,14 @@ def pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    pre_scaled: bool = False,
 ) -> list[list[list[int]]]:
     """``codebooks[j][c]`` = scaled subvector j of the c-th sampled
     row: m subspaces x n_codes codes x (dim/m) grid components.
     Requires dim % m == 0 (a ragged last subspace would make the
     subspace id a per-position case split in both engines)."""
-    sample = _scaled_rows(df, id_col, vec_col, n_codes, seed)
+    sample = _scaled_rows(df, id_col, vec_col, n_codes, seed,
+                          pre_scaled=pre_scaled)
     if not sample:
         raise ValueError("pq_codebooks: empty input")
     dim = len(sample[0])
@@ -94,6 +101,7 @@ def pq_encode(
     vec_col: str = "embedding",
     out_col: str = "pq_code",
     dist_col: str | None = None,
+    pre_scaled: bool = False,
 ) -> DataFrame:
     """Add ``out_col``: array<smallint> of m codes — per subspace, the
     argmin over exact integer squared L2 to the codebook entries, ties
@@ -139,8 +147,11 @@ def pq_encode(
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            G = np.floor(V * SCALE + 0.5).astype(np.int64)
+            if pre_scaled:
+                G = np.asarray(pdf[vec_col].tolist(), dtype=np.int64)
+            else:
+                V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                G = np.floor(V * SCALE + 0.5).astype(np.int64)
             codes = np.empty((len(G), m), dtype=np.int16)
             dists = (np.empty((len(G), m), dtype=np.int64)
                      if dist_col is not None else None)
@@ -169,6 +180,7 @@ def pq_train_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    pre_scaled: bool = False,
 ) -> list[list[list[int]]]:
     """Lloyd-trained PQ codebooks on the exact grid — the kmeans_fit
     discipline (operators/cluster.py) applied per subspace, replacing
@@ -200,7 +212,7 @@ def pq_train_codebooks(
     from .cluster import scaled_vec
 
     cbs = pq_codebooks(df, m=m, n_codes=n_codes, id_col=id_col,
-                       vec_col=vec_col, seed=seed)
+                       vec_col=vec_col, seed=seed, pre_scaled=pre_scaled)
     if iters <= 0:
         return cbs
     dsub = len(cbs[0][0])
@@ -210,13 +222,15 @@ def pq_train_codebooks(
         # them once instead of re-scanning the source per pass
         src = src.persist()
     try:
+        grid = (col(vec_col) if pre_scaled
+                else scaled_vec(col(vec_col)))
         for _ in range(iters):
             enc = pq_encode(src, cbs, id_col=id_col, vec_col=vec_col,
-                            out_col="_pq")
+                            out_col="_pq", pre_scaled=pre_scaled)
             stats = (
                 enc.select(
                     col("_pq"),
-                    F.posexplode(scaled_vec(col(vec_col))).alias("_pos", "_c"),
+                    F.posexplode(grid).alias("_pos", "_c"),
                 )
                 .select(
                     F.floor(col("_pos") / lit(dsub)).cast("int").alias("_sub"),
@@ -252,14 +266,19 @@ def pq_train_codebooks(
 
 
 def pq_distance_table(
-    codebooks: list[list[list[int]]], query_vec: list[float]
+    codebooks: list[list[list[int]]], query_vec: list[float],
+    pre_scaled: bool = False,
 ) -> list[list[int]]:
     """``table[j][c]`` = exact squared grid distance from the query's
     subvector j to code c — driver-side Python ints (model-sized:
-    m x n_codes longs)."""
+    m x n_codes longs). ``pre_scaled``: query_vec is already exact
+    grid ints (e.g. an IVF residual)."""
     import math
 
-    q = [int(math.floor(float(x) * SCALE + 0.5)) for x in query_vec]
+    if pre_scaled:
+        q = [int(x) for x in query_vec]
+    else:
+        q = [int(math.floor(float(x) * SCALE + 0.5)) for x in query_vec]
     dsub = len(codebooks[0][0])
     return [
         [
@@ -367,23 +386,30 @@ def ivfpq_build(
     vec_col: str = "embedding",
     cell_seed: int = 7,
     code_seed: int = 42,
+    by_residual: bool = False,
 ) -> tuple[DataFrame, list[list[int]], list[list[list[int]]]]:
     """IVF x PQ — the production 100 TB ANN layout: a grid-exact IVF
     coarse quantizer (md5-sampled centroids, exact integer L2
     assignment via cluster.assign_cells, ties to the lowest cell) over
-    Lloyd-trained PQ codes of the RAW vectors (the no-residual IVF-PQ
-    variant — e.g. faiss IndexIVFPQ(by_residual=False) — chosen so
-    every quantity stays on the exact integer grid and a DuckDB oracle
-    reproduces cells, codes, and ADC scores bit-for-bit; residual
-    encoding would subtract a per-row centroid before quantization,
-    which composes fine on the grid too but doubles the oracle's CTE
-    depth for no differential coverage gain).
+    Lloyd-trained PQ codes.
+
+    ``by_residual=False``: codes quantize the RAW vectors (faiss
+    IndexIVFPQ(by_residual=False)) — the shallowest oracle CTE chain.
+    ``by_residual=True``: codes quantize ``v - centroid(cell)`` (the
+    faiss default) — the codebook's resolution concentrates on the
+    noise-scale WITHIN-cell differences instead of spanning cell
+    centers, which is what lifts raw-ADC recall on clustered corpora
+    (r12 1M probe, see PERFORMANCE.md). Residuals are exact grid
+    differences (zip_with on longs against an element_at into the
+    literal centroid table), so the composition stays fully
+    oracle-reproducible.
 
     Returns ``(encoded, cents, codebooks)``: ``encoded`` is
     (id, _cell int, pq_code array<smallint>) — the only columns a
     cell-pruned ADC scan ever reads (the raw vectors never shuffle and
     never enter the search path); ``cents`` are the SCALED coarse
-    centroids; ``codebooks`` the signed-grid PQ codebooks.
+    centroids; ``codebooks`` the signed-grid PQ codebooks (residual
+    space when by_residual).
 
     Scale shape: centroid sample + codebook training are model-sized
     driver state (the kmeans_fit contract); assignment + encoding are
@@ -396,12 +422,42 @@ def ivfpq_build(
     v = df.select(id_col, vec_col).withColumn(
         "_v", scaled_vec(col(vec_col)))
     cents = sample_centroids(v, n_cells, id_col, "_v", seed=cell_seed)
-    cbs = pq_train_codebooks(df, m=m, n_codes=n_codes, iters=train_iters,
-                             id_col=id_col, vec_col=vec_col, seed=code_seed)
-    assigned = assign_cells(v, cents).drop("_dist", "_v")
-    encoded = pq_encode(assigned, cbs, id_col=id_col, vec_col=vec_col) \
-        .select(id_col, "_cell", "pq_code")
-    return encoded, cents, cbs
+    if not by_residual:
+        cbs = pq_train_codebooks(df, m=m, n_codes=n_codes,
+                                 iters=train_iters, id_col=id_col,
+                                 vec_col=vec_col, seed=code_seed)
+        assigned = assign_cells(v, cents).drop("_dist", "_v")
+        encoded = pq_encode(assigned, cbs, id_col=id_col, vec_col=vec_col) \
+            .select(id_col, "_cell", "pq_code")
+        return encoded, cents, cbs
+    # residual space: r = grid(v) - centroid(cell), exact longs.
+    # lit(cents) is one constant-folded array<array<long>> literal;
+    # element_at picks the row's centroid, zip_with subtracts.
+    centlit = lit([[int(x) for x in cv] for cv in cents])
+    resid = (
+        assign_cells(v, cents).drop("_dist")
+        .withColumn("_resid", F.zip_with(
+            col("_v"), F.element_at(centlit, col("_cell") + 1),
+            lambda a, b: a - b))
+        .drop("_v")
+    )
+    if train_iters > 0:
+        # training re-reads the residuals every iteration — pin once
+        resid = resid.persist()
+    try:
+        cbs = pq_train_codebooks(resid, m=m, n_codes=n_codes,
+                                 iters=train_iters, id_col=id_col,
+                                 vec_col="_resid", seed=code_seed,
+                                 pre_scaled=True)
+        encoded = pq_encode(resid, cbs, id_col=id_col, vec_col="_resid",
+                            pre_scaled=True) \
+            .select(id_col, "_cell", "pq_code")
+        # materialization happens at the caller's first action; the
+        # pin only helps the multi-pass training above
+        return encoded, cents, cbs
+    finally:
+        if train_iters > 0:
+            resid.unpersist(blocking=False)
 
 
 def ivfpq_adc_topk(
@@ -414,6 +470,7 @@ def ivfpq_adc_topk(
     id_col: str = "vec_id",
     code_col: str = "pq_code",
     exclude_self: int | None = None,
+    by_residual: bool = False,
 ) -> DataFrame:
     """Cell-pruned ADC top-k: rank the coarse cells by EXACT grid L2
     from the query (driver-side over the model-sized centroid list,
@@ -423,10 +480,18 @@ def ivfpq_adc_topk(
     none of the raw vectors. Returns (neighbor_id, adc_score) ordered
     score ASC, id ASC; exact long scores, deterministic cross-engine.
 
-    The ``isin`` probe filter is a pushable IN predicate: over a
-    _cell-partitioned parquet layout it becomes partition pruning, so
-    at 100 TB the physical read is codes-of-probed-cells only."""
+    ``by_residual`` must match the build: the distance table is then
+    PER PROBED CELL (query residual q - centroid_c against the
+    residual-space codebooks), and the scan is a union of one
+    per-cell scan each carrying its own literal table — each branch's
+    ``_cell = c`` filter partition-prunes independently, so the
+    physical read is unchanged.
+
+    The ``isin``/equality probe filters are pushable predicates: over
+    a _cell-partitioned parquet layout they become partition pruning,
+    so at 100 TB the physical read is codes-of-probed-cells only."""
     import math
+    from functools import reduce
 
     q = [int(math.floor(float(x) * SCALE + 0.5)) for x in query_vec]
     ranked = sorted(
@@ -434,12 +499,23 @@ def ivfpq_adc_topk(
         for ci, cv in enumerate(cents)
     )
     probe = [ci for _, ci in ranked[:n_probe]]
-    table = pq_distance_table(codebooks, query_vec)
-    out = (
-        encoded.filter(col("_cell").isin(probe))
-        .select(col(id_col).alias("neighbor_id"),
-                _adc_score_expr(table, code_col).alias("adc_score"))
-    )
+    if by_residual:
+        scans = []
+        for ci in probe:
+            qr = [q[p] - cents[ci][p] for p in range(len(q))]
+            table = pq_distance_table(codebooks, qr, pre_scaled=True)
+            scans.append(
+                encoded.filter(col("_cell") == ci)
+                .select(col(id_col).alias("neighbor_id"),
+                        _adc_score_expr(table, code_col).alias("adc_score")))
+        out = reduce(lambda a, b: a.unionByName(b), scans)
+    else:
+        table = pq_distance_table(codebooks, query_vec)
+        out = (
+            encoded.filter(col("_cell").isin(probe))
+            .select(col(id_col).alias("neighbor_id"),
+                    _adc_score_expr(table, code_col).alias("adc_score"))
+        )
     if exclude_self is not None:
         out = out.filter(col("neighbor_id") != exclude_self)
     return out.orderBy(col("adc_score").asc(), col("neighbor_id")).limit(k)

@@ -101,10 +101,23 @@ class FingerprintCache:
     """
 
     def __init__(self, cache_dir: str, max_bytes: int | None = None,
-                 max_age_seconds: float | None = None):
+                 max_age_seconds: float | None = None,
+                 evict_grace_seconds: float = 0.0):
         self.cache_dir = cache_dir
         self.max_bytes = max_bytes
         self.max_age_seconds = max_age_seconds
+        # entries touched (written or hit) within the last
+        # evict_grace_seconds are NEVER evicted — the contract a
+        # concurrent deployment needs so a frame handed out by
+        # materialize() survives until its caller has materialized it
+        # (the cache lock serializes lifecycle transitions, but the
+        # hand-out is a lazy scan; without a grace window a size-bound
+        # sweep from another thread can remove the entry between
+        # return and first action). Size bounds become EVENTUAL under
+        # a non-zero grace: the budget may be temporarily exceeded by
+        # in-grace entries. Default 0 keeps strict bounds for
+        # single-threaded use.
+        self.evict_grace_seconds = evict_grace_seconds
         os.makedirs(cache_dir, exist_ok=True)
 
     def path_for(self, fp: str) -> str:
@@ -114,20 +127,35 @@ class FingerprintCache:
         p = self.path_for(fp)
         return os.path.isdir(p) and os.path.exists(os.path.join(p, "_SUCCESS"))
 
+    def _lock(self):
+        """Advisory single-host lock serializing entry lifecycle
+        transitions (write-miss, evict, clear) against each other —
+        the sources/sink.py commit-lock pattern (O_CREAT|O_EXCL lock
+        file, stale-break). Without it a concurrent evict() can rmtree
+        an entry between another thread's write and its hand-out scan.
+        The lock covers METADATA transitions only: a frame already
+        handed out is a lazy Parquet scan, and protecting it from a
+        LATER eviction is the caller's lifecycle concern (materialize
+        it, or size the bounds so live entries survive)."""
+        from ..sources.sink import _table_commit_lock
+
+        return _table_commit_lock(self.cache_dir, lock_name="_fpcache")
+
     def materialize(self, df: DataFrame, params: dict | None = None) -> DataFrame:
         """Return a cached-or-computed materialization of ``df``."""
         spark: SparkSession = df.sparkSession
         fp = plan_fingerprint(df, params)
         p = self.path_for(fp)
-        if self.has(fp):
-            # LRU touch: a hit refreshes the entry's mtime so eviction
-            # removes cold entries first
-            os.utime(p, None)
-        else:
-            df.write.mode("overwrite").parquet(p)
-            # never evict the entry being returned, even if it alone
-            # exceeds the size bound
-            self.evict(protect=p)
+        with self._lock():
+            if self.has(fp):
+                # LRU touch: a hit refreshes the entry's mtime so
+                # eviction removes cold entries first
+                os.utime(p, None)
+            else:
+                df.write.mode("overwrite").parquet(p)
+                # never evict the entry being returned, even if it
+                # alone exceeds the size bound
+                self._evict_locked(protect=p)
         return spark.read.parquet(p)
 
     def _entries(self) -> list[tuple[str, float, int]]:
@@ -153,7 +181,14 @@ class FingerprintCache:
         """Apply the TTL and size bounds (LRU by mtime); returns the
         number of entries removed. ``protect`` exempts one entry (the
         one a caller is about to hand out). No-op when both bounds are
-        None."""
+        None. Takes the cache lock — safe to call concurrently with
+        materialize() from another thread/process."""
+        if self.max_bytes is None and self.max_age_seconds is None:
+            return 0
+        with self._lock():
+            return self._evict_locked(protect=protect)
+
+    def _evict_locked(self, protect: str | None = None) -> int:
         if self.max_bytes is None and self.max_age_seconds is None:
             return 0
         import shutil
@@ -161,6 +196,14 @@ class FingerprintCache:
 
         removed = 0
         entries = [e for e in self._entries() if e[0] != protect]
+        if self.evict_grace_seconds > 0:
+            # in-grace entries are exempt but (like protect) still
+            # count toward the size budget below via _entries()
+            fresh_cut = time.time() - self.evict_grace_seconds
+            grace_size = sum(s for _, mt, s in entries if mt >= fresh_cut)
+            entries = [e for e in entries if e[1] < fresh_cut]
+        else:
+            grace_size = 0
         if self.max_age_seconds is not None:
             cutoff = time.time() - self.max_age_seconds
             keep = []
@@ -176,7 +219,8 @@ class FingerprintCache:
             protected_size = 0
             if protect is not None:
                 protected_size = sum(s for p, _, s in self._entries() if p == protect)
-            total = protected_size + sum(size for _, _, size in entries)
+            total = protected_size + grace_size + sum(
+                size for _, _, size in entries)
             for p, _, size in entries:  # oldest first
                 if total <= self.max_bytes:
                     break
@@ -187,12 +231,14 @@ class FingerprintCache:
 
     def clear(self) -> int:
         """Cache cleanup (reference arrow_dataset.py:255-292
-        cleanup_cache_files analogue)."""
+        cleanup_cache_files analogue). Locked like evict()."""
         import shutil
 
         n = 0
-        for d in os.listdir(self.cache_dir):
-            if d.startswith("cache-"):
-                shutil.rmtree(os.path.join(self.cache_dir, d), ignore_errors=True)
-                n += 1
+        with self._lock():
+            for d in os.listdir(self.cache_dir):
+                if d.startswith("cache-"):
+                    shutil.rmtree(os.path.join(self.cache_dir, d),
+                                  ignore_errors=True)
+                    n += 1
         return n

@@ -363,11 +363,16 @@ class _table_commit_lock:
     lock older than ``stale_after`` seconds (crashed writer) is broken
     with a warning. Distributed multi-writer coordination is a
     metastore/table-format concern — documented out of scope for the
-    local-FS surface."""
+    local-FS surface.
+
+    ``lock_name`` makes the pattern reusable for other single-host
+    critical sections (plans/fingerprint.py guards its cache-entry
+    lifecycle with it)."""
 
     def __init__(self, path: str, timeout: float = 60.0,
-                 stale_after: float = 3600.0):
-        self.lock_path = os.path.join(path, TABLE_LOG + ".lock")
+                 stale_after: float = 3600.0,
+                 lock_name: str | None = None):
+        self.lock_path = os.path.join(path, (lock_name or TABLE_LOG) + ".lock")
         self.timeout = timeout
         self.stale_after = stale_after
 

@@ -1722,3 +1722,86 @@ def test_decode_mp4_info():
     with pytest.raises(ValueError, match="invalid box size"):
         decode_mp4_info(_mp4_box(b"ftyp", b"isom")
                         + b"\x00\x00\x00\x03moov")
+
+
+def test_fingerprint_cache_concurrent_materialize_evict(spark, tmp_path):
+    """evict()/materialize() racing from two threads must never hand
+    out a frame whose entry was swept mid-write (the r11-advice gap:
+    no lock between the miss-write and the returned scan). The
+    advisory cache lock (plans/fingerprint.py:_lock, the sink.py
+    commit-lock pattern) serializes the lifecycle transitions; every
+    handed-out frame must collect the full row count."""
+    import threading
+
+    cache = FingerprintCache(str(tmp_path / "fpconc"), max_bytes=1,
+                             evict_grace_seconds=300)
+    errs = []
+    n_rounds = 12
+
+    def build(tag):
+        # distinct literal per round -> distinct fingerprint, so every
+        # materialize is a miss-write racing the evictor
+        return spark.range(50).selectExpr("id", f"id * {tag} as v")
+
+    def writer():
+        try:
+            for i in range(n_rounds):
+                out = cache.materialize(build(i + 1))
+                # materialize the handed-out scan NOW: with max_bytes=1
+                # a later round's evict may sweep this entry, but the
+                # hand-out itself must be intact
+                assert out.count() == 50
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def evictor():
+        try:
+            for _ in range(4 * n_rounds):
+                cache.evict()
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer),
+               threading.Thread(target=evictor),
+               threading.Thread(target=evictor)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+
+
+def test_fingerprint_cache_lock_released_on_error(spark, tmp_path):
+    """A failing write must not leave the cache lock held."""
+    cache = FingerprintCache(str(tmp_path / "fplock"))
+    bad = spark.range(5).selectExpr("assert_true(id < 2) as x", "id")
+    try:
+        cache.materialize(bad)
+    except Exception:  # noqa: BLE001
+        pass
+    # lock is free: a normal materialize proceeds without timing out
+    out = cache.materialize(spark.range(7))
+    assert out.count() == 7
+
+
+def test_fingerprint_cache_grace_protects_then_expires(spark, tmp_path):
+    """evict_grace_seconds: an in-grace entry survives a size sweep;
+    once its mtime ages past the grace window the bound applies."""
+    import os
+    import time
+
+    cache = FingerprintCache(str(tmp_path / "fpgrace"), max_bytes=1,
+                             evict_grace_seconds=300)
+    df1 = spark.range(20).withColumn("a", F.col("id") + 1)
+    df2 = spark.range(20).withColumn("b", F.col("id") + 2)
+    cache.materialize(df1)
+    cache.materialize(df2)  # both in grace: nothing swept despite bound
+    assert cache.has(plan_fingerprint(df1))
+    assert cache.has(plan_fingerprint(df2))
+    # age entry 1 out of grace -> size sweep removes it
+    p1 = cache.path_for(plan_fingerprint(df1))
+    old = time.time() - 600
+    os.utime(p1, (old, old))
+    assert cache.evict() == 1
+    assert not cache.has(plan_fingerprint(df1))
+    assert cache.has(plan_fingerprint(df2))

@@ -230,3 +230,50 @@ def test_pq_train_empty_code_keeps_previous_entry(spark):
     assert empties, "fixture must leave at least one empty code"
     for j, c in empties:
         assert cbs1[j][c] == cbs0[j][c]
+
+
+def test_ivfpq_residual_scores_match_driver(vecs):
+    """by_residual=True: codes quantize v - centroid(cell); ADC scores
+    use the PER-CELL query residual table. Full-probe scan recomputed
+    driver-side in exact ints."""
+    rows, df = vecs
+    encoded, cents, cbs = PQ.ivfpq_build(
+        df, n_cells=4, m=2, n_codes=4, train_iters=1, by_residual=True)
+    q = rows[9][1]
+    got = {r.neighbor_id: r.adc_score
+           for r in PQ.ivfpq_adc_topk(encoded, cents, cbs, q, k=40,
+                                      n_probe=4, by_residual=True).collect()}
+    qg = _grid(q)
+    enc_rows = encoded.collect()
+    cells = {r.vec_id: r._cell for r in enc_rows}
+    codes = {r.vec_id: list(r.pq_code) for r in enc_rows}
+    dsub = 4
+    for vid, _ in rows:
+        c = cells[vid]
+        qr = [qg[p] - cents[c][p] for p in range(8)]
+        want = sum(
+            sum((qr[j * dsub + p] - cbs[j][codes[vid][j]][p]) ** 2
+                for p in range(dsub))
+            for j in range(2))
+        assert got[vid] == want, vid
+
+
+def test_ivfpq_residual_codes_quantize_residuals(vecs):
+    """The stored codes must be the argmin in RESIDUAL space (a raw-
+    space argmin would differ for rows whose cell centroid is far from
+    the origin)."""
+    rows, df = vecs
+    encoded, cents, cbs = PQ.ivfpq_build(
+        df, n_cells=4, m=2, n_codes=4, train_iters=0, by_residual=True)
+    enc_rows = encoded.collect()
+    cells = {r.vec_id: r._cell for r in enc_rows}
+    codes = {r.vec_id: list(r.pq_code) for r in enc_rows}
+    dsub = 4
+    for vid, v in rows:
+        g = _grid(v)
+        res = [g[p] - cents[cells[vid]][p] for p in range(8)]
+        for j in range(2):
+            sub = res[j * dsub:(j + 1) * dsub]
+            dists = [sum((a - b) ** 2 for a, b in zip(sub, cv))
+                     for cv in cbs[j]]
+            assert codes[vid][j] == dists.index(min(dists)), (vid, j)
