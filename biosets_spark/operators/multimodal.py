@@ -917,6 +917,55 @@ def extract_image_features(
     return df.select(id_col, payload_col).mapInPandas(gen, schema=out_schema)
 
 
+def _decode_compressed_image(raw: bytes):
+    """Real decode for compressed codecs (JPEG/WebP/...): import-gated
+    on PIL — the gate is an IMPORT ATTEMPT, so an environment with
+    Pillow installed gets the real pixels (proven by the
+    skip-unless-installed pytest in tests/test_multimodal_gates.py)
+    and one without gets the documented NotImplementedError."""
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "compressed image decode requires PIL/opencv"
+        ) from e
+    import io
+
+    import numpy as np
+
+    img = Image.open(io.BytesIO(raw)).convert("RGB")
+    a = np.asarray(img, dtype=np.float64)
+    return (img.width, img.height,
+            float(a[..., 0].mean()), float(a[..., 1].mean()),
+            float(a[..., 2].mean()))
+
+
+def _decode_video_frames(raw: bytes, id_val, every_n: int = 1):
+    """Real keyframe sampling: import-gated on pyav. Yields
+    (id, frame_no, frame_key) per sampled frame — frame_key is the
+    md5 of the decoded RGB plane, so identical content keys
+    identically regardless of container timestamps."""
+    try:
+        import av
+    except ImportError as e:
+        raise NotImplementedError(
+            "video decode requires pyav; not installed"
+        ) from e
+    import hashlib
+    import io
+
+    out = []
+    with av.open(io.BytesIO(raw)) as container:
+        n = 0
+        for frame in container.decode(video=0):
+            if n % every_n == 0:
+                rgb = frame.to_ndarray(format="rgb24")
+                out.append((id_val, n,
+                            hashlib.md5(rgb.tobytes()).hexdigest()[:12]))
+            n += 1
+    return out
+
+
 def sample_frames(
     df: DataFrame,
     payload_col: str = "payload",
@@ -940,9 +989,13 @@ def sample_frames(
         for pdf in batches:
             ids, fns, fks = [], [], []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
-                if not fake_decode:
-                    raise NotImplementedError("video decode requires pyav; not installed")
                 raw = bytes(payload) if payload is not None else b""
+                if not fake_decode:
+                    for vid, fn, fk in _decode_video_frames(raw, i):
+                        ids.append(vid)
+                        fns.append(fn)
+                        fks.append(fk)
+                    continue
                 for fn in range(max(1, len(raw) // every_n_bytes)):
                     ids.append(i)
                     fns.append(fn)
@@ -1034,9 +1087,7 @@ def extract_image_stats(
                 elif raw[:8] == b"\x89PNG\r\n\x1a\n":
                     w, h, mr, mg, mb = decode_png(raw)
                 else:
-                    raise NotImplementedError(
-                        "compressed image decode requires PIL/opencv"
-                    )
+                    w, h, mr, mg, mb = _decode_compressed_image(raw)
                 rows[id_col].append(i)
                 rows["width"].append(w)
                 rows["height"].append(h)
