@@ -70,8 +70,15 @@ def scaled_vec(c: Column, offset: int = 0) -> Column:
 
 def _sqdist(v: Column, cent: list[int]) -> Column:
     """Exact squared euclidean distance between a scaled vector column
-    and a literal centroid (long arithmetic; offsets cancel)."""
-    c = F.array(*[lit(int(x)) for x in cent])
+    and a literal centroid (long arithmetic; offsets cancel). The
+    centroid rides a folded array Literal via the SQL parser (r12):
+    the former ``F.array(*[lit(x) ...])`` was a CreateArray evaluated
+    PER ROW (r11 probe: 3x on a 1M scan) AND cost one py4j call per
+    element on the driver (~0.5 ms each — k=16 x dim=64 assignment
+    built ~1k elements per plan); same long values either way."""
+    from .pq import _long_array_lit
+
+    c = _long_array_lit([int(x) for x in cent])
     return F.aggregate(
         F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
         lit(0).cast("long"),
