@@ -302,6 +302,30 @@ def _long_array_lit(vals: list[int]):
     return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")
 
 
+def _long_array2_lit(rows: list[list[int]]):
+    """Nested array<array<long>> literal via the SQL parser — same
+    rationale as ``_long_array_lit`` (lit() pays per-element py4j;
+    the residual ivfpq centlit at 256 cells x 64 dims is 16k
+    elements, ~8-13 s of driver wall through lit)."""
+    return F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{int(v)}L" for v in row) + ")"
+            for row in rows) + ")")
+
+
+def _double_array_lit(vals: list[float]):
+    """A double-array literal via the SQL parser. Each element rides
+    ``CAST('<repr>' AS DOUBLE)``: Python repr() is the shortest
+    round-trip decimal for the IEEE double and Spark's string->double
+    cast is correctly rounded, so the parsed value is bit-identical
+    to lit(float(x)) — only the driver build cost differs (and the
+    former ``F.array(*[lit(x)...])`` shape was additionally a
+    CreateArray evaluated per row)."""
+    return F.expr(
+        "array(" + ",".join(
+            f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals) + ")")
+
+
 def _adc_score_expr(table: list[list[int]], code_col: str):
     """The ADC scoring expression: sum over subspaces of the query's
     precomputed distance-table entry at the row's code — m
@@ -445,9 +469,9 @@ def ivfpq_build(
             .select(id_col, "_cell", "pq_code")
         return encoded, cents, cbs
     # residual space: r = grid(v) - centroid(cell), exact longs.
-    # lit(cents) is one constant-folded array<array<long>> literal;
+    # centlit is one constant-folded array<array<long>> literal;
     # element_at picks the row's centroid, zip_with subtracts.
-    centlit = lit([[int(x) for x in cv] for cv in cents])
+    centlit = _long_array2_lit([[int(x) for x in cv] for cv in cents])
     resid = (
         assign_cells(v, cents).drop("_dist")
         .withColumn("_resid", F.zip_with(

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
+from .pq import _double_array_lit
+
 from ..functions.vectors import cosine, dot, norm
 
 
@@ -80,7 +82,7 @@ def knn_bruteforce(
 
         out = in_schema.mapInPandas(batches, schema=out_schema)
     else:
-        qv = F.array(*[lit(float(x)) for x in query_vec])
+        qv = _double_array_lit(query_vec)
         out = df.select(
             col(id_col).alias("neighbor_id"),
             cosine(col(vec_col), qv).alias("sim"),
@@ -702,7 +704,7 @@ def lsh_signatures(
         return df.mapInPandas(batches, schema=out_schema)
     sig = None
     for i, p in enumerate(planes):
-        pv = F.array(*[lit(float(x)) for x in p])
+        pv = _double_array_lit(p)
         bit = F.when(dot(col(vec_col), pv) >= 0, F.shiftleft(lit(1).cast("long"), i)).otherwise(lit(0).cast("long"))
         sig = bit if sig is None else sig.bitwiseOR(bit)
     return df.withColumn("_bucket", sig)
@@ -734,7 +736,7 @@ def lsh_knn(
             qsig |= 1 << i
     probe = [qsig] + [qsig ^ (1 << i) for i in range(n_planes)]  # multi-probe radius 1
     bucketed = lsh_signatures(df, dim, n_planes, vec_col, seed, kernel=kernel)
-    qv = F.array(*[lit(float(x)) for x in query_vec])
+    qv = _double_array_lit(query_vec)
     return (
         bucketed.filter(col("_bucket").isin(probe))
         .select(col(id_col).alias("neighbor_id"), cosine(col(vec_col), qv).alias("sim"))
@@ -848,7 +850,7 @@ def ivf_build(
     # at sf0.1: recall-audit chain 3.0 s -> 1.8 s (r6).
     cands = F.array(*[
         F.struct(
-            (dot(col(vec_col), F.array(*[lit(x) for x in cv]))
+            (dot(col(vec_col), _double_array_lit(cv))
              / (col("_row_norm") * lit(_py_norm(cv)))).alias("sim"),
             lit(ci).alias("cell"),
         )
@@ -881,7 +883,7 @@ def ivf_knn(
 
     ranked = sorted(cents, key=lambda cv: -cos(qa, np.asarray(cv[1])))
     probe = [ci for ci, _ in ranked[:n_probe]]
-    qv = F.array(*[lit(float(x)) for x in query_vec])
+    qv = _double_array_lit(query_vec)
     return (
         assigned.filter(col("_cell").isin(probe))
         .select(col(id_col).alias("neighbor_id"), cosine(col(vec_col), qv).alias("sim"))
