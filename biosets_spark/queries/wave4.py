@@ -66,17 +66,23 @@ def q_dedup_embedding(spark, sf_dir):
     GROUP BY o.o_orderpriority
     """,
     desc="TPC-H Q4 shape: per-priority count of orders with a late-"
-         "shipped lineitem — correlated EXISTS compiled to a left-semi "
-         "join (one shuffle on orderkey, no per-row subquery).",
+         "shipped lineitem — the correlated EXISTS evaluated as "
+         "max(l_shipdate) per order (map-side-combinable pre-"
+         "aggregate; the exchange carries one row per order, never "
+         "raw lineitems) joined back on orderkey with the date "
+         "comparison as a post-join filter.",
     tags=["subquery", "semi-join"],
 )
 def q_exists_subquery(spark, sf_dir):
     o = tables.load(spark, sf_dir, "orders")
-    li = tables.load(spark, sf_dir, "lineitem")
-    late = o.join(
-        li,
-        (col("o_orderkey") == col("l_orderkey")) & (col("l_shipdate") > col("o_orderdate")),
-        "left_semi",
+    li = tables.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    # EXISTS(l_shipdate > o_orderdate) <=> MAX(l_shipdate) > o_orderdate
+    # (see q_order_priority_check): pre-aggregating removes the
+    # forced big-side hash build of the left-semi shape.
+    ms = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("_max_ship"))
+    late = (
+        o.join(ms, col("o_orderkey") == col("l_orderkey"))
+        .filter(col("_max_ship") > col("o_orderdate"))
     )
     return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
 

@@ -70,9 +70,12 @@ from ..oracle_fragments import REV_SQL as _REV_SQL
     ORDER BY o_orderpriority
     """,
     desc="TPC-H Q4 shape: order-priority counts for orders with at "
-         "least one lineitem shipped after the order date — an EXISTS "
-         "semi join whose condition mixes an equi key with a non-equi "
-         "residual (stays a hash semi join, residual evaluated post-probe).",
+         "least one lineitem shipped after the order date — the "
+         "correlated EXISTS evaluated as max(l_shipdate) per order "
+         "(a map-side-combinable pre-aggregate, so the exchange "
+         "carries one row per order, never raw lineitems) joined "
+         "back on the equi key with the non-equi residual as a "
+         "post-join filter.",
     tags=["join", "semi-join", "subquery", "tpch"],
 )
 def q_order_priority_check(spark, sf_dir):
@@ -81,10 +84,16 @@ def q_order_priority_check(spark, sf_dir):
     li = tables.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     sel = o.filter(
         (col("o_orderdate") >= "1996-01-01") & (col("o_orderdate") < "1996-07-01"))
-    semi = sel.join(
-        li,
-        (col("l_orderkey") == col("o_orderkey")) & (col("l_shipdate") > col("o_orderdate")),
-        "left_semi",
+    # EXISTS(l_shipdate > o_orderdate) <=> MAX(l_shipdate) > o_orderdate:
+    # the pre-aggregate shrinks lineitem to one (orderkey, max) row
+    # BEFORE any exchange (guide-style partial aggregation), where the
+    # old left-semi forced lineitem to be the hash build side — the
+    # only side a semi join can build — so bench-scale plans broadcast
+    # a 600k-row build and cluster-scale plans shuffle every lineitem.
+    ms = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("_max_ship"))
+    semi = (
+        sel.join(ms, col("l_orderkey") == col("o_orderkey"))
+        .filter(col("_max_ship") > col("o_orderdate"))
     )
     return (
         semi.groupBy("o_orderpriority")

@@ -78,9 +78,11 @@ _MARGIN = 0.10
          "without the other, o22 = neither), top-20 — the standard "
          "collocation test that stays CALIBRATED for rare words "
          "where PMI (q_skipgram_pmi) diverges: G2 weighs evidence "
-         "mass, so 'hash join' beats a hapax pair. The adjacency "
-         "self-join is a band join with fan-out exactly 1 per "
-         "token; margins come from the bigram table itself "
+         "mass, so 'hash join' beats a hapax pair. Adjacent bigrams "
+         "are built per-row via zip_with over two array slices (no "
+         "explode-side self-join — the token table is never "
+         "shuffled, only (w1,w2) pairs); margins come from the "
+         "bigram table itself "
          "(independence model over bigram positions); each of the "
          "four O*ln(O/E) cell terms quantizes the 1e-6 grid ->DECIMAL "
          "before the sum so G2 is order-free; ordering tie-breaks "
@@ -91,17 +93,30 @@ def q_collocation_llr(spark, sf_dir):
     from ..operators.text import tokens
 
     docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
-    posed = docs.select(
-        "doc_id", F.posexplode(tokens(col("text"))).alias("p0", "w")
-    ).select("doc_id", (col("p0") + 1).alias("p"), "w")
-    a, b = posed.alias("a"), posed.alias("b")
+    # Adjacent bigrams per-row: zip_with over two slices of the token
+    # array (the q_bigram_surprise / text.bigram_surprise idiom). The
+    # exploded positional self-join this replaces shuffled the token
+    # table twice (build + probe of the adjacency join) to produce
+    # pairs a single narrow pass computes in place; only (w1, w2)
+    # pairs ever reach an exchange now.
+    # Tokenize in a separate projection: CollapseProject duplicates
+    # only cheap expressions, so the regex split runs once per row
+    # instead of once per slice reference (measured ~2x on the
+    # skipgram sibling).
+    tokd = docs.select(tokens(col("text")).alias("_t"))
+    tk = col("_t")
+    n = F.size(tk)
+    bg_arr = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(tk, F.lit(1), n - 1),
+            F.slice(tk, F.lit(2), n - 1),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     bg = (
-        a.join(
-            b,
-            (col("a.doc_id") == col("b.doc_id"))
-            & (col("b.p") == col("a.p") + 1),
-        )
-        .groupBy(col("a.w").alias("w1"), col("b.w").alias("w2"))
+        tokd.select(F.explode(bg_arr).alias("_bg"))
+        .groupBy(col("_bg.w1").alias("w1"), col("_bg.w2").alias("w2"))
         .agg(F.count("*").alias("o11"))
     )
     tot = bg.agg(F.sum("o11").alias("nn"))
