@@ -78,25 +78,25 @@ def _capped_bucket_pairs(buckets: DataFrame, key: str, cap: int,
             b, (col(f"a.{key}") == col(f"b.{key}")) & (col("a._id") < col("b._id"))
         ).select(*pair_cols)
 
-    # Decision job (the candidate-prune pattern below): probe for ANY
-    # over-cap bucket with one NARROW count-only aggregate (map-side
-    # combined, no carry columns, nothing cached), and when there is
-    # none — the overwhelmingly common case — emit the EXACT uncapped
-    # self-join plan over the UNCACHED bucket table: re-deriving
-    # buckets from source is cheap expressions, while materializing
-    # them to the block cache first is not (r12 re-measure at sf0.1:
-    # the earlier cache-then-probe shape cost simhash ~1.5 s warm of
-    # pure overhead, 4.3 vs 2.8 s uncapped; count-probe-only is
-    # ~0.3 s). Only a corpus that actually HAS a hot bucket pays for
-    # the cache + the full min/min_by aggregate, where both are then
-    # reused by the small/star split below.
-    probe_hot = (buckets.groupBy(key).agg(F.count("*").alias("_bsz"))
-                 .filter(col("_bsz") > cap))
-    if probe_hot.limit(1).count() == 0:
-        return plain_pairs(buckets).distinct()
+    # Decision job (the candidate-prune pattern below): cache the thin
+    # bucket table, probe for ANY over-cap bucket with one
+    # map-side-combined aggregate, and when there is none — the
+    # overwhelmingly common case — emit the EXACT uncapped self-join
+    # plan over the CACHED bucket table. A probe-before-cache variant
+    # (narrow count over the uncached buckets, nothing materialized on
+    # the clean path) was tried in r12 and REVERTED: it re-derives the
+    # bucket/signature subtree for the probe AND both self-join sides,
+    # and same-window alternating reps at sf0.1 measured it ~40-70 %
+    # SLOWER warm (minhash 1.9 -> 3.3 s, simhash 1.8 -> 2.5 s, two
+    # alternating rounds) — the cache materialization it avoided is
+    # exactly what the self-join and later reps reuse. The cache holds
+    # (id, bucket) pairs only — far smaller than the shingle-array
+    # cache the minhash caller already pins.
     buckets = pin_intermediate(buckets.cache())
     hot = buckets.groupBy(key).agg(*aggs).filter(col("_bsz") > cap)
     hot = pin_intermediate(hot.cache())
+    if hot.limit(1).count() == 0:
+        return plain_pairs(buckets).distinct()
     # The star-degradation path changes the OUTPUT CONTRACT (pair
     # completeness, see docstring) — surface a runtime signal so
     # callers consuming pairs directly can tell it activated. The
