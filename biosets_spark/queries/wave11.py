@@ -252,32 +252,58 @@ def q_random_projection(spark, sf_dir):
         ]
         for k in range(8)
     ]
-    x = F.transform(col("embedding"), lambda v: v.cast("double"))
+    # The whole per-row pipeline rides SQL strings parsed JVM-side (the
+    # r12 literal-sweep rationale, operators/pq.py:_long_array_lit,
+    # extended to the full expression tree): the former Column-by-Column
+    # construction (8 zip_with + aggregate HOF chains with Python
+    # lambdas, 512 F.lit sign elements) cost 3,246 py4j round trips =
+    # ~0.9-1.2 s of driver wall per build at sf0.1 (cProfile), while
+    # the parsed form builds the IDENTICAL expression trees (same
+    # dfloor/decimal-quantization structure, same literals) in
+    # milliseconds. The y -> y^2 quantization runs in a SECOND
+    # projection over named y columns so each per-row aggregate is
+    # evaluated once and never duplicated into the y*y term's tree.
+    x_sql = "transform(embedding, v -> CAST(v AS DOUBLE))"
 
-    def dsum(arr):
-        return F.aggregate(
-            arr,
-            lit(0).cast("decimal(28,6)"),
-            lambda acc, v: (acc + v.cast("decimal(18,6)")).cast("decimal(28,6)"),
-        ).cast("double")
+    def dfloor_sql(t: str) -> str:
+        # queries.dfloor, spelled in SQL: FLOOR kept in double below
+        # 2^52, identity above (double already integral there)
+        return (f"(CASE WHEN abs({t}) < 4503599627370496.0D "
+                f"THEN CAST(FLOOR({t}) AS DOUBLE) ELSE {t} END)")
 
-    ys = [
-        dsum(
-            F.zip_with(
-                x,
-                F.array(*[lit(s) for s in signs[k]]),
-                lambda xv, sv: (dfloor((xv * sv) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)),
-            )
-        )
+    def q6_sql(t: str) -> str:
+        # the engine-identical 1e-6 quantizer grid FLOOR(x*1e6+0.5)/1e6
+        return dfloor_sql(f"({t}) * 1000000.0D + 0.5D") + " / 1000000.0D"
+
+    def dsum_sql(arr: str) -> str:
+        return ("CAST(aggregate(" + arr + ", CAST(0 AS DECIMAL(28,6)), "
+                "(acc, v) -> CAST(acc + CAST(v AS DECIMAL(18,6)) "
+                "AS DECIMAL(28,6))) AS DOUBLE)")
+
+    sign_sql = [
+        "array(" + ",".join("1.0D" if s > 0 else "-1.0D" for s in row) + ")"
+        for row in signs
+    ]
+    ys_sql = [
+        dsum_sql(f"zip_with({x_sql}, {sign_sql[k]}, "
+                 f"(xv, sv) -> {q6_sql('xv * sv')})")
         for k in range(8)
     ]
-    norm = dsum(F.transform(x, lambda xv: (dfloor((xv * xv) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))))
-    terms = [(dfloor((y * y) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("decimal(18,6)") for y in ys]
+    norm_sql = dsum_sql(f"transform({x_sql}, xv -> {q6_sql('xv * xv')})")
+    proj = emb.select(
+        *[F.expr(ys_sql[k]).alias(f"y{k}") for k in range(8)],
+        F.expr(norm_sql).alias("norm"),
+    )
+    terms = [
+        (dfloor((col(f"y{k}") * col(f"y{k}")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .cast("decimal(18,6)")
+        for k in range(8)
+    ]
     proj_sq = terms[0].cast("decimal(28,6)")
     for t in terms[1:]:
         proj_sq = (proj_sq + t).cast("decimal(28,6)")
-    ratios = emb.select(
-        ((proj_sq.cast("double") / lit(8.0)) / norm).alias("ratio")
+    ratios = proj.select(
+        ((proj_sq.cast("double") / lit(8.0)) / col("norm")).alias("ratio")
     )
     return ratios.agg(
         F.count("*").alias("n_vecs"),

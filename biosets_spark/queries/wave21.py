@@ -84,7 +84,16 @@ def q_triangle_count(spark, sf_dir):
         .filter(col("w") >= 2)
         .select("x", "y")
     )
-    edge = edge.localCheckpoint(eager=False)  # three consumers below
+    # Three consumers below fan out over this subtree and Catalyst does
+    # not unify the aliased branches into a ReusedExchange — truncate
+    # the lineage once. A pin_intermediate(edge.cache()) variant (the
+    # wave49 lever) was A/B'd in r12 and kept OUT here: the triangle
+    # self-join fans three concurrent leaf stages over the cache, which
+    # race to materialize it (cold collect 1.1 -> 4.2 s, two alternating
+    # rounds), costing more one-shot than the checkpoint's build-time
+    # toRdd pays (~1.1 s); warm reps favored the cache, but the bench
+    # adjudicates the one-shot wall.
+    edge = edge.localCheckpoint(eager=False)
     deg = (
         edge.select(col("x").alias("v")).unionAll(edge.select(col("y").alias("v")))
         .groupBy("v").agg(F.count("*").alias("d"))

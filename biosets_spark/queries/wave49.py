@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from .. import tables
+from ..operators.joins import pin_intermediate
 from . import dfloor, pair_expand, q
 
 _EDGE_SQL = """
@@ -50,9 +51,12 @@ def _edges(spark, sf_dir):
     # Both consumers below fan out over this subtree (the degree union
     # reads it twice, assortativity's moment join a third time) and
     # Catalyst does not unify the aliased branches into a
-    # ReusedExchange — truncate the lineage once, the same lever as
-    # q_triangle_count (queries/wave21.py:87).
-    return edge.localCheckpoint(eager=False)
+    # ReusedExchange — share one materialization via a lazy .cache(),
+    # the same lever as q_triangle_count (queries/wave21.py). The
+    # earlier localCheckpoint(eager=False) paid toRdd (physical
+    # planning + codegen compile) at BUILD time — measured 1.1-3.0 s
+    # per call at sf0.1, pure driver-side overhead the cache avoids.
+    return pin_intermediate(edge.cache())
 
 
 @q(

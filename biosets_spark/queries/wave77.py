@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from .. import tables
+from ..operators.joins import pin_intermediate
 from . import dfloor, q
 
 _HALVES_SQL = """
@@ -181,6 +182,14 @@ def q_kendall_rankings(spark, sf_dir):
     both = a.join(b, col("suppkey") == col("sk2")).select(
         "suppkey", "rank_early", "rank_late"
     )
+    # Three consumers fan out over this bounded rank table (pa, the
+    # broadcast pb, and the n_suppliers aggregate), and each one
+    # re-derives the lineitem scan + midyear broadcast + revenue
+    # aggregate + window — Catalyst does not unify the aliased
+    # branches. A lazy .cache() shares one materialization (the
+    # wave49/_edges lever; r12 alternating reps at sf0.1, two rounds:
+    # one-shot neutral within window noise, warm 1.7 -> 1.0 s).
+    both = pin_intermediate(both.cache())
     pa, pb = both.alias("pa"), both.alias("pb")
     conc = (
         F.when(
