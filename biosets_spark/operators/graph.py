@@ -30,7 +30,7 @@ pinned by pytest on planted clusters rather than the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
@@ -62,25 +62,34 @@ def _star_contraction(
     every non-root node points directly at its component's min id.
     Convergence is O(log n) rounds on any graph shape.
     """
-    def _stats(frame: DataFrame) -> tuple[int, int]:
-        """(count, order-independent xxhash64 checksum) in ONE job —
-        the cheap fixpoint screen: differing stats prove the edge set
-        changed without the exact anti-join probe; matching stats are
-        CONFIRMED by the probe before declaring convergence (the
-        checksum alone is a 2^-64-ish collision risk, not a proof)."""
-        r = frame.agg(
-            F.count("*").alias("n"),
+    def _checkpoint_with_stats(
+        frame: DataFrame,
+    ) -> tuple[DataFrame, int, int]:
+        """Eager localCheckpoint whose (count, order-independent
+        xxhash64 checksum) fixpoint stats ride the materialization job
+        itself via ``observe`` — ZERO extra jobs, where the former
+        shape ran a separate agg job per round (r12: observe metrics
+        are delivered when the checkpoint's internal collect finishes,
+        verified empirically; one job per round instead of two).
+        Differing stats prove the edge set changed without the exact
+        anti-join probe; matching stats are CONFIRMED by the probe
+        before declaring convergence (the checksum alone is a
+        2^-64-ish collision risk, not a proof)."""
+        obs = Observation()
+        ck = frame.observe(
+            obs,
+            F.count(lit(1)).alias("n"),
             # decimal accumulator: a long sum of xxhash64 values
             # overflows under ANSI within a handful of rows
             F.coalesce(
                 F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
                 lit(0).cast("decimal(38,0)"),
             ).alias("chk"),
-        ).first()
-        return int(r["n"]), int(r["chk"])
+        ).localCheckpoint(eager=True)
+        m = obs.get
+        return ck, int(m["n"]), int(m["chk"])
 
-    e = edges.filter(col("u") > col("v")).localCheckpoint(eager=True)
-    n_e, chk_e = _stats(e)
+    e, n_e, chk_e = _checkpoint_with_stats(edges.filter(col("u") > col("v")))
     converged = False
     for _ in range(max_iterations):
         # large-star over both edge directions
@@ -100,14 +109,12 @@ def _star_contraction(
         # small-star over the (already u > v directed) large-star output
         smins = ls.groupBy("u").agg(F.min("v").alias("m"))
         j = ls.join(smins, "u")
-        new_e = (
+        new_e, n_new, chk_new = _checkpoint_with_stats(
             j.select(col("v").alias("u"), col("m").alias("v"))
             .union(j.select("u", col("m").alias("v")))
             .filter(col("u") != col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
-        n_new, chk_new = _stats(new_e)
         if n_new == n_e and chk_new == chk_e:
             # equal counts + empty one-sided difference => equal sets
             changed = new_e.join(e, ["u", "v"], "left_anti").limit(1).count()
