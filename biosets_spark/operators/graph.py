@@ -270,30 +270,50 @@ def connected_components(
     changed = 1
     for _ in range(max_iterations):
         # candidate labels: own label + min neighbor label (aliases
-        # break the shared lineage of the edge-derived frames)
+        # break the shared lineage of the edge-derived frames). The
+        # own-label branch is tagged so the aggregate can carry each
+        # node's PREVIOUS label alongside the new minimum — the
+        # changed-count then rides the checkpoint's materialization
+        # job via ``observe`` (r12), where the former shape ran a
+        # full join of the new and old label tables every round (at
+        # scale: one extra two-sided label shuffle per round).
         neighbor_labels = (
             edges.alias("e")
             .join(labels.alias("l"), col("e.v") == col("l.u"))
-            .select(col("e.u").alias("u"), col("l.component").alias("component"))
+            .select(
+                col("e.u").alias("u"),
+                col("l.component").alias("component"),
+                lit(False).alias("_own"),
+            )
         )
         # localCheckpoint (not cache): materializes AND truncates the
         # logical plan, so planning cost stays constant per iteration
         # instead of growing with the accumulated iterative lineage —
         # at 50+ rounds the un-truncated plan is itself a bottleneck
+        obs = Observation()
         new_labels = (
-            labels.select("u", "component")
+            labels.select("u", "component", lit(True).alias("_own"))
             .union(neighbor_labels)
             .groupBy("u")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                # every node carries exactly one own-label row (labels
+                # holds one row per node), so this max is that value
+                F.max(F.when(col("_own"), col("component"))).alias("_old"),
+            )
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(
+                        F.when(col("component") != col("_old"), 1).otherwise(0)
+                    ),
+                    lit(0),
+                ).alias("changed"),
+            )
+            .select("u", "component")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.select(col("u").alias("nu"), col("component").alias("nc"))
-            .join(labels.select(col("u").alias("ou"), col("component").alias("oc")), col("nu") == col("ou"))
-            .filter(col("nc") != col("oc"))
-            .limit(1)
-            .count()
-        )
+        changed = int(obs.get["changed"])
         # frees the cached round-0 labels AND each round's checkpoint
         # (unpersist() alone is a no-op for checkpointed frames)
         labels.unpersist()
