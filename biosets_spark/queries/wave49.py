@@ -19,7 +19,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from .. import tables
-from ..operators.joins import pin_intermediate
 from . import dfloor, pair_expand, q
 
 _EDGE_SQL = """
@@ -51,12 +50,22 @@ def _edges(spark, sf_dir):
     # Both consumers below fan out over this subtree (the degree union
     # reads it twice, assortativity's moment join a third time) and
     # Catalyst does not unify the aliased branches into a
-    # ReusedExchange — share one materialization via a lazy .cache(),
-    # the same lever as q_triangle_count (queries/wave21.py). The
-    # earlier localCheckpoint(eager=False) paid toRdd (physical
-    # planning + codegen compile) at BUILD time — measured 1.1-3.0 s
-    # per call at sf0.1, pure driver-side overhead the cache avoids.
-    return pin_intermediate(edge.cache())
+    # ReusedExchange — truncate the lineage once, the same lever as
+    # q_triangle_count (queries/wave21.py). A lazy .cache() pin was
+    # tried (r12) and REVERTED after one-shot A/Bs (3 alternating
+    # rounds x 2 scripts, both orderings, clearCache between reps):
+    # the checkpoint pays toRdd at build (~1.2-2.7 s) but its
+    # consumers then read a materialized RDD, while the cache's COLD
+    # collect materializes under RACING consumers (the degree union's
+    # two branches plus assortativity's two broadcast-build jobs all
+    # compute the uncached subtree concurrently, serialized per-block
+    # by the BlockManager write locks — the q_triangle_count failure
+    # mode): assortativity one-shot ckpt 2.0-2.9 s vs cache 3.4-3.8 s
+    # (and 3.60-4.05 across six full-bench runs vs 1.71 committed with
+    # the checkpoint); powerlaw one-shot ckpt 1.7-3.7 vs cache 3.4-7.9.
+    # The cache's apparent warm-rep win was an artifact of reps reading
+    # the already-filled cache — the bench regime pays cold, once.
+    return edge.localCheckpoint(eager=False)
 
 
 @q(
