@@ -231,6 +231,15 @@ def ngram_jaccard_pairs(
         # hot set is small by construction — broadcast anti-join
         sh = sh.join(F.broadcast(hot), "_sh", "left_anti")
     sh = pin_intermediate(sh.cache())
+    # Fill the cache with ONE serial job before the consumers fan out:
+    # without it, the per-doc counts aggregate and both self-join sides
+    # race to materialize the cold cache and BlockManager write locks
+    # serialize the duplicate partition computes (r12 one-shot A/B,
+    # clearCache between reps, 3 alternating rounds: racing cache
+    # 3.4-3.8 s, prefilled 3.3 s — and the same fix pattern as the
+    # minhash/simhash decision probes, which fill their caches as a
+    # side effect). The count result itself is unused.
+    sh.count()
     counts = sh.groupBy("_id").agg(F.count("*").alias("_n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -279,6 +288,9 @@ def containment_pairs(
         )
         sh = sh.join(F.broadcast(hot), "_sh", "left_anti")
     sh = pin_intermediate(sh.cache())
+    # serial cache fill before the consumer fan-out — see
+    # ngram_jaccard_pairs for the measured race it avoids
+    sh.count()
     counts = sh.groupBy("_id").agg(F.count("*").alias("_n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from .. import tables
-from ..operators.joins import pin_intermediate
 from . import dfloor, q
 
 _HALVES_SQL = """
@@ -186,10 +185,18 @@ def q_kendall_rankings(spark, sf_dir):
     # broadcast pb, and the n_suppliers aggregate), and each one
     # re-derives the lineitem scan + midyear broadcast + revenue
     # aggregate + window — Catalyst does not unify the aliased
-    # branches. A lazy .cache() shares one materialization (the
-    # wave49/_edges lever; r12 alternating reps at sf0.1, two rounds:
-    # one-shot neutral within window noise, warm 1.7 -> 1.0 s).
-    both = pin_intermediate(both.cache())
+    # branches. Truncate the lineage once: the rank table is
+    # dimension-sized, so the checkpoint's build-time toRdd
+    # materializes it serially and every consumer then reads a tiny
+    # ExistingRDD. The r12 lazy-.cache() pin was re-adjudicated in the
+    # cold one-shot regime a bench pass pays (clearCache between reps,
+    # 3 alternating rounds x 4 variants): ckpt 1.66/1.38 s beats
+    # unpinned 2.03/1.55, prefilled cache 2.57/2.07, and the racing
+    # cache 2.96/2.01 (the broadcast-build jobs race the probe side's
+    # cold cache materialization — the wave49 lesson). Safe here
+    # because the frame never escapes the query: no post-release
+    # re-materialization can hit the truncated lineage.
+    both = both.localCheckpoint(eager=False)
     pa, pb = both.alias("pa"), both.alias("pb")
     conc = (
         F.when(
